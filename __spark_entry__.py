@@ -1,38 +1,586 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+LLM-pipeline extensions; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL
+for each (column names aliased identically on both sides). Sink-surface
+queries run over the canonical Kafka-record view of ``events``
+(records.KAFKA_VIEW_SQL ≙ records.kafka_records_from_events).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
+from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
+from kafka_connector_s3_sink_spark.operators import multimodal, similarity, text as text_ops
+from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+
+ALL_FIELDS_CONFIG = EngineConfig(
+    output_fields=(
+        OutputField.VALUE,
+        OutputField.KEY,
+        OutputField.TIMESTAMP,
+        OutputField.OFFSET,
+    )
+)
+
+KAFKA_CTE = f"kafka AS ({KAFKA_VIEW_SQL})"
+
+# near-duplicate corpus: documents ∪ tail-trimmed copies of every 10th doc
+CORPUS_CTE = r"""corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '\s+\S+\s*$', '') AS text
+    FROM documents WHERE doc_id % 10 = 0
+)"""
+
+# exact-duplicate corpus: documents ∪ identical copies of every 10th doc
+EXACT_CORPUS_CTE = """corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+TOKS = rf"regexp_split_to_array({NORM}, '\s+')"
+STOPWORDS_SQL = "('" + "','".join(text_ops.STOPWORDS) + "')"
+
+# shingles of the normalized text: md5 of word 3-grams (k=3)
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1), "
+    "i -> md5(array_to_string(w[i+1:i+3], ' '))))"
+)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_near_duplicates(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# sink-surface queries (reference operator inventory, SURVEY.md §2)
+
+
+def q_sink_projection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2: ordered field projection + base64 encoding + CSV line rendering."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    return recs.select(
+        "topic",
+        "partition",
+        "offset",
+        projection.csv_line_column(ALL_FIELDS_CONFIG).alias("csv_line"),
+    )
+
+
+def q_sink_group_topic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3: group by (topic, partition) with start-offset file naming."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    cfg = EngineConfig()
+    agg = grouping.group_start_offsets(recs)
+    return agg.select(
+        "topic",
+        "partition",
+        "start_offset",
+        "record_count",
+        cfg.template.filename_column(start_offset=F.col("start_offset")).alias("filename"),
+    )
+
+
+def q_sink_group_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3: last-value-per-key upsert (deterministic max-offset tiebreak)."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    latest = grouping.last_value_per_key(recs)
+    return latest.select(
+        F.coalesce(F.col("key"), F.lit("null")).alias("group_key"),
+        "topic",
+        "partition",
+        "offset",
+        "value",
+    )
+
+
+def q_sink_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3: file.max.records chunk assignment (N=100)."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    cfg = EngineConfig(file_max_records=100)
+    chunked = grouping.assign_file_chunks(recs, cfg)
+    return grouping.chunk_start_offsets(chunked).select(
+        "topic",
+        "partition",
+        F.col("_chunk").alias("chunk"),
+        "start_offset",
+        "record_count",
+    )
+
+
+def q_sink_timestamp_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3: topic+partition+timestamp grouping (record time as injected clock —
+    the reference's wallclock is untestable, IntegrationTest.java:246-258)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recs = kafka_records_from_events(spark, sf_dir)
+    clock = F.timestamp_millis(F.col("timestamp"))
+    return (
+        recs.groupBy(
+            "topic",
+            "partition",
+            F.date_format(clock, "yyyy").alias("ts_yyyy"),
+            F.date_format(clock, "MM").alias("ts_mm"),
+            F.date_format(clock, "dd").alias("ts_dd"),
+        )
+        .agg(F.min("offset").alias("start_offset"), F.count(F.lit(1)).alias("record_count"))
+    )
+
+
+def q_sink_jsonl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: JSONL rendering, JSON-document values inlined, field order kept."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    cfg = EngineConfig(output_fields=(OutputField.VALUE, OutputField.KEY))
+    return recs.select(
+        "offset", projection.json_object_column(cfg).alias("json_line")
+    )
+
+
+def q_sink_headers_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2: header serialization b64(key):b64(value);… ."""
+    recs = with_synthetic_headers(kafka_records_from_events(spark, sf_dir))
+    return recs.select(
+        "offset", projection.headers_csv_column().alias("headers_csv")
+    )
+
+
+def q_sink_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2: envelope=false with a single value field → bare JSON value."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    cfg = EngineConfig(output_fields=(OutputField.VALUE,), envelope=False)
+    return recs.select(
+        "offset", projection.json_object_column(cfg).alias("json_line")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # sink surface (SURVEY.md §2.2-2.5)
+        "sink_projection_csv": q_sink_projection_csv,
+        "sink_group_topic_partition": q_sink_group_topic_partition,
+        "sink_group_key_upsert": q_sink_group_key_upsert,
+        "sink_chunking": q_sink_chunking,
+        "sink_timestamp_grouping": q_sink_timestamp_grouping,
+        "sink_jsonl_render": q_sink_jsonl_render,
+        "sink_headers_csv": q_sink_headers_csv,
+        "sink_envelope_unwrap": q_sink_envelope_unwrap,
+        # re-exposed relational operators (SURVEY.md §2.3 'absent' list)
+        "q1_pricing_summary": relational.pricing_summary,
+        "q3_top_revenue_orders": relational.top_revenue_orders,
+        "q5_regional_revenue": relational.regional_revenue,
+        "rollup_revenue": relational.rollup_revenue,
+        "window_running_totals": relational.user_running_totals,
+        "topk_users": relational.top_users_by_value,
+        "setop_customers_no_events": relational.customers_without_events,
+        "asof_prev_purchase": relational.asof_prev_purchase,
+        "range_join_events_after_signup": relational.events_after_signup,
+        # LLM-pipeline extensions
+        "text_analysis": lambda s, d: text_ops.analyze(
+            s.read.parquet(f"{d}/documents.parquet")
+        ),
+        "dedup_exact": lambda s, d: dedup.exact_dedup(
+            dedup.with_exact_duplicates(_docs(s, d))
+        ),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_dupes(
+            _corpus(s, d), threshold=0.7
+        ),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_corpus(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
+        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
+            _scaled_embeddings(s, d), threshold=0.999
+        ),
+        "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"),
+            s.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+        ),
+        "multimodal_meta": lambda s, d: multimodal.media_from_documents(
+            s.read.parquet(f"{d}/documents.parquet")
+        ).select(
+            "media_id",
+            "media_type",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.content_md5").alias("content_md5"),
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _scaled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ scaled copies of every 20th vector (cosine 1.0 with the
+    original — deterministic near-dups for the cosine-dedup fixture)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label").unionByName(dups)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sink_projection_csv": f"""
+            WITH {KAFKA_CTE}
+            SELECT topic, partition, "offset",
+                concat(
+                    coalesce(to_base64(encode(value)), ''), ',',
+                    coalesce(to_base64(encode(key)), ''), ',',
+                    coalesce(CAST("timestamp" AS VARCHAR), ''), ',',
+                    coalesce(CAST("offset" AS VARCHAR), '')
+                ) AS csv_line
+            FROM kafka
+        """,
+        "sink_group_topic_partition": f"""
+            WITH {KAFKA_CTE}
+            SELECT topic, partition,
+                min("offset") AS start_offset,
+                count(*) AS record_count,
+                topic || '-' || CAST(partition AS VARCHAR) || '-'
+                      || CAST(min("offset") AS VARCHAR) AS filename
+            FROM kafka GROUP BY topic, partition
+        """,
+        "sink_group_key_upsert": f"""
+            WITH {KAFKA_CTE}
+            SELECT coalesce(key, 'null') AS group_key, topic, partition, "offset", value
+            FROM kafka
+            QUALIFY row_number() OVER (
+                PARTITION BY coalesce(key, 'null') ORDER BY "offset" DESC
+            ) = 1
+        """,
+        "sink_chunking": f"""
+            WITH {KAFKA_CTE},
+            numbered AS (
+                SELECT topic, partition, "offset",
+                    CAST(floor((row_number() OVER (
+                        PARTITION BY topic, partition ORDER BY "offset"
+                    ) - 1) / 100) AS INTEGER) AS chunk
+                FROM kafka
+            )
+            SELECT topic, partition, chunk,
+                min("offset") AS start_offset, count(*) AS record_count
+            FROM numbered GROUP BY topic, partition, chunk
+        """,
+        "sink_timestamp_grouping": f"""
+            WITH {KAFKA_CTE}
+            SELECT topic, partition,
+                strftime(epoch_ms("timestamp"), '%Y') AS ts_yyyy,
+                strftime(epoch_ms("timestamp"), '%m') AS ts_mm,
+                strftime(epoch_ms("timestamp"), '%d') AS ts_dd,
+                min("offset") AS start_offset,
+                count(*) AS record_count
+            FROM kafka GROUP BY 1, 2, 3, 4, 5
+        """,
+        "sink_jsonl_render": f"""
+            WITH {KAFKA_CTE}
+            SELECT "offset",
+                concat(
+                    '{{"value":', value, ',"key":',
+                    CASE WHEN key IS NULL THEN 'null' ELSE '"' || key || '"' END,
+                    '}}'
+                ) AS json_line
+            FROM kafka
+        """,
+        "sink_headers_csv": f"""
+            WITH {KAFKA_CTE}
+            SELECT "offset",
+                concat(
+                    to_base64(encode('h-topic')), ':', to_base64(encode(topic)), ';',
+                    to_base64(encode('h-offset')), ':',
+                    to_base64(encode(CAST("offset" AS VARCHAR)))
+                ) AS headers_csv
+            FROM kafka
+        """,
+        "sink_envelope_unwrap": f"""
+            WITH {KAFKA_CTE}
+            SELECT "offset", value AS json_line FROM kafka
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+                floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+                floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+                floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+                floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+                count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT r_name, n_name,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+                count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price,
+                count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "window_running_totals": """
+            SELECT user_id, event_id,
+                floor((sum(value) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )) * 100.0 + 0.5) / 100.0 AS running_value,
+                row_number() OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                ) AS event_seq
+            FROM events
+        """,
+        "topk_users": """
+            SELECT user_id,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+                count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC
+            LIMIT 20
+        """,
+        "setop_customers_no_events": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT user_id AS custkey FROM events
+            ORDER BY custkey
+        """,
+        "asof_prev_purchase": """
+            WITH merged AS (
+                SELECT user_id, event_id, ts,
+                    CAST(NULL AS BIGINT) AS purchase_id, 0 AS is_build
+                FROM events
+                UNION ALL
+                SELECT user_id, CAST(NULL AS BIGINT) AS event_id, ts,
+                    event_id AS purchase_id, 1 AS is_build
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT user_id, event_id,
+                last_value(purchase_id IGNORE NULLS) OVER (
+                    PARTITION BY user_id
+                    ORDER BY ts ASC, is_build DESC,
+                        purchase_id ASC NULLS LAST, event_id ASC NULLS LAST
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS asof_purchase_id
+            FROM merged
+            QUALIFY is_build = 0
+            ORDER BY event_id
+        """,
+        "range_join_events_after_signup": """
+            WITH signups AS (
+                SELECT user_id AS s_user, event_id AS signup_id, ts AS signup_ts
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT signup_id,
+                count(*) AS n_events,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS window_value
+            FROM events
+            JOIN signups ON user_id = s_user
+                AND ts >= signup_ts
+                AND ts < signup_ts + INTERVAL 7 DAY
+            GROUP BY signup_id
+            ORDER BY signup_id
+        """,
+        "text_analysis": f"""
+            WITH base AS (
+                SELECT *,
+                    regexp_split_to_array(trim(text), '\\s+') AS toks,
+                    regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> t IN {STOPWORDS_SQL}))
+                      / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)
+                      AS stop_r,
+                    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      / greatest(length(text), 1) AS punct_r
+                FROM documents
+            )
+            SELECT doc_id, text, lang, source, n_chars,
+                len(toks) AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens,
+                floor((stop_r) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+                floor((punct_r) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                floor((0.5 * least(length(text) / 500.0, 1.0)
+                    + 0.3 * least(stop_r * 4.0, 1.0)
+                    + 0.2 * (1.0 - least(punct_r * 5.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality,
+                CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+                md5({NORM}) AS fingerprint
+            FROM base
+        """,
+        "dedup_exact": f"""
+            WITH {EXACT_CORPUS_CTE}
+            SELECT md5({NORM}) AS content_hash,
+                min(doc_id) AS keep_id,
+                count(*) AS n_dups
+            FROM corpus GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {CORPUS_CTE},
+            toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
+            sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
+            sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            inter AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+                FROM ex a JOIN ex b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id1, id2,
+                floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.7
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {CORPUS_CTE},
+            toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
+            sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
+            sig AS (
+                SELECT doc_id,
+                    list_transform(range(0, 16), j ->
+                        list_min(list_transform(s, x ->
+                            md5(CAST(j AS VARCHAR) || ':' || x)))
+                    ) AS sg
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, b AS band_id,
+                    md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)
+            )
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM bands a JOIN bands b
+              ON a.band_hash = b.band_hash AND a.band_id = b.band_id
+             AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH {CORPUS_CTE},
+            toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
+            th AS (
+                SELECT doc_id,
+                    list_transform(w, t ->
+                        CAST(CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) AS BIGINT)
+                    ) AS hs
+                FROM toks
+            ),
+            sims AS (
+                SELECT doc_id,
+                    CAST((
+                        {" + ".join(
+                            f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END)"
+                            for i in range(16)
+                        )}
+                    ) AS INTEGER) AS simhash
+                FROM th
+            ),
+            blocks AS (
+                SELECT doc_id, simhash,
+                    unnest([
+                        'lo:' || CAST(simhash % 256 AS VARCHAR),
+                        'hi:' || CAST(simhash // 256 AS VARCHAR)
+                    ]) AS block
+                FROM sims
+            )
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS hamming
+            FROM blocks a JOIN blocks b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+        """,
+        "dedup_embedding_cosine": """
+            WITH corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                    list_transform(embedding::DOUBLE[], x -> x * 1.5) AS vec, label
+                FROM embeddings WHERE vec_id % 20 = 0
+            )
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                floor((list_dot_product(a.vec, b.vec)
+                    / (sqrt(list_dot_product(a.vec, a.vec))
+                       * sqrt(list_dot_product(b.vec, b.vec)))) * 10000.0 + 0.5) / 10000.0 AS cosine
+            FROM corpus a JOIN corpus b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE floor((list_dot_product(a.vec, b.vec)
+                    / (sqrt(list_dot_product(a.vec, a.vec))
+                       * sqrt(list_dot_product(b.vec, b.vec)))) * 10000.0 + 0.5) / 10000.0 >= 0.999
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT query_id, e.vec_id AS nbr_id,
+                    floor((list_dot_product(qvec, e.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(qvec, qvec))
+                           * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))) * 10000.0 + 0.5) / 10000.0 AS cosine
+                FROM q, embeddings e
+                WHERE e.vec_id <> query_id
+            ),
+            ranked AS (
+                SELECT query_id, nbr_id, cosine,
+                    row_number() OVER (
+                        PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC
+                    ) AS rank
+                FROM scored
+            )
+            SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                'image' AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+            FROM documents
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the sink's grouping+naming pipeline over sf0.001 (one row per
+    output object with its rendered name, start offset, and record count)."""
+    return q_sink_group_topic_partition(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized with the noop sink (full execution, no driver
+collect). The sink-writer benchmark writes real objects to a temp dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: sink surface + heavy relational + LLM ops
+BENCH_QUERIES = [
+    "sink_projection_csv",
+    "sink_group_topic_partition",
+    "sink_group_key_upsert",
+    "sink_jsonl_render",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_regional_revenue",
+    "window_running_totals",
+    "topk_users",
+    "asof_prev_purchase",
+    "range_join_events_after_signup",
+    "text_analysis",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from kafka_connector_s3_sink_spark.config import EngineConfig
+    from kafka_connector_s3_sink_spark.records import kafka_records_from_events
+    from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kafka-connector-s3-sink-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # end-to-end sink write (CSV + gzip, default grouping) to local objects
+    dest = tempfile.mkdtemp(prefix="bench-sink-")
+    try:
+        t0 = time.time()
+        records = kafka_records_from_events(spark, SF_DIR)
+        write_batch(records, EngineConfig(), dest)
+        timings["sink_write_csv_gzip"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Engine configuration.
+
+Mirrors the validated surface of the reference connector's config
+(``S3SinkConfig.java:138-187`` preprocess, ``687-738`` cross-field ``validate()``,
+defaults at ``815-844`` / ``802-813`` / ``453-476``), re-expressed as a Python
+dataclass validated before any Spark query starts (SURVEY.md §3.3).
+
+Semantic rules kept from the reference:
+- output fields ⊆ {key, value, offset, timestamp, headers}, order preserved,
+  default ``[value]`` (``S3SinkConfig.java:822-824``).
+- value/key encoding ∈ {base64, none}, default base64 (``S3SinkConfig.java:827-844``).
+- format ∈ {csv, json, jsonl, parquet}, default csv (``S3SinkConfigTest.java:753-783``).
+- compression ∈ {none, gzip, snappy, zstd}, default gzip (``S3SinkConfig.java:802-813``).
+- ``{{key}}`` filename template ⇒ ``file.max.records ≤ 1`` (``S3SinkConfig.java:729-737``).
+- static credentials XOR STS assume-role (``S3SinkConfig.java:687-718``).
+- multipart part size ∈ (0, 2_000_000_000] bytes (``S3SinkConfig.java:257-295``).
+- timestamp timezone (default UTC) + wallclock-only source (``S3SinkConfig.java:865-874``).
+"""
+
+from __future__ import annotations
+
+import zoneinfo
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+MAX_PART_SIZE_BYTES = 2_000_000_000
+DEFAULT_PART_SIZE_BYTES = 5 * 1024 * 1024
+MAX_KAFKA_RETRY_BACKOFF_MS = 24 * 60 * 60 * 1000
+
+
+class ConfigValidationError(ValueError):
+    """Raised when configuration violates a reference-semantics rule."""
+
+
+class OutputField(str, Enum):
+    KEY = "key"
+    VALUE = "value"
+    OFFSET = "offset"
+    TIMESTAMP = "timestamp"
+    HEADERS = "headers"
+
+
+class FieldEncoding(str, Enum):
+    BASE64 = "base64"
+    NONE = "none"
+
+
+class FormatType(str, Enum):
+    CSV = "csv"
+    JSON = "json"
+    JSONL = "jsonl"
+    PARQUET = "parquet"
+
+
+class CompressionType(str, Enum):
+    NONE = "none"
+    GZIP = "gzip"
+    SNAPPY = "snappy"
+    ZSTD = "zstd"
+
+    @property
+    def extension(self) -> str:
+        # Filename extensions per reference (S3SinkTask.java:204, README.md:481,497).
+        return {
+            CompressionType.NONE: "",
+            CompressionType.GZIP: ".gz",
+            CompressionType.SNAPPY: ".snappy",
+            CompressionType.ZSTD: ".zst",
+        }[self]
+
+
+@dataclass(frozen=True)
+class AwsStaticCredentials:
+    access_key_id: str
+    secret_access_key: str
+
+
+@dataclass(frozen=True)
+class AwsStsRole:
+    role_arn: str
+    role_session_name: str
+    role_external_id: Optional[str] = None
+    session_duration_s: int = 3600  # bounds per AwsStsRole.java:27-64
+
+    def __post_init__(self) -> None:
+        if not (900 <= self.session_duration_s <= 43200):
+            raise ConfigValidationError(
+                "sts session duration must be in [900, 43200] seconds, "
+                f"{self.session_duration_s} given"
+            )
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Validated engine configuration (construct once, pass everywhere)."""
+
+    # sink destination: any Spark-writable URI (s3a://bucket/prefix, file:/tmp/out)
+    bucket: str = ""
+    prefix: str = ""
+
+    # filename template, default per README.md:50
+    file_name_template: str = "{{topic}}-{{partition}}-{{start_offset}}"
+    file_max_records: int = 0  # 0 = unlimited
+    file_compression: CompressionType = CompressionType.GZIP
+
+    format_type: FormatType = FormatType.CSV
+    output_fields: tuple[OutputField, ...] = (OutputField.VALUE,)
+    value_encoding: FieldEncoding = FieldEncoding.BASE64
+    envelope: bool = True
+
+    timestamp_timezone: str = "UTC"
+    timestamp_source: str = "wallclock"  # the only supported source (S3SinkConfig.java:495-503)
+
+    # streaming knobs (≙ offset.flush.interval.ms / kafka.retry.backoff.ms)
+    flush_interval_ms: int = 60_000
+    kafka_retry_backoff_ms: Optional[int] = None
+    checkpoint_location: Optional[str] = None
+
+    # S3 transport knobs — mapped onto hadoop s3a settings, not reimplemented
+    part_size_bytes: int = DEFAULT_PART_SIZE_BYTES
+    backoff_delay_ms: int = 100
+    backoff_max_delay_ms: int = 20_000
+    backoff_max_retries: int = 3
+
+    aws_credentials: Optional[AwsStaticCredentials] = None
+    aws_sts_role: Optional[AwsStsRole] = None
+    s3_endpoint: Optional[str] = None
+
+    # extra output columns (topic/partition/etc. available to the template)
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    # -- validation -------------------------------------------------------
+    def validate(self) -> None:
+        from kafka_connector_s3_sink_spark.template import FilenameTemplate, GrouperType
+
+        if not self.output_fields:
+            raise ConfigValidationError("format.output.fields must not be empty")
+        if len(set(self.output_fields)) != len(self.output_fields):
+            raise ConfigValidationError("format.output.fields must not repeat fields")
+
+        if self.file_max_records < 0:
+            raise ConfigValidationError(
+                f"file.max.records must be a non-negative integer, {self.file_max_records} given"
+            )
+
+        if not (0 < self.part_size_bytes <= MAX_PART_SIZE_BYTES):
+            raise ConfigValidationError(
+                "part size must be in (0, 2000000000] bytes, "
+                f"{self.part_size_bytes} given"
+            )
+        if not (1 <= self.backoff_max_retries <= 30):
+            raise ConfigValidationError(
+                f"backoff max retries must be in [1, 30], {self.backoff_max_retries} given"
+            )
+        if self.kafka_retry_backoff_ms is not None and not (
+            0 <= self.kafka_retry_backoff_ms <= MAX_KAFKA_RETRY_BACKOFF_MS
+        ):
+            raise ConfigValidationError(
+                "kafka retry backoff must be in [0, 86400000] ms, "
+                f"{self.kafka_retry_backoff_ms} given"
+            )
+
+        try:
+            zoneinfo.ZoneInfo(self.timestamp_timezone)
+        except (zoneinfo.ZoneInfoNotFoundError, ValueError) as exc:
+            raise ConfigValidationError(
+                f"unknown timestamp timezone {self.timestamp_timezone!r}"
+            ) from exc
+        if self.timestamp_source != "wallclock":
+            raise ConfigValidationError(
+                f"unsupported timestamp source {self.timestamp_source!r} (only 'wallclock')"
+            )
+
+        # exactly-one-credential-mechanism rule (S3SinkConfig.java:687-718); both
+        # absent is allowed here because local-filesystem sinks need neither.
+        if self.aws_credentials is not None and self.aws_sts_role is not None:
+            raise ConfigValidationError(
+                "either static AWS credentials or an STS assume-role must be configured, not both"
+            )
+
+        # template parses and its variable combo is a known grouper type
+        template = FilenameTemplate(self.file_name_template)
+        if template.grouper_type is GrouperType.KEY and self.file_max_records > 1:
+            # S3SinkConfig.java:729-737
+            raise ConfigValidationError(
+                "When file.name.template is {{key}}, file.max.records must be either 1 or not set"
+            )
+
+    # -- derived ----------------------------------------------------------
+    @property
+    def template(self):
+        from kafka_connector_s3_sink_spark.template import FilenameTemplate
+
+        return FilenameTemplate(self.file_name_template)
+
+    @property
+    def filename_extension(self) -> str:
+        # parquet objects never get a compression suffix (compression is internal)
+        if self.format_type is FormatType.PARQUET:
+            return ""
+        return self.file_compression.extension
+
+    def spark_hadoop_conf(self) -> dict[str, str]:
+        """Map transport knobs onto hadoop-s3a settings (SURVEY.md §2.5: multipart,
+        retry, endpoint, credentials are s3a's job, not ours)."""
+        conf: dict[str, str] = {
+            "fs.s3a.multipart.size": str(self.part_size_bytes),
+            "fs.s3a.retry.limit": str(self.backoff_max_retries),
+            "fs.s3a.retry.interval": f"{self.backoff_delay_ms}ms",
+            "fs.s3a.retry.throttle.interval.max": f"{self.backoff_max_delay_ms}ms",
+        }
+        if self.s3_endpoint:
+            conf["fs.s3a.endpoint"] = self.s3_endpoint
+            conf["fs.s3a.path.style.access"] = "true"
+        if self.aws_credentials:
+            conf["fs.s3a.access.key"] = self.aws_credentials.access_key_id
+            conf["fs.s3a.secret.key"] = self.aws_credentials.secret_access_key
+        if self.aws_sts_role:
+            conf["fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+            )
+            conf["fs.s3a.assumed.role.arn"] = self.aws_sts_role.role_arn
+            conf["fs.s3a.assumed.role.session.name"] = self.aws_sts_role.role_session_name
+            conf["fs.s3a.assumed.role.session.duration"] = (
+                f"{self.aws_sts_role.session_duration_s}s"
+            )
+        return conf

@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct.
+The Spark-side plumbing — schema, partition-parallel Arrow batching via
+``mapInPandas``, UDF signatures, deterministic batch shapes — is real and
+tested; the actual codec work (JPEG decode, resampling, frame sampling) is
+STUBBED because no image/audio library ships in this container: the default
+``decoder`` raises ``NotImplementedError``, and tests exercise the pipeline
+with the deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("content_md5", T.StringType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table from the documents fixture: payload = UTF-8
+    bytes of the text (a stand-in blob), typed metadata computed JVM-side."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("content_md5"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def real_decoder(payload: bytes, media_type: str) -> dict:
+    """Codec entry point — STUB. A production build plugs Pillow/torchaudio/
+    pyav here; this container ships none of them."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this "
+        "environment; use fake_decoder for pipeline tests"
+    )
+
+
+def fake_decoder(payload: bytes, media_type: str) -> dict:
+    """Deterministic fake decode: 'width/height' derived from payload length,
+    'feature' = first 8 bytes scaled to [0,1]. Keeps the full pipeline testable."""
+    n = len(payload)
+    feat = [b / 255.0 for b in payload[:8]] + [0.0] * max(0, 8 - n)
+    return {"feature": feat, "width": n % 640, "height": (n * 7) % 480}
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], dict] = real_decoder,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Partition-parallel feature extraction over Arrow batches (``mapInPandas``).
+
+    Scale note: payloads never leave their partition (no shuffle); Arrow moves
+    each batch to Python once; the decoder runs per-row inside the batch. At
+    100 TB, pair with ``spark.sql.files.maxPartitionBytes`` so one task's
+    payload working set fits executor memory.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                d = decoder(r["payload"], r["media_type"])
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "feature": d["feature"],
+                        "width": d["width"],
+                        "height": d["height"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "feature", "width", "height"])
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    computed from metadata only (JVM-side sequence/explode — the decode of each
+    sampled frame would go through ``extract_features``). Demonstrates the
+    fan-out shape without a codec."""
+    n_frames = (F.col("meta.n_bytes") / 1024 + 1).cast("int")
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,122 @@
+"""Output-field projection, encoding, and record-line rendering.
+
+Re-expresses the reference's per-record output pipeline — ordered field
+projection (``S3SinkConfig.java:815-838``, used ``S3SinkTask.java:137``),
+base64/none key+value encoding (``S3SinkConfig.java:827-844``, spec
+``README.md:240-250``), CSV null→empty (``README.md:251-257``), CSV header
+serialization ``b64(k):b64(v);…`` (round-trip ``S3SinkTaskTest.java:855-866``),
+JSONL/JSON object rendering with envelope unwrap (``S3SinkTaskTest.java:636-682``)
+— as pure Column expressions: everything stays in whole-stage codegen, no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.config import (
+    EngineConfig,
+    FieldEncoding,
+    FormatType,
+    OutputField,
+)
+
+ENCODABLE_FIELDS = {OutputField.KEY, OutputField.VALUE}
+
+
+def select_output_fields(df: DataFrame, config: EngineConfig) -> DataFrame:
+    """Ordered subset of {key,value,offset,timestamp,headers}; order is preserved
+    in the output (golden: value,key,timestamp,offset,headers → headers at index 4,
+    S3SinkTaskTest.java:183,218)."""
+    return df.select(*[F.col(f.value) for f in config.output_fields])
+
+
+def encoded_field(field: OutputField, config: EngineConfig) -> Column:
+    """Field column as it appears in CSV output: key/value base64-encoded (or raw
+    with encoding=none), offset/timestamp numeric, headers serialized; null → ''."""
+    if field in ENCODABLE_FIELDS:
+        col = F.col(field.value)
+        # string payloads encode their UTF-8 bytes; binary payloads pass through
+        as_bytes = col if _is_binary(field) else F.encode(col, "UTF-8")
+        if config.value_encoding is FieldEncoding.BASE64:
+            rendered = F.base64(as_bytes)
+        else:
+            rendered = col.cast("string")
+        return F.coalesce(rendered, F.lit(""))
+    if field is OutputField.HEADERS:
+        return F.coalesce(headers_csv_column(), F.lit(""))
+    # offset / timestamp: numeric, null timestamp → empty string
+    return F.coalesce(F.col(field.value).cast("string"), F.lit(""))
+
+
+def _is_binary(field: OutputField) -> bool:
+    # The canonical record view carries string key/value; a Kafka source carries
+    # binary. encoded_field is resolved against the canonical (string) shape;
+    # binary inputs should be cast upstream.
+    return False
+
+
+def headers_csv_column(headers: Column | None = None) -> Column:
+    """Headers → ``b64(key):b64(value)`` pairs joined by ``;`` in one CSV column
+    (round-trip parser S3SinkTaskTest.java:855-866)."""
+    h = headers if headers is not None else F.col("headers")
+    return F.array_join(
+        F.transform(
+            h,
+            lambda e: F.concat(
+                F.base64(F.encode(e["key"], "UTF-8")), F.lit(":"), F.base64(e["value"])
+            ),
+        ),
+        ";",
+    )
+
+
+def csv_line_column(config: EngineConfig) -> Column:
+    """One CSV record line: configured fields comma-joined in order, no quoting
+    (the reference writes raw comma-joined fields — Spark's csv writer would add
+    quoting the reference doesn't do, SURVEY.md §2.4)."""
+    parts = [encoded_field(f, config) for f in config.output_fields]
+    return F.concat_ws(",", *parts)
+
+
+def json_object_column(config: EngineConfig) -> Column:
+    """One JSON object (JSONL line / JSON array element) with fields in configured
+    order. Envelope unwrap: with a single output field and envelope=False the
+    ``{"value": …}`` wrapper is dropped (S3SinkTask.java:138, golden
+    S3SinkTaskTest.java:636-682). String values that hold JSON documents are
+    inlined as JSON (the reference's JsonConverter path), not re-quoted.
+    """
+    if not config.envelope and len(config.output_fields) == 1:
+        return _json_value(config.output_fields[0])
+    pairs: list[Column] = []
+    for f in config.output_fields:
+        pairs.append(F.concat(F.lit(f'"{f.value}":'), _json_value(f)))
+    return F.concat(F.lit("{"), F.concat_ws(",", *pairs), F.lit("}"))
+
+
+def _json_value(field: OutputField) -> Column:
+    """JSON-rendered value of one output field (null → JSON null)."""
+    col = F.col(field.value)
+    if field in (OutputField.OFFSET, OutputField.TIMESTAMP):
+        return F.coalesce(col.cast("string"), F.lit("null"))
+    if field is OutputField.HEADERS:
+        return F.coalesce(F.to_json(col), F.lit("null"))
+    # key/value: if the payload itself is a JSON document (object/array), inline
+    # it verbatim; otherwise emit a JSON string literal.
+    is_json_doc = col.rlike(r"^\s*[\[{]")
+    return F.coalesce(
+        F.when(is_json_doc, col).otherwise(json_string_literal(col)),
+        F.lit("null"),
+    )
+
+
+def json_string_literal(col: Column) -> Column:
+    """Escape a string column into a quoted JSON string literal (backslash,
+    quote, and the common control characters — sufficient for UTF-8 text)."""
+    escaped = F.regexp_replace(col, r"\\", r"\\\\")
+    escaped = F.regexp_replace(escaped, '"', '\\\\"')
+    escaped = F.regexp_replace(escaped, "\n", r"\\n")
+    escaped = F.regexp_replace(escaped, "\r", r"\\r")
+    escaped = F.regexp_replace(escaped, "\t", r"\\t")
+    return F.concat(F.lit('"'), escaped, F.lit('"'))

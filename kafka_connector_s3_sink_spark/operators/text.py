@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Column expressions (JVM, whole-stage codegen) —
+no Python UDFs. Hash primitives use ``md5`` (identical semantics in DuckDB, so
+every operator here is oracle-checkable).
+
+Operators: token counting (whitespace + BPE-ish word/punct split), language ID
+(stopword-ratio heuristic), quality scoring (length/punct/stopword ratios),
+document fingerprinting (normalized md5 + rolling-shingle fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from kafka_connector_s3_sink_spark.functions.numeric import stable_round
+
+# Small deterministic English stopword list used by languge-ID and quality scoring.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+# BPE-ish tokenizer: runs of word chars OR single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def tokens_column(text: Column) -> Column:
+    """Whitespace tokenization (empty string → empty array)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_column(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish tokens (word runs + individual punctuation)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_column(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[.,!?;:]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens_column(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: rewards mid-range length, low punctuation
+    density, natural stopword ratio. Deterministic arithmetic only."""
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return stable_round(0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 4)
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-ratio language heuristic: 'en' when common-English-stopword ratio
+    clears a threshold, else 'und' (undetermined)."""
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("und"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalized_text(text))
+
+
+def shingle_fingerprint(text: Column, k: int = 3) -> Column:
+    """Order-insensitive rolling fingerprint: md5 of the lexicographic min/max
+    word-k-gram hashes — robust to local edits, used as a cheap near-dup key."""
+    toks = tokens_column(normalized_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return F.md5(F.concat(F.array_min(shingles), F.array_max(shingles)))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full analysis column set to a documents DataFrame."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        stable_round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        stable_round(punct_ratio(t), 4).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

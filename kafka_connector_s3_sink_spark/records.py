@@ -1,0 +1,116 @@
+"""Canonical Kafka-record DataFrame shape and test-table adapters.
+
+The unit of data is the SinkRecord envelope (SURVEY.md §1.1, from
+``S3SinkTaskTest.java:811-820``): topic, partition, offset, key, value,
+timestamp (epoch ms), headers (ordered list of key/bytes pairs — ArrayType of
+Struct, NOT MapType, to preserve order and duplicate keys).
+
+This matches Spark's native Kafka-source schema
+(``spark.readStream.format("kafka")``): key binary, value binary, topic string,
+partition int, offset long, timestamp, headers array<struct<key,value>>, so a
+pipeline built on this shape runs unchanged on a real Kafka stream.
+
+The driver's ``events`` parquet table is not Kafka-shaped, so ``kafka_records_from_events``
+derives a deterministic Kafka view from it; ``KAFKA_VIEW_SQL`` is the equivalent
+ANSI SQL (DuckDB-compatible) used by the correctness oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("timestamp", T.LongType(), True),  # epoch ms (CREATE_TIME)
+        T.StructField(
+            "headers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType(), False),
+                        T.StructField("value", T.BinaryType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+N_PARTITIONS = 4
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the driver's ``events`` table, normalizing its TIMESTAMP(NANOS)
+    column (illegal for Spark's parquet reader by default) to a regular
+    microsecond TimestampType — ns→µs truncation matches what DuckDB's
+    reader does, so oracle comparisons stay exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":  # nanos-as-long path
+        # integer DIV, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53 exact
+        # range, so float division would round the low bits
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev
+
+
+def kafka_records_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Kafka-record view over the driver's ``events`` table.
+
+    topic = event_type, partition = user_id % 4, offset = event_id (globally
+    unique → unique within partition), key = user_id as string but NULL for
+    'error' events (exercises the null-key path, IntegrationTest.java:370-373),
+    value = props JSON string, timestamp = epoch millis of ts.
+    """
+    events = read_events(spark, sf_dir)
+    return events.select(
+        F.col("event_type").alias("topic"),
+        (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("key"),
+        F.col("props").alias("value"),
+        F.unix_millis(F.col("ts")).alias("timestamp"),
+        F.lit(None).cast(KAFKA_RECORD_SCHEMA["headers"].dataType).alias("headers"),
+    )
+
+
+# DuckDB-compatible equivalent of kafka_records_from_events, used as a CTE by
+# every sink-operator oracle. Column semantics must stay in lockstep with the
+# Spark view above.
+KAFKA_VIEW_SQL = """
+    SELECT
+        event_type AS topic,
+        CAST(user_id % 4 AS INTEGER) AS partition,
+        event_id AS "offset",
+        CASE WHEN event_type = 'error' THEN NULL ELSE CAST(user_id AS VARCHAR) END AS key,
+        props AS value,
+        CAST(epoch_ms(ts) AS BIGINT) AS "timestamp"
+    FROM events
+"""
+
+
+def with_synthetic_headers(df: DataFrame) -> DataFrame:
+    """Attach two deterministic headers per record (mirrors the reference's
+    two-header fixture, S3SinkTaskTest.java:848-853) for header-serialization tests."""
+    return df.withColumn(
+        "headers",
+        F.array(
+            F.struct(
+                F.lit("h-topic").alias("key"),
+                F.encode(F.col("topic"), "UTF-8").alias("value"),
+            ),
+            F.struct(
+                F.lit("h-offset").alias("key"),
+                F.encode(F.col("offset").cast("string"), "UTF-8").alias("value"),
+            ),
+        ),
+    )

@@ -1,0 +1,246 @@
+"""Batch object writer: one output object per record group, exactly named by the
+filename template (the reference's flush path, ``S3SinkTask.java:121-144``).
+
+Spark-first decomposition:
+
+1. group key + chunk assignment   — Column expressions (grouping.py)
+2. per-group start offset         — window ``min(offset)`` over the group
+                                    (same shuffle the write needs anyway)
+3. line rendering                 — Column expressions, JVM codegen (formats/render.py)
+4. distribution                   — ``repartition(filename)`` +
+                                    ``sortWithinPartitions(filename, offset)``
+5. object write                   — per-partition Python iterator streaming rows
+                                    into compressed files; memory is bounded by
+                                    one compression buffer, not by group size
+
+Only step 5 is Python, and it is pure I/O (the bytes were rendered JVM-side).
+Idempotence: object names derive from (topic, partition, start_offset) — at-least-once
+reprocessing overwrites the same objects (``README.md:101-133``); key-mode later
+flushes intentionally overwrite (``README.md:158-170``).
+
+Scale notes: ``repartition(filename)`` hash-distributes groups across executors;
+a skewed group (one huge topic-partition) maps to one task, which is the
+reference's behavior too (one file is inherently one writer) — ``file.max.records``
+is the knob that splits it. For directory-layout output at 100 TB (no exact-name
+requirement) prefer ``write_spark_native``, which keeps everything in the JVM
+(``partitionBy`` + ``maxRecordsPerFile``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.config import CompressionType, EngineConfig, FormatType
+from kafka_connector_s3_sink_spark.formats.compression import open_compressed
+from kafka_connector_s3_sink_spark.formats.render import record_line_column
+from kafka_connector_s3_sink_spark.operators.grouping import assign_file_chunks, last_value_per_key
+from kafka_connector_s3_sink_spark.template import GrouperType
+
+PARQUET_ENVELOPE_FIELDS = ("key", "offset", "timestamp", "headers", "value")
+
+
+def _filename_column(config: EngineConfig, clock: Column | None) -> Column:
+    """Filename per record with per-group start offset resolved via a window
+    min — offsets arrive near-sorted per Kafka partition, so the sort is cheap."""
+    tpl = config.template
+    if tpl.grouper_type is GrouperType.KEY:
+        start = F.col("offset")
+    else:
+        gk = ["topic", "partition", "_chunk"]
+        start = F.min("offset").over(Window.partitionBy(*gk))
+    return tpl.filename_column(
+        start_offset=start,
+        clock=clock,
+        timezone=config.timestamp_timezone,
+        prefix=config.prefix,
+        extension=config.filename_extension,
+    )
+
+
+def write_batch(
+    df: DataFrame,
+    config: EngineConfig,
+    dest_dir: str,
+    clock: Column | None = None,
+) -> list[tuple[str, int]]:
+    """Write one batch of canonical Kafka records as exactly-named objects under
+    ``dest_dir``. Returns [(object_name, record_count)] sorted by name.
+
+    ``clock`` injects a fixed timestamp for the {{timestamp}} template variable
+    (tests; the reference's own tests race midnight, IntegrationTest.java:246-258).
+    """
+    tpl = config.template
+    if tpl.grouper_type is GrouperType.KEY:
+        # last-value-per-key upsert (one record per key → one object per key)
+        df = last_value_per_key(df)
+        prepared = df.withColumn("_file", _filename_column(config, clock))
+    else:
+        chunked = assign_file_chunks(df, config)
+        prepared = chunked.withColumn("_file", _filename_column(config, clock))
+
+    fmt = config.format_type
+    if fmt is FormatType.PARQUET:
+        cols = [F.col("_file")] + [
+            F.col(f.value).alias(f.value) for f in config.output_fields
+        ]
+        ordered = (
+            prepared.select(*cols, F.col("offset").alias("_ord"))
+            .repartition(F.col("_file"))
+            .sortWithinPartitions("_file", "_ord")
+        )
+        writer = _parquet_partition_writer(dest_dir, config)
+    else:
+        ordered = (
+            prepared.select(
+                F.col("_file"),
+                record_line_column(config).alias("_line"),
+                F.col("offset").alias("_ord"),
+            )
+            .repartition(F.col("_file"))
+            .sortWithinPartitions("_file", "_ord")
+        )
+        writer = _text_partition_writer(dest_dir, config)
+
+    written = ordered.rdd.mapPartitions(writer).collect()
+    return sorted(written)
+
+
+def _text_partition_writer(dest_dir: str, config: EngineConfig):
+    """Streaming per-partition writer for CSV/JSONL/JSON.
+
+    Rows arrive clustered by filename and sorted by offset; the writer holds one
+    open compressed stream and (for JSON) a single one-line lookbehind to place
+    trailing commas — memory is O(compression buffer), never O(group).
+    """
+    compression = config.file_compression
+    is_json_array = config.format_type is FormatType.JSON
+
+    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+        current: str | None = None
+        out = None
+        stream = None
+        pending: str | None = None
+        count = 0
+
+        def finish():
+            nonlocal out, stream, pending, count
+            if out is None:
+                return None
+            if is_json_array:
+                if pending is not None:
+                    stream.write((pending + "\n").encode())
+                stream.write(b"]\n")
+            stream.close()
+            out.close()
+            result = (current, count)
+            out = stream = pending = None
+            return result
+
+        for row in rows:
+            name, line = row["_file"], row["_line"]
+            if name != current:
+                done = finish()
+                if done:
+                    yield done
+                current = name
+                count = 0
+                path = os.path.join(dest_dir, name)
+                os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
+                out = open(path, "wb")
+                stream = open_compressed(out, compression)
+                if is_json_array:
+                    stream.write(b"[\n")
+            if is_json_array:
+                if pending is not None:
+                    stream.write((pending + ",\n").encode())
+                pending = line
+            else:
+                stream.write((line + "\n").encode())
+            count += 1
+        done = finish()
+        if done:
+            yield done
+
+    return write
+
+
+def _parquet_partition_writer(dest_dir: str, config: EngineConfig):
+    """Per-partition parquet writer: buffers one group's rows into an Arrow
+    table and writes a single parquet object with the reference's envelope
+    column order (README.md:357-405). Parquet needs the whole row group anyway,
+    so per-group buffering matches the format's own memory model; the
+    ``file.max.records`` chunking bounds it."""
+    compression = {
+        CompressionType.NONE: "none",
+        CompressionType.GZIP: "gzip",
+        CompressionType.SNAPPY: "snappy",
+        CompressionType.ZSTD: "zstd",
+    }[config.file_compression]
+    field_names = [f.value for f in config.output_fields]
+
+    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        current: str | None = None
+        buffer: list[dict] = []
+
+        def flush():
+            if current is None or not buffer:
+                return None
+            path = os.path.join(dest_dir, current)
+            os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
+            cols = {n: [r[n] for r in buffer] for n in field_names}
+            table = pa.table(cols)
+            pq.write_table(table, path, compression=compression)
+            return (current, len(buffer))
+
+        for row in rows:
+            name = row["_file"]
+            if name != current:
+                done = flush()
+                if done:
+                    yield done
+                current = name
+                buffer = []
+            buffer.append({n: row[n] for n in field_names})
+        done = flush()
+        if done:
+            yield done
+
+    return write
+
+
+def write_spark_native(
+    df: DataFrame,
+    config: EngineConfig,
+    dest_dir: str,
+) -> None:
+    """Directory-layout alternative for 100 TB: everything stays in the JVM.
+    ``partitionBy(topic, partition)`` replaces the filename template with a
+    directory scheme; ``maxRecordsPerFile`` replaces ``file.max.records``;
+    the format writer applies compression natively. Use when exact
+    reference-compatible object names are not required."""
+    writer = (
+        df.write.mode("overwrite")
+        .partitionBy("topic", "partition")
+        .option("compression", config.file_compression.value)
+    )
+    if config.file_max_records > 0:
+        writer = writer.option("maxRecordsPerFile", config.file_max_records)
+    if config.format_type is FormatType.PARQUET:
+        writer.parquet(dest_dir)
+    else:
+        lines = df.select(
+            record_line_column(config).alias("value"), "topic", "partition"
+        )
+        (
+            lines.write.mode("overwrite")
+            .partitionBy("topic", "partition")
+            .option("compression", config.file_compression.value)
+            .text(dest_dir)
+        )

@@ -1,0 +1,98 @@
+"""Structured Streaming pipeline: Kafka (or any streaming source in the
+canonical record shape) → grouped, formatted, exactly-named objects.
+
+Maps the reference's control flow 1:1 onto Structured Streaming
+(SURVEY.md §3.2):
+
+- ``topics`` / ``topics.regex``      → ``subscribe`` / ``subscribePattern``
+- ``offset.flush.interval.ms``       → ``trigger(processingTime=…)``
+- offset commit on flush             → checkpoint commit (exactly-once batch ids)
+- ``kafka.retry.backoff.ms``         → Spark task/epoch retry (failures in
+                                       ``foreachBatch`` rerun the same epoch,
+                                       same idempotent object names)
+- flush barrier + clear()            → each micro-batch IS the flush; no
+                                       driver-heap record map exists at all
+
+The same ``write_batch`` runs in batch tests and under ``foreachBatch`` —
+one code path, which is what makes the golden-file tests meaningful for the
+streaming deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.config import EngineConfig
+from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: Optional[str] = None,
+    topics_regex: Optional[str] = None,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming DataFrame in Spark's native Kafka shape. ``topics`` XOR
+    ``topics_regex`` mirrors ``topics`` / ``topics.regex`` (README.md:537-540)."""
+    if (topics is None) == (topics_regex is None):
+        raise ValueError("exactly one of topics / topics_regex must be set")
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("startingOffsets", starting_offsets)
+        .option("includeHeaders", "true")
+    )
+    if topics is not None:
+        reader = reader.option("subscribe", topics)
+    else:
+        reader = reader.option("subscribePattern", topics_regex)
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def normalize_kafka_stream(df: DataFrame) -> DataFrame:
+    """Kafka-source columns → canonical record shape (records.KAFKA_RECORD_SCHEMA):
+    binary key/value decoded as UTF-8 strings (StringConverter behavior — the
+    engine's canonical converter; ByteArray passthrough would keep binary)."""
+    return df.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.unix_millis(F.col("timestamp")).alias("timestamp"),
+        F.col("headers"),
+    )
+
+
+def start_pipeline(
+    records: DataFrame,
+    config: EngineConfig,
+    dest_dir: str,
+    query_name: str = "kafka-s3-sink",
+):
+    """Start the sink query: every micro-batch runs the batch writer (the flush).
+
+    The checkpoint location (``config.checkpoint_location``) is the offset-commit
+    ledger; re-running a failed epoch rewrites the same object names
+    (idempotent at-least-once, §2.5 delivery semantics).
+    """
+    if not config.checkpoint_location:
+        raise ValueError("checkpoint_location is required to start the streaming pipeline")
+
+    def flush(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(batch_df, config, dest_dir)
+
+    writer = (
+        records.writeStream.queryName(query_name)
+        .foreachBatch(flush)
+        .option("checkpointLocation", config.checkpoint_location)
+        .trigger(processingTime=f"{config.flush_interval_ms} milliseconds")
+    )
+    return writer.start()

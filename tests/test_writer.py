@@ -1,0 +1,209 @@
+"""Golden-file tests for the object writer — names and bytes pinned to the
+reference's unit-test assertions (S3SinkTaskTest.java, IntegrationTest.java),
+parameterized over compression like the reference (S3SinkTaskTest.java:175-176)."""
+
+import base64
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.config import (
+    CompressionType,
+    EngineConfig,
+    FieldEncoding,
+    FormatType,
+    OutputField,
+)
+from kafka_connector_s3_sink_spark.formats.compression import read_compressed
+from kafka_connector_s3_sink_spark.records import KAFKA_RECORD_SCHEMA
+from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def records_df(spark, rows):
+    return spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+
+
+def read_lines(dest, name, compression):
+    data = read_compressed(os.path.join(dest, name), compression)
+    return data.decode().splitlines()
+
+
+@pytest.mark.parametrize(
+    "compression",
+    [CompressionType.NONE, CompressionType.GZIP, CompressionType.SNAPPY, CompressionType.ZSTD],
+)
+def test_csv_default_grouping_all_compressions(spark, tmp_path, compression):
+    """F4-style: per-partition files named {{topic}}-{{partition}}-{{start_offset}},
+    contents in offset order, value base64 (golden S3SinkTaskTest.java:215-249)."""
+    rows = [
+        Row(topic="test-topic", partition=p, offset=p * 100 + i, key=f"key-{i}",
+            value=f"value-{p}-{i}", timestamp=1000 + i, headers=None)
+        for p in (0, 1) for i in range(3)
+    ]
+    cfg = EngineConfig(file_compression=compression)
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    ext = compression.extension
+    assert [w[0] for w in written] == [f"test-topic-0-0{ext}", f"test-topic-1-100{ext}"]
+    assert read_lines(tmp_path, f"test-topic-0-0{ext}", compression) == [
+        b64("value-0-0"), b64("value-0-1"), b64("value-0-2"),
+    ]
+    assert read_lines(tmp_path, f"test-topic-1-100{ext}", compression) == [
+        b64("value-1-0"), b64("value-1-1"), b64("value-1-2"),
+    ]
+
+
+def test_padded_filename_and_prefix(spark, tmp_path):
+    """Golden name prefix-test-topic-0-00000000000000000000 (S3SinkTaskTest.java:198-213)."""
+    rows = [Row(topic="test-topic", partition=0, offset=0, key="k", value="v",
+                timestamp=1000, headers=None)]
+    cfg = EngineConfig(
+        prefix="prefix-",
+        file_name_template="{{topic}}-{{partition}}-{{start_offset:padding=true}}",
+        file_compression=CompressionType.NONE,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert written == [("prefix-test-topic-0-00000000000000000000", 1)]
+
+
+def test_jsonl_golden_lines(spark, tmp_path):
+    """{"value":"value0","key":"key0"} per line (S3SinkTaskTest.java:543-551)."""
+    rows = [
+        Row(topic="topic0", partition=0, offset=10, key="key0", value="value0",
+            timestamp=1000, headers=None),
+        Row(topic="topic0", partition=0, offset=11, key="key1", value="value1",
+            timestamp=1001, headers=None),
+    ]
+    cfg = EngineConfig(
+        format_type=FormatType.JSONL,
+        output_fields=(OutputField.VALUE, OutputField.KEY),
+        file_compression=CompressionType.NONE,
+    )
+    write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert read_lines(tmp_path, "topic0-0-10", CompressionType.NONE) == [
+        '{"value":"value0","key":"key0"}',
+        '{"value":"value1","key":"key1"}',
+    ]
+
+
+def test_json_array_single_record(spark, tmp_path):
+    """["[", "{…}", "]"] shape (S3SinkTaskTest.java:714-722)."""
+    rows = [Row(topic="topic0", partition=0, offset=10, key="key0",
+                value='{"name":"name0"}', timestamp=1000, headers=None)]
+    cfg = EngineConfig(
+        format_type=FormatType.JSON,
+        output_fields=(OutputField.VALUE, OutputField.KEY),
+        file_compression=CompressionType.NONE,
+    )
+    write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert read_lines(tmp_path, "topic0-0-10", CompressionType.NONE) == [
+        "[", '{"value":{"name":"name0"},"key":"key0"}', "]",
+    ]
+
+
+def test_json_array_trailing_commas(spark, tmp_path):
+    """Commas on all but the last element (IntegrationTest.java:492-512)."""
+    rows = [
+        Row(topic="t", partition=0, offset=i, key=f"k{i}", value=f"v{i}",
+            timestamp=None, headers=None)
+        for i in range(3)
+    ]
+    cfg = EngineConfig(
+        format_type=FormatType.JSON,
+        output_fields=(OutputField.VALUE,),
+        file_compression=CompressionType.NONE,
+    )
+    write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert read_lines(tmp_path, "t-0-0", CompressionType.NONE) == [
+        "[", '{"value":"v0"},', '{"value":"v1"},', '{"value":"v2"}', "]",
+    ]
+
+
+def test_key_grouping_upsert_with_null_key(spark, tmp_path):
+    """F5: one object per key holding only the last value; null key → 'null' object
+    (IntegrationTest.java:309-379)."""
+    rows = [
+        Row(topic="t", partition=0, offset=1, key="key-0", value="old-0", timestamp=None, headers=None),
+        Row(topic="t", partition=0, offset=5, key="key-0", value="new-0", timestamp=None, headers=None),
+        Row(topic="t", partition=1, offset=2, key=None, value="old-null", timestamp=None, headers=None),
+        Row(topic="t", partition=1, offset=6, key=None, value="new-null", timestamp=None, headers=None),
+        Row(topic="t", partition=0, offset=3, key="key-8", value="only-8", timestamp=None, headers=None),
+    ]
+    cfg = EngineConfig(
+        file_name_template="{{key}}",
+        file_max_records=1,
+        output_fields=(OutputField.KEY, OutputField.VALUE),
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert [w[0] for w in written] == ["key-0", "key-8", "null"]
+    assert read_lines(tmp_path, "key-0", CompressionType.NONE) == ["key-0,new-0"]
+    # null key renders as empty CSV field but names the object 'null'
+    assert read_lines(tmp_path, "null", CompressionType.NONE) == [",new-null"]
+
+
+def test_max_records_one_record_per_file(spark, tmp_path):
+    """F6: file.max.records=1 → one file per record, named by its own offset
+    (IntegrationTest.java:260-307)."""
+    rows = [
+        Row(topic="test-topic-0", partition=p, offset=o, key=None, value=f"v-{p}-{o}",
+            timestamp=None, headers=None)
+        for p, o in [(0, 0), (0, 1), (0, 2), (1, 10), (3, 30)]
+    ]
+    cfg = EngineConfig(
+        file_max_records=1,
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert [w[0] for w in written] == [
+        "test-topic-0-0-0", "test-topic-0-0-1", "test-topic-0-0-2",
+        "test-topic-0-1-10", "test-topic-0-3-30",
+    ]
+    assert read_lines(tmp_path, "test-topic-0-3-30", CompressionType.NONE) == ["v-3-30"]
+
+
+def test_timestamp_grouping_with_injected_clock(spark, tmp_path):
+    """F7: timestamp template units from an injected fixed clock."""
+    rows = [Row(topic="t", partition=0, offset=7, key=None, value="v", timestamp=None, headers=None)]
+    cfg = EngineConfig(
+        file_name_template=(
+            "{{topic}}-{{partition}}-{{start_offset}}-"
+            "{{timestamp:unit=yyyy}}-{{timestamp:unit=MM}}-{{timestamp:unit=dd}}"
+        ),
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+    )
+    clock = F.to_timestamp(F.lit("2024-03-01 12:00:00"))
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path), clock=clock)
+    assert written == [("t-0-7-2024-03-01", 1)]
+
+
+def test_parquet_envelope_roundtrip(spark, tmp_path):
+    """Parquet object with envelope fields in reference order (README.md:357-405)."""
+    rows = [
+        Row(topic="t", partition=0, offset=i, key=f"k{i}", value=f"v{i}",
+            timestamp=1000 + i, headers=None)
+        for i in range(4)
+    ]
+    cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(
+            OutputField.KEY, OutputField.OFFSET, OutputField.TIMESTAMP, OutputField.VALUE,
+        ),
+        file_compression=CompressionType.GZIP,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert [w[0] for w in written] == ["t-0-0"]  # no compression suffix for parquet
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(tmp_path, "t-0-0"))
+    assert table.column_names == ["key", "offset", "timestamp", "value"]
+    assert table.column("offset").to_pylist() == [0, 1, 2, 3]
+    assert table.column("value").to_pylist() == ["v0", "v1", "v2", "v3"]
