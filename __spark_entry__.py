@@ -200,7 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.with_exact_duplicates(_docs(s, d))
         ),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_dupes(
-            _corpus(s, d), threshold=0.7
+            _corpus(s, d), threshold=0.7, max_df_ratio=0.2
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_corpus(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
@@ -459,8 +459,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {CORPUS_CTE},
             toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
             sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
-            sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            freq AS (SELECT shingle, count(*) AS df_cnt FROM ex0 GROUP BY 1),
+            ex AS (
+                SELECT ex0.doc_id, ex0.shingle FROM ex0
+                JOIN freq USING (shingle)
+                WHERE df_cnt <= ceil(0.2 * (SELECT count(*) FROM corpus))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
             inter AS (
                 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
                 FROM ex a JOIN ex b

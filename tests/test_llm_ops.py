@@ -1,0 +1,143 @@
+"""Behavioral tests for the LLM-pipeline operators: dedup variants actually
+find planted duplicates, text analysis scores behave, similarity search ranks
+the planted neighbor first, multimodal plumbing runs the fake decoder."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import dedup, multimodal, similarity, text
+
+
+DOCS = [
+    # two exact duplicates (1, 101), one near-duplicate pair (2, 102), distinct rest
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (101, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "a stream processing engine groups records by key and writes compressed objects"),
+    (102, "a stream processing engine groups records by key and writes compressed files"),
+    (3, "completely unrelated text about cooking pasta with garlic and olive oil sauce"),
+    (4, "yet another document concerning database query optimization and join ordering"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_finds_planted_dup(docs_df):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(docs_df).collect()}
+    assert out[1] == 2  # doc 1 and 101 collapse, min id kept
+    assert out[2] == 1  # near-dup is NOT an exact dup
+    assert len(out) == 5
+
+
+def test_ngram_jaccard_finds_near_dup(docs_df):
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dupes(docs_df, threshold=0.5).collect()
+    }
+    assert (1, 101) in pairs and pairs[(1, 101)] == 1.0
+    assert (2, 102) in pairs and 0.5 <= pairs[(2, 102)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(docs_df):
+    pairs = {(r["id1"], r["id2"]) for r in dedup.minhash_lsh_pairs(docs_df).collect()}
+    assert (1, 101) in pairs  # identical doc always collides in every band
+    assert (2, 102) in pairs  # high-jaccard pair collides with 4 bands of 4
+    assert not any(3 in p[0:2] or 4 in p[0:2] for p in pairs)
+
+
+def test_simhash_finds_exact_dup(docs_df):
+    # identical docs → identical simhash (hamming 0). The (2,102) near-pair is
+    # NOT asserted: a 1-word edit on a 12-token doc flips low-margin bits
+    # unpredictably — 16-bit simhash is only discriminative on longer texts.
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.simhash_dupes(docs_df, max_hamming=4).collect()
+    }
+    assert pairs[(1, 101)] == 0
+
+
+def test_embedding_cosine_dedup(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[2.0, 0.0, 0.0, 0.0], label=0),  # same direction
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0], label=0),  # orthogonal
+        Row(vec_id=4, embedding=[1.0, 0.0, 0.0, 0.0], label=1),  # other block
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r["id1"], r["id2"]): r["cosine"] for r in dedup.embedding_cosine_dupes(df).collect()}
+    assert pairs == {(1, 2): 1.0}  # orthogonal excluded; cross-block not compared
+
+
+def test_brute_force_topk_ranks_planted_neighbor(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.1, 0.0]),
+            Row(vec_id=11, embedding=[0.9, 0.1, 0.0]),   # closest to query
+            Row(vec_id=12, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=13, embedding=[-1.0, 0.0, 0.1]),
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=10, embedding=[1.0, 0.1, 0.0])])
+    out = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    assert [(r["nbr_id"], r["rank"]) for r in out] == [(11, 1), (12, 2)]
+
+
+def test_lsh_topk_bucket_recall(spark):
+    # identical vectors always land in the same bucket → top-1 is exact
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i == j) for j in range(8)]) for i in range(8)]
+    )
+    queries = spark.createDataFrame([Row(query_id=100, embedding=[1.0] + [0.0] * 7)])
+    out = similarity.lsh_topk(corpus, queries, k=3, n_planes=4, dim=8).collect()
+    assert out, "query bucket must contain at least its identical twin"
+    assert out[0]["nbr_id"] == 0 and out[0]["cosine"] == 1.0
+
+
+def test_text_analysis_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox, with the lazy dog in the sun.")], ["doc_id", "text"]
+    )
+    row = text.analyze(df).collect()[0]
+    assert row["n_tokens"] == 11
+    assert row["n_bpe_tokens"] == 13  # 11 words + 1 comma + 1 period
+    assert row["lang_pred"] == "en"
+    assert 0.0 < row["quality"] <= 1.0
+    assert len(row["fingerprint"]) == 32
+
+
+def test_fingerprint_ignores_case_and_spacing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")], ["doc_id", "text"]
+    )
+    fps = [r["fp"] for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_fake_decode_pipeline(spark):
+    docs = spark.createDataFrame([(1, "abcdefgh-payload"), (2, "xy")], ["doc_id", "text"])
+    media = multimodal.media_from_documents(docs)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(
+        media, decoder=multimodal.fake_decoder
+    ).collect()}
+    assert len(feats[1]["feature"]) == 8
+    assert feats[1]["width"] == 16 % 640
+    # short payload zero-pads deterministically
+    assert feats[2]["feature"][2:] == [0.0] * 6
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = multimodal.media_from_documents(docs)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        multimodal.extract_features(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    docs = spark.createDataFrame([(1, "z" * 5000)], ["doc_id", "text"])
+    media = multimodal.media_from_documents(docs)
+    frames = [r["frame_idx"] for r in multimodal.frame_sample_plan(media, every_n=2).collect()]
+    assert frames == [0, 2, 4]  # 5000 bytes → 5 synthetic frames, sampled every 2
