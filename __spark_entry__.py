@@ -167,6 +167,27 @@ def q_sink_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_json_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 converter surface: JsonConverter equivalent — parse the value
+    payload into a typed struct (`from_json`) and aggregate over the extracted
+    field. Malformed payloads → NULL (PERMISSIVE), matching Connect's lenient
+    JSON deserialization."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    parsed = recs.select(
+        "topic", "offset", F.from_json(F.col("value"), "k INT").alias("v")
+    )
+    return (
+        parsed.groupBy("topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.col("v.k")).alias("sum_k"),
+            F.min(F.col("v.k")).alias("min_k"),
+            F.max(F.col("v.k")).alias("max_k"),
+        )
+        .orderBy("topic")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 
@@ -182,14 +203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_jsonl_render": q_sink_jsonl_render,
         "sink_headers_csv": q_sink_headers_csv,
         "sink_envelope_unwrap": q_sink_envelope_unwrap,
+        "sink_json_converter": q_sink_json_converter,
         # re-exposed relational operators (SURVEY.md §2.3 'absent' list)
         "q1_pricing_summary": relational.pricing_summary,
         "q3_top_revenue_orders": relational.top_revenue_orders,
         "q5_regional_revenue": relational.regional_revenue,
         "rollup_revenue": relational.rollup_revenue,
+        "cube_order_stats": relational.cube_order_stats,
         "window_running_totals": relational.user_running_totals,
+        "window_event_gaps": relational.user_event_gaps,
         "topk_users": relational.top_users_by_value,
         "setop_customers_no_events": relational.customers_without_events,
+        "semi_join_parts": relational.parts_with_orders_semi,
+        "distinct_users_per_topic": relational.distinct_users_per_topic,
+        "approx_distinct_users": relational.approx_distinct_users,
+        "scalar_functions": relational.scalar_function_sampler,
         "asof_prev_purchase": relational.asof_prev_purchase,
         "range_join_events_after_signup": relational.events_after_signup,
         # LLM-pipeline extensions
@@ -314,6 +342,63 @@ def oracle_sql() -> dict[str, str]:
         "sink_envelope_unwrap": f"""
             WITH {KAFKA_CTE}
             SELECT "offset", value AS json_line FROM kafka
+        """,
+        "sink_json_converter": f"""
+            WITH {KAFKA_CTE},
+            parsed AS (
+                SELECT topic,
+                    CAST(json_extract(value, '$.k') AS INTEGER) AS k
+                FROM kafka
+            )
+            SELECT topic,
+                count(*) AS n_records,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k,
+                max(k) AS max_k
+            FROM parsed GROUP BY topic ORDER BY topic
+        """,
+        "cube_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                count(*) AS n_orders,
+                floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "window_event_gaps": """
+            SELECT user_id, event_id,
+                epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
+                epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS ms_until_next
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "semi_join_parts": """
+            SELECT p_partkey, p_name, p_brand FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            ORDER BY p_partkey
+        """,
+        "distinct_users_per_topic": """
+            SELECT event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "scalar_functions": """
+            SELECT o_orderkey,
+                upper(o_orderpriority) AS prio_upper,
+                substr(o_orderpriority, 1, 1) AS prio_code,
+                length(o_orderpriority) AS prio_len,
+                concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
+                abs(o_totalprice - 100000.0) AS price_dev,
+                floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS price_sqrt,
+                o_orderkey % 7 AS key_mod7,
+                year(o_orderdate) AS o_year,
+                month(o_orderdate) AS o_month,
+                day(o_orderdate) AS o_day,
+                CASE WHEN o_totalprice > 200000 THEN 'high'
+                     WHEN o_totalprice > 50000 THEN 'mid'
+                     ELSE 'low' END AS price_band
+            FROM orders
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

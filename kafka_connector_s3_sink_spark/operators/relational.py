@@ -165,6 +165,105 @@ def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface: parts that appear in at least one lineitem.
+    left_semi keeps only the probe side's columns — no duplication, and the
+    build side reduces to its join key (dedup happens inside the hash table)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE surface: order counts/totals over all subsets of
+    (orderstatus, orderpriority) — 4 grouping sets in one pass (Spark expands
+    the cube map-side; one shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead surface: per user, seconds since the previous event and until
+    the next one — single shuffle on user_id, one in-partition sort serves
+    both window functions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_ts = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("ms_since_prev"),
+        (F.unix_millis(next_ts) - F.unix_millis(F.col("ts"))).alias("ms_until_next"),
+    )
+
+
+def distinct_users_per_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Spark plans expand + two-phase agg;
+    the companion approx (HLL) variant is `approx_distinct_users` (rows-only
+    check: sketch internals differ across engines by design)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
+    counts — mergeable fixed-size sketches instead of an expand shuffle.
+    Deterministic for a given input but engine-specific → rows-only oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math/datetime/conditional scalar-function surface in one
+    projection (no shuffle; pure map stage, whole-stage codegen end to end)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.abs(F.col("o_totalprice") - F.lit(100000.0)).alias("price_dev"),
+        stable_round(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.year(F.col("o_orderdate")).alias("o_year"),
+        F.month(F.col("o_orderdate")).alias("o_month"),
+        F.dayofmonth(F.col("o_orderdate")).alias("o_day"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .when(F.col("o_totalprice") > 50000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+    )
+
+
 # -- as-of / range joins --------------------------------------------------
 
 
