@@ -18,6 +18,7 @@ from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
 from kafka_connector_s3_sink_spark.operators import multimodal, similarity, text as text_ops
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
+from kafka_connector_s3_sink_spark.streaming import sessions
 
 # ---------------------------------------------------------------------------
 # shared fixtures
@@ -167,6 +168,36 @@ def q_sink_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_schema_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 schema-change rotation: one row per output file after splitting
+    each (topic, partition) at every value-schema change. Schema variety is
+    synthesized deterministically (alternating 50-offset blocks gain an
+    'extra' JSON key), mirroring the reference's schema-evolution fixture
+    (AvroParquetIntegrationTest.java:288-335)."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    varied = recs.withColumn(
+        "value",
+        F.when(
+            (F.expr("offset DIV 50") % 2) == 1,
+            F.regexp_replace(F.col("value"), r"\}$", ',"extra":1}'),
+        ).otherwise(F.col("value")),
+    )
+    runs = grouping.assign_schema_runs(varied)
+    return (
+        runs.groupBy(
+            "topic",
+            "partition",
+            F.col("_schema_run").alias("schema_run"),
+            F.col("_schema_fp").alias("schema_fp"),
+        )
+        .agg(
+            F.min("offset").alias("start_offset"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .orderBy("topic", "partition", "schema_run")
+    )
+
+
 def q_sink_json_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.2 converter surface: JsonConverter equivalent — parse the value
     payload into a typed struct (`from_json`) and aggregate over the extracted
@@ -204,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_headers_csv": q_sink_headers_csv,
         "sink_envelope_unwrap": q_sink_envelope_unwrap,
         "sink_json_converter": q_sink_json_converter,
+        "sink_schema_rotation": q_sink_schema_rotation,
         # re-exposed relational operators (SURVEY.md §2.3 'absent' list)
         "q1_pricing_summary": relational.pricing_summary,
         "q3_top_revenue_orders": relational.top_revenue_orders,
@@ -220,6 +252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": relational.scalar_function_sampler,
         "asof_prev_purchase": relational.asof_prev_purchase,
         "range_join_events_after_signup": relational.events_after_signup,
+        # event-time / sessionization (streaming shapes, run in batch)
+        "sessionize_events": lambda s, d: sessions.sessionize_batch(
+            relational._t(s, d, "events")
+        ),
+        "session_window_agg": lambda s, d: sessions.session_window_stats(
+            relational._t(s, d, "events")
+        ),
+        "tumbling_window_counts": lambda s, d: sessions.tumbling_window_counts(
+            relational._t(s, d, "events")
+        ),
         # LLM-pipeline extensions
         "text_analysis": lambda s, d: text_ops.analyze(
             s.read.parquet(f"{d}/documents.parquet")
@@ -234,6 +276,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
             _scaled_embeddings(s, d), threshold=0.999
+        ),
+        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"),
+            s.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
         ),
         "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
             s.read.parquet(f"{d}/embeddings.parquet"),
@@ -266,8 +314,47 @@ def _scaled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label").unionByName(dups)
 
 
+def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB oracle for ann_lsh_topk: the deterministic hyperplanes are
+    inlined as literal DOUBLE[] arrays (same md5-derived values as
+    similarity._hyperplanes, so both engines bucket identically)."""
+    from kafka_connector_s3_sink_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ",".join(repr(c) for c in plane) + "]::DOUBLE[]"
+
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(vec, {arr(p)}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        b AS (SELECT vec_id, vec, {bucket} AS bucket FROM c),
+        q AS (SELECT vec_id AS query_id, vec AS qvec, bucket FROM b WHERE vec_id < 5),
+        scored AS (
+            SELECT query_id, b.vec_id AS nbr_id,
+                floor((list_dot_product(qvec, b.vec)
+                    / (sqrt(list_dot_product(qvec, qvec))
+                       * sqrt(list_dot_product(b.vec, b.vec)))) * 10000.0 + 0.5) / 10000.0 AS cosine
+            FROM q JOIN b USING (bucket)
+            WHERE b.vec_id <> query_id
+        ),
+        ranked AS (
+            SELECT query_id, nbr_id, cosine,
+                row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC
+                ) AS rank
+            FROM scored
+        )
+        SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE}
             SELECT topic, partition, "offset",
@@ -342,6 +429,42 @@ def oracle_sql() -> dict[str, str]:
         "sink_envelope_unwrap": f"""
             WITH {KAFKA_CTE}
             SELECT "offset", value AS json_line FROM kafka
+        """,
+        "sink_schema_rotation": f"""
+            WITH {KAFKA_CTE},
+            varied AS (
+                SELECT topic, partition, "offset",
+                    CASE WHEN ("offset" // 50) % 2 = 1
+                         THEN regexp_replace(value, '}}$', ',"extra":1}}')
+                         ELSE value END AS value
+                FROM kafka
+            ),
+            fp AS (
+                SELECT *, md5(array_to_string(list_sort(json_keys(value)), ',')) AS schema_fp
+                FROM varied
+            ),
+            chg AS (
+                SELECT *,
+                    CASE WHEN lag(schema_fp) OVER w IS NULL
+                           OR schema_fp <> lag(schema_fp) OVER w
+                         THEN 1 ELSE 0 END AS is_chg
+                FROM fp
+                WINDOW w AS (PARTITION BY topic, partition ORDER BY "offset")
+            ),
+            runs AS (
+                SELECT *,
+                    CAST(sum(is_chg) OVER (
+                        PARTITION BY topic, partition ORDER BY "offset"
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - 1 AS INTEGER) AS schema_run
+                FROM chg
+            )
+            SELECT topic, partition, schema_run, schema_fp,
+                min("offset") AS start_offset,
+                count(*) AS record_count
+            FROM runs
+            GROUP BY topic, partition, schema_run, schema_fp
+            ORDER BY topic, partition, schema_run
         """,
         "sink_json_converter": f"""
             WITH {KAFKA_CTE},
@@ -507,6 +630,64 @@ def oracle_sql() -> dict[str, str]:
                 AND ts < signup_ts + INTERVAL 7 DAY
             GROUP BY signup_id
             ORDER BY signup_id
+        """,
+        "sessionize_events": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts, value,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                         THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT *,
+                    sum(is_new) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS session_seq
+                FROM gaps
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                min(ts) AS session_start,
+                max(ts) AS session_end,
+                count(*) AS n_events,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+            FROM sess GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "session_window_agg": """
+            WITH gaps AS (
+                SELECT user_id, event_id, ts, value,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                         THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT *,
+                    sum(is_new) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS sid
+                FROM gaps
+            )
+            SELECT user_id,
+                min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "tumbling_window_counts": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                event_type,
+                count(*) AS n_events,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS window_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "text_analysis": f"""
             WITH base AS (

@@ -108,6 +108,10 @@ class EngineConfig:
     output_fields: tuple[OutputField, ...] = (OutputField.VALUE,)
     value_encoding: FieldEncoding = FieldEncoding.BASE64
     envelope: bool = True
+    # rotate parquet objects when the value schema changes mid-partition
+    # (AvroParquetIntegrationTest.java:288-335); new file starts at the next
+    # offset, returning to an old schema starts another new file
+    parquet_schema_rotation: bool = False
 
     timestamp_timezone: str = "UTC"
     timestamp_source: str = "wallclock"  # the only supported source (S3SinkConfig.java:495-503)

@@ -86,6 +86,44 @@ def assign_file_chunks(df: DataFrame, config: EngineConfig) -> DataFrame:
     return df.withColumn("_chunk", (rn / config.file_max_records).cast("int"))
 
 
+def value_schema_fingerprint(value: Column) -> Column:
+    """Schema fingerprint of a JSON value: md5 of the sorted top-level key set.
+
+    Plays the role of the reference's Avro-schema identity (a value-schema
+    change rotates the output file, AvroParquetIntegrationTest.java:288-335);
+    for JSON-string payloads the top-level key set IS the inferred schema."""
+    return F.md5(F.concat_ws(",", F.array_sort(F.json_object_keys(value))))
+
+
+def assign_schema_runs(df: DataFrame, order_col: str = "offset") -> DataFrame:
+    """Add ``_schema_run``: 0-based index of the consecutive same-schema run
+    within each (topic, partition), ordered by offset — the file-rotation
+    boundary. Returning to an earlier schema starts a NEW run (the reference
+    rotates on every change, it never reopens old files).
+
+    Gaps-and-islands via lag + running sum of change flags: one window over
+    the same (topic, partition) shuffle the write path already needs.
+    """
+    w = Window.partitionBy("topic", "partition").orderBy(order_col)
+    fp = value_schema_fingerprint(F.col("value"))
+    with_fp = df.withColumn("_schema_fp", fp)
+    # two steps: window functions cannot nest in one expression; both use the
+    # same window spec so Catalyst plans ONE shuffle + sort for the pair
+    chg = F.when(
+        F.lag("_schema_fp").over(w).isNull()
+        | (F.col("_schema_fp") != F.lag("_schema_fp").over(w)),
+        1,
+    ).otherwise(0)
+    with_chg = with_fp.withColumn("_schema_chg", chg)
+    run = (
+        F.sum("_schema_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1
+    )
+    return with_chg.withColumn("_schema_run", run.cast("int")).drop("_schema_chg")
+
+
 def chunk_start_offsets(df_with_chunks: DataFrame) -> DataFrame:
     """Per-(topic, partition, _chunk) start offset + size: file-naming metadata
     when ``file.max.records`` splits groups (IntegrationTest.java:260-307)."""

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.config import CompressionType, EngineConfig, FormatType
 from kafka_connector_s3_sink_spark.formats.compression import open_compressed
 from kafka_connector_s3_sink_spark.formats.render import record_line_column
-from kafka_connector_s3_sink_spark.operators.grouping import assign_file_chunks, last_value_per_key
+from kafka_connector_s3_sink_spark.operators.grouping import (
+    assign_file_chunks,
+    assign_schema_runs,
+    last_value_per_key,
+)
 from kafka_connector_s3_sink_spark.template import GrouperType
 
 PARQUET_ENVELOPE_FIELDS = ("key", "offset", "timestamp", "headers", "value")
@@ -79,7 +83,28 @@ def write_batch(
         df = last_value_per_key(df)
         prepared = df.withColumn("_file", _filename_column(config, clock))
     else:
-        chunked = assign_file_chunks(df, config)
+        if (
+            config.format_type is FormatType.PARQUET
+            and config.parquet_schema_rotation
+        ):
+            # schema-change rotation: fold the schema-run index into the chunk
+            # key so each run names its own object starting at the run's first
+            # offset (AvroParquetIntegrationTest.java:288-335). The run window
+            # and the chunk window share one (topic, partition) shuffle.
+            df = assign_schema_runs(df)
+            if config.file_max_records > 0:
+                w = Window.partitionBy("topic", "partition", "_schema_run").orderBy(
+                    "offset"
+                )
+                rn = F.row_number().over(w) - F.lit(1)
+                sub = (rn / config.file_max_records).cast("int")
+            else:
+                sub = F.lit(0)
+            chunked = df.withColumn(
+                "_chunk", F.concat_ws("-", F.col("_schema_run"), sub)
+            )
+        else:
+            chunked = assign_file_chunks(df, config)
         prepared = chunked.withColumn("_file", _filename_column(config, clock))
 
     fmt = config.format_type

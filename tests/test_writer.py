@@ -207,3 +207,47 @@ def test_parquet_envelope_roundtrip(spark, tmp_path):
     assert table.column_names == ["key", "offset", "timestamp", "value"]
     assert table.column("offset").to_pylist() == [0, 1, 2, 3]
     assert table.column("value").to_pylist() == ["v0", "v1", "v2", "v3"]
+
+
+def test_parquet_schema_change_rotation(spark, tmp_path):
+    """Value-schema change mid-partition rotates the file: records 0-4 schema A,
+    5-8 schema B, 9 back to A → files at start offsets 0, 5, AND 9 (a returning
+    schema opens a new file, never reopens the old one;
+    AvroParquetIntegrationTest.java:288-335)."""
+    rows = (
+        [Row(topic="t", partition=0, offset=i, key=f"k{i}", value='{"name":"a"}',
+             timestamp=1000 + i, headers=None) for i in range(5)]
+        + [Row(topic="t", partition=0, offset=i, key=f"k{i}",
+               value='{"name":"a","blocked":true}', timestamp=1000 + i, headers=None)
+           for i in range(5, 9)]
+        + [Row(topic="t", partition=0, offset=9, key="k9", value='{"name":"a"}',
+               timestamp=1009, headers=None)]
+    )
+    cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        parquet_schema_rotation=True,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert written == [("t-0-0", 5), ("t-0-5", 4), ("t-0-9", 1)]
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(tmp_path, "t-0-5")).column("offset").to_pylist() == [5, 6, 7, 8]
+
+
+def test_parquet_rotation_composes_with_max_records(spark, tmp_path):
+    """Rotation + file.max.records: each schema run chunks independently."""
+    rows = (
+        [Row(topic="t", partition=0, offset=i, key=None, value='{"a":1}',
+             timestamp=None, headers=None) for i in range(4)]
+        + [Row(topic="t", partition=0, offset=i, key=None, value='{"b":1}',
+               timestamp=None, headers=None) for i in range(4, 7)]
+    )
+    cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET,),
+        parquet_schema_rotation=True,
+        file_max_records=2,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert written == [("t-0-0", 2), ("t-0-2", 2), ("t-0-4", 2), ("t-0-6", 1)]
