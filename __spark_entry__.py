@@ -289,6 +289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"), "embedding"),
         ),
+        "multimodal_features": lambda s, d: multimodal.extract_features(
+            multimodal.media_from_documents(s.read.parquet(f"{d}/documents.parquet")),
+            decoder=multimodal.fake_decoder,
+        ),
         "multimodal_meta": lambda s, d: multimodal.media_from_documents(
             s.read.parquet(f"{d}/documents.parquet")
         ).select(
@@ -841,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                list_transform(range(1, 9),
+                    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0 AS FLOAT)
+                ) AS feature,
+                CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+                CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+            FROM documents
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id,
