@@ -96,18 +96,19 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                d = decoder(r["payload"], r["media_type"])
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "feature": d["feature"],
-                        "width": d["width"],
-                        "height": d["height"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "feature", "width", "height"])
+            # zip over columns, not iterrows(): iterrows materializes a Series
+            # per row (~100× slower than tuple iteration on wide batches)
+            decoded = [
+                decoder(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "feature": [d["feature"] for d in decoded],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                }
+            )
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA

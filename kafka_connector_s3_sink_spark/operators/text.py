@@ -94,15 +94,46 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full analysis column set to a documents DataFrame."""
+    """Attach the full analysis column set to a documents DataFrame.
+
+    Tokenization runs ONCE per document: both token arrays are materialized
+    behind a Generate-node barrier (single-element-array explode — see
+    dedup.shingle_rows for the measured pathology), then every derived metric
+    reads the materialized arrays. The shared stopword/punct ratios are
+    projected once and reused; CollapseProject keeps multi-referenced non-cheap
+    expressions in their own projection, so they are not re-inlined."""
     t = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(t).alias("n_tokens"),
+    arrays = F.explode(
+        F.array(
+            F.struct(
+                tokens_column(t).alias("toks"),
+                tokens_column(F.lower(t)).alias("ltoks"),
+            )
+        )
+    )
+    base = df.select("*", arrays.alias("_a"))
+    ltoks = F.col("_a.ltoks")
+    hits = F.size(F.filter(ltoks, lambda x: x.isin(*STOPWORDS)))
+    stop_r = hits / F.greatest(F.size(ltoks), F.lit(1))
+    scored = base.select(
+        "*", stop_r.alias("_stop_r"), punct_ratio(t).alias("_punct_r")
+    )
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    quality = stable_round(
+        0.5 * len_score
+        + 0.3 * F.least(F.col("_stop_r") * 4.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(F.col("_punct_r") * 5.0, F.lit(1.0))),
+        4,
+    )
+    return scored.select(
+        *df.columns,
+        F.size(F.col("_a.toks")).alias("n_tokens"),
         bpe_token_count(t).alias("n_bpe_tokens"),
-        stable_round(stopword_ratio(t), 4).alias("stopword_ratio"),
-        stable_round(punct_ratio(t), 4).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_pred"),
+        stable_round(F.col("_stop_r"), 4).alias("stopword_ratio"),
+        stable_round(F.col("_punct_r"), 4).alias("punct_ratio"),
+        quality.alias("quality"),
+        F.when(F.col("_stop_r") >= 0.08, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
