@@ -194,6 +194,101 @@ class EngineConfig:
                 "When file.name.template is {{key}}, file.max.records must be either 1 or not set"
             )
 
+    # -- properties-map entry point ---------------------------------------
+    @classmethod
+    def from_properties(cls, properties: dict[str, str]) -> "EngineConfig":
+        """Build a validated config from a Connect-style properties map — the
+        reference's entry point (``new S3SinkConfig(Map<String,String>)``,
+        ``S3SinkConfig.java:138-141``), with the same two quirks:
+
+        - deprecated old names accepted, NEW names win when both are present
+          (``S3SinkConfig.java:815-825`` for output fields, ``802-813`` for
+          compression, ``762-772`` for prefix);
+        - ``{{timestamp:unit=YYYY}}`` in the prefix is rewritten to ``yyyy``
+          (``preprocessProperties``, ``S3SinkConfig.java:143-174``).
+        """
+        import re
+
+        props = dict(properties)
+        # preprocess: YYYY → yyyy in prefix templates (S3SinkConfig.java:148-174)
+        yyyy = re.compile(r"\{\{\s*timestamp\s*:\s*unit\s*=\s*YYYY\s*\}\}")
+        for prop in ("aws.s3.prefix", "aws_s3_prefix"):
+            if prop in props:
+                props[prop] = yyyy.sub(
+                    lambda m: m.group().replace("YYYY", "yyyy"), props[prop]
+                )
+
+        def pick(new: str, old: str | None = None, default: str | None = None):
+            if new in props:
+                return props[new]
+            if old is not None and old in props:
+                return props[old]
+            return default
+
+        fields_raw = pick("format.output.fields", "output_fields")
+        output_fields = (
+            tuple(OutputField(f.strip()) for f in fields_raw.split(","))
+            if fields_raw
+            else (OutputField.VALUE,)
+        )
+
+        access_key = pick("aws.access.key.id", "aws_access_key_id")
+        secret_key = pick("aws.secret.access.key", "aws_secret_access_key")
+        if (access_key is None) != (secret_key is None):
+            raise ConfigValidationError(
+                "aws.access.key.id and aws.secret.access.key must be given together"
+            )
+        credentials = (
+            AwsStaticCredentials(access_key, secret_key) if access_key else None
+        )
+
+        sts_role = None
+        if pick("aws.sts.role.arn") is not None:
+            sts_role = AwsStsRole(
+                role_arn=props["aws.sts.role.arn"],
+                role_session_name=pick("aws.sts.role.session.name", default=""),
+                role_external_id=pick("aws.sts.role.external.id"),
+                session_duration_s=int(
+                    pick("aws.sts.role.session.duration", default="3600")
+                ),
+            )
+
+        return cls(
+            bucket=pick("aws.s3.bucket.name", "aws_s3_bucket", ""),
+            prefix=pick("aws.s3.prefix", "aws_s3_prefix", ""),
+            file_name_template=pick(
+                "file.name.template", default="{{topic}}-{{partition}}-{{start_offset}}"
+            ),
+            file_max_records=int(pick("file.max.records", default="0")),
+            file_compression=CompressionType(
+                pick("file.compression.type", "output_compression", "gzip")
+            ),
+            format_type=FormatType(pick("format.output.type", default="csv")),
+            output_fields=output_fields,
+            value_encoding=FieldEncoding(
+                pick("format.output.fields.value.encoding", default="base64")
+            ),
+            envelope=pick("format.output.envelope", default="true").lower() == "true",
+            timestamp_timezone=pick("timestamp.timezone", default="UTC"),
+            timestamp_source=pick("timestamp.source", default="wallclock"),
+            kafka_retry_backoff_ms=(
+                int(props["kafka.retry.backoff.ms"])
+                if "kafka.retry.backoff.ms" in props
+                else None
+            ),
+            part_size_bytes=int(
+                pick("aws.s3.part.size.bytes", default=str(DEFAULT_PART_SIZE_BYTES))
+            ),
+            backoff_delay_ms=int(pick("aws.s3.backoff.delay.ms", default="100")),
+            backoff_max_delay_ms=int(
+                pick("aws.s3.backoff.max.delay.ms", default="20000")
+            ),
+            backoff_max_retries=int(pick("aws.s3.backoff.max.retries", default="3")),
+            aws_credentials=credentials,
+            aws_sts_role=sts_role,
+            s3_endpoint=pick("aws.s3.endpoint", "aws_s3_endpoint"),
+        )
+
     # -- derived ----------------------------------------------------------
     @property
     def template(self):

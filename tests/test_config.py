@@ -88,3 +88,70 @@ def test_hadoop_conf_mapping():
     assert conf["fs.s3a.access.key"] == "AK"
     assert conf["fs.s3a.endpoint"] == "http://localhost:9000"
     assert conf["fs.s3a.path.style.access"] == "true"
+
+
+# -- properties-map entry point (reference: new S3SinkConfig(Map<String,String>)) --
+
+
+def test_from_properties_defaults():
+    cfg = EngineConfig.from_properties({})
+    assert cfg.format_type is FormatType.CSV
+    assert cfg.file_compression is CompressionType.GZIP
+    assert cfg.output_fields == (OutputField.VALUE,)
+    assert cfg.file_name_template == "{{topic}}-{{partition}}-{{start_offset}}"
+
+
+def test_from_properties_new_name_wins_over_old():
+    cfg = EngineConfig.from_properties(
+        {
+            "file.compression.type": "zstd",
+            "output_compression": "gzip",
+            "format.output.fields": "key,value",
+            "output_fields": "value",
+        }
+    )
+    assert cfg.file_compression is CompressionType.ZSTD
+    assert cfg.output_fields == (OutputField.KEY, OutputField.VALUE)
+
+
+def test_from_properties_old_names_accepted():
+    cfg = EngineConfig.from_properties(
+        {"output_compression": "none", "output_fields": "value,key,timestamp"}
+    )
+    assert cfg.file_compression is CompressionType.NONE
+    assert cfg.output_fields == (
+        OutputField.VALUE,
+        OutputField.KEY,
+        OutputField.TIMESTAMP,
+    )
+
+
+def test_from_properties_rewrites_deprecated_yyyy_in_prefix():
+    cfg = EngineConfig.from_properties(
+        {"aws.s3.prefix": "logs-{{timestamp:unit=YYYY}}/"}
+    )
+    assert cfg.prefix == "logs-{{timestamp:unit=yyyy}}/"
+
+
+def test_from_properties_credentials_must_pair():
+    with pytest.raises(ConfigValidationError):
+        EngineConfig.from_properties({"aws.access.key.id": "AK"})
+
+
+def test_from_properties_static_xor_sts():
+    with pytest.raises(ConfigValidationError):
+        EngineConfig.from_properties(
+            {
+                "aws.access.key.id": "AK",
+                "aws.secret.access.key": "SK",
+                "aws.sts.role.arn": "arn:aws:iam::1:role/r",
+                "aws.sts.role.session.name": "s",
+            }
+        )
+
+
+def test_from_properties_key_template_enforces_max_records():
+    with pytest.raises(ConfigValidationError):
+        EngineConfig.from_properties(
+            {"file.name.template": "{{key}}", "file.max.records": "5"}
+        )
