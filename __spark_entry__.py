@@ -219,6 +219,31 @@ def q_sink_json_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-path variant of topk_users: salted two-phase aggregation (each hot
+    user splits across 16 reducers, partials merge in a second 1-row-per-salt
+    shuffle). Oracle is the SAME SQL as topk_users — salting must be invisible
+    in the result."""
+    from kafka_connector_s3_sink_spark.operators import skew
+    from kafka_connector_s3_sink_spark.functions.numeric import stable_round
+    from kafka_connector_s3_sink_spark.records import read_events
+
+    ev = read_events(spark, sf_dir).select("user_id", "value")
+    agged = skew.salted_two_phase_agg(
+        ev,
+        keys=["user_id"],
+        partial_aggs=[
+            F.sum("value").alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        ],
+        final_aggs=[
+            stable_round(F.sum("_s"), 2).alias("total_value"),
+            F.sum("_n").alias("n_events"),
+        ],
+    )
+    return agged.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 
@@ -245,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_totals": relational.user_running_totals,
         "window_event_gaps": relational.user_event_gaps,
         "topk_users": relational.top_users_by_value,
+        "topk_users_salted": _q_topk_users_salted,
         "setop_customers_no_events": relational.customers_without_events,
         "semi_join_parts": relational.parts_with_orders_semi,
         "distinct_users_per_topic": relational.distinct_users_per_topic,
@@ -585,6 +611,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "topk_users": """
+            SELECT user_id,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+                count(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC
+            LIMIT 20
+        """,
+        "topk_users_salted": """
             SELECT user_id,
                 floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
                 count(*) AS n_events
