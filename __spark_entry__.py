@@ -319,6 +319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.media_from_documents(s.read.parquet(f"{d}/documents.parquet")),
             decoder=multimodal.fake_decoder,
         ),
+        "multimodal_frame_plan": lambda s, d: multimodal.frame_sample_plan(
+            multimodal.media_from_documents(s.read.parquet(f"{d}/documents.parquet")),
+            every_n=10,
+        ),
         "multimodal_meta": lambda s, d: multimodal.media_from_documents(
             s.read.parquet(f"{d}/documents.parquet")
         ).select(
@@ -888,6 +892,13 @@ def oracle_sql() -> dict[str, str]:
                 ) AS feature,
                 CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
                 CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+            FROM documents
+        """,
+        "multimodal_frame_plan": """
+            SELECT doc_id AS media_id,
+                unnest(range(0,
+                    CAST(floor(octet_length(encode(text)) / 1024.0 + 1) AS INTEGER), 10)
+                ) AS frame_idx
             FROM documents
         """,
         "multimodal_meta": """
