@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_topic": relational.distinct_users_per_topic,
         "approx_distinct_users": relational.approx_distinct_users,
         "scalar_functions": relational.scalar_function_sampler,
+        "value_statistics": relational.value_statistics,
         "asof_prev_purchase": relational.asof_prev_purchase,
         "range_join_events_after_signup": relational.events_after_signup,
         # event-time / sessionization (streaming shapes, run in batch)
@@ -538,6 +539,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                 count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "value_statistics": """
+            SELECT event_type,
+                floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+                floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
+                floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99,
+                floor((stddev_samp(value)) * 10000.0 + 0.5) / 10000.0 AS value_stddev,
+                floor((min(value)) * 100.0 + 0.5) / 100.0 AS value_min,
+                floor((max(value)) * 100.0 + 0.5) / 100.0 AS value_max
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "scalar_functions": """

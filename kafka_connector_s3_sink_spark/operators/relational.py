@@ -239,6 +239,27 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: exact interpolated percentiles
+    (median/p90/p99), sample stddev, and min/max per event type — one shuffle,
+    percentile state is per-group sorted values (bounded by group size; at
+    100 TB prefer approx_percentile's fixed-size sketch, exposed via
+    `approx_distinct_users`-style rows-only checks)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            stable_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            stable_round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            stable_round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            stable_round(F.stddev_samp("value"), 4).alias("value_stddev"),
+            stable_round(F.min("value"), 2).alias("value_min"),
+            stable_round(F.max("value"), 2).alias("value_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/math/datetime/conditional scalar-function surface in one
     projection (no shuffle; pure map stage, whole-stage codegen end to end)."""
