@@ -166,7 +166,9 @@ def _text_partition_writer(dest_dir: str, config: EngineConfig):
             return result
 
         for row in rows:
-            name, line = row["_file"], row["_line"]
+            name, line = row[0], row[1]  # (_file, _line, _ord) positional —
+            # Row.__getitem__ by name is a field-index lookup per access; at
+            # millions of rows per partition the constant matters
             if name != current:
                 done = finish()
                 if done:
@@ -225,14 +227,14 @@ def _parquet_partition_writer(dest_dir: str, config: EngineConfig):
             return (current, len(buffer))
 
         for row in rows:
-            name = row["_file"]
+            name = row[0]  # _file is selected first; fields follow positionally
             if name != current:
                 done = flush()
                 if done:
                     yield done
                 current = name
                 buffer = []
-            buffer.append({n: row[n] for n in field_names})
+            buffer.append({n: row[i + 1] for i, n in enumerate(field_names)})
         done = flush()
         if done:
             yield done
