@@ -63,13 +63,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_revenue_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, top-k by revenue.
-    customer is tiny → broadcast; lineitem→orders is the one big shuffle."""
+    lineitem→orders is the one big shuffle. No broadcast hint on customer: it
+    scales with the dataset, so the broadcast-vs-shuffle call belongs to AQE's
+    runtime size check (a forced hint is an OOM at 1000×)."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             stable_round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -82,8 +84,10 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFra
 
 
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join; region/nation/supplier/customer are dims →
-    broadcast chain onto the lineitem fact scan; single agg shuffle."""
+    """TPC-H Q5 shape: 5-way join onto the lineitem fact scan; single agg
+    shuffle. region (5 rows) and nation (25 rows) are fixed-cardinality dims —
+    broadcast hints are always right; customer scales with the dataset, so its
+    join strategy is left to AQE's runtime size check."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -91,7 +95,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -154,15 +158,15 @@ def top_users_by_value(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
 def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op surface (EXCEPT): customers who placed orders but have no event
     activity, phrased as distinct + left_anti join — the scalable phrasing (an
-    EXCEPT would distinct-shuffle both sides; anti join broadcasts the small
-    distinct user set)."""
+    EXCEPT would distinct-shuffle whole rows on both sides; the anti join
+    reduces each side to its key first, and AQE broadcasts the distinct user
+    set when it is actually small — no forced hint, the user universe scales
+    with the data)."""
     orders = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     order_custs = orders.select(F.col("o_custkey").alias("custkey")).distinct()
     event_users = ev.select(F.col("user_id").alias("custkey")).distinct()
-    return order_custs.join(F.broadcast(event_users), "custkey", "left_anti").orderBy(
-        "custkey"
-    )
+    return order_custs.join(event_users, "custkey", "left_anti").orderBy("custkey")
 
 
 def parts_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
