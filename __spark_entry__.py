@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users": relational.top_users_by_value,
         "topk_users_salted": _q_topk_users_salted,
         "setop_customers_no_events": relational.customers_without_events,
+        "setop_active_customers": relational.active_customers_intersect,
+        "array_functions": relational.token_array_functions,
         "semi_join_parts": relational.parts_with_orders_semi,
         "distinct_users_per_topic": relational.distinct_users_per_topic,
         "approx_distinct_users": relational.approx_distinct_users,
@@ -648,6 +650,23 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id AS custkey FROM events
             ORDER BY custkey
+        """,
+        "setop_active_customers": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            INTERSECT
+            SELECT DISTINCT user_id AS custkey FROM events
+            ORDER BY custkey
+        """,
+        "array_functions": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS w FROM documents)
+            SELECT doc_id,
+                len(w) AS n_tokens,
+                len(list_distinct(w)) AS n_distinct,
+                array_to_string(list_sort(w)[1:3], ' ') AS first3_sorted,
+                CAST(list_contains(w, 'the') AS INTEGER) AS has_the,
+                w[1] AS first_token,
+                w[-1] AS last_token
+            FROM toks
         """,
         "asof_prev_purchase": """
             WITH merged AS (

@@ -243,6 +243,37 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def active_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface (INTERSECT): customers that placed orders AND have event
+    activity — phrased as distinct + left_semi join (each side reduces to its
+    key before the shuffle; INTERSECT would shuffle whole rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    order_custs = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    event_users = ev.select(F.col("user_id").alias("custkey")).distinct()
+    return order_custs.join(event_users, "custkey", "left_semi").orderBy("custkey")
+
+
+def token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the documents' token arrays: size, distinct
+    count, sort, slice, membership — one Generate-barriered tokenize, pure map
+    stage."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from kafka_connector_s3_sink_spark.operators.text import normalized_text, tokens_column
+
+    toks_expr = tokens_column(normalized_text(F.col("text")))
+    w = docs.select("doc_id", F.explode(F.array(toks_expr)).alias("w"))
+    return w.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort("w"), 1, 3), " ").alias("first3_sorted"),
+        F.array_contains("w", "the").cast("int").alias("has_the"),
+        F.element_at("w", 1).alias("first_token"),
+        F.element_at("w", -1).alias("last_token"),
+    )
+
+
 def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: exact interpolated percentiles
     (median/p90/p99), sample stddev, and min/max per event type — one shuffle,
