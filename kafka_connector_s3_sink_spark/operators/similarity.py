@@ -53,16 +53,20 @@ def brute_force_topk(
 
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cvec")
-    )
+    ).withColumn("cnorm", l2norm(F.col("cvec")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
-    )
+    ).withColumn("qnorm", l2norm(F.col("qvec")))
+    # norms precomputed per row below the join — the interpreted fold would
+    # otherwise run per (query × corpus) pair
     scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("nbr_id"))
     scored = scored.select(
         "query_id",
         "nbr_id",
-        stable_round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+        stable_round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 4
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
@@ -116,14 +120,22 @@ def lsh_topk(
     from pyspark.sql import Window
 
     planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-    ).withColumn("bucket", lsh_bucket_column(F.col("cvec"), planes))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("bucket", lsh_bucket_column(F.col("qvec"), planes))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("bucket", lsh_bucket_column(F.col("cvec"), planes))
+        .withColumn("cnorm", l2norm(F.col("cvec")))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("bucket", lsh_bucket_column(F.col("qvec"), planes))
+        .withColumn("qnorm", l2norm(F.col("qvec")))
+    )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
@@ -131,7 +143,10 @@ def lsh_topk(
         .select(
             "query_id",
             "nbr_id",
-            stable_round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cosine"),
+            stable_round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+                4,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
