@@ -5,6 +5,7 @@ from kafka_connector_s3_sink_spark.operators import (
     projection,
     relational,
     similarity,
+    skew,
     text,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "projection",
     "relational",
     "similarity",
+    "skew",
     "text",
 ]

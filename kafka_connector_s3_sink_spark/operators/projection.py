@@ -112,11 +112,13 @@ def _json_value(field: OutputField) -> Column:
 
 
 def json_string_literal(col: Column) -> Column:
-    """Escape a string column into a quoted JSON string literal (backslash,
-    quote, and the common control characters — sufficient for UTF-8 text)."""
-    escaped = F.regexp_replace(col, r"\\", r"\\\\")
-    escaped = F.regexp_replace(escaped, '"', '\\\\"')
-    escaped = F.regexp_replace(escaped, "\n", r"\\n")
-    escaped = F.regexp_replace(escaped, "\r", r"\\r")
-    escaped = F.regexp_replace(escaped, "\t", r"\\t")
-    return F.concat(F.lit('"'), escaped, F.lit('"'))
+    """Escape a string column into a quoted JSON string literal via Spark's own
+    Jackson writer (``to_json`` of a one-field struct, wrapper sliced off) —
+    full escaping including every control character < 0x20, exactly the
+    escaping the reference's Jackson-based writer produces. A hand-rolled
+    regexp chain missed raw control bytes and emitted invalid JSON lines
+    (caught by the adversarial-string suite)."""
+    wrapped = F.to_json(F.struct(col.alias("v")))  # {"v":"<escaped>"}
+    return F.when(
+        col.isNotNull(), wrapped.substr(F.lit(6), F.length(wrapped) - 6)
+    )
