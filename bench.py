@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "sink_schema_rotation",
     "cube_order_stats",
     "semi_join_parts",
+    "value_statistics",
+    "array_functions",
+    "topk_users_salted",
     "text_analysis",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -85,15 +88,30 @@ def main() -> None:
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
-    # end-to-end sink write (CSV + gzip, default grouping) to local objects
-    dest = tempfile.mkdtemp(prefix="bench-sink-")
-    try:
-        t0 = time.time()
-        records = kafka_records_from_events(spark, SF_DIR)
-        write_batch(records, EngineConfig(), dest)
-        timings["sink_write_csv_gzip"] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(dest, ignore_errors=True)
+    # end-to-end sink writes (exact object names) to local objects
+    from kafka_connector_s3_sink_spark.config import FormatType, OutputField
+
+    records = kafka_records_from_events(spark, SF_DIR)
+    sink_cases = {
+        "sink_write_csv_gzip": EngineConfig(),
+        "sink_write_parquet": EngineConfig(
+            format_type=FormatType.PARQUET,
+            output_fields=(
+                OutputField.KEY,
+                OutputField.OFFSET,
+                OutputField.TIMESTAMP,
+                OutputField.VALUE,
+            ),
+        ),
+    }
+    for name, cfg in sink_cases.items():
+        dest = tempfile.mkdtemp(prefix="bench-sink-")
+        try:
+            t0 = time.time()
+            write_batch(records, cfg, dest)
+            timings[name] = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
