@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_corpus(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
+        "dedup_clusters": lambda s, d: dedup.connected_components(
+            _corpus(s, d),
+            dedup.ngram_jaccard_dupes(_corpus(s, d), threshold=0.7, max_df_ratio=0.2),
+        ),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
             _scaled_embeddings(s, d), threshold=0.999
         ),
@@ -874,6 +878,46 @@ def oracle_sql() -> dict[str, str]:
             FROM blocks a JOIN blocks b
               ON a.block = b.block AND a.doc_id < b.doc_id
             WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {CORPUS_CTE},
+            toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
+            sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
+            ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            freq AS (SELECT shingle, count(*) AS df_cnt FROM ex0 GROUP BY 1),
+            ex AS (
+                SELECT ex0.doc_id, ex0.shingle FROM ex0
+                JOIN freq USING (shingle)
+                WHERE df_cnt <= ceil(0.2 * (SELECT count(*) FROM corpus))
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+                FROM ex a JOIN ex b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jpairs AS (
+                SELECT id1, id2
+                FROM inter
+                JOIN sizes s1 ON s1.doc_id = id1
+                JOIN sizes s2 ON s2.doc_id = id2
+                WHERE floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.7
+            ),
+            edges AS (
+                SELECT id1 AS src, id2 AS dst FROM jpairs
+                UNION ALL
+                SELECT id2 AS src, id1 AS dst FROM jpairs
+            ),
+            reach(id, r) AS (
+                SELECT doc_id, doc_id FROM corpus
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT id AS doc_id,
+                min(r) AS cluster_id,
+                CAST(id = min(r) AS INTEGER) AS is_canonical
+            FROM reach GROUP BY id
         """,
         "dedup_embedding_cosine": """
             WITH corpus AS (

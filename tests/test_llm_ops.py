@@ -141,3 +141,18 @@ def test_frame_sample_plan(spark):
     media = multimodal.media_from_documents(docs)
     frames = [r["frame_idx"] for r in multimodal.frame_sample_plan(media, every_n=2).collect()]
     assert frames == [0, 2, 4]  # 5000 bytes → 5 synthetic frames, sampled every 2
+
+
+def test_connected_components_transitive(spark):
+    """A~B and B~C (without a direct A~C pair) must land in ONE cluster, and
+    disconnected nodes stay their own canonical singleton."""
+    from pyspark.sql import Row
+    from kafka_connector_s3_sink_spark.operators import dedup
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in (1, 2, 3, 9)])
+    pairs = spark.createDataFrame([Row(id1=1, id2=2), Row(id1=2, id2=3)])
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.connected_components(nodes, pairs).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 9: (9, 1)}
