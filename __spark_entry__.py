@@ -295,6 +295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": lambda s, d: text_ops.analyze(
             s.read.parquet(f"{d}/documents.parquet")
         ),
+        "text_top_ngrams": lambda s, d: text_ops.top_ngrams(
+            s.read.parquet(f"{d}/documents.parquet")
+        ),
+        "text_quality_filter": lambda s, d: text_ops.quality_filter_stats(
+            s.read.parquet(f"{d}/documents.parquet")
+        ),
         "dedup_exact": lambda s, d: dedup.exact_dedup(
             dedup.with_exact_duplicates(_docs(s, d))
         ),
@@ -790,6 +796,50 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
                 md5({NORM}) AS fingerprint
             FROM base
+        """,
+        "text_top_ngrams": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS w FROM documents),
+            grams AS (
+                SELECT doc_id,
+                    list_distinct(list_transform(
+                        range(0, greatest(len(w) - 3, 0) + 1),
+                        i -> array_to_string(w[i+1:i+3], ' ')
+                    )) AS g
+                FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(g) AS ngram FROM grams)
+            SELECT ngram, count(*) AS doc_freq
+            FROM ex GROUP BY 1
+            ORDER BY doc_freq DESC, ngram ASC
+            LIMIT 20
+        """,
+        "text_quality_filter": f"""
+            WITH base AS (
+                SELECT text,
+                    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        t -> t IN {STOPWORDS_SQL}))
+                      / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)
+                      AS stop_r,
+                    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      / greatest(length(text), 1) AS punct_r
+                FROM documents
+            ),
+            scored AS (
+                SELECT
+                    CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+                    floor((stop_r) * 10000.0 + 0.5) / 10000.0 AS stop_rounded,
+                    floor((0.5 * least(length(text) / 500.0, 1.0)
+                        + 0.3 * least(stop_r * 4.0, 1.0)
+                        + 0.2 * (1.0 - least(punct_r * 5.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality
+                FROM base
+            )
+            SELECT lang_pred,
+                count(*) AS n_docs,
+                floor((avg(quality)) * 10000.0 + 0.5) / 10000.0 AS avg_quality,
+                floor((avg(stop_rounded)) * 10000.0 + 0.5) / 10000.0 AS avg_stopword_ratio
+            FROM scored
+            WHERE quality >= 0.5
+            GROUP BY lang_pred ORDER BY lang_pred
         """,
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}

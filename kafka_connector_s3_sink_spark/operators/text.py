@@ -93,6 +93,45 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
     return F.md5(F.concat(F.array_min(shingles), F.array_max(shingles)))
 
 
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", k: int = 3, top: int = 20
+) -> DataFrame:
+    """Corpus-wide top word-k-grams by document frequency (each gram counted
+    once per doc): Generate-barriered tokenize → gram explode → distinct per
+    doc → one count shuffle with partial agg → TakeOrdered top-k."""
+    toks = tokens_column(normalized_text(F.col(text_col)))
+    w = df.select(F.explode(F.array(toks)).alias("w"), F.col("doc_id"))
+    n = F.size("w")
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("w", i + 1, k)))
+    )
+    exploded = w.select("doc_id", F.explode(grams).alias("ngram"))
+    return (
+        exploded.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(top)
+    )
+
+
+def quality_filter_stats(df: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The filter step of a training-data pipeline as an auditable aggregate:
+    per predicted language, how many documents survive the quality threshold
+    and their average quality — analyze() composed with filter + groupBy."""
+    analyzed = analyze(df)
+    return (
+        analyzed.filter(F.col("quality") >= min_quality)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            stable_round(F.avg("quality"), 4).alias("avg_quality"),
+            stable_round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set to a documents DataFrame.
 
