@@ -251,3 +251,45 @@ def test_parquet_rotation_composes_with_max_records(spark, tmp_path):
     )
     written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
     assert written == [("t-0-0", 2), ("t-0-2", 2), ("t-0-4", 2), ("t-0-6", 1)]
+
+
+@pytest.mark.parametrize(
+    "compression",
+    [CompressionType.NONE, CompressionType.GZIP, CompressionType.SNAPPY, CompressionType.ZSTD],
+)
+def test_parquet_all_compression_codecs(spark, tmp_path, compression):
+    """Parquet internal compression for every supported codec; object names
+    never gain a compression suffix (compression is inside the format)."""
+    rows = [Row(topic="t", partition=0, offset=i, key=None, value=f"v{i}",
+                timestamp=None, headers=None) for i in range(3)]
+    cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=compression,
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert written == [("t-0-0", 3)]
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(os.path.join(tmp_path, "t-0-0")).column("value").to_pylist() == [
+        "v0", "v1", "v2"
+    ]
+
+
+def test_timestamp_grouping_respects_timezone(spark, tmp_path):
+    """timestamp.timezone shifts the rendered date: 23:30 UTC on Mar 1 is
+    already Mar 2 in Europe/Berlin (UTC+1)."""
+    rows = [Row(topic="t", partition=0, offset=7, key=None, value="v",
+                timestamp=None, headers=None)]
+    cfg = EngineConfig(
+        file_name_template=(
+            "{{topic}}-{{partition}}-{{start_offset}}-"
+            "{{timestamp:unit=yyyy}}-{{timestamp:unit=MM}}-{{timestamp:unit=dd}}"
+        ),
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+        timestamp_timezone="Europe/Berlin",
+    )
+    clock = F.to_timestamp(F.lit("2024-03-01 23:30:00"))  # UTC instant
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path), clock=clock)
+    assert written == [("t-0-7-2024-03-02", 1)]
