@@ -25,6 +25,17 @@ from kafka_connector_s3_sink_spark.config import (
 ENCODABLE_FIELDS = {OutputField.KEY, OutputField.VALUE}
 
 
+def base64_std(col: Column) -> Column:
+    """Standard (RFC 4648) base64 of a binary column — NO line wrapping.
+
+    Spark's ``base64`` emits MIME-chunked output (CRLF every 76 chars), which
+    would inject raw line breaks into CSV for any payload ≥ 57 bytes and break
+    the one-record-per-line contract; the reference uses Java's standard
+    encoder (no chunking). Stripping the CRLFs restores the standard encoding
+    exactly (caught by the seeded-fuzz round-trip test)."""
+    return F.regexp_replace(F.base64(col), "[\\r\\n]", "")
+
+
 def select_output_fields(df: DataFrame, config: EngineConfig) -> DataFrame:
     """Ordered subset of {key,value,offset,timestamp,headers}; order is preserved
     in the output (golden: value,key,timestamp,offset,headers → headers at index 4,
@@ -40,7 +51,7 @@ def encoded_field(field: OutputField, config: EngineConfig) -> Column:
         # string payloads encode their UTF-8 bytes; binary payloads pass through
         as_bytes = col if _is_binary(field) else F.encode(col, "UTF-8")
         if config.value_encoding is FieldEncoding.BASE64:
-            rendered = F.base64(as_bytes)
+            rendered = base64_std(as_bytes)
         else:
             rendered = col.cast("string")
         return F.coalesce(rendered, F.lit(""))
@@ -65,7 +76,9 @@ def headers_csv_column(headers: Column | None = None) -> Column:
         F.transform(
             h,
             lambda e: F.concat(
-                F.base64(F.encode(e["key"], "UTF-8")), F.lit(":"), F.base64(e["value"])
+                base64_std(F.encode(e["key"], "UTF-8")),
+                F.lit(":"),
+                base64_std(e["value"]),
             ),
         ),
         ";",

@@ -47,6 +47,21 @@ from kafka_connector_s3_sink_spark.template import GrouperType
 PARQUET_ENVELOPE_FIELDS = ("key", "offset", "timestamp", "headers", "value")
 
 
+def _safe_object_path(dest_dir: str, name: str) -> str:
+    """Join an object name under dest_dir, refusing path escapes.
+
+    Object names can embed record data ({{key}} templates), so a hostile key
+    like ``../../x`` must not traverse outside the sink root. "/" separators
+    are allowed (S3-prefix-style subdirectories); ".." segments and absolute
+    names are not.
+    """
+    path = os.path.normpath(os.path.join(dest_dir, name.lstrip("/")))
+    root = os.path.abspath(dest_dir)
+    if not os.path.abspath(path).startswith(root + os.sep):
+        raise ValueError(f"object name {name!r} escapes the sink directory")
+    return path
+
+
 def _filename_column(config: EngineConfig, clock: Column | None) -> Column:
     """Filename per record with per-group start offset resolved via a window
     min — offsets arrive near-sorted per Kafka partition, so the sort is cheap."""
@@ -175,7 +190,7 @@ def _text_partition_writer(dest_dir: str, config: EngineConfig):
                     yield done
                 current = name
                 count = 0
-                path = os.path.join(dest_dir, name)
+                path = _safe_object_path(dest_dir, name)
                 os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
                 out = open(path, "wb")
                 stream = open_compressed(out, compression)
@@ -219,7 +234,7 @@ def _parquet_partition_writer(dest_dir: str, config: EngineConfig):
         def flush():
             if current is None or not buffer:
                 return None
-            path = os.path.join(dest_dir, current)
+            path = _safe_object_path(dest_dir, current)
             os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
             cols = {n: [r[n] for r in buffer] for n in field_names}
             table = pa.table(cols)

@@ -90,3 +90,59 @@ def test_parquet_roundtrips_nasty_values(spark, tmp_path):
 
     table = pq.read_table(os.path.join(tmp_path, "nasty-0-0"))
     assert table.column("value").to_pylist() == NASTY
+
+
+def test_key_template_rejects_path_traversal(spark, tmp_path):
+    """A hostile key must not write outside the sink directory: {{key}} object
+    names with '..' segments are refused; plain keys with '/' become
+    S3-prefix-style subdirectories."""
+    cfg = EngineConfig(
+        file_name_template="{{key}}",
+        file_max_records=1,
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+    )
+    evil = [Row(topic="t", partition=0, offset=0, key="../../escape", value="v",
+                timestamp=None, headers=None)]
+    with pytest.raises(Exception, match="escapes the sink"):
+        write_batch(spark.createDataFrame(evil, KAFKA_RECORD_SCHEMA), cfg,
+                    str(tmp_path / "dest"))
+    assert not (tmp_path / "escape").exists()
+
+    nested = [Row(topic="t", partition=0, offset=0, key="a/b/c", value="v",
+                  timestamp=None, headers=None)]
+    dest = tmp_path / "dest2"
+    dest.mkdir()
+    written = write_batch(
+        spark.createDataFrame(nested, KAFKA_RECORD_SCHEMA), cfg, str(dest)
+    )
+    assert written == [("a/b/c", 1)]
+    assert (dest / "a" / "b" / "c").exists()
+
+
+def test_fuzz_csv_roundtrip_random_unicode(spark, tmp_path):
+    """Seeded fuzz: 200 random unicode strings (including control chars and
+    astral-plane codepoints, excluding NUL and surrogates) round-trip through
+    CSV+base64 byte-exactly."""
+    import random
+
+    rng = random.Random(42)
+    pool = (
+        [chr(c) for c in range(1, 0x80)]
+        + [chr(c) for c in range(0xA0, 0x2000, 37)]
+        + ["文", "字", "🙂", "𝄞", "ḁ", " ", " "]
+    )
+    values = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    rows = [
+        Row(topic="fz", partition=0, offset=i, key=None, value=v,
+            timestamp=None, headers=None)
+        for i, v in enumerate(values)
+    ]
+    cfg = EngineConfig(file_compression=CompressionType.NONE)
+    write_batch(spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA), cfg, str(tmp_path))
+    data = read_compressed(os.path.join(tmp_path, "fz-0-0"), CompressionType.NONE)
+    decoded = [base64.b64decode(l).decode() for l in data.decode().split("\n")[:-1]]
+    assert decoded == values
