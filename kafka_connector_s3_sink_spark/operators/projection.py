@@ -115,9 +115,14 @@ def _json_value(field: OutputField) -> Column:
         return F.coalesce(col.cast("string"), F.lit("null"))
     if field is OutputField.HEADERS:
         return F.coalesce(F.to_json(col), F.lit("null"))
-    # key/value: if the payload itself is a JSON document (object/array), inline
-    # it verbatim; otherwise emit a JSON string literal.
-    is_json_doc = col.rlike(r"^\s*[\[{]")
+    # key/value: if the payload itself is a single-line JSON document
+    # (object/array), inline it verbatim; otherwise emit a JSON string
+    # literal. A MULTI-line JSON document is escaped as a string rather than
+    # inlined — verbatim inlining would inject raw newlines and break the
+    # one-record-per-line contract (deviation: the reference re-serializes
+    # parsed values through Jackson, which normalizes whitespace; without the
+    # payload's schema we preserve bytes instead of reformatting).
+    is_json_doc = col.rlike(r"^\s*[\[{]") & ~col.contains("\n") & ~col.contains("\r")
     return F.coalesce(
         F.when(is_json_doc, col).otherwise(json_string_literal(col)),
         F.lit("null"),

@@ -146,3 +146,21 @@ def test_fuzz_csv_roundtrip_random_unicode(spark, tmp_path):
     data = read_compressed(os.path.join(tmp_path, "fz-0-0"), CompressionType.NONE)
     decoded = [base64.b64decode(l).decode() for l in data.decode().split("\n")[:-1]]
     assert decoded == values
+
+
+def test_jsonl_multiline_json_value_stays_one_line(spark, tmp_path):
+    """A value that is VALID JSON but spans lines must not be inlined verbatim
+    (raw newlines would break JSONL) — it is escaped as a JSON string."""
+    multiline = '{"a":' + chr(10) + ' 1}'
+    rows = [Row(topic="m", partition=0, offset=0, key=None, value=multiline,
+                timestamp=None, headers=None)]
+    cfg = EngineConfig(
+        format_type=FormatType.JSONL,
+        output_fields=(OutputField.VALUE,),
+        file_compression=CompressionType.NONE,
+    )
+    write_batch(spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA), cfg, str(tmp_path))
+    data = read_compressed(os.path.join(tmp_path, "m-0-0"), CompressionType.NONE)
+    lines = data.decode().split("\n")[:-1]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == multiline
