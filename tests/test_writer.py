@@ -293,3 +293,28 @@ def test_timestamp_grouping_respects_timezone(spark, tmp_path):
     clock = F.to_timestamp(F.lit("2024-03-01 23:30:00"))  # UTC instant
     written = write_batch(records_df(spark, rows), cfg, str(tmp_path), clock=clock)
     assert written == [("t-0-7-2024-03-02", 1)]
+
+
+def test_write_spark_native_directory_layout(spark, tmp_path):
+    """The 100% JVM alternative writer: partitionBy(topic, partition) directory
+    scheme, native compression, rendered CSV lines as text files."""
+    rows = [
+        Row(topic="t", partition=p, offset=p * 10 + i, key=f"k{i}", value=f"v-{p}-{i}",
+            timestamp=None, headers=None)
+        for p in (0, 1) for i in range(3)
+    ]
+    from kafka_connector_s3_sink_spark.sinks.writer import write_spark_native
+
+    cfg = EngineConfig(
+        value_encoding=FieldEncoding.NONE, file_compression=CompressionType.GZIP
+    )
+    dest = tmp_path / "native"
+    write_spark_native(records_df(spark, rows), cfg, str(dest))
+    out = (
+        spark.read.option("compression", "gzip")
+        .text(f"{dest}/topic=t/partition=0")
+        .collect()
+    )
+    assert sorted(r.value for r in out) == ["v-0-0", "v-0-1", "v-0-2"]
+    # partition dirs exist for both kafka partitions
+    assert (dest / "topic=t" / "partition=1").exists()
