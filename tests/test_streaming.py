@@ -111,3 +111,46 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
         assert f.read().splitlines() == ["b0-r0", "b0-r1", "b0-r2"]
     with open(dest / "t-0-100") as f:
         assert f.read().splitlines() == ["b1-r0", "b1-r1"]
+
+
+def test_backpressure_bounds_batch_size(spark, tmp_path):
+    """maxFilesPerTrigger (≙ maxOffsetsPerTrigger on a Kafka source) bounds
+    each micro-batch: three source files → at least three batches, each
+    writing its own offset-named object (no mega-batch)."""
+    src = tmp_path / "src"
+    dest = tmp_path / "dest"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    dest.mkdir()
+    for b in range(3):
+        rows = [
+            Row(topic="bp", partition=0, offset=b * 10 + i, key=None,
+                value=f"b{b}-r{i}", timestamp=None, headers=None)
+            for i in range(2)
+        ]
+        spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).coalesce(1).write.parquet(
+            str(src / f"batch{b}")
+        )
+
+    cfg = EngineConfig(
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+        checkpoint_location=str(ckpt),
+        flush_interval_ms=300,
+    )
+    stream = (
+        spark.readStream.schema(KAFKA_RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    query = start_pipeline(stream, cfg, str(dest))
+    try:
+        assert wait_for(
+            lambda: all(
+                os.path.exists(dest / f"bp-0-{b * 10}") for b in range(3)
+            )
+        ), f"objects missing; dest has {os.listdir(dest)}"
+        n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+    finally:
+        query.stop()
+    assert n_batches >= 3, f"expected >=3 bounded batches, saw {n_batches}"
