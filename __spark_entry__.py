@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
             _scaled_embeddings(s, d), threshold=0.999
         ),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"),
+            s.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+        ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             s.read.parquet(f"{d}/embeddings.parquet"),
             s.read.parquet(f"{d}/embeddings.parquet")
@@ -399,8 +405,68 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
     """
 
 
+IVF_ORACLE_SQL = """
+    WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+    seed AS (SELECT vid AS centroid_id, vec AS cvec FROM v WHERE vid < 8),
+    s1 AS (
+        SELECT vid, vec, centroid_id,
+            floor((list_dot_product(vec, cvec)
+                / (sqrt(list_dot_product(vec, vec))
+                   * sqrt(list_dot_product(cvec, cvec)))) * 10000.0 + 0.5) / 10000.0 AS ccos
+        FROM v CROSS JOIN seed
+    ),
+    a1 AS (
+        SELECT vid, vec, centroid_id FROM s1
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id ASC
+        ) = 1
+    ),
+    ud AS (
+        SELECT centroid_id,
+            unnest(list_transform(range(1, len(vec) + 1),
+                i -> struct_pack(pos := i, val := vec[i]))) AS u
+        FROM a1
+    ),
+    dim AS (
+        SELECT centroid_id, u.pos AS pos, avg(u.val) AS m
+        FROM ud GROUP BY centroid_id, u.pos
+    ),
+    cents AS (
+        SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM dim GROUP BY centroid_id
+    ),
+    s2 AS (
+        SELECT vid, vec, centroid_id,
+            floor((list_dot_product(vec, cvec)
+                / (sqrt(list_dot_product(vec, vec))
+                   * sqrt(list_dot_product(cvec, cvec)))) * 10000.0 + 0.5) / 10000.0 AS ccos
+        FROM v CROSS JOIN cents
+    ),
+    a2 AS (
+        SELECT vid, vec, centroid_id FROM s2
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id ASC
+        ) = 1
+    ),
+    scored AS (
+        SELECT q.vid AS query_id, c.vid AS nbr_id,
+            floor((list_dot_product(q.vec, c.vec)
+                / (sqrt(list_dot_product(q.vec, q.vec))
+                   * sqrt(list_dot_product(c.vec, c.vec)))) * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM a2 q JOIN a2 c ON q.centroid_id = c.centroid_id
+        WHERE q.vid < 5 AND c.vid <> q.vid
+    )
+    SELECT query_id, nbr_id, cosine,
+        row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC
+        ) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_ivf_topk": IVF_ORACLE_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE}

@@ -102,6 +102,132 @@ def lsh_bucket_column(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids are the first
+    ``n_centroids`` vectors by id; each Lloyd iteration assigns every vector to
+    its max-cosine centroid (ties → lowest centroid id) and recomputes the
+    element-wise mean per cluster via posexplode + (cluster, dim) partial-agg.
+
+    k is small → the centroid side broadcasts; one shuffle per iteration on
+    (cluster, dim). Deterministic end to end, so the DuckDB oracle reproduces
+    the exact centroids.
+    """
+    from pyspark.sql import Window
+
+    v = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = v.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iterations):
+        assigned = assign_to_centroid(v, cents)
+        dims = assigned.select(
+            "centroid_id", F.posexplode("vec").alias("pos", "val")
+        )
+        agg = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        cents = agg.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+    return cents
+
+
+def assign_to_centroid(
+    vectors: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(vid, vec, centroid_id): each vector keyed by its max-cosine centroid
+    (rounded cosine; ties break to the lowest centroid id — engine-portable)."""
+    from pyspark.sql import Window
+
+    vn = vectors.withColumn("vnorm", l2norm(F.col("vec")))
+    cn = centroids.withColumn("cnorm", l2norm(F.col("cvec")))
+    scored = vn.crossJoin(F.broadcast(cn)).select(
+        "vid",
+        "vec",
+        "centroid_id",
+        stable_round(
+            dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 4
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy("vid").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vid", "vec", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid; each query probes ONLY its
+    own centroid's bucket and brute-forces cosine inside it.
+
+    At 100 TB the assignment is precomputed and the corpus written partitioned
+    by centroid_id — a probe becomes a partition-pruned scan of one bucket.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_centroids, 1, id_col, vec_col)
+    c_assigned = assign_to_centroid(
+        corpus.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+        ),
+        cents,
+    ).select(
+        F.col("vid").alias("nbr_id"),
+        F.col("vec").alias("cvec_v"),
+        "centroid_id",
+    ).withColumn("cnorm_v", l2norm(F.col("cvec_v")))
+    q_assigned = assign_to_centroid(
+        queries.select(
+            F.col(query_id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ),
+        cents,
+    ).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id"
+    ).withColumn("qnorm", l2norm(F.col("qvec")))
+    scored = (
+        F.broadcast(q_assigned)
+        .join(c_assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            stable_round(
+                dot(F.col("qvec"), F.col("cvec_v"))
+                / (F.col("qnorm") * F.col("cnorm_v")),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
