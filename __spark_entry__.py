@@ -278,6 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_topic": relational.distinct_users_per_topic,
         "approx_distinct_users": relational.approx_distinct_users,
         "scalar_functions": relational.scalar_function_sampler,
+        "string_functions": relational.string_function_sampler,
+        "json_functions": relational.json_function_sampler,
+        "window_rank_ntile": relational.order_rank_windows,
         "value_statistics": relational.value_statistics,
         "asof_prev_purchase": relational.asof_prev_purchase,
         "range_join_events_after_signup": relational.events_after_signup,
@@ -618,6 +621,38 @@ def oracle_sql() -> dict[str, str]:
                 count(DISTINCT user_id) AS n_users,
                 count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "string_functions": r"""
+            SELECT c_custkey,
+                regexp_extract(c_name, '(\d+)$', 1) AS name_digits,
+                lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded,
+                translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+                replace(c_name, 'Customer', 'Cust') AS name_short,
+                str_split(c_name, '#')[1] AS name_prefix,
+                CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+                reverse(c_mktsegment) AS seg_reversed,
+                upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+                    AS seg_initcap
+            FROM customer
+        """,
+        "json_functions": """
+            SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+                json_keys(props) AS keys,
+                CAST(length(props) AS INTEGER) AS raw_len,
+            FROM events
+        """,
+        "window_rank_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                rank() OVER w AS price_rank,
+                dense_rank() OVER w AS price_dense_rank,
+                CAST(ntile(4) OVER w AS INTEGER) AS price_quartile
+            FROM orders
+            WINDOW w AS (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            )
         """,
         "value_statistics": """
             SELECT event_type,

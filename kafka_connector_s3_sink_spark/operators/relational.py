@@ -274,6 +274,52 @@ def token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile window surface: orders ranked by price within
+    status — one shuffle, one in-partition sort serves all three functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+def string_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over customer: regexp extraction, padding,
+    translate/replace, split, trim variants, instr — pure map stage."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("key_padded"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.split(F.col("c_name"), "#")[0].alias("name_prefix"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
+        F.initcap(F.lower(F.col("c_mktsegment"))).alias("seg_initcap"),
+    )
+
+
+def json_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function surface over the events props payload: path extraction,
+    typed extraction, key listing, validity probe."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k_int"),
+        F.json_object_keys(F.col("props")).alias("keys"),
+        F.length(F.col("props")).alias("raw_len"),
+    )
+
+
 def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: exact interpolated percentiles
     (median/p90/p99), sample stddev, and min/max per event type — one shuffle,
