@@ -337,9 +337,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"), "embedding"),
         ),
-        "multimodal_features": lambda s, d: multimodal.extract_features(
-            multimodal.media_from_documents(s.read.parquet(f"{d}/documents.parquet")),
-            decoder=multimodal.fake_decoder,
+        "multimodal_features": lambda s, d: multimodal.feature_rows(
+            multimodal.extract_features(
+                multimodal.media_from_documents(
+                    s.read.parquet(f"{d}/documents.parquet")
+                ),
+                decoder=multimodal.fake_decoder,
+            )
         ),
         "multimodal_frame_plan": lambda s, d: multimodal.frame_sample_plan(
             multimodal.media_from_documents(s.read.parquet(f"{d}/documents.parquet")),
@@ -639,7 +643,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
                 CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
-                json_keys(props) AS keys,
+                array_to_string(json_keys(props), ',') AS keys,
                 CAST(length(props) AS INTEGER) AS raw_len,
             FROM events
         """,
@@ -1112,12 +1116,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
-                list_transform(range(1, 9),
-                    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) / 255.0 AS FLOAT)
-                ) AS feature,
+                CAST(i AS INTEGER) AS pos,
+                floor(CAST(CAST(
+                    ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) / 255.0
+                    AS FLOAT) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS val,
                 CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
                 CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
-            FROM documents
+            FROM documents CROSS JOIN range(0, 8) t(i)
         """,
         "multimodal_frame_plan": """
             SELECT doc_id AS media_id,

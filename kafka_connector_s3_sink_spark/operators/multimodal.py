@@ -115,6 +115,30 @@ def extract_features(
     )
 
 
+def feature_rows(features: DataFrame, decimals: int = 4) -> DataFrame:
+    """Long-form serialization of the ``array<float>`` feature column: one row
+    per (media_id, pos) component, value widened to double and stable-rounded.
+
+    Exists because value-hash oracles (and most SQL tools) can't canonicalize
+    list-valued cells; ``posexplode`` is a JVM-side Generate — no Python, no
+    shuffle, and the float→double widening is exact so both engines round the
+    same IEEE value."""
+    from kafka_connector_s3_sink_spark.functions.numeric import stable_round
+
+    return features.select(
+        "media_id",
+        F.posexplode("feature").alias("pos", "val_raw"),
+        "width",
+        "height",
+    ).select(
+        "media_id",
+        "pos",
+        stable_round(F.col("val_raw").cast("double"), decimals).alias("val"),
+        "width",
+        "height",
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     computed from metadata only (JVM-side sequence/explode — the decode of each

@@ -315,7 +315,9 @@ def json_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object(F.col("props"), "$.k").alias("k_str"),
         F.from_json(F.col("props"), "k INT").getField("k").alias("k_int"),
-        F.json_object_keys(F.col("props")).alias("keys"),
+        # serialized (array_join) rather than array<string>: the driver's
+        # pandas-based oracle canonicalizer cannot sort list-valued cells
+        F.array_join(F.json_object_keys(F.col("props")), ",").alias("keys"),
         F.length(F.col("props")).alias("raw_len"),
     )
 

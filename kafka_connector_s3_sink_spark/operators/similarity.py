@@ -44,10 +44,16 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query.
 
-    Plan: broadcast(queries) ⋈ corpus (no shuffle of the corpus), then a single
-    ``min_by``-style top-k via groupBy(query).agg over (cosine, id) — partial
-    aggregation keeps only k candidates per task. Implemented with a window for
-    exact rank semantics; ties broken by corpus id for determinism.
+    Plan (two-phase): broadcast(queries) ⋈ corpus (no shuffle of the corpus),
+    scores computed JVM-side, then a partition-local bounded top-k
+    (``mapInPandas`` — Arrow-batched selection only, never recomputing values,
+    O(|queries|·k) memory per task, ≤ |queries|·k rows emitted per partition)
+    feeds the exact final ``row_number`` window. Only the candidate set
+    (≤ |queries|·k·P rows) ever shuffles — the naive single-phase window would
+    funnel |corpus| scored rows per query into ONE task each, a straggler by
+    construction at a 100× corpus. Any global top-k row is a partition-local
+    top-k row, so phase 1 is lossless. Ties broken by corpus id for
+    determinism; the result and oracle are identical to the single-phase plan.
     """
     from pyspark.sql import Window
 
@@ -68,12 +74,37 @@ def brute_force_topk(
             dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 4
         ).alias("cosine"),
     )
+    candidates = scored.mapInPandas(_partition_local_topk(k), schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def _partition_local_topk(k: int):
+    """Bounded per-partition top-k over (query_id, cosine desc, nbr_id asc)
+    scored rows. Running best-set stays ≤ |queries|·k rows: each Arrow batch is
+    merged with the carry and re-truncated, so memory never scales with the
+    corpus partition size."""
+
+    def run(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
+            cand = cand.sort_values(
+                ["query_id", "cosine", "nbr_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cand.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    return run
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

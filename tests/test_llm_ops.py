@@ -86,6 +86,25 @@ def test_brute_force_topk_ranks_planted_neighbor(spark):
     assert [(r["nbr_id"], r["rank"]) for r in out] == [(11, 1), (12, 2)]
 
 
+def test_brute_force_topk_plan_is_two_phase(spark):
+    """The scored set must be reduced BEFORE the per-query exchange: a
+    partition-local bounded top-k (MapInPandas) plus Spark's own
+    WindowGroupLimit Partial — without them every query's full scored set
+    funnels through one reducer task."""
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(20)]
+    )
+    queries = spark.createDataFrame([Row(query_id=100, embedding=[1.0, 1.0])])
+    df = similarity.brute_force_topk(corpus, queries, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchange_pos = plan.index("Exchange hashpartitioning(query_id")
+    assert "MapInPandas" in plan[exchange_pos:], "local top-k must sit below the exchange"
+    assert "WindowGroupLimit" in plan[:exchange_pos] or "Partial" in plan
+    # and the two-phase result is still the exact top-k
+    out = similarity.brute_force_topk(corpus, queries, k=3).collect()
+    assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]
+
+
 def test_lsh_topk_bucket_recall(spark):
     # identical vectors always land in the same bucket → top-1 is exact
     corpus = spark.createDataFrame(
