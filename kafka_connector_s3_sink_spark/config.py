@@ -33,6 +33,20 @@ class ConfigValidationError(ValueError):
     """Raised when configuration violates a reference-semantics rule."""
 
 
+def _enum_from_prop(enum_cls, name: str, raw: Optional[str], default: str):
+    """Enum lookup with the reference's exact unsupported-value message
+    (S3SinkConfigTest.java:688-710 compression, :772-782 format type)."""
+    value = default if raw is None else raw
+    try:
+        return enum_cls(value)
+    except ValueError:
+        supported = ", ".join(f"'{m.value}'" for m in enum_cls)
+        raise ConfigValidationError(
+            f"Invalid value {value} for configuration {name}: "
+            f"supported values are: {supported}"
+        ) from None
+
+
 class OutputField(str, Enum):
     KEY = "key"
     VALUE = "value"
@@ -84,10 +98,16 @@ class AwsStsRole:
     session_duration_s: int = 3600  # bounds per AwsStsRole.java:27-64
 
     def __post_init__(self) -> None:
-        if not (900 <= self.session_duration_s <= 43200):
+        # exact messages pinned by S3SinkConfigTest.java:875-897
+        if self.session_duration_s < 900:
             raise ConfigValidationError(
-                "sts session duration must be in [900, 43200] seconds, "
-                f"{self.session_duration_s} given"
+                f"Invalid value {self.session_duration_s} for configuration "
+                "aws.sts.role.session.duration: Value must be at least 900"
+            )
+        if self.session_duration_s > 43200:
+            raise ConfigValidationError(
+                f"Invalid value {self.session_duration_s} for configuration "
+                "aws.sts.role.session.duration: Value must be no more than 43200"
             )
 
 
@@ -151,14 +171,38 @@ class EngineConfig:
                 f"file.max.records must be a non-negative integer, {self.file_max_records} given"
             )
 
-        if not (0 < self.part_size_bytes <= MAX_PART_SIZE_BYTES):
+        # bound-check messages exactly as the reference pins them
+        # (S3SinkConfigTest.java:270-295, 565-620)
+        if self.part_size_bytes <= 0:
             raise ConfigValidationError(
-                "part size must be in (0, 2000000000] bytes, "
-                f"{self.part_size_bytes} given"
+                f"Invalid value {self.part_size_bytes} for configuration "
+                "aws.s3.part.size.bytes: Part size must be greater than 0"
             )
-        if not (1 <= self.backoff_max_retries <= 30):
+        if self.part_size_bytes > MAX_PART_SIZE_BYTES:
             raise ConfigValidationError(
-                f"backoff max retries must be in [1, 30], {self.backoff_max_retries} given"
+                f"Invalid value {self.part_size_bytes} for configuration "
+                "aws.s3.part.size.bytes: "
+                "Part size must be no more: 2000000000 bytes (2GB)"
+            )
+        if self.backoff_delay_ms < 1:
+            raise ConfigValidationError(
+                f"Invalid value {self.backoff_delay_ms} for configuration "
+                "aws.s3.backoff.delay.ms: Value must be at least 1"
+            )
+        if self.backoff_max_delay_ms < 1:
+            raise ConfigValidationError(
+                f"Invalid value {self.backoff_max_delay_ms} for configuration "
+                "aws.s3.backoff.max.delay.ms: Value must be at least 1"
+            )
+        if self.backoff_max_retries < 1:
+            raise ConfigValidationError(
+                f"Invalid value {self.backoff_max_retries} for configuration "
+                "aws.s3.backoff.max.retries: Value must be at least 1"
+            )
+        if self.backoff_max_retries > 30:
+            raise ConfigValidationError(
+                f"Invalid value {self.backoff_max_retries} for configuration "
+                "aws.s3.backoff.max.retries: Value must be no more than 30"
             )
         if self.kafka_retry_backoff_ms is not None and not (
             0 <= self.kafka_retry_backoff_ms <= MAX_KAFKA_RETRY_BACKOFF_MS
@@ -187,7 +231,19 @@ class EngineConfig:
             )
 
         # template parses and its variable combo is a known grouper type
-        template = FilenameTemplate(self.file_name_template)
+        try:
+            template = FilenameTemplate(self.file_name_template)
+        except Exception as exc:
+            if "unsupported parameter" in str(exc):
+                # exact message S3SinkConfigTest.java:786-807 (e.g. unit=YYYY)
+                raise ConfigValidationError(
+                    f"Invalid value {self.file_name_template} for configuration "
+                    "file.name.template: unsupported set of template variables "
+                    "parameters, supported sets are: "
+                    "partition:padding=true|false,start_offset:padding=true|false,"
+                    "timestamp:unit=yyyy|MM|dd|HH"
+                ) from exc
+            raise
         if template.grouper_type is GrouperType.KEY and self.file_max_records > 1:
             # S3SinkConfig.java:729-737
             raise ConfigValidationError(
@@ -225,21 +281,70 @@ class EngineConfig:
                 return props[old]
             return default
 
-        fields_raw = pick("format.output.fields", "output_fields")
-        output_fields = (
-            tuple(OutputField(f.strip()) for f in fields_raw.split(","))
-            if fields_raw
-            else (OutputField.VALUE,)
-        )
+        def pick_named(new: str, old: str | None = None):
+            """Value plus the property name it arrived under — reference
+            validation messages name the key the user actually set."""
+            if new in props:
+                return new, props[new]
+            if old is not None and old in props:
+                return old, props[old]
+            return new, None
 
-        access_key = pick("aws.access.key.id", "aws_access_key_id")
-        secret_key = pick("aws.secret.access.key", "aws_secret_access_key")
+        def require_non_empty_string(new: str, old: str | None = None):
+            # S3SinkConfigTest.java:298-421: an empty string for
+            # bucket/prefix/endpoint is a validation error, not "absent"
+            name, value = pick_named(new, old)
+            if value == "":
+                raise ConfigValidationError(
+                    f"Invalid value {value} for configuration {name}: "
+                    "String must be non-empty"
+                )
+            return value
+
+        fields_name, fields_raw = pick_named("format.output.fields", "output_fields")
+        if fields_raw == "":
+            # S3SinkConfigTest.java:460-488
+            raise ConfigValidationError(
+                f"Invalid value [] for configuration {fields_name}: cannot be empty"
+            )
+        if fields_raw is not None:
+            names = [f.strip() for f in fields_raw.split(",")]
+            supported = {f.value for f in OutputField}
+            if any(n not in supported for n in names):
+                # S3SinkConfigTest.java:513-545
+                raise ConfigValidationError(
+                    f"Invalid value [{', '.join(names)}] for configuration "
+                    f"{fields_name}: supported values are: "
+                    "'key', 'value', 'offset', 'timestamp', 'headers'"
+                )
+            output_fields = tuple(OutputField(n) for n in names)
+        else:
+            output_fields = (OutputField.VALUE,)
+
+        ak_name, access_key = pick_named("aws.access.key.id", "aws_access_key_id")
+        sk_name, secret_key = pick_named(
+            "aws.secret.access.key", "aws_secret_access_key"
+        )
+        # a blank credential is an error, never silently "no credentials"
+        # (NonEmptyPassword; exact messages S3SinkConfigTest.java:215-261)
+        if access_key == "":
+            raise ConfigValidationError(
+                f"Invalid value [hidden] for configuration {ak_name}: "
+                "Password must be non-empty"
+            )
+        if secret_key == "":
+            raise ConfigValidationError(
+                f"Invalid value [hidden] for configuration {sk_name}: "
+                "Password must be non-empty"
+            )
         if (access_key is None) != (secret_key is None):
             raise ConfigValidationError(
                 "aws.access.key.id and aws.secret.access.key must be given together"
             )
         credentials = (
-            AwsStaticCredentials(access_key, secret_key) if access_key else None
+            AwsStaticCredentials(access_key, secret_key)
+            if access_key is not None
+            else None
         )
 
         sts_role = None
@@ -253,6 +358,21 @@ class EngineConfig:
                 ),
             )
 
+        require_non_empty_string("aws.s3.bucket.name", "aws_s3_bucket")
+        require_non_empty_string("aws.s3.prefix", "aws_s3_prefix")
+        endpoint = require_non_empty_string("aws.s3.endpoint", "aws_s3_endpoint")
+        if endpoint is not None:
+            from urllib.parse import urlparse
+
+            ep_name, _ = pick_named("aws.s3.endpoint", "aws_s3_endpoint")
+            parsed = urlparse(endpoint)
+            if parsed.scheme not in ("http", "https") or not parsed.netloc:
+                # UrlValidator; exact message S3SinkConfigTest.java:440,455
+                raise ConfigValidationError(
+                    f"Invalid value {endpoint} for configuration {ep_name}: "
+                    "should be valid URL"
+                )
+
         return cls(
             bucket=pick("aws.s3.bucket.name", "aws_s3_bucket", ""),
             prefix=pick("aws.s3.prefix", "aws_s3_prefix", ""),
@@ -260,10 +380,14 @@ class EngineConfig:
                 "file.name.template", default="{{topic}}-{{partition}}-{{start_offset}}"
             ),
             file_max_records=int(pick("file.max.records", default="0")),
-            file_compression=CompressionType(
-                pick("file.compression.type", "output_compression", "gzip")
+            file_compression=_enum_from_prop(
+                CompressionType,
+                *pick_named("file.compression.type", "output_compression"),
+                default="gzip",
             ),
-            format_type=FormatType(pick("format.output.type", default="csv")),
+            format_type=_enum_from_prop(
+                FormatType, *pick_named("format.output.type"), default="csv"
+            ),
             output_fields=output_fields,
             value_encoding=FieldEncoding(
                 pick("format.output.fields.value.encoding", default="base64")

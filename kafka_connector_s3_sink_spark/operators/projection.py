@@ -116,13 +116,22 @@ def _json_value(field: OutputField) -> Column:
     if field is OutputField.HEADERS:
         return F.coalesce(F.to_json(col), F.lit("null"))
     # key/value: if the payload itself is a single-line JSON document
-    # (object/array), inline it verbatim; otherwise emit a JSON string
-    # literal. A MULTI-line JSON document is escaped as a string rather than
-    # inlined — verbatim inlining would inject raw newlines and break the
-    # one-record-per-line contract (deviation: the reference re-serializes
-    # parsed values through Jackson, which normalizes whitespace; without the
-    # payload's schema we preserve bytes instead of reformatting).
-    is_json_doc = col.rlike(r"^\s*[\[{]") & ~col.contains("\n") & ~col.contains("\r")
+    # (object/array) that actually PARSES, inline it verbatim; otherwise emit
+    # a JSON string literal. The parse gate (try_parse_json) matters: a
+    # JSON-lookalike such as '{oops' inlined verbatim would produce a
+    # syntactically invalid output line, which the reference's Jackson-based
+    # writer can never do. A MULTI-line JSON document is escaped as a string
+    # rather than inlined — verbatim inlining would inject raw newlines and
+    # break the one-record-per-line contract (deviation: the reference
+    # re-serializes parsed values through Jackson, which normalizes
+    # whitespace; without the payload's schema we preserve bytes instead of
+    # reformatting).
+    is_json_doc = (
+        col.rlike(r"^\s*[\[{]")
+        & ~col.contains("\n")
+        & ~col.contains("\r")
+        & F.try_parse_json(col).isNotNull()
+    )
     return F.coalesce(
         F.when(is_json_doc, col).otherwise(json_string_literal(col)),
         F.lit("null"),

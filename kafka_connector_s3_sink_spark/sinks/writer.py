@@ -42,10 +42,7 @@ from kafka_connector_s3_sink_spark.operators.grouping import (
     assign_schema_runs,
     last_value_per_key,
 )
-from kafka_connector_s3_sink_spark.template import GrouperType
-
-PARQUET_ENVELOPE_FIELDS = ("key", "offset", "timestamp", "headers", "value")
-
+from kafka_connector_s3_sink_spark.template import GrouperType, ensure_utc_session
 
 def _safe_object_path(dest_dir: str, name: str) -> str:
     """Join an object name under dest_dir, refusing path escapes.
@@ -92,6 +89,7 @@ def write_batch(
     ``clock`` injects a fixed timestamp for the {{timestamp}} template variable
     (tests; the reference's own tests race midnight, IntegrationTest.java:246-258).
     """
+    ensure_utc_session(df.sparkSession)
     tpl = config.template
     if tpl.grouper_type is GrouperType.KEY:
         # last-value-per-key upsert (one record per key → one object per key)
@@ -280,9 +278,13 @@ def write_spark_native(
         lines = df.select(
             record_line_column(config).alias("value"), "topic", "partition"
         )
-        (
+        text_writer = (
             lines.write.mode("overwrite")
             .partitionBy("topic", "partition")
             .option("compression", config.file_compression.value)
-            .text(dest_dir)
         )
+        if config.file_max_records > 0:
+            text_writer = text_writer.option(
+                "maxRecordsPerFile", config.file_max_records
+            )
+        text_writer.text(dest_dir)

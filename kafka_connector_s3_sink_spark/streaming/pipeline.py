@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.config import EngineConfig
 from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+from kafka_connector_s3_sink_spark.template import ensure_utc_session
 
 
 def kafka_source(
@@ -85,6 +86,7 @@ def start_pipeline(
     """
     if not config.checkpoint_location:
         raise ValueError("checkpoint_location is required to start the streaming pipeline")
+    ensure_utc_session(records.sparkSession)
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
         write_batch(batch_df, config, dest_dir)

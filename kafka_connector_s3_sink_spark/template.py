@@ -27,6 +27,19 @@ class TemplateError(ValueError):
     """Raised for an unparsable template or unsupported variable set."""
 
 
+def ensure_utc_session(spark) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC.
+
+    Template timestamp rendering shifts the instant with ``from_utc_timestamp``
+    and then formats with ``date_format``, which renders in the SESSION
+    timezone — a non-UTC session would double-shift ``{{timestamp}}`` /
+    ``local_date``. Called at every engine entry point that renders templates
+    (batch writer, streaming pipeline); runtime-settable, so it never requires
+    a session restart."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 class GrouperType(Enum):
     """Grouping mode resolved from the template's variable set
     (``RecordGrouperFactory.resolveRecordGrouperType`` use at ``S3SinkConfig.java:730-737``)."""
@@ -65,17 +78,15 @@ class TemplatePart:
     value: str | None = None
 
 
-def _preprocess(template: str) -> str:
-    # Deprecated YYYY unit is interpreted as yyyy (S3SinkConfig.java:148-174).
-    return template.replace("unit=YYYY", "unit=yyyy")
-
-
 class FilenameTemplate:
     """Parsed filename template with Spark-expression rendering."""
 
     def __init__(self, template: str) -> None:
+        # NOTE: no YYYY→yyyy rewrite here — the reference applies that rewrite
+        # only to the PREFIX property (preprocessProperties,
+        # S3SinkConfig.java:143-174) and REJECTS uppercase YYYY in
+        # file.name.template (S3SinkConfigTest.java:786-807).
         self.raw = template
-        template = _preprocess(template)
         self.parts: list[TemplatePart] = []
         pos = 0
         for m in _VAR_RE.finditer(template):

@@ -38,6 +38,9 @@ NASTY = [
     "semi;colon:and=equals",
     "control" + chr(1) + "char",  # raw 0x01 (a NUL would break text formats)
     "ʇxǝʇ uʍop-ǝpısdn",
+    "{oops",  # JSON-lookalike that does NOT parse — must be escaped, not inlined
+    "[1,2",
+    '{"trailing":}',
 ]
 
 

@@ -90,6 +90,154 @@ def test_hadoop_conf_mapping():
     assert conf["fs.s3a.path.style.access"] == "true"
 
 
+# -- exact validation-message parity (S3SinkConfigTest.java:214-934 pins every
+# rule's error string; these assert the same strings byte-for-byte) --
+
+
+def _message(excinfo):
+    return str(excinfo.value)
+
+
+def test_part_size_messages_match_reference():
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(part_size_bytes=0)
+    assert _message(e) == (
+        "Invalid value 0 for configuration aws.s3.part.size.bytes: "
+        "Part size must be greater than 0"
+    )
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(part_size_bytes=2_000_000_001)
+    assert _message(e) == (
+        "Invalid value 2000000001 for configuration aws.s3.part.size.bytes: "
+        "Part size must be no more: 2000000000 bytes (2GB)"
+    )
+
+
+def test_backoff_bound_messages_match_reference():
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(backoff_delay_ms=0)
+    assert _message(e) == (
+        "Invalid value 0 for configuration aws.s3.backoff.delay.ms: "
+        "Value must be at least 1"
+    )
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(backoff_max_delay_ms=0)
+    assert _message(e) == (
+        "Invalid value 0 for configuration aws.s3.backoff.max.delay.ms: "
+        "Value must be at least 1"
+    )
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(backoff_max_retries=0)
+    assert _message(e) == (
+        "Invalid value 0 for configuration aws.s3.backoff.max.retries: "
+        "Value must be at least 1"
+    )
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(backoff_max_retries=35)
+    assert _message(e) == (
+        "Invalid value 35 for configuration aws.s3.backoff.max.retries: "
+        "Value must be no more than 30"
+    )
+
+
+def test_sts_duration_messages_match_reference():
+    with pytest.raises(ConfigValidationError) as e:
+        AwsStsRole(role_arn="a", role_session_name="s", session_duration_s=30)
+    assert _message(e) == (
+        "Invalid value 30 for configuration aws.sts.role.session.duration: "
+        "Value must be at least 900"
+    )
+    with pytest.raises(ConfigValidationError) as e:
+        AwsStsRole(role_arn="a", role_session_name="s", session_duration_s=50000)
+    assert _message(e) == (
+        "Invalid value 50000 for configuration aws.sts.role.session.duration: "
+        "Value must be no more than 43200"
+    )
+
+
+def test_empty_credentials_rejected_with_reference_message():
+    # blank credentials must be an error, never silently "no credentials"
+    for name in ("aws.access.key.id", "aws_access_key_id"):
+        with pytest.raises(ConfigValidationError) as e:
+            EngineConfig.from_properties({name: "", "aws.secret.access.key": "SK"})
+        assert _message(e) == (
+            f"Invalid value [hidden] for configuration {name}: "
+            "Password must be non-empty"
+        )
+    for name in ("aws.secret.access.key", "aws_secret_access_key"):
+        with pytest.raises(ConfigValidationError) as e:
+            EngineConfig.from_properties({"aws.access.key.id": "AK", name: ""})
+        assert _message(e) == (
+            f"Invalid value [hidden] for configuration {name}: "
+            "Password must be non-empty"
+        )
+
+
+def test_empty_string_props_rejected_with_reference_message():
+    for name in ("aws.s3.bucket.name", "aws_s3_bucket", "aws.s3.prefix",
+                 "aws_s3_prefix", "aws.s3.endpoint", "aws_s3_endpoint"):
+        with pytest.raises(ConfigValidationError) as e:
+            EngineConfig.from_properties({name: ""})
+        assert _message(e) == (
+            f"Invalid value  for configuration {name}: String must be non-empty"
+        )
+
+
+def test_invalid_endpoint_url_message():
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig.from_properties({"aws.s3.endpoint": "ffff://asdsadas"})
+    assert _message(e) == (
+        "Invalid value ffff://asdsadas for configuration aws.s3.endpoint: "
+        "should be valid URL"
+    )
+
+
+def test_output_fields_messages_match_reference():
+    for name in ("format.output.fields", "output_fields"):
+        with pytest.raises(ConfigValidationError) as e:
+            EngineConfig.from_properties({name: ""})
+        assert _message(e) == (
+            f"Invalid value [] for configuration {name}: cannot be empty"
+        )
+        with pytest.raises(ConfigValidationError) as e:
+            EngineConfig.from_properties(
+                {name: "key,value,offset,timestamp,unsupported"}
+            )
+        assert _message(e) == (
+            "Invalid value [key, value, offset, timestamp, unsupported] "
+            f"for configuration {name}: "
+            "supported values are: 'key', 'value', 'offset', 'timestamp', 'headers'"
+        )
+
+
+def test_compression_and_format_messages_match_reference():
+    for name in ("file.compression.type", "output_compression"):
+        with pytest.raises(ConfigValidationError) as e:
+            EngineConfig.from_properties({name: "unsupported"})
+        assert _message(e) == (
+            f"Invalid value unsupported for configuration {name}: "
+            "supported values are: 'none', 'gzip', 'snappy', 'zstd'"
+        )
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig.from_properties({"format.output.type": "unknown"})
+    assert _message(e) == (
+        "Invalid value unknown for configuration format.output.type: "
+        "supported values are: 'csv', 'json', 'jsonl', 'parquet'"
+    )
+
+
+def test_yyyy_template_message_matches_reference():
+    tpl = "{{topic}}-{{timestamp:unit=YYYY}}-{{partition}}-{{start_offset:padding=true}}.gz"
+    with pytest.raises(ConfigValidationError) as e:
+        EngineConfig(file_name_template=tpl)
+    assert _message(e) == (
+        f"Invalid value {tpl} for configuration file.name.template: "
+        "unsupported set of template variables parameters, supported sets are: "
+        "partition:padding=true|false,start_offset:padding=true|false,"
+        "timestamp:unit=yyyy|MM|dd|HH"
+    )
+
+
 # -- properties-map entry point (reference: new S3SinkConfig(Map<String,String>)) --
 
 

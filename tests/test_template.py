@@ -24,9 +24,13 @@ def test_key_template_resolves_key_grouper():
     assert FilenameTemplate("{{key}}").grouper_type is GrouperType.KEY
 
 
-def test_deprecated_uppercase_yyyy_is_rewritten():
-    t = FilenameTemplate("{{topic}}-{{timestamp:unit=YYYY}}-{{partition}}-{{start_offset}}")
-    assert t.timestamp_units == ["yyyy"]
+def test_uppercase_yyyy_rejected_in_filename_template():
+    # The YYYY→yyyy rewrite applies only to the prefix property; the filename
+    # template rejects it (S3SinkConfigTest.java:786-807).
+    with pytest.raises(TemplateError, match="unsupported parameter"):
+        FilenameTemplate(
+            "{{topic}}-{{timestamp:unit=YYYY}}-{{partition}}-{{start_offset}}"
+        )
 
 
 def test_unsupported_variable_set_rejected():

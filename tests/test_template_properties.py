@@ -75,9 +75,16 @@ def test_incomplete_variable_sets_raise(subset):
         FilenameTemplate(template)
 
 
-def test_deprecated_yyyy_unit_is_rewritten():
-    tpl = FilenameTemplate(
-        "{{topic}}-{{partition}}-{{start_offset}}-{{timestamp:unit=YYYY}}"
+def test_deprecated_yyyy_unit_rewrite_applies_only_to_prefix():
+    # file.name.template rejects uppercase YYYY (S3SinkConfigTest.java:786-807);
+    # the rewrite happens only in the prefix property (from_properties).
+    with pytest.raises(TemplateError, match="unsupported parameter"):
+        FilenameTemplate(
+            "{{topic}}-{{partition}}-{{start_offset}}-{{timestamp:unit=YYYY}}"
+        )
+    from kafka_connector_s3_sink_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_properties(
+        {"aws.s3.prefix": "p-{{timestamp:unit=YYYY}}/"}
     )
-    assert tpl.timestamp_units == ["yyyy"]
-    assert tpl.grouper_type is GrouperType.TOPIC_PARTITION_TIMESTAMP
+    assert cfg.prefix == "p-{{timestamp:unit=yyyy}}/"

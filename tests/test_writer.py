@@ -318,3 +318,33 @@ def test_write_spark_native_directory_layout(spark, tmp_path):
     assert sorted(r.value for r in out) == ["v-0-0", "v-0-1", "v-0-2"]
     # partition dirs exist for both kafka partitions
     assert (dest / "topic=t" / "partition=1").exists()
+
+
+def test_write_spark_native_max_records_applies_to_text(spark, tmp_path):
+    """file.max.records must bound TEXT directory-layout files too, not just
+    parquet — the writer previously rebuilt the text chain without
+    maxRecordsPerFile, silently dropping the cap."""
+    rows = [
+        Row(topic="t", partition=0, offset=i, key=None, value=f"v{i}",
+            timestamp=None, headers=None)
+        for i in range(10)
+    ]
+    from kafka_connector_s3_sink_spark.sinks.writer import write_spark_native
+
+    cfg = EngineConfig(
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+        file_max_records=3,
+    )
+    dest = tmp_path / "native_capped"
+    write_spark_native(
+        records_df(spark, rows).repartition(1), cfg, str(dest)
+    )
+    part_dir = dest / "topic=t" / "partition=0"
+    data_files = [p for p in part_dir.iterdir() if p.name.startswith("part-")]
+    # 10 records / cap 3 → at least 4 files, none exceeding the cap
+    assert len(data_files) >= 4
+    for p in data_files:
+        assert len(p.read_text().splitlines()) <= 3
+    out = spark.read.text(str(part_dir)).collect()
+    assert sorted(r.value for r in out) == sorted(f"v{i}" for i in range(10))
