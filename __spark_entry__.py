@@ -83,6 +83,26 @@ def q_sink_projection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_projection_csv_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 over ByteArrayConverter-shaped records: BinaryType key/value flow
+    through the same projection/encoding/rendering (no upstream string cast) —
+    the CSV contract's native shape (S3SinkTaskTest.java:474-498,
+    README.md:240-250). Same payload bytes → same base64 → same oracle as the
+    string view."""
+    recs = kafka_records_from_events(spark, sf_dir)
+    bin_recs = recs.withColumn("key", F.encode(F.col("key"), "UTF-8")).withColumn(
+        "value", F.encode(F.col("value"), "UTF-8")
+    )
+    return bin_recs.select(
+        "topic",
+        "partition",
+        "offset",
+        projection.csv_line_column(ALL_FIELDS_CONFIG, bin_recs.schema).alias(
+            "csv_line"
+        ),
+    )
+
+
 def q_sink_group_topic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3: group by (topic, partition) with start-offset file naming."""
     recs = kafka_records_from_events(spark, sf_dir)
@@ -252,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # sink surface (SURVEY.md §2.2-2.5)
         "sink_projection_csv": q_sink_projection_csv,
+        "sink_projection_csv_binary": q_sink_projection_csv_binary,
         "sink_group_topic_partition": q_sink_group_topic_partition,
         "sink_group_key_upsert": q_sink_group_key_upsert,
         "sink_chunking": q_sink_chunking,
@@ -476,6 +497,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": IVF_ORACLE_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
+            WITH {KAFKA_CTE}
+            SELECT topic, partition, "offset",
+                concat(
+                    coalesce(to_base64(encode(value)), ''), ',',
+                    coalesce(to_base64(encode(key)), ''), ',',
+                    coalesce(CAST("timestamp" AS VARCHAR), ''), ',',
+                    coalesce(CAST("offset" AS VARCHAR), '')
+                ) AS csv_line
+            FROM kafka
+        """,
+        "sink_projection_csv_binary": f"""
             WITH {KAFKA_CTE}
             SELECT topic, partition, "offset",
                 concat(

@@ -127,6 +127,14 @@ class EngineConfig:
     format_type: FormatType = FormatType.CSV
     output_fields: tuple[OutputField, ...] = (OutputField.VALUE,)
     value_encoding: FieldEncoding = FieldEncoding.BASE64
+    # Declared Connect converter semantics for key/value (≙ key.converter /
+    # value.converter). "bytes" = ByteArrayConverter (schema type BYTES — the
+    # Kafka source's native shape; a StringType column is then treated as the
+    # UTF-8 view of the payload bytes). "string" = StringConverter (schema
+    # type STRING — the CSV format REJECTS it at flush exactly like the
+    # reference, S3SinkTaskTest.java:474-498).
+    key_converter: str = "bytes"
+    value_converter: str = "bytes"
     envelope: bool = True
     # rotate parquet objects when the value schema changes mid-partition
     # (AvroParquetIntegrationTest.java:288-335); new file starts at the next
@@ -165,6 +173,15 @@ class EngineConfig:
             raise ConfigValidationError("format.output.fields must not be empty")
         if len(set(self.output_fields)) != len(self.output_fields):
             raise ConfigValidationError("format.output.fields must not repeat fields")
+
+        for conv_name, conv in (
+            ("key_converter", self.key_converter),
+            ("value_converter", self.value_converter),
+        ):
+            if conv not in ("bytes", "string"):
+                raise ConfigValidationError(
+                    f"{conv_name} must be 'bytes' or 'string', {conv!r} given"
+                )
 
         if self.file_max_records < 0:
             raise ConfigValidationError(

@@ -16,6 +16,7 @@ Golden shapes (SURVEY.md §2.4):
 from __future__ import annotations
 
 from pyspark.sql import Column
+from pyspark.sql import types as T
 
 from kafka_connector_s3_sink_spark.config import EngineConfig, FormatType
 from kafka_connector_s3_sink_spark.operators.projection import (
@@ -24,12 +25,16 @@ from kafka_connector_s3_sink_spark.operators.projection import (
 )
 
 
-def record_line_column(config: EngineConfig) -> Column:
-    """Rendered output line for one record under the configured format."""
+def record_line_column(
+    config: EngineConfig, schema: T.StructType | None = None
+) -> Column:
+    """Rendered output line for one record under the configured format.
+    ``schema`` is the record DataFrame's schema — it drives binary/struct
+    payload handling (BinaryType → base64 bytes, StructType → JSON doc)."""
     if config.format_type is FormatType.CSV:
-        return csv_line_column(config)
+        return csv_line_column(config, schema)
     if config.format_type in (FormatType.JSONL, FormatType.JSON):
-        return json_object_column(config)
+        return json_object_column(config, schema)
     raise ValueError(f"{config.format_type} is not a line-rendered format")
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_connector_s3_sink_spark.config import (
     EngineConfig,
@@ -23,6 +24,11 @@ from kafka_connector_s3_sink_spark.config import (
 )
 
 ENCODABLE_FIELDS = {OutputField.KEY, OutputField.VALUE}
+
+
+class SchemaTypeError(ValueError):
+    """Schema-type contract violation at flush time (≙ the reference's
+    ConnectException from the CSV fields writer, S3SinkTaskTest.java:474-498)."""
 
 
 def base64_std(col: Column) -> Column:
@@ -43,16 +49,24 @@ def select_output_fields(df: DataFrame, config: EngineConfig) -> DataFrame:
     return df.select(*[F.col(f.value) for f in config.output_fields])
 
 
-def encoded_field(field: OutputField, config: EngineConfig) -> Column:
+def encoded_field(
+    field: OutputField, config: EngineConfig, schema: T.StructType | None = None
+) -> Column:
     """Field column as it appears in CSV output: key/value base64-encoded (or raw
-    with encoding=none), offset/timestamp numeric, headers serialized; null → ''."""
+    with encoding=none), offset/timestamp numeric, headers serialized; null → ''.
+
+    ``schema`` (the record DataFrame's schema) drives binary handling: a
+    ``BinaryType`` key/value (the Kafka source's native ByteArrayConverter
+    shape) is encoded as-is, a string column encodes its UTF-8 bytes — both
+    produce the same base64 for the same payload bytes."""
     if field in ENCODABLE_FIELDS:
         col = F.col(field.value)
-        # string payloads encode their UTF-8 bytes; binary payloads pass through
-        as_bytes = col if _is_binary(field) else F.encode(col, "UTF-8")
+        as_bytes = col if _is_binary(field, schema) else F.encode(col, "UTF-8")
         if config.value_encoding is FieldEncoding.BASE64:
             rendered = base64_std(as_bytes)
         else:
+            # encoding=none renders the payload characters; binary decodes as
+            # UTF-8 (Spark's binary→string cast)
             rendered = col.cast("string")
         return F.coalesce(rendered, F.lit(""))
     if field is OutputField.HEADERS:
@@ -61,11 +75,44 @@ def encoded_field(field: OutputField, config: EngineConfig) -> Column:
     return F.coalesce(F.col(field.value).cast("string"), F.lit(""))
 
 
-def _is_binary(field: OutputField) -> bool:
-    # The canonical record view carries string key/value; a Kafka source carries
-    # binary. encoded_field is resolved against the canonical (string) shape;
-    # binary inputs should be cast upstream.
-    return False
+def _is_binary(field: OutputField, schema: T.StructType | None) -> bool:
+    if schema is None or field.value not in schema.fieldNames():
+        return False
+    return isinstance(schema[field.value].dataType, T.BinaryType)
+
+
+def schema_type_name(dtype: T.DataType, converter: str) -> str:
+    """Connect schema-type name declared by a Spark column type + converter:
+    BinaryType is always BYTES; a string column is the UTF-8 view of BYTES
+    under the (default) ByteArrayConverter, STRING under StringConverter."""
+    if isinstance(dtype, T.BinaryType):
+        return "BYTES"
+    if isinstance(dtype, T.StringType):
+        return "BYTES" if converter == "bytes" else "STRING"
+    if isinstance(dtype, T.StructType):
+        return "STRUCT"
+    return dtype.simpleString().upper()
+
+
+def enforce_csv_schema_types(schema: T.StructType, config: EngineConfig) -> None:
+    """The CSV fields writer accepts only BYTES key/value — exact reference
+    behavior and message ("Record value schema type must be BYTES, STRING
+    given", S3SinkTaskTest.java:474-498 / STRUCT :554-578). JSONL/JSON/parquet
+    accept STRING and STRUCT, so only the CSV path calls this."""
+    if config.format_type is not FormatType.CSV:
+        return
+    converters = {
+        OutputField.KEY: config.key_converter,
+        OutputField.VALUE: config.value_converter,
+    }
+    for field in config.output_fields:
+        if field not in ENCODABLE_FIELDS or field.value not in schema.fieldNames():
+            continue
+        declared = schema_type_name(schema[field.value].dataType, converters[field])
+        if declared != "BYTES":
+            raise SchemaTypeError(
+                f"Record {field.value} schema type must be BYTES, {declared} given"
+            )
 
 
 def headers_csv_column(headers: Column | None = None) -> Column:
@@ -85,15 +132,17 @@ def headers_csv_column(headers: Column | None = None) -> Column:
     )
 
 
-def csv_line_column(config: EngineConfig) -> Column:
+def csv_line_column(config: EngineConfig, schema: T.StructType | None = None) -> Column:
     """One CSV record line: configured fields comma-joined in order, no quoting
     (the reference writes raw comma-joined fields — Spark's csv writer would add
     quoting the reference doesn't do, SURVEY.md §2.4)."""
-    parts = [encoded_field(f, config) for f in config.output_fields]
+    parts = [encoded_field(f, config, schema) for f in config.output_fields]
     return F.concat_ws(",", *parts)
 
 
-def json_object_column(config: EngineConfig) -> Column:
+def json_object_column(
+    config: EngineConfig, schema: T.StructType | None = None
+) -> Column:
     """One JSON object (JSONL line / JSON array element) with fields in configured
     order. Envelope unwrap: with a single output field and envelope=False the
     ``{"value": …}`` wrapper is dropped (S3SinkTask.java:138, golden
@@ -101,19 +150,34 @@ def json_object_column(config: EngineConfig) -> Column:
     inlined as JSON (the reference's JsonConverter path), not re-quoted.
     """
     if not config.envelope and len(config.output_fields) == 1:
-        return _json_value(config.output_fields[0])
+        return _json_value(config.output_fields[0], schema)
     pairs: list[Column] = []
     for f in config.output_fields:
-        pairs.append(F.concat(F.lit(f'"{f.value}":'), _json_value(f)))
+        pairs.append(F.concat(F.lit(f'"{f.value}":'), _json_value(f, schema)))
     return F.concat(F.lit("{"), F.concat_ws(",", *pairs), F.lit("}"))
 
 
-def _json_value(field: OutputField) -> Column:
+def _json_value(field: OutputField, schema: T.StructType | None = None) -> Column:
     """JSON-rendered value of one output field (null → JSON null)."""
     col = F.col(field.value)
     if field in (OutputField.OFFSET, OutputField.TIMESTAMP):
         return F.coalesce(col.cast("string"), F.lit("null"))
     if field is OutputField.HEADERS:
+        return F.coalesce(F.to_json(col), F.lit("null"))
+    if field in ENCODABLE_FIELDS and _is_binary(field, schema):
+        # byte[] payloads serialize as a base64 JSON string (Jackson's byte[]
+        # contract); base64 output never needs escaping
+        return F.coalesce(
+            F.concat(F.lit('"'), base64_std(col), F.lit('"')), F.lit("null")
+        )
+    if (
+        field in ENCODABLE_FIELDS
+        and schema is not None
+        and field.value in schema.fieldNames()
+        and isinstance(schema[field.value].dataType, T.StructType)
+    ):
+        # schema'd (JsonConverter-style) struct value serializes as its JSON
+        # document
         return F.coalesce(F.to_json(col), F.lit("null"))
     # key/value: if the payload itself is a single-line JSON document
     # (object/array) that actually PARSES, inline it verbatim; otherwise emit

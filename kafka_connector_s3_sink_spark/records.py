@@ -44,6 +44,21 @@ KAFKA_RECORD_SCHEMA = T.StructType(
     ]
 )
 
+# ByteArrayConverter-shaped canonical record: key/value stay BinaryType
+# end-to-end (the Kafka source's native shape; the CSV contract's required
+# BYTES schema type, S3SinkTaskTest.java:474-498).
+KAFKA_RECORD_SCHEMA_BINARY = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("timestamp", T.LongType(), True),
+        T.StructField("headers", KAFKA_RECORD_SCHEMA["headers"].dataType, True),
+    ]
+)
+
 N_PARTITIONS = 4
 
 

@@ -37,6 +37,9 @@ from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.config import CompressionType, EngineConfig, FormatType
 from kafka_connector_s3_sink_spark.formats.compression import open_compressed
 from kafka_connector_s3_sink_spark.formats.render import record_line_column
+from kafka_connector_s3_sink_spark.operators.projection import (
+    enforce_csv_schema_types,
+)
 from kafka_connector_s3_sink_spark.operators.grouping import (
     assign_file_chunks,
     assign_schema_runs,
@@ -90,6 +93,9 @@ def write_batch(
     (tests; the reference's own tests race midnight, IntegrationTest.java:246-258).
     """
     ensure_utc_session(df.sparkSession)
+    # flush-time schema-type contract, exact reference behavior+message
+    # (ConnectException at flush; S3SinkTaskTest.java:474-498)
+    enforce_csv_schema_types(df.schema, config)
     tpl = config.template
     if tpl.grouper_type is GrouperType.KEY:
         # last-value-per-key upsert (one record per key → one object per key)
@@ -135,7 +141,7 @@ def write_batch(
         ordered = (
             prepared.select(
                 F.col("_file"),
-                record_line_column(config).alias("_line"),
+                record_line_column(config, prepared.schema).alias("_line"),
                 F.col("offset").alias("_ord"),
             )
             .repartition(F.col("_file"))
@@ -265,6 +271,7 @@ def write_spark_native(
     directory scheme; ``maxRecordsPerFile`` replaces ``file.max.records``;
     the format writer applies compression natively. Use when exact
     reference-compatible object names are not required."""
+    enforce_csv_schema_types(df.schema, config)
     writer = (
         df.write.mode("overwrite")
         .partitionBy("topic", "partition")
@@ -276,7 +283,9 @@ def write_spark_native(
         writer.parquet(dest_dir)
     else:
         lines = df.select(
-            record_line_column(config).alias("value"), "topic", "partition"
+            record_line_column(config, df.schema).alias("value"),
+            "topic",
+            "partition",
         )
         text_writer = (
             lines.write.mode("overwrite")

@@ -57,16 +57,26 @@ def kafka_source(
     return reader.load()
 
 
-def normalize_kafka_stream(df: DataFrame) -> DataFrame:
-    """Kafka-source columns → canonical record shape (records.KAFKA_RECORD_SCHEMA):
-    binary key/value decoded as UTF-8 strings (StringConverter behavior — the
-    engine's canonical converter; ByteArray passthrough would keep binary)."""
+def normalize_kafka_stream(df: DataFrame, converter: str = "string") -> DataFrame:
+    """Kafka-source columns → canonical record shape.
+
+    ``converter="string"`` decodes binary key/value as UTF-8 strings
+    (records.KAFKA_RECORD_SCHEMA); ``converter="bytes"`` keeps the source's
+    native BinaryType payloads end-to-end (ByteArrayConverter — the shape the
+    reference's CSV contract requires, records.KAFKA_RECORD_SCHEMA_BINARY)."""
+    if converter not in ("string", "bytes"):
+        raise ValueError(f"converter must be 'string' or 'bytes', {converter!r} given")
+    key = F.col("key")
+    value = F.col("value")
+    if converter == "string":
+        key = key.cast("string")
+        value = value.cast("string")
     return df.select(
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
+        key.alias("key"),
+        value.alias("value"),
         F.unix_millis(F.col("timestamp")).alias("timestamp"),
         F.col("headers"),
     )
