@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
 from kafka_connector_s3_sink_spark.operators import multimodal, similarity, text as text_ops
+from kafka_connector_s3_sink_spark.formats import avro
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
 from kafka_connector_s3_sink_spark.streaming import sessions
 
@@ -239,6 +240,49 @@ def q_sink_json_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AVRO_EVENT_SCHEMA = """{
+    "type": "record", "name": "event",
+    "fields": [
+        {"name": "user", "type": "long"},
+        {"name": "etype", "type": "string"},
+        {"name": "k", "type": ["null", "int"]}
+    ]
+}"""
+
+
+def q_sink_avro_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 converter surface: AvroConverter equivalent (pure-Python codec,
+    formats/avro.py — no avro jar/package in this container). Distributed
+    round-trip: struct → Confluent-framed Avro binary → decode → typed struct,
+    all partition-local (two mapInPandas passes + JVM from_json); the oracle
+    reads the same fields straight from events, so any codec asymmetry
+    hash-mismatches. Reference: AvroIntegrationTest.java:135-137."""
+    from kafka_connector_s3_sink_spark.records import read_events
+
+    ev = read_events(spark, sf_dir)
+    src = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.col("event_type").alias("etype"),
+            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        ).alias("payload"),
+    )
+    encoded = avro.encode_avro_column(
+        src, "payload", AVRO_EVENT_SCHEMA, output_column="value",
+        confluent_schema_id=1,
+    )
+    decoded = avro.decode_avro_column(
+        encoded, "value", AVRO_EVENT_SCHEMA, "decoded", confluent_framing=True
+    )
+    return decoded.select(
+        "event_id",
+        F.col("decoded.user").alias("user_id"),
+        F.col("decoded.etype").alias("event_type"),
+        F.col("decoded.k").alias("k"),
+    )
+
+
 def _q_topk_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-path variant of topk_users: salted two-phase aggregation (each hot
     user splits across 16 reducers, partials merge in a second 1-row-per-salt
@@ -281,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_headers_csv": q_sink_headers_csv,
         "sink_envelope_unwrap": q_sink_envelope_unwrap,
         "sink_json_converter": q_sink_json_converter,
+        "sink_avro_converter": q_sink_avro_converter,
         "sink_schema_rotation": q_sink_schema_rotation,
         # re-exposed relational operators (SURVEY.md §2.3 'absent' list)
         "q1_pricing_summary": relational.pricing_summary,
@@ -617,6 +662,11 @@ def oracle_sql() -> dict[str, str]:
             FROM runs
             GROUP BY topic, partition, schema_run, schema_fp
             ORDER BY topic, partition, schema_run
+        """,
+        "sink_avro_converter": """
+            SELECT event_id, user_id, event_type,
+                CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events
         """,
         "sink_json_converter": f"""
             WITH {KAFKA_CTE},
