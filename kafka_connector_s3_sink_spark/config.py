@@ -140,6 +140,15 @@ class EngineConfig:
     # (AvroParquetIntegrationTest.java:288-335); new file starts at the next
     # offset, returning to an old schema starts another new file
     parquet_schema_rotation: bool = False
+    # Spark DDL for the value payload (e.g. "user BIGINT, etype STRING").
+    # When set (parquet only), the JSON value is parsed with from_json and
+    # written as a TRUE NESTED RECORD in the envelope — the reference's
+    # schema'd-Avro value shape (AvroParquetIntegrationTest.java:136-349,
+    # README.md:357-405). Unset = value stays a string payload (schemaless
+    # JsonConverter analog). This is the configured *reader* schema (≙ the
+    # registry's resolved schema); per-record embedded schemas don't exist in
+    # the JSON world, so rotation still keys on the observed top-level key set.
+    parquet_value_schema: Optional[str] = None
 
     timestamp_timezone: str = "UTC"
     timestamp_source: str = "wallclock"  # the only supported source (S3SinkConfig.java:495-503)
@@ -186,6 +195,15 @@ class EngineConfig:
         if self.file_max_records < 0:
             raise ConfigValidationError(
                 f"file.max.records must be a non-negative integer, {self.file_max_records} given"
+            )
+
+        if (
+            self.parquet_value_schema is not None
+            and self.format_type is not FormatType.PARQUET
+        ):
+            raise ConfigValidationError(
+                "format.output.parquet.value.schema requires format.output.type=parquet, "
+                f"{self.format_type.value!r} given"
             )
 
         # bound-check messages exactly as the reference pins them
@@ -410,6 +428,7 @@ class EngineConfig:
                 pick("format.output.fields.value.encoding", default="base64")
             ),
             envelope=pick("format.output.envelope", default="true").lower() == "true",
+            parquet_value_schema=pick("format.output.parquet.value.schema"),
             timestamp_timezone=pick("timestamp.timezone", default="UTC"),
             timestamp_source=pick("timestamp.source", default="wallclock"),
             kafka_retry_backoff_ms=(

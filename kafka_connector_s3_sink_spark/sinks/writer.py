@@ -136,7 +136,20 @@ def write_batch(
             .repartition(F.col("_file"))
             .sortWithinPartitions("_file", "_ord")
         )
-        writer = _parquet_partition_writer(dest_dir, config)
+        if config.parquet_value_schema is not None and "value" in ordered.columns:
+            # schema'd value mode: the envelope's value becomes a TRUE NESTED
+            # RECORD (the reference's Avro-record value shape,
+            # AvroParquetIntegrationTest.java:136-349, README.md:357-405).
+            # Parsed AFTER rotation/chunk assignment, which key on the raw
+            # JSON's observed key set — the JSON analog of the embedded
+            # Avro-schema identity that drives the reference's rotation.
+            ordered = ordered.withColumn(
+                "value",
+                F.from_json(
+                    F.col("value").cast("string"), config.parquet_value_schema
+                ),
+            )
+        writer = _parquet_partition_writer(dest_dir, config, ordered.schema)
     else:
         ordered = (
             prepared.select(
@@ -214,12 +227,21 @@ def _text_partition_writer(dest_dir: str, config: EngineConfig):
     return write
 
 
-def _parquet_partition_writer(dest_dir: str, config: EngineConfig):
+def _parquet_partition_writer(dest_dir: str, config: EngineConfig, schema):
     """Per-partition parquet writer: buffers one group's rows into an Arrow
     table and writes a single parquet object with the reference's envelope
     column order (README.md:357-405). Parquet needs the whole row group anyway,
     so per-group buffering matches the format's own memory model; the
-    ``file.max.records`` chunking bounds it."""
+    ``file.max.records`` chunking bounds it.
+
+    ``schema`` is the prepared DataFrame's Spark schema (``_file``, envelope
+    fields, ``_ord``); the Arrow schema is derived from it explicitly so
+    all-null groups keep their declared types and nested-struct values
+    (``parquet_value_schema`` mode) round-trip losslessly.
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     compression = {
         CompressionType.NONE: "none",
         CompressionType.GZIP: "gzip",
@@ -227,23 +249,43 @@ def _parquet_partition_writer(dest_dir: str, config: EngineConfig):
         CompressionType.ZSTD: "zstd",
     }[config.file_compression]
     field_names = [f.value for f in config.output_fields]
+    envelope_schema = StructType([schema[n] for n in field_names])
+    arrow_schema = to_arrow_schema(envelope_schema)
+    # pa.array wants dicts (not Row) for struct values at any nesting depth
+    nested_fields = {
+        i for i, f in enumerate(envelope_schema.fields)
+        if isinstance(f.dataType, (StructType, ArrayType, MapType))
+    }
 
     def write(rows: Iterator) -> Iterator[tuple[str, int]]:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql import Row as SparkRow
+
+        def to_py(v):
+            if isinstance(v, SparkRow):
+                return {k: to_py(x) for k, x in zip(v.__fields__, v)}
+            if isinstance(v, (list, tuple)):
+                return [to_py(x) for x in v]
+            if isinstance(v, dict):
+                return {k: to_py(x) for k, x in v.items()}
+            return v
 
         current: str | None = None
-        buffer: list[dict] = []
+        buffer: list[list] = []  # columnar: one list per envelope field
 
         def flush():
-            if current is None or not buffer:
+            if current is None or not buffer[0]:
                 return None
             path = _safe_object_path(dest_dir, current)
             os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
-            cols = {n: [r[n] for r in buffer] for n in field_names}
-            table = pa.table(cols)
+            arrays = [
+                pa.array(col, type=arrow_schema.field(i).type)
+                for i, col in enumerate(buffer)
+            ]
+            table = pa.Table.from_arrays(arrays, schema=arrow_schema)
             pq.write_table(table, path, compression=compression)
-            return (current, len(buffer))
+            return (current, len(buffer[0]))
 
         for row in rows:
             name = row[0]  # _file is selected first; fields follow positionally
@@ -252,8 +294,12 @@ def _parquet_partition_writer(dest_dir: str, config: EngineConfig):
                 if done:
                     yield done
                 current = name
-                buffer = []
-            buffer.append({n: row[i + 1] for i, n in enumerate(field_names)})
+                buffer = [[] for _ in field_names]
+            for i in range(len(field_names)):
+                v = row[i + 1]
+                if i in nested_fields and v is not None:
+                    v = to_py(v)
+                buffer[i].append(v)
         done = flush()
         if done:
             yield done

@@ -253,6 +253,81 @@ def test_parquet_rotation_composes_with_max_records(spark, tmp_path):
     assert written == [("t-0-0", 2), ("t-0-2", 2), ("t-0-4", 2), ("t-0-6", 1)]
 
 
+def test_parquet_nested_record_value(spark, tmp_path):
+    """Schema'd value mode: with format.output.parquet.value.schema set, the
+    envelope's value is a TRUE NESTED RECORD (struct column), not a JSON string
+    — the reference's Avro-record value shape
+    (AvroParquetIntegrationTest.java:136-349, README.md:357-405). Fields absent
+    from a record's JSON read back as nulls (configured reader schema)."""
+    rows = [
+        Row(topic="t", partition=0, offset=0, key="k0",
+            value='{"name":"user-0","score":1.5}', timestamp=1000, headers=None),
+        Row(topic="t", partition=0, offset=1, key="k1",
+            value='{"name":"user-1"}', timestamp=1001, headers=None),
+        Row(topic="t", partition=0, offset=2, key="k2", value=None,
+            timestamp=1002, headers=None),
+    ]
+    cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.KEY, OutputField.OFFSET, OutputField.VALUE),
+        parquet_value_schema="name STRING, score DOUBLE",
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert written == [("t-0-0", 3)]
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(os.path.join(tmp_path, "t-0-0"))
+    assert table.column_names == ["key", "offset", "value"]
+    value_type = table.schema.field("value").type
+    assert value_type.num_fields == 2  # struct<name,score>, not a string
+    assert table.column("value").to_pylist() == [
+        {"name": "user-0", "score": 1.5},
+        {"name": "user-1", "score": None},
+        None,
+    ]
+    # Spark reads the same nested column back
+    back = spark.read.parquet(str(tmp_path / "t-0-0"))
+    assert back.select("value.name").rdd.map(lambda r: r[0]).collect() == [
+        "user-0", "user-1", None,
+    ]
+
+
+def test_parquet_nested_value_composes_with_rotation(spark, tmp_path):
+    """Rotation keys on the observed JSON key set (the JSON analog of the
+    embedded Avro-schema identity) BEFORE the configured reader schema parses
+    the struct — so a shape change still rotates, and both files carry the
+    nested struct column."""
+    rows = (
+        [Row(topic="t", partition=0, offset=i, key=None, value='{"name":"a"}',
+             timestamp=None, headers=None) for i in range(3)]
+        + [Row(topic="t", partition=0, offset=i, key=None,
+               value='{"name":"a","score":2.0}', timestamp=None, headers=None)
+           for i in range(3, 5)]
+    )
+    cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        parquet_schema_rotation=True,
+        parquet_value_schema="name STRING, score DOUBLE",
+    )
+    written = write_batch(records_df(spark, rows), cfg, str(tmp_path))
+    assert written == [("t-0-0", 3), ("t-0-3", 2)]
+    import pyarrow.parquet as pq
+
+    t2 = pq.read_table(os.path.join(tmp_path, "t-0-3"))
+    assert t2.column("value").to_pylist() == [
+        {"name": "a", "score": 2.0},
+        {"name": "a", "score": 2.0},
+    ]
+
+
+def test_parquet_value_schema_requires_parquet():
+    from kafka_connector_s3_sink_spark.config import ConfigValidationError
+
+    with pytest.raises(ConfigValidationError, match="requires format.output.type=parquet"):
+        EngineConfig(parquet_value_schema="name STRING")
+
+
 @pytest.mark.parametrize(
     "compression",
     [CompressionType.NONE, CompressionType.GZIP, CompressionType.SNAPPY, CompressionType.ZSTD],
