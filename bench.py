@@ -81,13 +81,31 @@ def main() -> None:
     kafka_records_from_events(spark, SF_DIR).count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Each query runs twice: the first pass pays one-time JVM costs (codegen
+    # compile, broadcast build, shuffle-file creation) that vary run to run;
+    # the SECOND (warm) pass is the headline number so round-over-round deltas
+    # track plan changes, not JVM noise. Cold totals are reported alongside.
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+
+    def timed(name, run) -> None:
+        t0 = time.time()
+        run()
+        cold[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        run()
+        timings[name] = round(time.time() - t1, 3)
+
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timed(
+            name,
+            lambda fn=fn: fn(spark, SF_DIR)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     # end-to-end sink writes (exact object names) to local objects
     from kafka_connector_s3_sink_spark.config import FormatType, OutputField
@@ -108,9 +126,7 @@ def main() -> None:
     for name, cfg in sink_cases.items():
         dest = tempfile.mkdtemp(prefix="bench-sink-")
         try:
-            t0 = time.time()
-            write_batch(records, cfg, dest)
-            timings[name] = round(time.time() - t0, 3)
+            timed(name, lambda cfg=cfg: write_batch(records, cfg, dest))
         finally:
             shutil.rmtree(dest, ignore_errors=True)
 
@@ -124,6 +140,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "iterations": 2,
+                "note": "per-query time is the warm 2nd iteration; cold 1st-run total below",
+                "cold_total_sec": round(sum(cold.values()), 3),
             }
         )
     )

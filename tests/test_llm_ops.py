@@ -175,3 +175,26 @@ def test_connected_components_transitive(spark):
         for r in dedup.connected_components(nodes, pairs).collect()
     }
     assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 9: (9, 1)}
+
+
+def test_hll_approx_within_rsd_of_exact(spark):
+    """approx_distinct_users (HLL++, rsd=1%) must land within tolerance of the
+    exact per-group distinct counts at sf0.01 — turns the rows-only oracle row
+    into a verified approximation. 5% bound = 5 standard errors at rsd=0.01,
+    comfortably tight while deterministic for a fixed input."""
+    from kafka_connector_s3_sink_spark.operators import relational
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in relational.distinct_users_per_topic(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in relational.approx_distinct_users(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(1, 0.05 * n), (
+            f"{etype}: approx {approx[etype]} vs exact {n}"
+        )
