@@ -85,12 +85,22 @@ def write_batch(
     config: EngineConfig,
     dest_dir: str,
     clock: Column | None = None,
+    manifest: str = "driver",
 ) -> list[tuple[str, int]]:
     """Write one batch of canonical Kafka records as exactly-named objects under
     ``dest_dir``. Returns [(object_name, record_count)] sorted by name.
 
     ``clock`` injects a fixed timestamp for the {{timestamp}} template variable
     (tests; the reference's own tests race midnight, IntegrationTest.java:246-258).
+
+    ``manifest`` controls where the per-object manifest goes. ``"driver"``
+    (default) collects one (name, count) tuple per OBJECT — never data rows —
+    which is fine until a batch writes millions of objects (file.max.records=1
+    at 100 TB). ``"sidecar"`` keeps the manifest distributed: each task appends
+    its entries to ``dest_dir/_manifest/part-<pid>.jsonl`` and the driver sees
+    only the object count (returns []). Sidecar shards are written by the same
+    task that wrote the objects, so a task retry rewrites both identically
+    (same names, same contents — idempotent like the objects themselves).
     """
     ensure_utc_session(df.sparkSession)
     # flush-time schema-type contract, exact reference behavior+message
@@ -162,8 +172,41 @@ def write_batch(
         )
         writer = _text_partition_writer(dest_dir, config)
 
+    if manifest == "sidecar":
+        results = ordered.rdd.mapPartitions(_sidecar_manifest(writer, dest_dir))
+        results.count()  # triggers the write; counts objects, not rows
+        return []
     written = ordered.rdd.mapPartitions(writer).collect()
     return sorted(written)
+
+
+def _sidecar_manifest(writer, dest_dir: str):
+    """Wrap a partition writer so each task streams its own manifest shard to
+    ``dest_dir/_manifest/part-<partitionId>.jsonl`` — one JSON line per object,
+    nothing returned to the driver."""
+
+    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+        import json
+
+        from pyspark import TaskContext
+
+        shard = None
+        try:
+            for name, count in writer(rows):
+                if shard is None:
+                    mdir = os.path.join(dest_dir, "_manifest")
+                    os.makedirs(mdir, exist_ok=True)
+                    pid = TaskContext.get().partitionId()
+                    shard = open(os.path.join(mdir, f"part-{pid:05d}.jsonl"), "w")
+                shard.write(
+                    json.dumps({"object": name, "records": count}) + "\n"
+                )
+                yield (name, count)
+        finally:
+            if shard is not None:
+                shard.close()
+
+    return write
 
 
 def _text_partition_writer(dest_dir: str, config: EngineConfig):

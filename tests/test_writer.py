@@ -423,3 +423,32 @@ def test_write_spark_native_max_records_applies_to_text(spark, tmp_path):
         assert len(p.read_text().splitlines()) <= 3
     out = spark.read.text(str(part_dir)).collect()
     assert sorted(r.value for r in out) == sorted(f"v{i}" for i in range(10))
+
+
+def test_sidecar_manifest_mode(spark, tmp_path):
+    """manifest='sidecar': per-object entries land in dest/_manifest/*.jsonl
+    written by the writer tasks themselves; the driver gets nothing back —
+    the scale path when file.max.records=1 produces millions of objects."""
+    import json
+
+    rows = [
+        Row(topic="t", partition=p, offset=o, key=None, value=f"v-{p}-{o}",
+            timestamp=None, headers=None)
+        for p, o in [(0, 0), (0, 1), (1, 10)]
+    ]
+    cfg = EngineConfig(
+        file_max_records=1,
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+    )
+    result = write_batch(records_df(spark, rows), cfg, str(tmp_path), manifest="sidecar")
+    assert result == []
+    entries = []
+    for shard in (tmp_path / "_manifest").glob("part-*.jsonl"):
+        with open(shard) as f:
+            entries += [json.loads(line) for line in f]
+    assert sorted((e["object"], e["records"]) for e in entries) == [
+        ("t-0-0", 1), ("t-0-1", 1), ("t-1-10", 1),
+    ]
+    # the objects themselves were still written
+    assert read_lines(tmp_path, "t-1-10", CompressionType.NONE) == ["v-1-10"]
