@@ -121,11 +121,20 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def double_array_literal(vals) -> Column:
+    """Literal array<double> as ONE parsed SQL expression. ``F.array(*[F.lit(v)
+    ...])`` costs one py4j round-trip per element — measured 4.8s of pure plan
+    BUILD time for 8×64-dim hyperplanes; this is a single call. ``repr`` emits
+    the shortest round-tripping decimal, so the parsed double is bit-identical
+    to the Python value."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def lsh_bucket_column(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane, packed into a string
     like '1011…' (string keeps it engine-portable)."""
     bits = [
-        F.when(dot(vec, F.array(*[F.lit(c) for c in plane])) >= 0, F.lit("1")).otherwise(
+        F.when(dot(vec, double_array_literal(plane)) >= 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for plane in planes
@@ -139,63 +148,66 @@ def ivf_centroids(
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Deterministic IVF coarse quantizer: seed centroids are the first
     ``n_centroids`` vectors by id; each Lloyd iteration assigns every vector to
     its max-cosine centroid (ties → lowest centroid id) and recomputes the
     element-wise mean per cluster via posexplode + (cluster, dim) partial-agg.
 
-    k is small → the centroid side broadcasts; one shuffle per iteration on
-    (cluster, dim). Deterministic end to end, so the DuckDB oracle reproduces
-    the exact centroids.
+    Returns the centroids as PLAIN VALUES: a k-means quantizer is O(k·dim)
+    scalars, bounded by config, never by data — collecting it to the driver is
+    the same class of escape as the df-cap count (one tiny job), and baking
+    the centroids into the plan as literals makes downstream ASSIGNMENT a
+    narrow per-row expression instead of a crossJoin + per-vid window shuffle.
+    (The DataFrame version recomputed the entire k-means once per consuming
+    branch — Catalyst doesn't share subtrees across branches.)
+    Deterministic end to end, so the DuckDB oracle reproduces the exact values.
     """
-    from pyspark.sql import Window
-
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    cents = v.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("centroid_id"), F.col("vec").alias("cvec")
+    cents = sorted(
+        (r["vid"], list(r["vec"]))
+        for r in v.filter(F.col("vid") < n_centroids).collect()
     )
     for _ in range(iterations):
-        assigned = assign_to_centroid(v, cents)
+        assigned = v.withColumn("vnorm", l2norm(F.col("vec"))).withColumn(
+            "centroid_id",
+            nearest_centroid_expr(F.col("vec"), F.col("vnorm"), cents),
+        )
         dims = assigned.select(
             "centroid_id", F.posexplode("vec").alias("pos", "val")
         )
         agg = dims.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
-        cents = agg.groupBy("centroid_id").agg(
+        rows = agg.groupBy("centroid_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cvec")
-        )
+        ).collect()
+        cents = sorted((r["centroid_id"], list(r["cvec"])) for r in rows)
     return cents
 
 
-def assign_to_centroid(
-    vectors: DataFrame, centroids: DataFrame
-) -> DataFrame:
-    """(vid, vec, centroid_id): each vector keyed by its max-cosine centroid
-    (rounded cosine; ties break to the lowest centroid id — engine-portable)."""
-    from pyspark.sql import Window
+def nearest_centroid_expr(
+    vec: Column, vnorm: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """centroid_id of the max-cosine centroid (rounded cosine; ties → lowest
+    id) as a pure row-local expression: sort (−cosine, id) structs ascending,
+    take the head. Centroid norms are Python-side constants — the same
+    left-to-right square-sum fold as ``l2norm``, so the doubles are
+    bit-identical to the Spark-computed ones."""
+    import math
 
-    vn = vectors.withColumn("vnorm", l2norm(F.col("vec")))
-    cn = centroids.withColumn("cnorm", l2norm(F.col("cvec")))
-    scored = vn.crossJoin(F.broadcast(cn)).select(
-        "vid",
-        "vec",
-        "centroid_id",
-        stable_round(
-            dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 4
-        ).alias("ccos"),
-    )
-    w = Window.partitionBy("vid").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vid", "vec", "centroid_id")
-    )
+    entries = []
+    for cid, cvec in centroids:
+        cn = math.sqrt(sum(c * c for c in cvec))
+        ccos = stable_round(
+            dot(vec, double_array_literal(cvec)) / (vnorm * F.lit(cn)), 4
+        )
+        entries.append(
+            F.struct((-ccos).alias("neg"), F.lit(cid).alias("cid"))
+        )
+    return F.element_at(F.array_sort(F.array(*entries)), 1)["cid"]
 
 
 def ivf_topk(
@@ -210,31 +222,36 @@ def ivf_topk(
     """IVF ANN: corpus bucketed by nearest centroid; each query probes ONLY its
     own centroid's bucket and brute-forces cosine inside it.
 
-    At 100 TB the assignment is precomputed and the corpus written partitioned
-    by centroid_id — a probe becomes a partition-pruned scan of one bucket.
+    Assignment is a narrow map (literal centroids, no shuffle); the only wide
+    ops are the bucket equi-join and the final bucket-bounded top-k window. At
+    100 TB the assignment is precomputed and the corpus written partitioned by
+    centroid_id — a probe becomes a partition-pruned scan of one bucket.
     """
     from pyspark.sql import Window
 
     cents = ivf_centroids(corpus, n_centroids, 1, id_col, vec_col)
-    c_assigned = assign_to_centroid(
+    c_assigned = (
         corpus.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
-        ),
-        cents,
-    ).select(
-        F.col("vid").alias("nbr_id"),
-        F.col("vec").alias("cvec_v"),
-        "centroid_id",
-    ).withColumn("cnorm_v", l2norm(F.col("cvec_v")))
-    q_assigned = assign_to_centroid(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec_v"),
+        )
+        .withColumn("cnorm_v", l2norm(F.col("cvec_v")))
+        .withColumn(
+            "centroid_id",
+            nearest_centroid_expr(F.col("cvec_v"), F.col("cnorm_v"), cents),
+        )
+    )
+    q_assigned = (
         queries.select(
-            F.col(query_id_col).alias("vid"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        ),
-        cents,
-    ).select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "centroid_id"
-    ).withColumn("qnorm", l2norm(F.col("qvec")))
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("qnorm", l2norm(F.col("qvec")))
+        .withColumn(
+            "centroid_id",
+            nearest_centroid_expr(F.col("qvec"), F.col("qnorm"), cents),
+        )
+    )
     scored = (
         F.broadcast(q_assigned)
         .join(c_assigned, "centroid_id")
