@@ -109,6 +109,105 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the canonical
+    predicate-pushdown showcase. All four predicates and the 2-column
+    projection reach the parquet scan (PushedFilters); the agg is a map-side
+    partial + single-row merge, so the query moves almost no data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery as a LEFT SEMI join with a
+    non-equi residual (l_shipdate > o_orderdate). The semi join reduces the
+    probe side to its key before any downstream work — orders never duplicate
+    per matching lineitem — and the priority agg is a 1-key shuffle."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor (min/max-per-group without a window): the
+    highest-acctbal supplier per nation via ``max_by(struct)`` — one shuffle
+    with map-side partial max, no whole-row window sort. Ties break to the
+    lowest suppkey (maximize (acctbal, −suppkey)); nation is a
+    fixed-cardinality dim → broadcast hint is always right."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    best = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by(
+                F.struct("s_suppkey", "s_name", "s_acctbal"),
+                F.struct(F.col("s_acctbal"), (-F.col("s_suppkey")).alias("neg")),
+            ).alias("best")
+        )
+    )
+    return best.select(
+        "n_name",
+        F.col("best.s_suppkey").alias("s_suppkey"),
+        F.col("best.s_name").alias("s_name"),
+        F.col("best.s_acctbal").alias("s_acctbal"),
+    ).orderBy("n_name")
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-k. Both
+    date and returnflag filters push below the joins; customer join strategy
+    is AQE's runtime call (scales with data — no forced broadcast), nation is
+    a broadcast-hinted fixed dim."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: ROLLUP(returnflag, linestatus) with grouping ids."""
     li = _t(spark, sf_dir, "lineitem")
