@@ -74,34 +74,34 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sink_projection_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2: ordered field projection + base64 encoding + CSV line rendering."""
+    """§2.2: ordered field projection + base64 encoding + CSV line rendering,
+    over BOTH converter shapes in one result — the StringConverter view
+    (`converter='string'`) and the ByteArrayConverter view
+    (`converter='bytearray'`: BinaryType key/value flow through the same
+    projection with no upstream string cast — the CSV contract's native shape,
+    S3SinkTaskTest.java:474-498, README.md:240-250). Same payload bytes →
+    same base64 → the oracle renders each branch identically."""
     recs = kafka_records_from_events(spark, sf_dir)
-    return recs.select(
+    string_lines = recs.select(
         "topic",
         "partition",
         "offset",
         projection.csv_line_column(ALL_FIELDS_CONFIG).alias("csv_line"),
+        F.lit("string").alias("converter"),
     )
-
-
-def q_sink_projection_csv_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 over ByteArrayConverter-shaped records: BinaryType key/value flow
-    through the same projection/encoding/rendering (no upstream string cast) —
-    the CSV contract's native shape (S3SinkTaskTest.java:474-498,
-    README.md:240-250). Same payload bytes → same base64 → same oracle as the
-    string view."""
-    recs = kafka_records_from_events(spark, sf_dir)
     bin_recs = recs.withColumn("key", F.encode(F.col("key"), "UTF-8")).withColumn(
         "value", F.encode(F.col("value"), "UTF-8")
     )
-    return bin_recs.select(
+    binary_lines = bin_recs.select(
         "topic",
         "partition",
         "offset",
         projection.csv_line_column(ALL_FIELDS_CONFIG, bin_recs.schema).alias(
             "csv_line"
         ),
+        F.lit("bytearray").alias("converter"),
     )
+    return string_lines.unionByName(binary_lines)
 
 
 def q_sink_group_topic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,15 +308,59 @@ def _q_topk_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agged.orderBy(F.col("total_value").desc(), F.col("user_id").asc()).limit(20)
 
 
+def _q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k aggregation, plain AND salted paths in one result. `method` tags
+    which plan produced each row; the two branches must be value-identical
+    (salting is a physical rewrite, not a semantic one), so the oracle is the
+    same SQL for both tags — a divergence between the branches hash-fails."""
+    plain = relational.top_users_by_value(spark, sf_dir).withColumn(
+        "method", F.lit("plain")
+    )
+    salted = _q_topk_users_salted(spark, sf_dir).withColumn("method", F.lit("salted"))
+    return plain.unionByName(salted)
+
+
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, both formulations in one result: the gaps-and-islands
+    windows plan (`method='islands'`: lag + running sum, new session when gap
+    > 30 min, session_end = last event) and Spark's built-in
+    ``F.session_window`` (`method='native'`: new session when gap >= 30 min,
+    session_end = last event + gap — the Structured-Streaming-ready shape).
+    The two branches share one scan; each oracle branch mirrors its exact gap
+    comparison and end-bound semantics."""
+    ev = relational._t(spark, sf_dir, "events")
+    islands = sessions.sessionize_batch(ev).select(
+        F.lit("islands").alias("method"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "session_value",
+    )
+    native = sessions.session_window_stats(ev).select(
+        F.lit("native").alias("method"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "session_value",
+    )
+    return islands.unionByName(native)
+
+
 # ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries: the driver's oracle gate checks the first 50
+    # registered queries in order (round-2 lesson: entries 51+ silently fall
+    # out of the check window). Redundant same-grain samplers are merged —
+    # every merged branch still executes, tagged by a discriminator column —
+    # so the whole SURVEY.md §2 surface stays inside the window.
     return {
         # sink surface (SURVEY.md §2.2-2.5)
-        "sink_projection_csv": q_sink_projection_csv,
-        "sink_projection_csv_binary": q_sink_projection_csv_binary,
+        "sink_projection_csv": q_sink_projection_csv,  # string + bytearray converters
         "sink_group_topic_partition": q_sink_group_topic_partition,
         "sink_group_key_upsert": q_sink_group_key_upsert,
         "sink_chunking": q_sink_chunking,
@@ -331,32 +375,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.pricing_summary,
         "q3_top_revenue_orders": relational.top_revenue_orders,
         "q5_regional_revenue": relational.regional_revenue,
+        "q6_forecast_revenue": relational.forecast_revenue,
+        "q4_late_shipment_priority": relational.late_shipment_priority,
+        "q2_top_supplier_per_nation": relational.top_supplier_per_nation,
+        "q10_returned_item_revenue": relational.returned_item_revenue,
         "rollup_revenue": relational.rollup_revenue,
         "cube_order_stats": relational.cube_order_stats,
-        "window_running_totals": relational.user_running_totals,
-        "window_event_gaps": relational.user_event_gaps,
-        "topk_users": relational.top_users_by_value,
-        "topk_users_salted": _q_topk_users_salted,
-        "setop_customers_no_events": relational.customers_without_events,
-        "setop_active_customers": relational.active_customers_intersect,
+        "window_running_totals": relational.user_running_totals,  # + lag/lead gaps
+        "topk_users": _q_topk_users,  # plain + salted plans
+        "setop_customer_activity": relational.customer_activity_setops,  # EXCEPT + INTERSECT
         "array_functions": relational.token_array_functions,
         "semi_join_parts": relational.parts_with_orders_semi,
         "distinct_users_per_topic": relational.distinct_users_per_topic,
         "approx_distinct_users": relational.approx_distinct_users,
-        "scalar_functions": relational.scalar_function_sampler,
-        "string_functions": relational.string_function_sampler,
+        "scalar_string_functions": relational.scalar_string_function_sampler,
         "json_functions": relational.json_function_sampler,
         "window_rank_ntile": relational.order_rank_windows,
         "value_statistics": relational.value_statistics,
         "asof_prev_purchase": relational.asof_prev_purchase,
         "range_join_events_after_signup": relational.events_after_signup,
         # event-time / sessionization (streaming shapes, run in batch)
-        "sessionize_events": lambda s, d: sessions.sessionize_batch(
-            relational._t(s, d, "events")
-        ),
-        "session_window_agg": lambda s, d: sessions.session_window_stats(
-            relational._t(s, d, "events")
-        ),
+        "sessionize_events": _q_sessionize_events,  # islands + native session_window
         "tumbling_window_counts": lambda s, d: sessions.tumbling_window_counts(
             relational._t(s, d, "events")
         ),
@@ -414,15 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": lambda s, d: multimodal.frame_sample_plan(
             multimodal.media_from_documents(s.read.parquet(f"{d}/documents.parquet")),
             every_n=10,
-        ),
-        "multimodal_meta": lambda s, d: multimodal.media_from_documents(
-            s.read.parquet(f"{d}/documents.parquet")
-        ).select(
-            "media_id",
-            "media_type",
-            F.col("meta.n_bytes").alias("n_bytes"),
-            F.col("meta.content_md5").alias("content_md5"),
-        ),
+        ),  # frame fan-out rows carry the typed meta struct (merged _meta query)
     }
 
 
@@ -542,26 +573,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": IVF_ORACLE_SQL,
         "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
-            WITH {KAFKA_CTE}
-            SELECT topic, partition, "offset",
-                concat(
-                    coalesce(to_base64(encode(value)), ''), ',',
-                    coalesce(to_base64(encode(key)), ''), ',',
-                    coalesce(CAST("timestamp" AS VARCHAR), ''), ',',
-                    coalesce(CAST("offset" AS VARCHAR), '')
-                ) AS csv_line
-            FROM kafka
-        """,
-        "sink_projection_csv_binary": f"""
-            WITH {KAFKA_CTE}
-            SELECT topic, partition, "offset",
-                concat(
-                    coalesce(to_base64(encode(value)), ''), ',',
-                    coalesce(to_base64(encode(key)), ''), ',',
-                    coalesce(CAST("timestamp" AS VARCHAR), ''), ',',
-                    coalesce(CAST("offset" AS VARCHAR), '')
-                ) AS csv_line
-            FROM kafka
+            WITH {KAFKA_CTE},
+            line AS (
+                SELECT topic, partition, "offset",
+                    concat(
+                        coalesce(to_base64(encode(value)), ''), ',',
+                        coalesce(to_base64(encode(key)), ''), ',',
+                        coalesce(CAST("timestamp" AS VARCHAR), ''), ',',
+                        coalesce(CAST("offset" AS VARCHAR), '')
+                    ) AS csv_line
+                FROM kafka
+            )
+            SELECT topic, partition, "offset", csv_line, 'string' AS converter
+            FROM line
+            UNION ALL
+            SELECT topic, partition, "offset", csv_line, 'bytearray' AS converter
+            FROM line
         """,
         "sink_group_topic_partition": f"""
             WITH {KAFKA_CTE}
@@ -690,13 +717,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
-        "window_event_gaps": """
-            SELECT user_id, event_id,
-                epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS ms_since_prev,
-                epoch_ms(lead(ts) OVER w) - epoch_ms(ts) AS ms_until_next
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-        """,
         "semi_join_parts": """
             SELECT p_partkey, p_name, p_brand FROM part
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
@@ -708,8 +728,21 @@ def oracle_sql() -> dict[str, str]:
                 count(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "string_functions": r"""
-            SELECT c_custkey,
+        "scalar_string_functions": r"""
+            SELECT o_orderkey,
+                upper(o_orderpriority) AS prio_upper,
+                substr(o_orderpriority, 1, 1) AS prio_code,
+                length(o_orderpriority) AS prio_len,
+                concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
+                abs(o_totalprice - 100000.0) AS price_dev,
+                floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS price_sqrt,
+                o_orderkey % 7 AS key_mod7,
+                year(o_orderdate) AS o_year,
+                month(o_orderdate) AS o_month,
+                day(o_orderdate) AS o_day,
+                CASE WHEN o_totalprice > 200000 THEN 'high'
+                     WHEN o_totalprice > 50000 THEN 'mid'
+                     ELSE 'low' END AS price_band,
                 regexp_extract(c_name, '(\d+)$', 1) AS name_digits,
                 lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded,
                 translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
@@ -719,7 +752,7 @@ def oracle_sql() -> dict[str, str]:
                 reverse(c_mktsegment) AS seg_reversed,
                 upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
                     AS seg_initcap
-            FROM customer
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "json_functions": """
             SELECT event_id,
@@ -749,23 +782,6 @@ def oracle_sql() -> dict[str, str]:
                 floor((min(value)) * 100.0 + 0.5) / 100.0 AS value_min,
                 floor((max(value)) * 100.0 + 0.5) / 100.0 AS value_max
             FROM events GROUP BY event_type ORDER BY event_type
-        """,
-        "scalar_functions": """
-            SELECT o_orderkey,
-                upper(o_orderpriority) AS prio_upper,
-                substr(o_orderpriority, 1, 1) AS prio_code,
-                length(o_orderpriority) AS prio_len,
-                concat_ws('#', o_orderstatus, o_orderpriority) AS status_prio,
-                abs(o_totalprice - 100000.0) AS price_dev,
-                floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS price_sqrt,
-                o_orderkey % 7 AS key_mod7,
-                year(o_orderdate) AS o_year,
-                month(o_orderdate) AS o_month,
-                day(o_orderdate) AS o_day,
-                CASE WHEN o_totalprice > 200000 THEN 'high'
-                     WHEN o_totalprice > 50000 THEN 'mid'
-                     ELSE 'low' END AS price_band
-            FROM orders
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -815,44 +831,89 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_running_totals": """
             SELECT user_id, event_id,
-                floor((sum(value) OVER (
-                    PARTITION BY user_id ORDER BY event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                )) * 100.0 + 0.5) / 100.0 AS running_value,
+                floor((sum(value) OVER w) * 100.0 + 0.5) / 100.0 AS running_value,
                 row_number() OVER (
                     PARTITION BY user_id ORDER BY event_id
-                ) AS event_seq
+                ) AS event_seq,
+                epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                )) AS ms_since_prev,
+                epoch_ms(lead(ts) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                )) - epoch_ms(ts) AS ms_until_next
             FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            )
         """,
         "topk_users": """
-            SELECT user_id,
-                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
-                count(*) AS n_events
-            FROM events
-            GROUP BY user_id
-            ORDER BY total_value DESC, user_id ASC
+            WITH top20 AS (
+                SELECT user_id,
+                    floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+                    count(*) AS n_events
+                FROM events
+                GROUP BY user_id
+                ORDER BY total_value DESC, user_id ASC
+                LIMIT 20
+            )
+            SELECT user_id, total_value, n_events, 'plain' AS method FROM top20
+            UNION ALL
+            SELECT user_id, total_value, n_events, 'salted' AS method FROM top20
+        """,
+        "setop_customer_activity": """
+            WITH oc AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+            eu AS (SELECT DISTINCT user_id AS custkey FROM events)
+            SELECT custkey, 'no_events' AS cls FROM oc
+            WHERE custkey NOT IN (SELECT custkey FROM eu)
+            UNION ALL
+            SELECT custkey, 'active' AS cls FROM oc
+            WHERE custkey IN (SELECT custkey FROM eu)
+        """,
+        "q6_forecast_revenue": """
+            SELECT
+                floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+                count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 24
+        """,
+        "q4_late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q2_top_supplier_per_nation": """
+            SELECT n_name, s_suppkey, s_name, s_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            QUALIFY row_number() OVER (
+                PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC
+            ) = 1
+            ORDER BY n_name
+        """,
+        "q10_returned_item_revenue": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
-        """,
-        "topk_users_salted": """
-            SELECT user_id,
-                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
-                count(*) AS n_events
-            FROM events
-            GROUP BY user_id
-            ORDER BY total_value DESC, user_id ASC
-            LIMIT 20
-        """,
-        "setop_customers_no_events": """
-            SELECT DISTINCT o_custkey AS custkey FROM orders
-            EXCEPT
-            SELECT DISTINCT user_id AS custkey FROM events
-            ORDER BY custkey
-        """,
-        "setop_active_customers": """
-            SELECT DISTINCT o_custkey AS custkey FROM orders
-            INTERSECT
-            SELECT DISTINCT user_id AS custkey FROM events
-            ORDER BY custkey
         """,
         "array_functions": f"""
             WITH toks AS (SELECT doc_id, {TOKS} AS w FROM documents)
@@ -902,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY signup_id
         """,
         "sessionize_events": """
-            WITH gaps AS (
+            WITH gi AS (
                 SELECT user_id, event_id, ts, value,
                     CASE WHEN lag(ts) OVER w IS NULL
                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
@@ -910,24 +971,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
-            sess AS (
+            gi_sess AS (
                 SELECT *,
                     sum(is_new) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                    ) AS session_seq
-                FROM gaps
-            )
-            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-                min(ts) AS session_start,
-                max(ts) AS session_end,
-                count(*) AS n_events,
-                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
-            FROM sess GROUP BY user_id, session_seq
-            ORDER BY user_id, session_seq
-        """,
-        "session_window_agg": """
-            WITH gaps AS (
+                    ) AS sid
+                FROM gi
+            ),
+            nat AS (
                 SELECT user_id, event_id, ts, value,
                     CASE WHEN lag(ts) OVER w IS NULL
                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
@@ -935,21 +987,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
-            sess AS (
+            nat_sess AS (
                 SELECT *,
                     sum(is_new) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                     ) AS sid
-                FROM gaps
+                FROM nat
             )
-            SELECT user_id,
+            SELECT 'islands' AS method, user_id,
+                min(ts) AS session_start,
+                max(ts) AS session_end,
+                count(*) AS n_events,
+                floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
+            FROM gi_sess GROUP BY user_id, sid
+            UNION ALL
+            SELECT 'native' AS method, user_id,
                 min(ts) AS session_start,
                 max(ts) + INTERVAL 30 MINUTE AS session_end,
                 count(*) AS n_events,
                 floor((sum(value)) * 100.0 + 0.5) / 100.0 AS session_value
-            FROM sess GROUP BY user_id, sid
-            ORDER BY user_id, session_start
+            FROM nat_sess GROUP BY user_id, sid
         """,
         "tumbling_window_counts": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -1208,16 +1266,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_frame_plan": """
             SELECT doc_id AS media_id,
+                'image' AS media_type,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5,
                 unnest(range(0,
                     CAST(floor(octet_length(encode(text)) / 1024.0 + 1) AS INTEGER), 10)
                 ) AS frame_idx
-            FROM documents
-        """,
-        "multimodal_meta": """
-            SELECT doc_id AS media_id,
-                'image' AS media_type,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                md5(text) AS content_md5
             FROM documents
         """,
     }

@@ -31,19 +31,21 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q2_top_supplier_per_nation",
+    "q10_returned_item_revenue",
     "window_running_totals",
     "topk_users",
     "asof_prev_purchase",
     "range_join_events_after_signup",
     "sessionize_events",
-    "session_window_agg",
     "tumbling_window_counts",
     "sink_schema_rotation",
     "cube_order_stats",
     "semi_join_parts",
     "value_statistics",
     "array_functions",
-    "topk_users_salted",
     "text_analysis",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -141,7 +143,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "iterations": 2,
-                "note": "per-query time is the warm 2nd iteration; cold 1st-run total below",
+                "note": "per-query time is the warm 2nd iteration; queries_cold is "
+                "the 1st run (plan build + codegen + broadcast). r3 query-set "
+                "change: merged pairs (topk plain+salted, sessionize "
+                "islands+native, csv string+binary converters) now run BOTH "
+                "branches under one name; 4 TPC-H shapes (q6/q4/q2/q10) added.",
+                "queries_cold": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
             }
         )

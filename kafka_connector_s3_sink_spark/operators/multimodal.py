@@ -143,9 +143,14 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     computed from metadata only (JVM-side sequence/explode — the decode of each
     sampled frame would go through ``extract_features``). Demonstrates the
-    fan-out shape without a codec."""
+    fan-out shape without a codec. Each frame row carries the typed metadata
+    (media_type, n_bytes, content_md5) so one query verifies both the meta
+    struct computation and the fan-out."""
     n_frames = (F.col("meta.n_bytes") / 1024 + 1).cast("int")
     return media.select(
         "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )

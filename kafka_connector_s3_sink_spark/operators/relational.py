@@ -227,15 +227,21 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event-time running sum + rank — the canonical window shape
-    (single shuffle on user_id, in-partition sort on ts)."""
+    """Per-user window surface: running sum, row_number, and lag/lead gaps in
+    ONE query — all five window functions share a single window spec, so the
+    plan is one shuffle on user_id + one in-partition sort (merging the gaps
+    query here halved the registry's window-shuffle count)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_ts = F.lag("ts").over(w)
+    next_ts = F.lead("ts").over(w)
     return ev.select(
         "user_id",
         "event_id",
         stable_round(F.sum("value").over(w), 2).alias("running_value"),
         F.row_number().over(w).alias("event_seq"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(prev_ts)).alias("ms_since_prev"),
+        (F.unix_millis(next_ts) - F.unix_millis(F.col("ts"))).alias("ms_until_next"),
     )
 
 
@@ -351,6 +357,63 @@ def active_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_custs = orders.select(F.col("o_custkey").alias("custkey")).distinct()
     event_users = ev.select(F.col("user_id").alias("custkey")).distinct()
     return order_custs.join(event_users, "custkey", "left_semi").orderBy("custkey")
+
+
+def customer_activity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface, EXCEPT + INTERSECT in one result: order-placing
+    customers classified by event activity ('no_events' = anti join ≙ EXCEPT,
+    'active' = semi join ≙ INTERSECT). Both phrasings reduce each side to its
+    distinct key before the shuffle — an EXCEPT/INTERSECT would
+    distinct-shuffle whole rows — and the two joins share the same two
+    distinct child plans. AQE broadcasts the event-user set when it is
+    actually small (no forced hint: the user universe scales with the data)."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    order_custs = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    event_users = ev.select(F.col("user_id").alias("custkey")).distinct()
+    anti = order_custs.join(event_users, "custkey", "left_anti").withColumn(
+        "cls", F.lit("no_events")
+    )
+    semi = order_custs.join(event_users, "custkey", "left_semi").withColumn(
+        "cls", F.lit("active")
+    )
+    return anti.unionByName(semi)
+
+
+def scalar_string_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface — string/math/datetime/conditional/regexp — in
+    one projection over orders ⋈ customer (the join also exercises a
+    fact-to-dim equi join whose strategy is AQE's runtime call). Pure map
+    stage after the join; whole-stage codegen end to end."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("#", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.abs(F.col("o_totalprice") - F.lit(100000.0)).alias("price_dev"),
+        stable_round(F.sqrt(F.col("o_totalprice")), 4).alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.year(F.col("o_orderdate")).alias("o_year"),
+        F.month(F.col("o_orderdate")).alias("o_month"),
+        F.dayofmonth(F.col("o_orderdate")).alias("o_day"),
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .when(F.col("o_totalprice") > 50000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("key_padded"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.split(F.col("c_name"), "#")[0].alias("name_prefix"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
+        F.initcap(F.lower(F.col("c_mktsegment"))).alias("seg_initcap"),
+    )
 
 
 def token_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
