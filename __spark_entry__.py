@@ -430,6 +430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"), "embedding"),
         ),
+        "ann_ivf_nprobe": lambda s, d: similarity.ivf_topk(
+            s.read.parquet(f"{d}/embeddings.parquet"),
+            s.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            nprobe=2,
+        ),
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             s.read.parquet(f"{d}/embeddings.parquet"),
             s.read.parquet(f"{d}/embeddings.parquet")
@@ -509,15 +516,32 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
     """
 
 
-IVF_ORACLE_SQL = """
+def _ivf_oracle_sql(
+    nprobe: int = 1, n_centroids: int = 8, k: int = 10, fit_sample_cap: int = 256
+) -> str:
+    """DuckDB oracle for ivf_topk: reproduces the engine's deterministic
+    pipeline exactly — seeded-hash fit sample (first 16 md5 bits of 'ivf:id'
+    under cap/count of the hash space), lowest-id seeds from the sample, one
+    Lloyd iteration over the sample, full-corpus argmax assignment, and
+    top-nprobe query probing."""
+    return f"""
     WITH v AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
-    seed AS (SELECT vid AS centroid_id, vec AS cvec FROM v WHERE vid < 8),
+    cnt AS (SELECT count(*) AS n FROM v),
+    samp AS (
+        SELECT vid, vec FROM v, cnt
+        WHERE CAST('0x' || substr(md5('ivf:' || CAST(vid AS VARCHAR)), 1, 4) AS INTEGER)
+              < least(65536, floor({fit_sample_cap}.0 / n * 65536))
+    ),
+    seed AS (
+        SELECT vid AS centroid_id, vec AS cvec FROM samp
+        ORDER BY vid LIMIT {n_centroids}
+    ),
     s1 AS (
         SELECT vid, vec, centroid_id,
             floor((list_dot_product(vec, cvec)
                 / (sqrt(list_dot_product(vec, vec))
                    * sqrt(list_dot_product(cvec, cvec)))) * 10000.0 + 0.5) / 10000.0 AS ccos
-        FROM v CROSS JOIN seed
+        FROM samp CROSS JOIN seed
     ),
     a1 AS (
         SELECT vid, vec, centroid_id FROM s1
@@ -551,26 +575,34 @@ IVF_ORACLE_SQL = """
             PARTITION BY vid ORDER BY ccos DESC, centroid_id ASC
         ) = 1
     ),
+    qprobe AS (
+        SELECT vid, vec, centroid_id FROM s2
+        WHERE vid < 5
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id ASC
+        ) <= {nprobe}
+    ),
     scored AS (
         SELECT q.vid AS query_id, c.vid AS nbr_id,
             floor((list_dot_product(q.vec, c.vec)
                 / (sqrt(list_dot_product(q.vec, q.vec))
                    * sqrt(list_dot_product(c.vec, c.vec)))) * 10000.0 + 0.5) / 10000.0 AS cosine
-        FROM a2 q JOIN a2 c ON q.centroid_id = c.centroid_id
-        WHERE q.vid < 5 AND c.vid <> q.vid
+        FROM qprobe q JOIN a2 c ON q.centroid_id = c.centroid_id
+        WHERE c.vid <> q.vid
     )
     SELECT query_id, nbr_id, cosine,
         row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, nbr_id ASC
         ) AS rank
     FROM scored
-    QUALIFY rank <= 10
+    QUALIFY rank <= {k}
 """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "ann_ivf_topk": IVF_ORACLE_SQL,
+        "ann_ivf_topk": _ivf_oracle_sql(nprobe=1),
+        "ann_ivf_nprobe": _ivf_oracle_sql(nprobe=2),
         "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},

@@ -16,10 +16,16 @@ hash-matches.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.functions.numeric import stable_round
+
+# literal-centroid assignment bakes n_centroids × dim doubles into the plan;
+# past this many scalars the plan-build and codegen cost dominates, so `auto`
+# switches to the broadcast-join assignment (O(1) plan size, one extra shuffle)
+LITERAL_ASSIGN_MAX_SCALARS = 2048
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -53,17 +59,31 @@ def brute_force_topk(
     funnel |corpus| scored rows per query into ONE task each, a straggler by
     construction at a 100× corpus. Any global top-k row is a partition-local
     top-k row, so phase 1 is lossless. Ties broken by corpus id for
-    determinism; the result and oracle are identical to the single-phase plan.
+    determinism; the result and oracle are identical to the single-phase plan
+    (modulo zero-norm vectors, whose NaN cosine is filtered before ranking).
     """
     from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("cvec")
-    ).withColumn("cnorm", l2norm(F.col("cvec")))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("qnorm", l2norm(F.col("qvec")))
+    # zero-norm vectors are dropped up front: their cosine is undefined
+    # (0/0 — an ANSI-mode error, NaN otherwise, and NaN would additionally
+    # rank differently in the window vs the pandas pre-filter). Excluding
+    # degenerate vectors is the sane user-facing semantics for similarity.
+    c = (
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("cnorm", l2norm(F.col("cvec")))
+        .filter(F.col("cnorm") > 0)
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("qnorm", l2norm(F.col("qvec")))
+        .filter(F.col("qnorm") > 0)
+    )
     # norms precomputed per row below the join — the interpreted fold would
     # otherwise run per (query × corpus) pair
     scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("nbr_id"))
@@ -142,38 +162,127 @@ def lsh_bucket_column(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def fit_sample(
+    v: DataFrame, cap: int | None, id_col: str = "vid", salt: str = "ivf"
+) -> DataFrame:
+    """Deterministic seeded-hash sample of ~``cap`` rows (expected size; the
+    hash is uniform so the tail is tightly bounded). Include a row iff the
+    first 16 md5 bits of ``salt:id`` fall under ``cap/count`` of the hash
+    space — reproducible from the data alone, so the DuckDB oracle applies
+    the IDENTICAL filter. The count is one tiny O(1)-result job, the same
+    class of driver escape as the dedup df-cap. ``cap=None`` disables."""
+    if cap is None:
+        return v
+    count = v.count()
+    if count == 0:
+        return v
+    threshold = min(65536, math.floor(cap / count * 65536))
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    return v.filter(h16 < F.lit(threshold))
+
+
+def _assign_centroids(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str = "vec",
+    norm_col: str = "vnorm",
+    assignment: str = "auto",
+) -> DataFrame:
+    """df + ``centroid_id`` = argmax-cosine centroid (rounded cosine; ties →
+    lowest centroid id). Two physical strategies, same values:
+
+    - ``literal``: centroids baked into one row-local expression
+      (``nearest_centroid_expr``) — zero shuffle, but plan size grows
+      O(k·dim), the right call only below LITERAL_ASSIGN_MAX_SCALARS.
+    - ``broadcast``: centroids as a broadcast-joined k-row DataFrame; the
+      k-per-row scores reduce with one ``max_by`` shuffle on ``id_col``.
+      O(1) plan size — the 100 TB path when k grows to hundreds+.
+
+    Both compute the cosine with the same sequential fold and the same
+    Python-precomputed centroid norms, so the assignment is bit-identical —
+    pinned by a pytest comparing the two paths at n_centroids=64.
+    """
+    if assignment == "auto":
+        n_scalars = len(cents) * (len(cents[0][1]) if cents else 0)
+        assignment = (
+            "literal" if n_scalars <= LITERAL_ASSIGN_MAX_SCALARS else "broadcast"
+        )
+    if assignment == "literal":
+        return df.withColumn(
+            "centroid_id",
+            nearest_centroid_expr(F.col(vec_col), F.col(norm_col), cents),
+        )
+    cdf = df.sparkSession.createDataFrame(
+        [
+            (cid, cvec, math.sqrt(sum(c * c for c in cvec)))
+            for cid, cvec in cents
+        ],
+        schema="_cid INT, _cvec array<double>, _cnorm double",
+    )
+    ccos = stable_round(
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col(norm_col) * F.col("_cnorm")), 4
+    )
+    scored = df.crossJoin(F.broadcast(cdf)).withColumn("_ccos", ccos)
+    payload = F.struct(
+        *[F.col(c) for c in df.columns if c != id_col],
+        F.col("_cid").alias("centroid_id"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            payload, F.struct(F.col("_ccos").alias("c"), (-F.col("_cid")).alias("n"))
+        ).alias("_b")
+    )
+    return best.select(id_col, "_b.*")
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_cap: int | None = 256,
+    assignment: str = "auto",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF coarse quantizer: seed centroids are the first
-    ``n_centroids`` vectors by id; each Lloyd iteration assigns every vector to
-    its max-cosine centroid (ties → lowest centroid id) and recomputes the
-    element-wise mean per cluster via posexplode + (cluster, dim) partial-agg.
+    """Deterministic IVF coarse quantizer, fitted on a bounded sample: the
+    quantizer only needs the density shape, so Lloyd runs over a seeded-hash
+    sample of ~``fit_sample_cap`` rows (at 100 TB the fit job reads a few
+    thousand rows, not the corpus; ASSIGNMENT still scans everything once).
+    Seed centroids are the ``n_centroids`` lowest-id sample vectors; each
+    Lloyd iteration assigns the sample to its max-cosine centroid (ties →
+    lowest centroid id) and recomputes the element-wise mean per cluster via
+    posexplode + (cluster, dim) partial-agg.
 
     Returns the centroids as PLAIN VALUES: a k-means quantizer is O(k·dim)
     scalars, bounded by config, never by data — collecting it to the driver is
-    the same class of escape as the df-cap count (one tiny job), and baking
-    the centroids into the plan as literals makes downstream ASSIGNMENT a
-    narrow per-row expression instead of a crossJoin + per-vid window shuffle.
-    (The DataFrame version recomputed the entire k-means once per consuming
-    branch — Catalyst doesn't share subtrees across branches.)
-    Deterministic end to end, so the DuckDB oracle reproduces the exact values.
+    the same class of escape as the df-cap count (one tiny job). Downstream
+    assignment picks literal vs broadcast strategy by plan size (see
+    ``_assign_centroids``). Deterministic end to end — sample filter, seeds,
+    and every rounding step are reproduced exactly by the DuckDB oracle.
     """
     v = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    samp = fit_sample(v, fit_sample_cap)
     cents = sorted(
         (r["vid"], list(r["vec"]))
-        for r in v.filter(F.col("vid") < n_centroids).collect()
+        for r in samp.orderBy("vid").limit(n_centroids).collect()
     )
     for _ in range(iterations):
-        assigned = v.withColumn("vnorm", l2norm(F.col("vec"))).withColumn(
-            "centroid_id",
-            nearest_centroid_expr(F.col("vec"), F.col("vnorm"), cents),
+        assigned = _assign_centroids(
+            samp.withColumn("vnorm", l2norm(F.col("vec"))).filter(
+                F.col("vnorm") > 0
+            ),
+            cents,
+            id_col="vid",
+            assignment=assignment,
         )
         dims = assigned.select(
             "centroid_id", F.posexplode("vec").alias("pos", "val")
@@ -210,47 +319,124 @@ def nearest_centroid_expr(
     return F.element_at(F.array_sort(F.array(*entries)), 1)["cid"]
 
 
+def top_centroids_expr(
+    vec: Column,
+    vnorm: Column,
+    centroids: list[tuple[int, list[float]]],
+    p: int,
+) -> Column:
+    """array<int> of the ``p`` max-cosine centroid ids (rounded cosine; ties →
+    lowest id), as a pure row-local expression — the nprobe generalization of
+    ``nearest_centroid_expr`` (p=1 head == argmax)."""
+    import math as _math
+
+    entries = []
+    for cid, cvec in centroids:
+        cn = _math.sqrt(sum(c * c for c in cvec))
+        ccos = stable_round(
+            dot(vec, double_array_literal(cvec)) / (vnorm * F.lit(cn)), 4
+        )
+        entries.append(F.struct((-ccos).alias("neg"), F.lit(cid).alias("cid")))
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, p)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def _probe_centroids(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str = "vec",
+    norm_col: str = "vnorm",
+    assignment: str = "auto",
+) -> DataFrame:
+    """df exploded to ``nprobe`` rows per input row, each tagged with one of
+    the row's top-nprobe centroid ids. Literal strategy explodes a row-local
+    top-p expression; broadcast strategy ranks the k broadcast-join scores
+    with a per-id row_number (the probe side is the small side, so the window
+    partition is tiny)."""
+    if assignment == "auto":
+        n_scalars = len(cents) * (len(cents[0][1]) if cents else 0)
+        assignment = (
+            "literal" if n_scalars <= LITERAL_ASSIGN_MAX_SCALARS else "broadcast"
+        )
+    if assignment == "literal":
+        probes = top_centroids_expr(F.col(vec_col), F.col(norm_col), cents, nprobe)
+        return df.withColumn("centroid_id", F.explode(probes))
+    from pyspark.sql import Window
+
+    cdf = df.sparkSession.createDataFrame(
+        [(cid, cvec, math.sqrt(sum(c * c for c in cvec))) for cid, cvec in cents],
+        schema="_cid INT, _cvec array<double>, _cnorm double",
+    )
+    ccos = stable_round(
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col(norm_col) * F.col("_cnorm")), 4
+    )
+    scored = df.crossJoin(F.broadcast(cdf)).withColumn("_ccos", ccos)
+    w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(*df.columns, F.col("_cid").alias("centroid_id"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    fit_sample_cap: int | None = 256,
+    assignment: str = "auto",
 ) -> DataFrame:
-    """IVF ANN: corpus bucketed by nearest centroid; each query probes ONLY its
-    own centroid's bucket and brute-forces cosine inside it.
+    """IVF ANN: corpus bucketed by nearest centroid; each query probes its
+    top-``nprobe`` centroids' buckets and brute-forces cosine inside them.
+    nprobe is the standard recall knob — at nprobe=1 a query near a Voronoi
+    boundary misses true neighbors in the adjacent cell; probing p buckets
+    multiplies candidate cost by ~p while recovering boundary neighbors.
 
-    Assignment is a narrow map (literal centroids, no shuffle); the only wide
-    ops are the bucket equi-join and the final bucket-bounded top-k window. At
-    100 TB the assignment is precomputed and the corpus written partitioned by
-    centroid_id — a probe becomes a partition-pruned scan of one bucket.
+    The quantizer fits on a bounded deterministic sample (``fit_sample_cap``),
+    assignment picks literal-expression vs broadcast-join strategy by plan
+    size, and the only wide ops are the bucket equi-join and the final
+    bucket-bounded top-k window. At 100 TB the assignment is precomputed and
+    the corpus written partitioned by centroid_id — a probe becomes a
+    partition-pruned scan of nprobe buckets.
     """
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, n_centroids, 1, id_col, vec_col)
-    c_assigned = (
+    cents = ivf_centroids(
+        corpus, n_centroids, 1, id_col, vec_col, fit_sample_cap, assignment
+    )
+    c_assigned = _assign_centroids(
         corpus.select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("cvec_v"),
         )
         .withColumn("cnorm_v", l2norm(F.col("cvec_v")))
-        .withColumn(
-            "centroid_id",
-            nearest_centroid_expr(F.col("cvec_v"), F.col("cnorm_v"), cents),
-        )
+        .filter(F.col("cnorm_v") > 0),
+        cents,
+        id_col="nbr_id",
+        vec_col="cvec_v",
+        norm_col="cnorm_v",
+        assignment=assignment,
     )
-    q_assigned = (
+    q_assigned = _probe_centroids(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
         )
         .withColumn("qnorm", l2norm(F.col("qvec")))
-        .withColumn(
-            "centroid_id",
-            nearest_centroid_expr(F.col("qvec"), F.col("qnorm"), cents),
-        )
+        .filter(F.col("qnorm") > 0),
+        cents,
+        nprobe,
+        id_col="query_id",
+        vec_col="qvec",
+        norm_col="qnorm",
+        assignment=assignment,
     )
     scored = (
         F.broadcast(q_assigned)
@@ -301,6 +487,7 @@ def lsh_topk(
         )
         .withColumn("bucket", lsh_bucket_column(F.col("cvec"), planes))
         .withColumn("cnorm", l2norm(F.col("cvec")))
+        .filter(F.col("cnorm") > 0)
     )
     q = (
         queries.select(
@@ -309,6 +496,7 @@ def lsh_topk(
         )
         .withColumn("bucket", lsh_bucket_column(F.col("qvec"), planes))
         .withColumn("qnorm", l2norm(F.col("qvec")))
+        .filter(F.col("qnorm") > 0)
     )
     scored = (
         F.broadcast(q)

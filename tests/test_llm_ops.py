@@ -198,3 +198,110 @@ def test_hll_approx_within_rsd_of_exact(spark):
         assert abs(approx[etype] - n) <= max(1, 0.05 * n), (
             f"{etype}: approx {approx[etype]} vs exact {n}"
         )
+
+
+def test_brute_force_topk_filters_zero_norm_vectors(spark):
+    # zero-norm corpus vector -> NaN cosine; Spark's window ranks NaN as the
+    # largest double while the pandas phase-1 sorts NaN last, so NaN rows must
+    # be filtered before BOTH phases (and are garbage for a user anyway)
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.0, 0.0]),  # zero norm
+            Row(vec_id=2, embedding=[1.0, 0.0]),
+            Row(vec_id=3, embedding=[0.5, 0.5]),
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=100, embedding=[1.0, 0.0])])
+    out = similarity.brute_force_topk(corpus, queries, k=3).collect()
+    assert [r["nbr_id"] for r in out] == [2, 3]
+    assert all(r["cosine"] == r["cosine"] for r in out)  # no NaN survives
+
+
+def _ivf_fixture(spark, n=120, dim=8):
+    # three well-separated direction clusters so k-means has real structure
+    rows = []
+    for i in range(n):
+        axis = i % 3
+        vec = [0.1 * ((i * 7) % 5)] * dim
+        vec[axis] = 10.0 + (i % 11)
+        rows.append(Row(vec_id=i, embedding=vec))
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_assignment_literal_vs_broadcast_identical(spark):
+    """The broadcast-join centroid assignment (large-k plan-size path) must be
+    value-identical to the literal-expression path: same sequential-fold
+    cosine, same rounding, same lowest-id tiebreak."""
+    corpus = _ivf_fixture(spark)
+    cents = similarity.ivf_centroids(
+        corpus, n_centroids=64, fit_sample_cap=None, assignment="literal"
+    )
+    assert len(cents) >= 3  # empty clusters may drop, structure must remain
+    prepped = corpus.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    ).withColumn("vnorm", similarity.l2norm(F.col("vec")))
+    lit_rows = {
+        r["vid"]: r["centroid_id"]
+        for r in similarity._assign_centroids(
+            prepped, cents, id_col="vid", assignment="literal"
+        ).collect()
+    }
+    bc_rows = {
+        r["vid"]: r["centroid_id"]
+        for r in similarity._assign_centroids(
+            prepped, cents, id_col="vid", assignment="broadcast"
+        ).collect()
+    }
+    assert lit_rows == bc_rows
+    # auto mode must select broadcast here: 64 centroids x 8 dims is small,
+    # but at 64x64 the scalar count crosses LITERAL_ASSIGN_MAX_SCALARS
+    assert 64 * 64 > similarity.LITERAL_ASSIGN_MAX_SCALARS
+
+
+def test_ivf_topk_broadcast_assignment_end_to_end(spark):
+    """ivf_topk through the broadcast strategy returns the same rows as the
+    literal strategy (the plan differs, the values must not)."""
+    corpus = _ivf_fixture(spark)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=5, n_centroids=3, fit_sample_cap=64)
+    lit = similarity.ivf_topk(corpus, queries, assignment="literal", **kw).collect()
+    bc = similarity.ivf_topk(corpus, queries, assignment="broadcast", **kw).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, lit), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, bc), key=lambda t: (t[0], t[3])
+    )
+    assert len(lit) == 15
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    """Probing more buckets can only improve (or keep) each query's top-k:
+    the rank-1 cosine at nprobe=2 must be >= the rank-1 cosine at nprobe=1."""
+    corpus = _ivf_fixture(spark)
+    queries = corpus.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, n_centroids=4, fit_sample_cap=64)
+    p1 = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in similarity.ivf_topk(corpus, queries, nprobe=1, **kw).collect()
+    }
+    p2 = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in similarity.ivf_topk(corpus, queries, nprobe=2, **kw).collect()
+    }
+    for qk, cos2 in p2.items():
+        if qk in p1 and qk[1] == 1:
+            assert cos2 >= p1[qk]
+
+
+def test_fit_sample_is_deterministic_and_bounded(spark):
+    v = spark.range(0, 1000).select(F.col("id").alias("vid"))
+    s1 = sorted(r["vid"] for r in similarity.fit_sample(v, 100).collect())
+    s2 = sorted(r["vid"] for r in similarity.fit_sample(v, 100).collect())
+    assert s1 == s2  # pure function of the data
+    assert 40 <= len(s1) <= 200  # ~cap in expectation, tight tails
+    everything = similarity.fit_sample(v, None)
+    assert everything.count() == 1000

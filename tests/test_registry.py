@@ -1,0 +1,26 @@
+"""Registry invariants: the driver's oracle gate checks the FIRST 50 entries
+of queries() in order — round 2 lost two green rows by letting the registry
+grow past the window. Pin the contract so it cannot silently regress."""
+
+import __spark_entry__ as entrymod
+
+# queries with no SQL-expressible oracle (engine-specific sketch internals);
+# the driver records a weaker rows-only check for these by design
+ROWS_ONLY = {"approx_distinct_users"}
+
+
+def test_registry_is_exactly_the_oracle_window():
+    qs = entrymod.queries()
+    assert len(qs) == 50, (
+        f"queries() has {len(qs)} entries; the driver checks exactly the "
+        "first 50 — merge or trim before registering more"
+    )
+
+
+def test_every_query_has_an_oracle_or_documented_exemption():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    missing = [k for k in qs if k not in oracles and k not in ROWS_ONLY]
+    assert not missing, f"queries without oracle SQL: {missing}"
+    orphans = [k for k in oracles if k not in qs]
+    assert not orphans, f"oracle SQL for unregistered queries: {orphans}"
