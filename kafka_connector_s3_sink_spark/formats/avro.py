@@ -209,11 +209,31 @@ def decode(payload: bytes, schema: Any, confluent_framing: bool = False) -> Any:
     return value
 
 
+def decode_confluent(payload: bytes, schemas: dict[int, Any]) -> tuple[int, Any]:
+    """Registry-style decode: resolve the payload's 4-byte schema id against
+    an id→schema map (the offline stand-in for the reference's Schema
+    Registry lookup, AvroIntegrationTest.java:135-137 /
+    SchemaRegistryContainer.java — no network in this engine) and decode with
+    the matching writer schema. Returns ``(schema_id, value)``."""
+    if len(payload) < 5:
+        raise AvroError("payload shorter than Confluent framing header")
+    if payload[0] != 0:
+        raise AvroError(f"bad Confluent magic byte {payload[0]}")
+    sid = int.from_bytes(payload[1:5], "big")
+    if sid not in schemas:
+        raise AvroError(f"schema id {sid} not in registry map {sorted(schemas)}")
+    return sid, decode(payload[5:], schemas[sid])
+
+
 # ---------------------------------------------------------------------------
 # binary encode (fixture generation + round-trip tests; same spec chapter)
 
 
 def _write_long(out: io.BytesIO, value: int) -> None:
+    if not -(1 << 63) <= value < (1 << 63):
+        # Python ints are unbounded; silently masking would encode garbage
+        # that decodes to a different value
+        raise AvroError(f"long out of signed-64-bit range: {value}")
     acc = (value << 1) ^ (value >> 63)  # zigzag (Python ints are unbounded)
     acc &= (1 << 70) - 1
     while True:
@@ -277,10 +297,10 @@ def _encode(value: Any, schema: Any, out: io.BytesIO, names: dict[str, Any]) -> 
         _write_long(out, value)
         return
     if schema == "float":
-        out.write(_struct.pack("<f", value))
+        out.write(_struct.pack("<f", float(value)))  # int→float promotion
         return
     if schema == "double":
-        out.write(_struct.pack("<d", value))
+        out.write(_struct.pack("<d", float(value)))  # int→double promotion
         return
     if schema == "bytes":
         _write_long(out, len(value))
@@ -304,7 +324,11 @@ def _matches(value: Any, schema: Any, names: dict[str, Any]) -> bool:
     if t in ("int", "long"):
         return isinstance(value, int) and not isinstance(value, bool)
     if t in ("float", "double"):
-        return isinstance(value, float)
+        # Avro writers accept int-to-float promotion (value is representable);
+        # bool stays excluded
+        return isinstance(value, float) or (
+            isinstance(value, int) and not isinstance(value, bool)
+        )
     if t in ("bytes", "fixed"):
         return isinstance(value, (bytes, bytearray))
     if t in ("string", "enum"):
@@ -419,15 +443,50 @@ def _jsonable(value: Any, schema: Any, names: dict[str, Any]) -> Any:
     return value
 
 
+def _merge_struct_types(types_by_id: dict[int, Any]):
+    """Union output schema across writer-schema versions: fields merged by
+    name in first-seen order, all nullable (a payload written with an older
+    schema leaves newer fields NULL — the standard schema-evolution read
+    shape). Conflicting types for the same field name are an error: silent
+    coercion would corrupt values."""
+    from pyspark.sql import types as T
+
+    merged: dict[str, Any] = {}
+    order: list[str] = []
+    for sid in sorted(types_by_id):
+        st = types_by_id[sid]
+        if not isinstance(st, T.StructType):
+            raise AvroError("schema-map decode requires record schemas")
+        for f in st.fields:
+            if f.name not in merged:
+                merged[f.name] = f.dataType
+                order.append(f.name)
+            elif merged[f.name] != f.dataType:
+                raise AvroError(
+                    f"field {f.name!r} has conflicting types across schema ids: "
+                    f"{merged[f.name]} vs {f.dataType}"
+                )
+    return T.StructType([T.StructField(n, merged[n], True) for n in order])
+
+
 def decode_avro_column(
     df,
     column: str,
-    schema_json: str,
+    schema_json: str | dict[int, str],
     output_column: str = "decoded",
     confluent_framing: bool = False,
+    schema_id_column: str | None = None,
 ):
     """``from_avro`` equivalent: decode a BinaryType column against an Avro
     schema into a typed struct column.
+
+    ``schema_json`` is either ONE writer schema, or an id→schema map: each
+    payload's 4-byte Confluent schema id is resolved per record (the offline
+    stand-in for the reference's Schema Registry client,
+    AvroIntegrationTest.java:135-137) and the output struct is the
+    evolution-merged union of all versions' fields (older payloads leave
+    newer fields NULL). ``schema_id_column`` optionally emits which id each
+    record carried, for per-id routing downstream.
 
     Plan shape: one Arrow-batched ``mapInPandas`` pass decodes payloads to
     compact JSON strings (pure per-row CPU, no shuffle, payloads never leave
@@ -437,38 +496,66 @@ def decode_avro_column(
     README.md:357-405 (envelope schema derivation).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    schema = parse_schema(schema_json)
-    names = _registry(schema)
-    spark_type = spark_type_for(schema, names)
-    out_fields = [f for f in df.schema.fields if f.name != "_avro_json"]
+    if isinstance(schema_json, dict):
+        if not confluent_framing:
+            raise AvroError("an id→schema map requires confluent_framing=True")
+        schemas = {int(i): parse_schema(s) for i, s in schema_json.items()}
+        names_by_id = {i: _registry(s) for i, s in schemas.items()}
+        spark_type = _merge_struct_types(
+            {i: spark_type_for(s, names_by_id[i]) for i, s in schemas.items()}
+        )
+
+        def decode_one(payload: bytes) -> tuple[int, str]:
+            sid, value = decode_confluent(payload, schemas)
+            return sid, json.dumps(
+                _jsonable(value, schemas[sid], names_by_id[sid]),
+                separators=(",", ":"),
+            )
+
+    else:
+        schema = parse_schema(schema_json)
+        names = _registry(schema)
+        spark_type = spark_type_for(schema, names)
+
+        def decode_one(payload: bytes) -> tuple[int, str]:
+            return -1, json.dumps(
+                _jsonable(decode(payload, schema, confluent_framing), schema, names),
+                separators=(",", ":"),
+            )
+
+    out_fields = [
+        f for f in df.schema.fields if f.name not in ("_avro_json", "_avro_sid")
+    ]
 
     def run(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["_avro_json"] = [
-                None
-                if payload is None
-                else json.dumps(
-                    _jsonable(
-                        decode(bytes(payload), schema, confluent_framing),
-                        schema,
-                        names,
-                    ),
-                    separators=(",", ":"),
-                )
+            decoded = [
+                (None, None) if payload is None else decode_one(bytes(payload))
                 for payload in pdf[column]
             ]
+            pdf["_avro_sid"] = [d[0] for d in decoded]
+            pdf["_avro_json"] = [d[1] for d in decoded]
             yield pdf
 
-    from pyspark.sql import types as T
-
     with_json = df.mapInPandas(
-        run, schema=T.StructType(out_fields + [T.StructField("_avro_json", T.StringType(), True)])
+        run,
+        schema=T.StructType(
+            out_fields
+            + [
+                T.StructField("_avro_sid", T.IntegerType(), True),
+                T.StructField("_avro_json", T.StringType(), True),
+            ]
+        ),
     )
-    return with_json.withColumn(
+    result = with_json.withColumn(
         output_column, F.from_json(F.col("_avro_json"), spark_type)
-    ).drop("_avro_json")
+    )
+    if schema_id_column is not None:
+        result = result.withColumn(schema_id_column, F.col("_avro_sid"))
+    return result.drop("_avro_json", "_avro_sid")
 
 
 def encode_avro_column(
@@ -508,10 +595,35 @@ def encode_avro_column(
 
 # The reference's parquet envelope in Avro terms (README.md:357-405): the
 # schema derivation used when writing a schema'd envelope.
-def envelope_avro_schema(value_schema: Any | None = None) -> dict:
+def envelope_avro_schema(
+    value_schema: Any | None = None, headers_as_map: bool = False
+) -> dict:
     """Avro record schema of the sink envelope {key, offset, timestamp,
     headers, value}; ``value_schema`` (parsed Avro) nests the value as a true
-    record, else bytes."""
+    record, else bytes.
+
+    Headers default to array-of-{key,value} records — a DOCUMENTED DEVIATION
+    from the reference's envelope, which describes headers as an Avro map
+    (README.md:357-405): Kafka headers are an ordered multi-map, and a map
+    silently drops repeated keys and their order. ``headers_as_map=True``
+    emits the reference's byte-compatible map shape instead (last value wins
+    for duplicate keys; the reference notes the same constraint —
+    "headers values must be the same datatype", README.md:423)."""
+    headers_schema: Any
+    if headers_as_map:
+        headers_schema = {"type": "map", "values": ["null", "bytes"]}
+    else:
+        headers_schema = {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": "header",
+                "fields": [
+                    {"name": "key", "type": "string"},
+                    {"name": "value", "type": ["null", "bytes"]},
+                ],
+            },
+        }
     return {
         "type": "record",
         "name": "connector_records",
@@ -519,23 +631,7 @@ def envelope_avro_schema(value_schema: Any | None = None) -> dict:
             {"name": "key", "type": ["null", "bytes"]},
             {"name": "offset", "type": "long"},
             {"name": "timestamp", "type": ["null", "long"]},
-            {
-                "name": "headers",
-                "type": [
-                    "null",
-                    {
-                        "type": "array",
-                        "items": {
-                            "type": "record",
-                            "name": "header",
-                            "fields": [
-                                {"name": "key", "type": "string"},
-                                {"name": "value", "type": ["null", "bytes"]},
-                            ],
-                        },
-                    },
-                ],
-            },
+            {"name": "headers", "type": ["null", headers_schema]},
             {
                 "name": "value",
                 "type": ["null", value_schema if value_schema else "bytes"],

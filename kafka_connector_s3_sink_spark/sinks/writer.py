@@ -183,7 +183,15 @@ def write_batch(
 def _sidecar_manifest(writer, dest_dir: str):
     """Wrap a partition writer so each task streams its own manifest shard to
     ``dest_dir/_manifest/part-<partitionId>.jsonl`` — one JSON line per object,
-    nothing returned to the driver."""
+    nothing returned to the driver.
+
+    Storage assumption: shards are written with the same plain-``open`` local
+    I/O as the data objects, so ``dest_dir`` must be a SHARED filesystem
+    (NFS/FUSE mount) for multi-node clusters — on executor-local disks the
+    shards would scatter. An object-store deployment routes BOTH object and
+    shard writes through the same storage client (s3a committer / boto);
+    swapping the I/O layer is localized to the two ``open`` sites here and in
+    the partition writers."""
 
     def write(rows: Iterator) -> Iterator[tuple[str, int]]:
         import json

@@ -171,3 +171,127 @@ def test_decode_avro_column_roundtrip(spark):
     assert bytes(out[0]["raw"]) == bytes([0xFF, 0x00])
     assert out[1]["name"] == "ü-1" and out[1]["n"] == -1
     assert out[2] is None
+
+
+def test_long_out_of_int64_range_raises():
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    with pytest.raises(avro.AvroError, match="64-bit"):
+        avro.encode({"x": 1 << 63}, schema)
+    with pytest.raises(avro.AvroError, match="64-bit"):
+        avro.encode({"x": -(1 << 63) - 1}, schema)
+    # boundary values are fine and round-trip
+    for v in ((1 << 63) - 1, -(1 << 63)):
+        assert avro.decode(avro.encode({"x": v}, schema), schema) == {"x": v}
+
+
+def test_int_promotes_to_float_double_in_unions():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "score", "type": ["null", "double"]},
+            {"name": "ratio", "type": "float"},
+        ],
+    }
+    out = avro.decode(avro.encode({"score": 1, "ratio": 2}, schema), schema)
+    assert out == {"score": 1.0, "ratio": 2.0}
+    assert isinstance(out["score"], float)
+    # bool must NOT promote
+    with pytest.raises(avro.AvroError, match="no union branch"):
+        avro.encode({"score": True, "ratio": 0.0}, schema)
+
+
+SCHEMA_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "event",
+        "fields": [{"name": "user", "type": "long"}],
+    }
+)
+SCHEMA_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "user", "type": "long"},
+            {"name": "k", "type": ["null", "int"]},
+        ],
+    }
+)
+
+
+def test_decode_confluent_resolves_per_payload_id():
+    p1 = avro.encode({"user": 7}, json.loads(SCHEMA_V1), confluent_schema_id=1)
+    p2 = avro.encode(
+        {"user": 8, "k": 3}, json.loads(SCHEMA_V2), confluent_schema_id=2
+    )
+    schemas = {1: json.loads(SCHEMA_V1), 2: json.loads(SCHEMA_V2)}
+    assert avro.decode_confluent(p1, schemas) == (1, {"user": 7})
+    assert avro.decode_confluent(p2, schemas) == (2, {"user": 8, "k": 3})
+    with pytest.raises(avro.AvroError, match="not in registry map"):
+        avro.decode_confluent(
+            avro.encode({"user": 9}, json.loads(SCHEMA_V1), confluent_schema_id=99),
+            schemas,
+        )
+
+
+def test_decode_avro_column_with_schema_map(spark):
+    """Two writer-schema versions in ONE column: each payload resolves its own
+    4-byte id; the output struct is the evolution-merged union of fields
+    (v1 payloads leave the newer field NULL); schema_id_column routes."""
+    p1 = avro.encode({"user": 7}, json.loads(SCHEMA_V1), confluent_schema_id=1)
+    p2 = avro.encode(
+        {"user": 8, "k": 3}, json.loads(SCHEMA_V2), confluent_schema_id=2
+    )
+    df = spark.createDataFrame(
+        [Row(event_id=1, value=bytearray(p1)), Row(event_id=2, value=bytearray(p2))]
+    )
+    out = avro.decode_avro_column(
+        df,
+        "value",
+        {1: SCHEMA_V1, 2: SCHEMA_V2},
+        confluent_framing=True,
+        schema_id_column="sid",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert rows[1]["decoded"]["user"] == 7 and rows[1]["decoded"]["k"] is None
+    assert rows[2]["decoded"]["user"] == 8 and rows[2]["decoded"]["k"] == 3
+    assert rows[1]["sid"] == 1 and rows[2]["sid"] == 2
+
+
+def test_schema_map_requires_framing_and_rejects_conflicts():
+    with pytest.raises(avro.AvroError, match="confluent_framing"):
+        avro.decode_avro_column(None, "value", {1: SCHEMA_V1})
+    conflicting = json.dumps(
+        {
+            "type": "record",
+            "name": "event",
+            "fields": [{"name": "user", "type": "string"}],
+        }
+    )
+    with pytest.raises(avro.AvroError, match="conflicting types"):
+        avro.decode_avro_column(
+            None, "value", {1: SCHEMA_V1, 2: conflicting}, confluent_framing=True
+        )
+
+
+def test_envelope_headers_map_variant():
+    """Reference README (357-405) describes envelope headers as an Avro map;
+    the default array-of-records shape preserves order + duplicate keys and
+    is a documented deviation. The map variant is byte-compatible with the
+    reference consumer."""
+    default = avro.envelope_avro_schema()
+    h_default = next(f for f in default["fields"] if f["name"] == "headers")
+    assert h_default["type"][1]["type"] == "array"
+    mapped = avro.envelope_avro_schema(headers_as_map=True)
+    h_map = next(f for f in mapped["fields"] if f["name"] == "headers")
+    assert h_map["type"][1] == {"type": "map", "values": ["null", "bytes"]}
+    # the map-shaped envelope round-trips through the codec
+    env = {
+        "key": b"k",
+        "offset": 5,
+        "timestamp": 1000,
+        "headers": {"h1": b"v1", "h2": None},
+        "value": b"payload",
+    }
+    assert avro.decode(avro.encode(env, mapped), mapped) == env
