@@ -240,7 +240,15 @@ def q_sink_json_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AVRO_EVENT_SCHEMA = """{
+AVRO_EVENT_SCHEMA_V1 = """{
+    "type": "record", "name": "event",
+    "fields": [
+        {"name": "user", "type": "long"},
+        {"name": "etype", "type": "string"}
+    ]
+}"""
+
+AVRO_EVENT_SCHEMA_V2 = """{
     "type": "record", "name": "event",
     "fields": [
         {"name": "user", "type": "long"},
@@ -252,34 +260,57 @@ AVRO_EVENT_SCHEMA = """{
 
 def q_sink_avro_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.2 converter surface: AvroConverter equivalent (pure-Python codec,
-    formats/avro.py — no avro jar/package in this container). Distributed
-    round-trip: struct → Confluent-framed Avro binary → decode → typed struct,
-    all partition-local (two mapInPandas passes + JVM from_json); the oracle
-    reads the same fields straight from events, so any codec asymmetry
-    hash-mismatches. Reference: AvroIntegrationTest.java:135-137."""
+    formats/avro.py — no avro jar/package in this container) WITH per-record
+    schema-id resolution: odd event_ids are written with schema v1
+    (user, etype; id=1), even with the evolved v2 (+ nullable k; id=2), and
+    ONE decode pass resolves each payload's Confluent id against the
+    id→schema map — the offline equivalent of the reference's Schema Registry
+    lookup (AvroIntegrationTest.java:135-137, SchemaRegistryContainer.java).
+    All partition-local (mapInPandas encodes + JVM from_json decode); the
+    oracle recomputes the same fields and the expected NULL/k split straight
+    from events, so any codec or id-dispatch asymmetry hash-mismatches."""
     from kafka_connector_s3_sink_spark.records import read_events
 
     ev = read_events(spark, sf_dir)
-    src = ev.select(
+    k_field = F.from_json(F.col("props"), "k INT").getField("k")
+    v1_src = ev.filter(F.col("event_id") % 2 == 1).select(
         "event_id",
         F.struct(
             F.col("user_id").alias("user"),
             F.col("event_type").alias("etype"),
-            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        ).alias("payload"),
+    )
+    v2_src = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.col("event_type").alias("etype"),
+            k_field.alias("k"),
         ).alias("payload"),
     )
     encoded = avro.encode_avro_column(
-        src, "payload", AVRO_EVENT_SCHEMA, output_column="value",
+        v1_src, "payload", AVRO_EVENT_SCHEMA_V1, output_column="value",
         confluent_schema_id=1,
+    ).unionByName(
+        avro.encode_avro_column(
+            v2_src, "payload", AVRO_EVENT_SCHEMA_V2, output_column="value",
+            confluent_schema_id=2,
+        )
     )
     decoded = avro.decode_avro_column(
-        encoded, "value", AVRO_EVENT_SCHEMA, "decoded", confluent_framing=True
+        encoded,
+        "value",
+        {1: AVRO_EVENT_SCHEMA_V1, 2: AVRO_EVENT_SCHEMA_V2},
+        "decoded",
+        confluent_framing=True,
+        schema_id_column="schema_id",
     )
     return decoded.select(
         "event_id",
         F.col("decoded.user").alias("user_id"),
         F.col("decoded.etype").alias("event_type"),
         F.col("decoded.k").alias("k"),
+        "schema_id",
     )
 
 
@@ -724,7 +755,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink_avro_converter": """
             SELECT event_id, user_id, event_type,
-                CAST(json_extract(props, '$.k') AS INTEGER) AS k
+                CASE WHEN event_id % 2 = 0
+                     THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                     ELSE NULL END AS k,
+                CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS schema_id
             FROM events
         """,
         "sink_json_converter": f"""
