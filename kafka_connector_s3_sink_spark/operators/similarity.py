@@ -392,9 +392,12 @@ def ivf_topk(
     query_id_col: str = "query_id",
     fit_sample_cap: int | None = 256,
     assignment: str = "auto",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid; each query probes its
     top-``nprobe`` centroids' buckets and brute-forces cosine inside them.
+    Pass ``centroids`` to reuse a previously fitted quantizer (the index is
+    fit once, probed many times — the deployment shape).
     nprobe is the standard recall knob — at nprobe=1 a query near a Voronoi
     boundary misses true neighbors in the adjacent cell; probing p buckets
     multiplies candidate cost by ~p while recovering boundary neighbors.
@@ -408,8 +411,12 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cents = ivf_centroids(
-        corpus, n_centroids, 1, id_col, vec_col, fit_sample_cap, assignment
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, n_centroids, 1, id_col, vec_col, fit_sample_cap, assignment
+        )
     )
     c_assigned = _assign_centroids(
         corpus.select(
