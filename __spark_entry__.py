@@ -453,7 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dedup.ngram_jaccard_dupes(_corpus(s, d), threshold=0.7, max_df_ratio=0.2),
         ),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
-            _scaled_embeddings(s, d), threshold=0.999, dim=64
+            _scaled_embeddings(s, d), threshold=0.999
         ),
         "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
             s.read.parquet(f"{d}/embeddings.parquet"),
@@ -481,7 +481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/embeddings.parquet")
             .filter(F.col("vec_id") < 5)
             .select(F.col("vec_id").alias("query_id"), "embedding"),
-            dim=64,
         ),
         "multimodal_features": lambda s, d: multimodal.feature_rows(
             multimodal.extract_features(

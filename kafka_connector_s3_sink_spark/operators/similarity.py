@@ -40,35 +40,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
-# Unrolled fixed-dim variants: higher-order-function folds are INTERPRETED per
-# element (measured ~0.26 ms per 64-dim cosine — the dominant ANN cost); a
-# flat left-associative sum of products compiles inside WholeStageCodegen.
-# IEEE-identical to the fold: same left-to-right addition order, and the
-# fold's 0.0 seed is an exact no-op (0.0 + x == x). The generic HOF versions
-# above remain the unknown-dim fallback.
-
-
-def dot_expr(a: str, b: str, dim: int) -> Column:
-    """Codegen'd dot product over two NAMED array<double> columns (names may
-    be alias-qualified, e.g. 'a.vec')."""
-    return F.expr(" + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)))
-
-
-def dot_literal_expr(a: str, coeffs) -> Column:
-    """Codegen'd dot product of a named column with a Python-side constant
-    vector, coefficients inlined as exact double literals (repr emits the
-    shortest round-tripping decimal)."""
-    return F.expr(
-        " + ".join(f"{a}[{i}]*{float(c)!r}D" for i, c in enumerate(coeffs))
-    )
-
-
-def l2norm_expr(a: str, dim: int) -> Column:
-    return F.expr(
-        "sqrt(" + " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(dim)) + ")"
-    )
-
-
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,12 +47,8 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query. Pass ``dim`` when the embedding
-    width is known: norms and the pair dot product then compile as unrolled
-    whole-stage-codegen arithmetic instead of interpreted HOF folds
-    (IEEE-identical values; measured ~3× on the scoring stage).
+    """Exact top-k cosine neighbors per query.
 
     Plan (two-phase): broadcast(queries) ⋈ corpus (no shuffle of the corpus),
     scores computed JVM-side, then a partition-local bounded top-k
@@ -106,9 +73,7 @@ def brute_force_topk(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
-        .withColumn(
-            "cnorm", l2norm_expr("cvec", dim) if dim else l2norm(F.col("cvec"))
-        )
+        .withColumn("cnorm", l2norm(F.col("cvec")))
         .filter(F.col("cnorm") > 0)
     )
     q = (
@@ -116,21 +81,18 @@ def brute_force_topk(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
         )
-        .withColumn(
-            "qnorm", l2norm_expr("qvec", dim) if dim else l2norm(F.col("qvec"))
-        )
+        .withColumn("qnorm", l2norm(F.col("qvec")))
         .filter(F.col("qnorm") > 0)
     )
-    # norms precomputed per row below the join — the pair expression would
-    # otherwise recompute them per (query × corpus) pair
-    pair_dot = (
-        dot_expr("qvec", "cvec", dim) if dim else dot(F.col("qvec"), F.col("cvec"))
-    )
+    # norms precomputed per row below the join — the interpreted fold would
+    # otherwise run per (query × corpus) pair
     scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("nbr_id"))
     scored = scored.select(
         "query_id",
         "nbr_id",
-        stable_round(pair_dot / (F.col("qnorm") * F.col("cnorm")), 4).alias("cosine"),
+        stable_round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")), 4
+        ).alias("cosine"),
     )
     candidates = scored.mapInPandas(_partition_local_topk(k), schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
@@ -190,8 +152,7 @@ def double_array_literal(vals) -> Column:
 
 def lsh_bucket_column(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane, packed into a string
-    like '1011…' (string keeps it engine-portable). HOF-fold fallback for
-    Column operands; prefer ``lsh_bucket_expr`` when the column name is known."""
+    like '1011…' (string keeps it engine-portable)."""
     bits = [
         F.when(dot(vec, double_array_literal(plane)) >= 0, F.lit("1")).otherwise(
             F.lit("0")
@@ -199,20 +160,6 @@ def lsh_bucket_column(vec: Column, planes: list[list[float]]) -> Column:
         for plane in planes
     ]
     return F.concat(*bits)
-
-
-def lsh_bucket_expr(vec_name: str, planes: list[list[float]]) -> Column:
-    """``lsh_bucket_column`` as ONE parsed SQL expression over a NAMED column:
-    every plane dot product is an unrolled literal-coefficient sum, so bucket
-    computation stays inside whole-stage codegen and plan build is a single
-    py4j call."""
-    cases = ",".join(
-        "case when "
-        + " + ".join(f"{vec_name}[{i}]*{float(c)!r}D" for i, c in enumerate(plane))
-        + " >= 0 then '1' else '0' end"
-        for plane in planes
-    )
-    return F.expr(f"concat({cases})")
 
 
 def fit_sample(
@@ -270,7 +217,7 @@ def _assign_centroids(
     if assignment == "literal":
         return df.withColumn(
             "centroid_id",
-            nearest_centroid_expr(vec_col, norm_col, cents),
+            nearest_centroid_expr(F.col(vec_col), F.col(norm_col), cents),
         )
     cdf = df.sparkSession.createDataFrame(
         [
@@ -279,9 +226,8 @@ def _assign_centroids(
         ],
         schema="_cid INT, _cvec array<double>, _cnorm double",
     )
-    cdim = len(cents[0][1]) if cents else 0
     ccos = stable_round(
-        dot_expr(vec_col, "_cvec", cdim) / (F.col(norm_col) * F.col("_cnorm")), 4
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col(norm_col) * F.col("_cnorm")), 4
     )
     scored = df.crossJoin(F.broadcast(cdf)).withColumn("_ccos", ccos)
     payload = F.struct(
@@ -352,21 +298,20 @@ def ivf_centroids(
 
 
 def nearest_centroid_expr(
-    vec_name: str, vnorm_name: str, centroids: list[tuple[int, list[float]]]
+    vec: Column, vnorm: Column, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """centroid_id of the max-cosine centroid (rounded cosine; ties → lowest
-    id) as a pure row-local expression over NAMED columns: sort (−cosine, id)
-    structs ascending, take the head. Each centroid dot product is an unrolled
-    literal-coefficient sum (codegen'd, no HOF interpretation); centroid norms
-    are Python-side constants — the same left-to-right square-sum order as
-    ``l2norm``, so the doubles are bit-identical to the Spark-computed ones."""
+    id) as a pure row-local expression: sort (−cosine, id) structs ascending,
+    take the head. Centroid norms are Python-side constants — the same
+    left-to-right square-sum fold as ``l2norm``, so the doubles are
+    bit-identical to the Spark-computed ones."""
     import math
 
     entries = []
     for cid, cvec in centroids:
         cn = math.sqrt(sum(c * c for c in cvec))
         ccos = stable_round(
-            dot_literal_expr(vec_name, cvec) / (F.col(vnorm_name) * F.lit(cn)), 4
+            dot(vec, double_array_literal(cvec)) / (vnorm * F.lit(cn)), 4
         )
         entries.append(
             F.struct((-ccos).alias("neg"), F.lit(cid).alias("cid"))
@@ -375,21 +320,21 @@ def nearest_centroid_expr(
 
 
 def top_centroids_expr(
-    vec_name: str,
-    vnorm_name: str,
+    vec: Column,
+    vnorm: Column,
     centroids: list[tuple[int, list[float]]],
     p: int,
 ) -> Column:
     """array<int> of the ``p`` max-cosine centroid ids (rounded cosine; ties →
-    lowest id), as a pure row-local expression over NAMED columns — the nprobe
-    generalization of ``nearest_centroid_expr`` (p=1 head == argmax)."""
+    lowest id), as a pure row-local expression — the nprobe generalization of
+    ``nearest_centroid_expr`` (p=1 head == argmax)."""
     import math as _math
 
     entries = []
     for cid, cvec in centroids:
         cn = _math.sqrt(sum(c * c for c in cvec))
         ccos = stable_round(
-            dot_literal_expr(vec_name, cvec) / (F.col(vnorm_name) * F.lit(cn)), 4
+            dot(vec, double_array_literal(cvec)) / (vnorm * F.lit(cn)), 4
         )
         entries.append(F.struct((-ccos).alias("neg"), F.lit(cid).alias("cid")))
     ranked = F.slice(F.array_sort(F.array(*entries)), 1, p)
@@ -416,7 +361,7 @@ def _probe_centroids(
             "literal" if n_scalars <= LITERAL_ASSIGN_MAX_SCALARS else "broadcast"
         )
     if assignment == "literal":
-        probes = top_centroids_expr(vec_col, norm_col, cents, nprobe)
+        probes = top_centroids_expr(F.col(vec_col), F.col(norm_col), cents, nprobe)
         return df.withColumn("centroid_id", F.explode(probes))
     from pyspark.sql import Window
 
@@ -424,9 +369,8 @@ def _probe_centroids(
         [(cid, cvec, math.sqrt(sum(c * c for c in cvec))) for cid, cvec in cents],
         schema="_cid INT, _cvec array<double>, _cnorm double",
     )
-    cdim = len(cents[0][1]) if cents else 0
     ccos = stable_round(
-        dot_expr(vec_col, "_cvec", cdim) / (F.col(norm_col) * F.col("_cnorm")), 4
+        dot(F.col(vec_col), F.col("_cvec")) / (F.col(norm_col) * F.col("_cnorm")), 4
     )
     scored = df.crossJoin(F.broadcast(cdf)).withColumn("_ccos", ccos)
     w = Window.partitionBy(id_col).orderBy(F.col("_ccos").desc(), F.col("_cid").asc())
@@ -474,16 +418,12 @@ def ivf_topk(
             corpus, n_centroids, 1, id_col, vec_col, fit_sample_cap, assignment
         )
     )
-    cdim = len(cents[0][1]) if cents else None
     c_assigned = _assign_centroids(
         corpus.select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("cvec_v"),
         )
-        .withColumn(
-            "cnorm_v",
-            l2norm_expr("cvec_v", cdim) if cdim else l2norm(F.col("cvec_v")),
-        )
+        .withColumn("cnorm_v", l2norm(F.col("cvec_v")))
         .filter(F.col("cnorm_v") > 0),
         cents,
         id_col="nbr_id",
@@ -496,9 +436,7 @@ def ivf_topk(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
         )
-        .withColumn(
-            "qnorm", l2norm_expr("qvec", cdim) if cdim else l2norm(F.col("qvec"))
-        )
+        .withColumn("qnorm", l2norm(F.col("qvec")))
         .filter(F.col("qnorm") > 0),
         cents,
         nprobe,
@@ -515,11 +453,7 @@ def ivf_topk(
             "query_id",
             "nbr_id",
             stable_round(
-                (
-                    dot_expr("qvec", "cvec_v", cdim)
-                    if cdim
-                    else dot(F.col("qvec"), F.col("cvec_v"))
-                )
+                dot(F.col("qvec"), F.col("cvec_v"))
                 / (F.col("qnorm") * F.col("cnorm_v")),
                 4,
             ).alias("cosine"),
@@ -558,8 +492,8 @@ def lsh_topk(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
-        .withColumn("bucket", lsh_bucket_expr("cvec", planes))
-        .withColumn("cnorm", l2norm_expr("cvec", dim))
+        .withColumn("bucket", lsh_bucket_column(F.col("cvec"), planes))
+        .withColumn("cnorm", l2norm(F.col("cvec")))
         .filter(F.col("cnorm") > 0)
     )
     q = (
@@ -567,8 +501,8 @@ def lsh_topk(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qvec"),
         )
-        .withColumn("bucket", lsh_bucket_expr("qvec", planes))
-        .withColumn("qnorm", l2norm_expr("qvec", dim))
+        .withColumn("bucket", lsh_bucket_column(F.col("qvec"), planes))
+        .withColumn("qnorm", l2norm(F.col("qvec")))
         .filter(F.col("qnorm") > 0)
     )
     scored = (
@@ -579,7 +513,7 @@ def lsh_topk(
             "query_id",
             "nbr_id",
             stable_round(
-                dot_expr("qvec", "cvec", dim) / (F.col("qnorm") * F.col("cnorm")),
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
                 4,
             ).alias("cosine"),
         )
