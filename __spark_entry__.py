@@ -65,6 +65,81 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII/multi-line enrichment: the synthetic
+    corpus is single-line word-salad with no PII-shaped spans, so the redaction
+    and line-repetition branches of ``text.analyze`` would be identically-zero
+    at the gate. A doc_id-keyed suffix (emails on ≡0 mod 7, id/card numbers on
+    mod 11, IP+phone on mod 13, duplicated lines on mod 5) is appended
+    IDENTICALLY here and in the oracle SQL (``PII_ENRICH_SQL``), so the gate
+    value-checks real redactions, not a wall of zeros."""
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0, F.lit(" id 123-45-6789 card 1234-5678-9012-3456")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".1 call +1415555"),
+                F.lpad((did % 1000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("\nrepeat line\nrepeat line\nunique "), did.cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text", enriched
+    )
+
+
+# the oracle-side twin of _pii_docs (chr(10) = the \n Spark injects)
+PII_ENRICH_SQL = (
+    "concat(text, "
+    "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789 card 1234-5678-9012-3456'"
+    " ELSE '' END, "
+    "CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.1 call +1415555' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')"
+    " ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'repeat line' || chr(10)"
+    " || 'repeat line' || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR)"
+    " ELSE '' END)"
+)
+
+
+def _pii_sql_chain() -> tuple[dict[str, str], str]:
+    """DuckDB twins of ``text.redact_pii_columns``: per-type count expressions
+    over the progressively-redacted text, and the fully redacted text. Built
+    mechanically from the same ``PII_PATTERNS`` table so the two engines can
+    never drift."""
+    cur = "text"
+    counts: dict[str, str] = {}
+    for name, pat, token in text_ops.PII_PATTERNS:
+        counts[f"n_pii_{name}"] = f"len(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return counts, cur
+
+
+_PII_COUNTS, _PII_REDACTED = _pii_sql_chain()
+_PII_COUNTS_SQL = ",\n                ".join(
+    [f"{expr} AS {name}" for name, expr in _PII_COUNTS.items()]
+    + [f"{_PII_REDACTED} AS text_redacted"]
+)
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_near_duplicates(_docs(spark, sf_dir))
 
@@ -431,9 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational._t(s, d, "events")
         ),
         # LLM-pipeline extensions
-        "text_analysis": lambda s, d: text_ops.analyze(
-            s.read.parquet(f"{d}/documents.parquet")
-        ),
+        "text_analysis": lambda s, d: text_ops.analyze(_pii_docs(s, d)),
         "text_top_ngrams": lambda s, d: text_ops.top_ngrams(
             s.read.parquet(f"{d}/documents.parquet")
         ),
@@ -1103,17 +1176,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "text_analysis": f"""
-            WITH base AS (
+            WITH docs AS (
+                SELECT doc_id, {PII_ENRICH_SQL} AS text, lang, source, n_chars
+                FROM documents
+            ),
+            base AS (
                 SELECT *,
                     regexp_split_to_array(trim(text), '\\s+') AS toks,
                     regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+                    list_filter(string_split(text, chr(10)),
+                        l -> length(trim(l)) > 0) AS lines,
                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                         t -> t IN {STOPWORDS_SQL}))
                       / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)
                       AS stop_r,
                     (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                       / greatest(length(text), 1) AS punct_r
-                FROM documents
+                FROM docs
             )
             SELECT doc_id, text, lang, source, n_chars,
                 len(toks) AS n_tokens,
@@ -1124,7 +1203,19 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * least(stop_r * 4.0, 1.0)
                     + 0.2 * (1.0 - least(punct_r * 5.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality,
                 CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
-                md5({NORM}) AS fingerprint
+                md5({NORM}) AS fingerprint,
+                floor((CASE WHEN len(ltoks) > 0
+                    THEN 1.0 - len(list_distinct(ltoks)) / len(ltoks)
+                    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS word_rep_ratio,
+                floor((CASE WHEN len(lines) > 0
+                    THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                    ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS line_dup_frac,
+                floor((coalesce(list_sum(list_transform(
+                        list_filter(lines, l -> len(list_filter(lines, y -> y = l)) > 1),
+                        x -> length(x))), 0)
+                    / greatest(coalesce(list_sum(list_transform(lines, x -> length(x))), 0), 1)
+                    ) * 10000.0 + 0.5) / 10000.0 AS dup_line_char_frac,
+                {_PII_COUNTS_SQL}
             FROM base
         """,
         "text_top_ngrams": f"""

@@ -21,6 +21,39 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 # BPE-ish tokenizer: runs of word chars OR single punctuation marks.
 BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
+# PII patterns, applied IN ORDER: each pattern is counted and redacted against
+# the text with all earlier patterns already replaced, so one span is never
+# attributed to two types (an email's host part can look like an IP; a credit
+# card is replaced before the SSN pattern could see its fragments). Patterns
+# deliberately use only portable constructs (character classes + bounded
+# quantifiers) that behave identically under Java regex (Spark) and RE2
+# (DuckDB), keeping the operator oracle-checkable.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}", "<CC>"),
+    ("id", r"\d{3}-\d{2}-\d{4}", "<ID>"),
+    ("ip", r"(?:\d{1,3}\.){3}\d{1,3}", "<IP>"),
+    ("phone", r"\+\d{9,15}", "<PHONE>"),
+)
+
+
+def redact_pii_columns(text: Column) -> dict[str, Column]:
+    """Per-type PII match counts plus the fully redacted text.
+
+    Returns ``{"n_pii_email": …, "n_pii_cc": …, "n_pii_id": …, "n_pii_ip": …,
+    "n_pii_phone": …, "text_redacted": …}``. Counts are measured on the
+    progressively-redacted text (exactly what the sequential ``regexp_replace``
+    chain replaces at that step). All JVM-side ``regexp_count``/
+    ``regexp_replace`` — the chain is ≤5 regexes deep, constant per-row work.
+    """
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_pii_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    out["text_redacted"] = cur
+    return out
+
 
 def tokens_column(text: Column) -> Column:
     """Whitespace tokenization (empty string → empty array)."""
@@ -93,6 +126,55 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
     return F.md5(F.concat(F.array_min(shingles), F.array_max(shingles)))
 
 
+def nonempty_lines(text: Column) -> Column:
+    """Non-blank lines of a document (array<string>)."""
+    return F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+
+def repetition_columns(lines: Column, ltoks: Column) -> dict[str, Column]:
+    """Gopher-style repetition quality signals over PRE-MATERIALIZED arrays
+    (pass columns that sit behind a Generate barrier — see ``analyze`` — so the
+    split/tokenize work is not re-inlined per reference):
+
+    - ``word_rep_ratio``: 1 − distinct/total lowercase tokens (0 for empty).
+    - ``line_dup_frac``: fraction of non-blank lines that are repeats of an
+      earlier line, 1 − distinct/total (0 for line-less docs).
+    - ``dup_line_char_frac``: fraction of line characters that live in lines
+      occurring more than once. The membership test is a nested HOF filter —
+      O(lines²) per row, bounded by per-document line counts, never corpus-
+      sized.
+
+    All three are row-local Column expressions: at 100 TB this is a pure map
+    stage — no shuffle, no UDF.
+    """
+    n_lines = F.size(lines)
+    n_toks = F.size(ltoks)
+    dup_lines = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda y: y == l)) > 1
+    )
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_chars = F.aggregate(dup_lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    return {
+        "word_rep_ratio": stable_round(
+            F.when(
+                n_toks > 0,
+                1.0 - F.size(F.array_distinct(ltoks)) / n_toks,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+        "line_dup_frac": stable_round(
+            F.when(
+                n_lines > 0,
+                1.0 - F.size(F.array_distinct(lines)) / n_lines,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ),
+        "dup_line_char_frac": stable_round(
+            dup_chars / F.greatest(line_chars, F.lit(1)), 4
+        ),
+    }
+
+
 def top_ngrams(
     df: DataFrame, text_col: str = "text", k: int = 3, top: int = 20
 ) -> DataFrame:
@@ -147,6 +229,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.struct(
                 tokens_column(t).alias("toks"),
                 tokens_column(F.lower(t)).alias("ltoks"),
+                nonempty_lines(t).alias("lines"),
             )
         )
     )
@@ -164,6 +247,8 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * (1.0 - F.least(F.col("_punct_r") * 5.0, F.lit(1.0))),
         4,
     )
+    pii = redact_pii_columns(t)
+    rep = repetition_columns(F.col("_a.lines"), F.col("_a.ltoks"))
     return scored.select(
         *df.columns,
         F.size(F.col("_a.toks")).alias("n_tokens"),
@@ -175,4 +260,6 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("und"))
         .alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
+        *(expr.alias(name) for name, expr in rep.items()),
+        *(expr.alias(name) for name, expr in pii.items()),
     )

@@ -128,6 +128,57 @@ def test_text_analysis_columns(spark):
     assert len(row["fingerprint"]) == 32
 
 
+def test_pii_redaction_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail user1@example.com ssn 123-45-6789 card 1234-5678-9012-3456"
+                " from 10.0.200.1 call +14155550123",
+            ),
+            (2, "no pii here at all"),
+            # user@IP-literal: the email pattern requires an alphabetic TLD,
+            # so the host half is attributed to exactly one type — IP
+            (3, "root@10.20.30.40 has an ip-literal host"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.analyze(df).collect()}
+    assert rows[1]["n_pii_email"] == 1
+    assert rows[1]["n_pii_cc"] == 1
+    assert rows[1]["n_pii_id"] == 1
+    assert rows[1]["n_pii_ip"] == 1
+    assert rows[1]["n_pii_phone"] == 1
+    assert rows[1]["text_redacted"] == (
+        "mail <EMAIL> ssn <ID> card <CC> from <IP> call <PHONE>"
+    )
+    assert rows[2]["text_redacted"] == "no pii here at all"
+    assert all(rows[2][f"n_pii_{t}"] == 0 for t in ("email", "cc", "id", "ip", "phone"))
+    assert rows[3]["n_pii_email"] == 0 and rows[3]["n_pii_ip"] == 1
+    assert rows[3]["text_redacted"] == "root@<IP> has an ip-literal host"
+
+
+def test_repetition_signals(spark):
+    nl = chr(10)
+    df = spark.createDataFrame(
+        [
+            # 4 non-blank lines, "dup dup" twice: line_dup_frac = 1 - 3/4;
+            # 14 of 26 line chars live in duplicated lines
+            (1, f"dup dup{nl}solo one{nl}dup dup{nl}last"),
+            (2, "all words all words all"),  # 5 tokens, 2 distinct
+            (3, "every word here differs"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.analyze(df).collect()}
+    assert rows[1]["line_dup_frac"] == 0.25
+    assert rows[1]["dup_line_char_frac"] == round(14 / 26, 4)
+    assert rows[2]["word_rep_ratio"] == round(1 - 2 / 5, 4)
+    assert rows[3]["word_rep_ratio"] == 0.0
+    assert rows[3]["line_dup_frac"] == 0.0
+    assert rows[3]["dup_line_char_frac"] == 0.0
+
+
 def test_fingerprint_ignores_case_and_spacing(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "different")], ["doc_id", "text"]
