@@ -45,6 +45,44 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_partition_pruned_scan(spark, tmp_path, sf_dir):
+    """The native directory-layout sink (write_spark_native's partitionBy
+    scheme) makes topic/event_type predicates PARTITION filters: the scan
+    plans only the matching directory — at 100 TB a per-topic query reads
+    one topic's bytes, not the table's."""
+    from kafka_connector_s3_sink_spark.records import read_events
+
+    events = read_events(spark, sf_dir)
+    dest = str(tmp_path / "events_part")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dest)
+
+    part = spark.read.parquet(dest).filter(F.col("event_type") == "click")
+    plan = _plan(part)
+    seg = plan.split("PartitionFilters:")[1][:200]
+    assert "event_type" in seg, f"predicate not pruned to partitions:\n{plan}"
+    # the data filter must NOT also appear as a row-level PushedFilter — the
+    # directory prune already removed it
+    assert part.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path, sf_dir):
+    """A selective dimension filter prunes the partitioned fact side at
+    RUNTIME (DPP): the fact scan carries a dynamicpruning subquery instead of
+    reading every partition — the lakehouse star-join staple."""
+    from kafka_connector_s3_sink_spark.records import read_events
+
+    events = read_events(spark, sf_dir)
+    dest = str(tmp_path / "events_by_type")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    fact = spark.read.parquet(dest)
+    dim = spark.createDataFrame(
+        [Row(event_type="click", keep=1), Row(event_type="view", keep=0)]
+    ).filter(F.col("keep") == 1)
+    joined = fact.join(dim, "event_type")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP subquery in:\n{plan}"
+
+
 def test_dimension_join_broadcasts_and_filter_pushes_down(spark, sf_dir):
     from kafka_connector_s3_sink_spark.operators.relational import regional_revenue, pricing_summary
 
