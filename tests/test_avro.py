@@ -110,6 +110,87 @@ def test_fuzz_primitive_roundtrip(n, s, raw, flag):
     assert avro.decode(avro.encode(value, schema), schema) == value
 
 
+COMPOSITE_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "title", "type": ["null", "string"], "default": None},
+        {"name": "score", "type": "double"},
+        {
+            "name": "tags",
+            "type": {"type": "array", "items": "string"},
+        },
+        {
+            "name": "attrs",
+            "type": {"type": "map", "values": ["null", "long"]},
+        },
+        {
+            "name": "kind",
+            "type": {"type": "enum", "name": "kind_t", "symbols": ["A", "B", "C"]},
+        },
+        {"name": "sig", "type": {"type": "fixed", "name": "sig_t", "size": 4}},
+        {
+            "name": "spans",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "span",
+                    "fields": [
+                        {"name": "start", "type": "int"},
+                        {"name": "len", "type": "int"},
+                    ],
+                },
+            },
+        },
+    ],
+}
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.one_of(st.none(), st.text(max_size=40)),
+    st.floats(allow_nan=False, allow_infinity=True),
+    st.lists(st.text(max_size=10), max_size=5),
+    st.dictionaries(
+        st.text(max_size=8), st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+        max_size=4,
+    ),
+    st.sampled_from(["A", "B", "C"]),
+    st.binary(min_size=4, max_size=4),
+    st.lists(
+        st.tuples(st.integers(-(2**31), 2**31 - 1), st.integers(0, 2**31 - 1)),
+        max_size=4,
+    ),
+)
+def test_fuzz_composite_roundtrip(n, title, score, tags, attrs, kind, sig, spans):
+    """Every composite shape of the binary spec — nullable union, array, map
+    with union values, enum, fixed, nested record array — survives
+    encode→decode bit-exactly (doubles compared by identity, so -0.0 and
+    subnormals count)."""
+    value = {
+        "id": n,
+        "title": title,
+        "score": score,
+        "tags": tags,
+        "attrs": attrs,
+        "kind": kind,
+        "sig": sig,
+        "spans": [{"start": a, "len": b} for a, b in spans],
+    }
+    out = avro.decode(avro.encode(value, COMPOSITE_SCHEMA), COMPOSITE_SCHEMA)
+    assert out["id"] == value["id"]
+    assert out["title"] == value["title"]
+    assert repr(out["score"]) == repr(value["score"])  # exact, incl. -0.0
+    assert out["tags"] == value["tags"]
+    assert out["attrs"] == value["attrs"]
+    assert out["kind"] == value["kind"]
+    assert out["sig"] == value["sig"]
+    assert out["spans"] == value["spans"]
+
+
 def test_unknown_type_reference_rejected():
     with pytest.raises(avro.AvroError, match="unknown type"):
         avro.parse_schema({"type": "record", "name": "r",
