@@ -469,6 +469,136 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    dest_dir: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_cap: int | None = 256,
+    assignment: str = "auto",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Persist the corpus as an on-disk IVF index: each vector is assigned to
+    its nearest centroid and written ``partitionBy(centroid_id)`` (parquet),
+    with the fitted quantizer saved to ``<dest>/_centroids.json``. This is the
+    deployment shape ``ivf_topk``'s docstring promises for 100 TB: the
+    assignment scan runs ONCE at build time, norms are precomputed into the
+    index, and a probe becomes a partition-pruned scan of ``nprobe``
+    directories (see ``ivf_topk_indexed``) instead of a full-corpus pass.
+
+    Zero-norm vectors are excluded at build time — their cosine is undefined,
+    matching every query path's up-front filter.
+    """
+    import json
+    import os
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, n_centroids, 1, id_col, vec_col, fit_sample_cap, assignment
+        )
+    )
+    assigned = _assign_centroids(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("norm", l2norm(F.col("vec")))
+        .filter(F.col("norm") > 0),
+        cents,
+        id_col="vec_id",
+        vec_col="vec",
+        norm_col="norm",
+        assignment=assignment,
+    )
+    (
+        assigned.select("vec_id", "vec", "norm", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(dest_dir)
+    )
+    # quantizer sidecar: O(k·dim) scalars, driver-side by construction
+    with open(os.path.join(dest_dir, "_centroids.json"), "w") as f:
+        json.dump({"centroids": [[cid, cvec] for cid, cvec in cents]}, f)
+    return cents
+
+
+def read_ivf_centroids(index_dir: str) -> list[tuple[int, list[float]]]:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        return [
+            (int(cid), [float(c) for c in cvec])
+            for cid, cvec in json.load(f)["centroids"]
+        ]
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+) -> DataFrame:
+    """Top-k over a persisted IVF index (``write_ivf_index``) as a
+    PARTITION-PRUNED scan: the query set's probe buckets are resolved first —
+    at most ``n_centroids`` distinct ids, collected driver-side (the same
+    O(config)-bounded escape as the quantizer itself) — and the index read
+    filters ``centroid_id IN (probes)``, so Spark plans only those
+    directories. At 100 TB with k=1024 buckets and nprobe=2, a query batch
+    reads ~0.2% of the table instead of all of it; values are identical to
+    ``ivf_topk`` with the same quantizer because both score the same
+    (query, bucket-member) pairs with the same rounded-cosine expression.
+    """
+    from pyspark.sql import Window
+
+    cents = read_ivf_centroids(index_dir)
+    q_assigned = _probe_centroids(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        )
+        .withColumn("qnorm", l2norm(F.col("qvec")))
+        .filter(F.col("qnorm") > 0),
+        cents,
+        nprobe,
+        id_col="query_id",
+        vec_col="qvec",
+        norm_col="qnorm",
+        assignment=assignment,
+    )
+    probe_ids = sorted(
+        r["centroid_id"] for r in q_assigned.select("centroid_id").distinct().collect()
+    )
+    idx = spark.read.parquet(index_dir).filter(F.col("centroid_id").isin(probe_ids))
+    scored = (
+        F.broadcast(q_assigned)
+        .join(idx, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nbr_id"),
+            stable_round(
+                dot(F.col("qvec"), F.col("vec")) / (F.col("qnorm") * F.col("norm")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

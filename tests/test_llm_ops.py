@@ -116,6 +116,37 @@ def test_lsh_topk_bucket_recall(spark):
     assert out[0]["nbr_id"] == 0 and out[0]["cosine"] == 1.0
 
 
+def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path, sf_dir):
+    """The on-disk IVF layout: write_ivf_index partitions the corpus by
+    centroid_id with norms precomputed; ivf_topk_indexed then (a) reads ONLY
+    the probed buckets — asserted via PartitionFilters on the scan — and
+    (b) returns exactly what the in-memory ivf_topk computes from the same
+    quantizer, at nprobe=1 and 2."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dest = str(tmp_path / "ivf_index")
+    cents = similarity.write_ivf_index(corpus, dest, n_centroids=8)
+    assert similarity.read_ivf_centroids(dest) == cents
+
+    for nprobe in (1, 2):
+        indexed = similarity.ivf_topk_indexed(
+            spark, dest, queries, k=5, nprobe=nprobe
+        )
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        segs = [s[:220] for s in plan.split("PartitionFilters:")[1:]]
+        assert any("centroid_id" in s for s in segs), (
+            f"probe did not prune partitions:\n{plan}"
+        )
+        inmem = similarity.ivf_topk(
+            corpus, queries, k=5, nprobe=nprobe, centroids=cents
+        )
+        assert sorted(map(tuple, indexed.collect()), key=lambda t: (t[0], t[3])) == (
+            sorted(map(tuple, inmem.collect()), key=lambda t: (t[0], t[3]))
+        )
+
+
 def test_text_analysis_columns(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox, with the lazy dog in the sun.")], ["doc_id", "text"]
