@@ -92,6 +92,50 @@ def test_dimension_join_broadcasts_and_filter_pushes_down(spark, sf_dir):
     assert "PushedFilters" in plan_q1 and "l_shipdate" in plan_q1.split("PushedFilters")[1][:200]
 
 
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE's runtime skew handling: a sort-merge join where one key holds most
+    of the rows gets its oversized partition SPLIT after the shuffle stats
+    arrive (`isSkew=true` reader), instead of one straggler task doing the
+    whole key — the no-code-change complement to the explicit salting in
+    operators/skew.py."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # shrink thresholds so the tiny test corpus counts as skewed
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # ~97% of left rows share one key — the canonical hot-key join
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 30 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's queryExecution (a write would clone it and
+        # leave this plan isFinalPlan=false) so AQE's runtime re-plan lands
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, (
+            f"AQE did not mark the hot partition as skewed:\n{plan[:3000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_normalize_kafka_stream_shape(spark):
     """A batch DF in Spark's exact Kafka-source schema normalizes to the
     canonical record shape (string key/value, epoch-ms timestamp, headers kept)."""

@@ -86,6 +86,49 @@ def test_stream_static_dimension_enrichment(spark, tmp_path):
     assert got == {(1, 10, "gold", 5.0), (2, 20, "basic", 7.0)}
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key's state only for the watermark horizon, so at 100 TB/day the
+    state store holds a sliding window of keys, not the full history. A
+    duplicate inside one micro-batch and a cross-batch duplicate arriving
+    within the horizon are both dropped."""
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000
+    # batch 0: event 10 twice (in-batch dup) + event 20
+    _emit(
+        spark,
+        src / "b0",
+        [(1, 10, base, 1.0), (1, 10, base + 5, 1.0), (2, 20, base + 10, 1.0)],
+    )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src / "*"))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        rows = _drain(spark, query, "dedup_out", want=2)
+        assert sorted(r.event_id for r in rows) == [10, 20]
+        # batch 1: event 10 AGAIN within the watermark horizon (+10 min) plus a
+        # fresh event — the repeat must hit state and be dropped
+        _emit(spark, src / "b1", [(1, 10, base + 600, 2.0), (3, 30, base + 660, 1.0)])
+        rows = _drain(spark, query, "dedup_out", want=3)
+        assert sorted(r.event_id for r in rows) == [10, 20, 30]
+        assert [r.value for r in rows if r.event_id == 10] == [1.0], (
+            "cross-batch duplicate was re-emitted"
+        )
+    finally:
+        query.stop()
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """1-hour tumbling counts with a 1-minute watermark, append mode: after a
     much-later event finalizes the first window, a straggler row stamped inside
