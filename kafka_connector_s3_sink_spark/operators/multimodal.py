@@ -3,10 +3,11 @@
 Media payloads are opaque ``binary`` columns with a typed metadata struct.
 The Spark-side plumbing — schema, partition-parallel Arrow batching via
 ``mapInPandas``, UDF signatures, deterministic batch shapes — is real and
-tested; the actual codec work (JPEG decode, resampling, frame sampling) is
-STUBBED because no image/audio library ships in this container: the default
-``decoder`` raises ``NotImplementedError``, and tests exercise the pipeline
-with the deterministic fake decoder.
+tested. The decode step is real for formats that are pure public spec
+(uncompressed BMP, PCM WAV — parsed dependency-free in ``real_decoder``);
+entropy-coded formats (JPEG/MP3/H.264) need a codec library this container
+doesn't ship and raise ``NotImplementedError``. ``fake_decoder`` remains the
+deterministic stand-in for opaque-payload pipeline tests.
 """
 
 from __future__ import annotations
@@ -65,12 +66,84 @@ def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def real_decoder(payload: bytes, media_type: str) -> dict:
-    """Codec entry point — STUB. A production build plugs Pillow/torchaudio/
-    pyav here; this container ships none of them."""
+    """Codec entry point. Formats whose structure is pure public spec are
+    decoded HERE, dependency-free: uncompressed BMP (24/32-bit) and PCM WAV —
+    header parse + 8-bin feature (luminance histogram / per-segment RMS).
+    Entropy-coded formats (JPEG, MP3, H.264…) genuinely need a codec library
+    this container doesn't ship and still raise ``NotImplementedError``; a
+    production build plugs Pillow/torchaudio/pyav into this same signature."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires an image/audio library not present in this "
-        "environment; use fake_decoder for pipeline tests"
+        "only uncompressed BMP and PCM WAV decode without an external codec "
+        "library; use fake_decoder for opaque-payload pipeline tests"
     )
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24/32-bit BMP: dimensions from BITMAPINFOHEADER, feature =
+    8-bin luminance histogram normalized by pixel count."""
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    height_abs = abs(height)
+    px = bpp // 8
+    stride = (width * px + 3) & ~3  # rows padded to 4 bytes
+    bins = [0] * 8
+    for r in range(height_abs):
+        row = payload[data_off + r * stride :][: width * px]
+        for c in range(width):
+            b, g, rr = row[c * px], row[c * px + 1], row[c * px + 2]
+            bins[((b + g + rr) // 3) * 8 // 256] += 1
+    n = max(width * height_abs, 1)
+    return {
+        "feature": [b / n for b in bins],
+        "width": width,
+        "height": height_abs,
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """PCM WAV (16-bit): fmt/data chunk walk, feature = RMS of 8 equal
+    segments normalized to [0,1]; width = frames per channel, height = sample
+    rate (the int-pair the FEATURE_SCHEMA carries for audio)."""
+    import struct
+
+    pos, n_channels, sample_rate, bits = 12, None, None, None
+    frames = b""
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(f"WAV format={fmt_code} bits={bits}")
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None or not frames:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames[: (len(frames) // 2) * 2])
+    seg = max(len(samples) // 8, 1)
+    feat = []
+    for i in range(8):
+        chunk = samples[i * seg : (i + 1) * seg]
+        feat.append(
+            (sum(s * s for s in chunk) / len(chunk)) ** 0.5 / 32768.0 if chunk else 0.0
+        )
+    return {
+        "feature": feat,
+        "width": len(samples) // n_channels,
+        "height": sample_rate,
+    }
 
 
 def fake_decoder(payload: bytes, media_type: str) -> dict:

@@ -218,6 +218,65 @@ def test_fingerprint_ignores_case_and_spacing(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def _bmp_bytes(width, height, pixel_rows):
+    """Minimal 24-bit uncompressed BMP; pixel_rows is bottom-up [(b,g,r)…]."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    body = b"".join(
+        bytes(c for px in row for c in px).ljust(stride, b"\x00")
+        for row in pixel_rows
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def _wav_bytes(samples, sample_rate=8000, n_channels=1):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * n_channels * 2, n_channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_decoder_bmp_and_wav(spark):
+    """The dependency-free real decoders, end to end through mapInPandas:
+    a 2×2 black/white BMP and a constant-amplitude WAV produce exact
+    dimensions and exactly computable features; an opaque payload still
+    raises (the honest-failure contract for entropy-coded formats)."""
+    import pytest as _pytest
+
+    bmp = _bmp_bytes(2, 2, [[(0, 0, 0), (255, 255, 255)],
+                            [(255, 255, 255), (0, 0, 0)]])
+    wav = _wav_bytes([16384] * 800)  # constant half-scale amplitude
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, media_type="image", payload=bytearray(bmp),
+                meta=Row(n_bytes=len(bmp), content_md5="x", mime="image/bmp")),
+            Row(media_id=2, media_type="audio", payload=bytearray(wav),
+                meta=Row(n_bytes=len(wav), content_md5="y", mime="audio/wav")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in multimodal.extract_features(
+        media, decoder=multimodal.real_decoder
+    ).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (2, 2)
+    # 2 black px in bin 0, 2 white px in bin 7
+    assert feats[1]["feature"][0] == 0.5 and feats[1]["feature"][7] == 0.5
+    assert sum(feats[1]["feature"][1:7]) == 0.0
+    assert (feats[2]["width"], feats[2]["height"]) == (800, 8000)
+    for seg_rms in feats[2]["feature"]:
+        assert abs(seg_rms - 0.5) < 1e-4  # constant signal → RMS = amplitude
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.real_decoder(b"\xff\xd8\xff jpeg-ish", "image")
+
+
 def test_multimodal_fake_decode_pipeline(spark):
     docs = spark.createDataFrame([(1, "abcdefgh-payload"), (2, "xy")], ["doc_id", "text"])
     media = multimodal.media_from_documents(docs)
