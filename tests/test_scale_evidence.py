@@ -92,6 +92,26 @@ def test_dimension_join_broadcasts_and_filter_pushes_down(spark, sf_dir):
     assert "PushedFilters" in plan_q1 and "l_shipdate" in plan_q1.split("PushedFilters")[1][:200]
 
 
+def test_connected_components_returns_truncated_lineage(spark):
+    """The CC fixpoint must localCheckpoint each round: the RETURNED frame's
+    plan is a scan of the final labels, not the N-round join/agg history
+    (which once weighed 450 Exchanges and would recompute wholesale on cache
+    eviction). Pin: zero Exchange, zero Join in the returned plan."""
+    from kafka_connector_s3_sink_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["id1", "id2"]
+    )
+    out = connected_components(nodes, pairs)
+    plan = _plan(out)
+    assert "Exchange" not in plan and "Join" not in plan, (
+        f"CC lineage not truncated:\n{plan}"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert {(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)} <= got
+
+
 def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     """AQE's runtime skew handling: a sort-merge join where one key holds most
     of the rows gets its oversized partition SPLIT after the shuffle stats
