@@ -116,6 +116,79 @@ def test_lsh_topk_bucket_recall(spark):
     assert out[0]["nbr_id"] == 0 and out[0]["cosine"] == 1.0
 
 
+def test_dedup_cascade_end_to_end(spark, sf_dir):
+    """The composed production pipeline: exact pass removes identical clones,
+    MinHash-LSH proposes candidates among survivors, exact Jaccard verifies
+    them, connected components forms clusters. Planted corpus: every 10th doc
+    gets an exact copy (+100k) and a tail-trimmed near-copy (+200k); the
+    near-copy of the exact copy (+300k) is an exact dup of the +200k one."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = dedup.with_near_duplicates(
+        dedup.with_exact_duplicates(docs), id_offset=200_000
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_cascade(
+        corpus, jaccard_threshold=0.8
+    ).collect()}
+
+    # derive the expected exact classes from the data (word-salad texts can
+    # collide: a trimmed near-copy may equal ANOTHER original verbatim, in
+    # which case the exact pass merges them and the cluster forms under the
+    # surviving min id)
+    classes: dict = {}
+    for r in corpus.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ).collect():
+        classes.setdefault(r["fp"], []).append(r["doc_id"])
+    reps = {min(ids) for ids in classes.values()}
+    assert set(out) == reps, "cascade output must be exactly the exact-pass survivors"
+
+    planted = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 10 == 0).collect()]
+    rep_of = {d: min(ids) for ids in classes.values() for d in ids}
+    for i in planted:
+        assert i + 100_000 not in out  # identical clone: removed by exact pass
+        near_rep = rep_of[i + 200_000]  # trimmed copy (or its verbatim twin)
+        # clusters are TRANSITIVE (doc 50 == trimmed doc 0 chains {0,50,200050}),
+        # so assert co-membership, not a specific id
+        assert out[near_rep]["cluster_id"] == out[i]["cluster_id"], (
+            f"near-dup rep {near_rep} not in {i}'s cluster"
+        )
+    # every cluster labels itself by its min member, which is the canonical doc
+    members: dict = {}
+    for d, r in out.items():
+        members.setdefault(r["cluster_id"], []).append(d)
+    for cid, ds in members.items():
+        assert cid == min(ds)
+        assert out[cid]["is_canonical"] == 1
+        assert all(out[d]["is_canonical"] == 0 for d in ds if d != cid)
+
+    # ground truth: replay the candidate+verify stages and union-find the
+    # verified pairs in Python — the cascade's clusters must match EXACTLY
+    # (word salad contains natural near-dups too, so no singleton shortcuts)
+    survivors = corpus.join(
+        dedup.exact_dedup(corpus).select(F.col("keep_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    verified = dedup.jaccard_verify(
+        dedup.minhash_lsh_pairs(survivors), survivors
+    ).filter(F.col("jaccard") >= 0.8)
+    parent = {d: d for d in reps}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in verified.collect():
+        a, b = find(r["id1"]), find(r["id2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {d: find(d) for d in reps}
+    got = {d: r["cluster_id"] for d, r in out.items()}
+    assert got == want, "cascade clusters diverge from union-find ground truth"
+
+
 def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path, sf_dir):
     """The on-disk IVF layout: write_ivf_index partitions the corpus by
     centroid_id with norms precomputed; ivf_topk_indexed then (a) reads ONLY
