@@ -6,7 +6,9 @@ every operator here is oracle-checkable).
 
 Operators: token counting (whitespace + BPE-ish word/punct split), language ID
 (stopword-ratio heuristic), quality scoring (length/punct/stopword ratios),
-document fingerprinting (normalized md5 + rolling-shingle fingerprint).
+document fingerprinting (normalized md5 + rolling-shingle fingerprint),
+PII redaction (ordered regex chain with per-type counts), and Gopher-style
+repetition signals (word-rep ratio, duplicate-line fractions).
 """
 
 from __future__ import annotations
