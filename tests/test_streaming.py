@@ -150,7 +150,15 @@ def test_backpressure_bounds_batch_size(spark, tmp_path):
                 os.path.exists(dest / f"bp-0-{b * 10}") for b in range(3)
             )
         ), f"objects missing; dest has {os.listdir(dest)}"
-        n_batches = len([p for p in query.recentProgress if p["numInputRows"] > 0])
+
+        # the progress entry for a batch posts AFTER foreachBatch writes its
+        # objects, so retry rather than reading recentProgress once (was flaky
+        # under full-suite CPU load)
+        def n_batches():
+            return len([p for p in query.recentProgress if p["numInputRows"] > 0])
+
+        assert wait_for(lambda: n_batches() >= 3), (
+            f"expected >=3 bounded batches, saw {n_batches()}"
+        )
     finally:
         query.stop()
-    assert n_batches >= 3, f"expected >=3 bounded batches, saw {n_batches}"
