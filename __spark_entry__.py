@@ -521,9 +521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_corpus(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
-        "dedup_clusters": lambda s, d: dedup.connected_components(
-            _corpus(s, d),
-            dedup.ngram_jaccard_dupes(_corpus(s, d), threshold=0.7, max_df_ratio=0.2),
+        # the full cascade: exact pass → LSH candidates → Jaccard verify →
+        # clusters, over a corpus planted with BOTH exact (+100k) and
+        # tail-trimmed near (+200k/+300k) copies so every stage does real work
+        "dedup_clusters": lambda s, d: dedup.dedup_cascade(
+            dedup.with_near_duplicates(
+                dedup.with_exact_duplicates(_docs(s, d)), id_offset=200_000
+            ),
+            jaccard_threshold=0.8,
         ),
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
             _scaled_embeddings(s, d), threshold=0.999
@@ -1351,21 +1356,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
         """,
         "dedup_clusters": f"""
-            WITH RECURSIVE {CORPUS_CTE},
-            toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
-            sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
-            ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-            freq AS (SELECT shingle, count(*) AS df_cnt FROM ex0 GROUP BY 1),
-            ex AS (
-                SELECT ex0.doc_id, ex0.shingle FROM ex0
-                JOIN freq USING (shingle)
-                WHERE df_cnt <= ceil(0.2 * (SELECT count(*) FROM corpus))
+            WITH RECURSIVE corpus0 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 0
             ),
+            cascade_corpus AS (
+                SELECT doc_id, text FROM corpus0
+                UNION ALL
+                SELECT doc_id + 200000 AS doc_id,
+                    regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+                FROM corpus0 WHERE doc_id % 10 = 0
+            ),
+            keep AS (
+                SELECT min(doc_id) AS keep_id
+                FROM cascade_corpus GROUP BY md5({NORM})
+            ),
+            surv AS (
+                SELECT c.doc_id, c.text
+                FROM cascade_corpus c JOIN keep k ON c.doc_id = k.keep_id
+            ),
+            toks AS (SELECT doc_id, {TOKS} AS w FROM surv),
+            sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
+            sig AS (
+                SELECT doc_id,
+                    list_transform(range(0, 16), j ->
+                        list_min(list_transform(s, x ->
+                            md5(CAST(j AS VARCHAR) || ':' || x)))
+                    ) AS sg
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, b AS band_id,
+                    md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                FROM bands a JOIN bands b
+                  ON a.band_hash = b.band_hash AND a.band_id = b.band_id
+                 AND a.doc_id < b.doc_id
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1),
             inter AS (
-                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
-                FROM ex a JOIN ex b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                SELECT c.id1, c.id2, count(*) AS n_inter
+                FROM cands c
+                JOIN ex a ON a.doc_id = c.id1
+                JOIN ex b ON b.doc_id = c.id2 AND b.shingle = a.shingle
                 GROUP BY 1, 2
             ),
             jpairs AS (
@@ -1373,7 +1412,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM inter
                 JOIN sizes s1 ON s1.doc_id = id1
                 JOIN sizes s2 ON s2.doc_id = id2
-                WHERE floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.7
+                WHERE floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.8
             ),
             edges AS (
                 SELECT id1 AS src, id2 AS dst FROM jpairs
@@ -1381,7 +1420,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id2 AS src, id1 AS dst FROM jpairs
             ),
             reach(id, r) AS (
-                SELECT doc_id, doc_id FROM corpus
+                SELECT doc_id, doc_id FROM surv
                 UNION
                 SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
             )
