@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
-from kafka_connector_s3_sink_spark.operators import multimodal, similarity, text as text_ops
+from kafka_connector_s3_sink_spark.operators import multimodal, packing, sampling, similarity, text as text_ops
 from kafka_connector_s3_sink_spark.formats import avro
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
 from kafka_connector_s3_sink_spark.streaming import sessions
@@ -142,6 +142,42 @@ _PII_COUNTS_SQL = ",\n                ".join(
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_near_duplicates(_docs(spark, sf_dir))
+
+
+def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data layout pipeline: sequence packing (concat-and-chunk into
+    ctx_len=512 context windows via the two-level distributed prefix sum,
+    packing.pack_sequences) joined with the deterministic hash train/val/test
+    split (sampling.hash_split). One row per (document, pack) segment, tagged
+    with the document's stable split label — the exact layout a trainer's
+    data loader consumes. Both layouts derive from md5 expressions, so the
+    oracle reproduces them bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = packing.pack_sequences(docs, ctx_len=512)
+    split = sampling.hash_split(docs.select("doc_id"))
+    return packed.join(split, "doc_id").select(
+        "doc_id", "n_tokens", "pack_id", "pack_pos", "doc_offset", "seg_tokens", "split"
+    )
+
+
+def _q_ann_ivf_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k at nprobe=1 and nprobe=2 in one result (`nprobe` tag column),
+    sharing one memoized quantizer — two probes of the same index, exactly how
+    a deployment tunes the recall knob. Each branch's oracle recomputes the
+    same p-bucket union."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = (
+        corpus.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cents = _ivf_cents(spark, sf_dir)
+    one = similarity.ivf_topk(corpus, queries_df, centroids=cents).withColumn(
+        "nprobe", F.lit(1)
+    )
+    two = similarity.ivf_topk(
+        corpus, queries_df, nprobe=2, centroids=cents
+    ).withColumn("nprobe", F.lit(2))
+    return one.unionByName(two)
 
 
 # ---------------------------------------------------------------------------
@@ -533,21 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
             _scaled_embeddings(s, d), threshold=0.999
         ),
-        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(
-            s.read.parquet(f"{d}/embeddings.parquet"),
-            s.read.parquet(f"{d}/embeddings.parquet")
-            .filter(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            centroids=_ivf_cents(s, d),
-        ),
-        "ann_ivf_nprobe": lambda s, d: similarity.ivf_topk(
-            s.read.parquet(f"{d}/embeddings.parquet"),
-            s.read.parquet(f"{d}/embeddings.parquet")
-            .filter(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-            nprobe=2,
-            centroids=_ivf_cents(s, d),
-        ),
+        # merged r3.2: nprobe=1 + nprobe=2 probes of one shared index
+        # (`nprobe` tag), freeing a window slot for pipeline_pack_split
+        "ann_ivf_topk": _q_ann_ivf_both,
+        "pipeline_pack_split": q_pipeline_pack_split,
         "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
             s.read.parquet(f"{d}/embeddings.parquet"),
             s.read.parquet(f"{d}/embeddings.parquet")
@@ -727,10 +752,64 @@ def _ivf_oracle_sql(
 """
 
 
+def _pack_split_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
+    """DuckDB twin of pack_sequences (two-level prefix sum over md5 shard/order
+    keys, concat-and-chunk segmentation) joined with hash_split's 90/5/5
+    bucket thresholds — the same expressions as the engine, so the layout must
+    match bit-for-bit."""
+    bucket = (
+        "CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+        " AS INTEGER)"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+            {bucket.format(seed="pack")} % {n_shards} AS shard,
+            md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents WHERE trim(text) <> ''
+    ),
+    loc AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum FROM t
+    ),
+    tot AS (SELECT shard, sum(n_tokens) AS st FROM t GROUP BY shard),
+    off AS (
+        SELECT shard, coalesce(sum(st) OVER (
+            ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS off FROM tot
+    ),
+    placed AS (
+        SELECT doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS strt
+        FROM loc JOIN off USING (shard)
+    ),
+    seg AS (
+        SELECT doc_id, n_tokens, strt,
+            unnest(range(strt // {ctx}, (strt + n_tokens - 1) // {ctx} + 1)) AS pack_id
+        FROM placed
+    )
+    SELECT doc_id, n_tokens, pack_id,
+        greatest(strt, pack_id * {ctx}) - pack_id * {ctx} AS pack_pos,
+        greatest(strt, pack_id * {ctx}) - strt AS doc_offset,
+        least(strt + n_tokens, (pack_id + 1) * {ctx}) - greatest(strt, pack_id * {ctx}) AS seg_tokens,
+        CASE
+            WHEN {bucket.format(seed="split")} < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'train'
+            WHEN {bucket.format(seed="split")} < CAST(floor(0.95 * 65536) AS INTEGER) THEN 'val'
+            ELSE 'test'
+        END AS split
+    FROM seg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "ann_ivf_topk": _ivf_oracle_sql(nprobe=1),
-        "ann_ivf_nprobe": _ivf_oracle_sql(nprobe=2),
+        "ann_ivf_topk": (
+            f"SELECT *, 1 AS nprobe FROM ({_ivf_oracle_sql(nprobe=1)})\n"
+            f"UNION ALL\nSELECT *, 2 AS nprobe FROM ({_ivf_oracle_sql(nprobe=2)})"
+        ),
+        "pipeline_pack_split": _pack_split_oracle_sql(),
         "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multimodal_features",
+    "pipeline_pack_split",
 ]
 
 

@@ -2,8 +2,10 @@ from kafka_connector_s3_sink_spark.operators import (
     dedup,
     grouping,
     multimodal,
+    packing,
     projection,
     relational,
+    sampling,
     similarity,
     skew,
     text,
@@ -13,8 +15,10 @@ __all__ = [
     "dedup",
     "grouping",
     "multimodal",
+    "packing",
     "projection",
     "relational",
+    "sampling",
     "similarity",
     "skew",
     "text",

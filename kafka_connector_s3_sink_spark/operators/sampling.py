@@ -1,0 +1,126 @@
+"""Deterministic sampling and splitting operators for training-data pipelines.
+
+A 100 TB corpus is never sampled with ``rand()``: resumable pipelines need the
+SAME rows selected on every re-run, on every executor, with no shared state.
+Every operator here derives its randomness from ``md5(seed ':' id)`` — a pure
+column expression, identical in DuckDB (so every operator is oracle-checkable),
+stable across Spark versions, and free of any driver-side RNG.
+
+The hash-uniformity contract: the first 4 hex chars of md5 give a uniform
+integer in [0, 65536); thresholding it at ``fraction * 65536`` is a
+deterministic Bernoulli draw, and ordering by the full hex digest is a
+deterministic shuffle. The same construction already drives the IVF
+quantizer's fit sample (similarity.py) — one idiom everywhere.
+
+All operators are single-expression column transforms or one-shuffle window
+plans; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 16  # first 4 md5 hex chars → uniform in [0, 65536)
+
+
+def hash_bucket(id_col: Column, seed: str) -> Column:
+    """Uniform integer in [0, 65536) from md5('<seed>:<id>') — the shared
+    randomness primitive (DuckDB twin:
+    ``CAST('0x' || substr(md5(...), 1, 4) AS INTEGER)``)."""
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    return F.conv(F.substring(digest, 1, 4), 16, 10).cast("int")
+
+
+def shuffle_key(id_col: Column, seed: str) -> Column:
+    """Full md5 digest — a deterministic global shuffle order for training-data
+    serving. ``orderBy(shuffle_key(...))`` plans a range-partitioned sort
+    (Exchange rangepartitioning), which scales: Spark samples partition bounds
+    and sorts each range independently — no single-task funnel."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+
+
+def bernoulli_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", seed: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls below
+    ``fraction`` of the hash space. A pure narrow filter — pushed into the
+    scan when ``id_col`` is a parquet column, zero shuffles, and re-runs
+    select the identical row set (unlike ``df.sample``, whose output depends
+    on partitioning)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * HASH_SPACE)
+    return df.filter(hash_bucket(F.col(id_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Assign every row a stable train/val/test ``split`` label by hash-bucket
+    thresholds (cumulative weights over the 65536-bucket space).
+
+    The split is a property of the ROW, not of the run: a document keeps its
+    split across reprocessing, appends, and repartitioning — the invariant
+    that prevents train/test leakage when a 100 TB corpus is rebuilt
+    incrementally. Narrow map, zero shuffles."""
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(acc * HASH_SPACE)
+        expr = (
+            F.when(bucket < bound, F.lit(name))
+            if expr is None
+            else expr.when(bucket < bound, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "strata",
+) -> DataFrame:
+    """Exact-quota stratified sample: the ``n_per_stratum`` rows with the
+    smallest (hash, id) per stratum — e.g. a language- or source-balanced
+    evaluation set drawn from a skewed corpus.
+
+    One hash shuffle on the strata key. The per-stratum ``row_number`` sort is
+    bounded by stratum size; for pathological single-strata skew the same
+    two-phase trick as top-k applies (partition-local bounded top-n first),
+    but strata here are (lang, source)-grain — thousands of groups, not one."""
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "shuffle"
+) -> DataFrame:
+    """Global deterministic reshuffle for training order: sort by the md5
+    shuffle key. Plans Exchange rangepartitioning + per-partition sort — the
+    scalable global sort (no single reducer). Downstream sequential readers
+    (sequence packing, epoch serving) see a reproducible pseudo-random
+    document order governed only by ``seed``."""
+    return df.orderBy(shuffle_key(F.col(id_col), seed).asc(), F.col(id_col).asc())

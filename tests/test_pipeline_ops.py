@@ -1,0 +1,221 @@
+"""Training-pipeline operators: deterministic sampling/splitting, sequence
+packing, and compaction. The sampling/packing layouts are value-checked
+against DuckDB twins of the same md5-derived expressions (the same oracle
+style as the driver gate)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import packing, sampling
+
+DOCS = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001") + "/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS).select("doc_id", "text", "lang", "source")
+
+
+def test_hash_split_matches_duckdb(docs):
+    got = {
+        (r["doc_id"], r["split"])
+        for r in sampling.hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    want = {
+        (int(d), s)
+        for d, s in duckdb.sql(
+            f"""
+            SELECT doc_id,
+              CASE
+                WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                     < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                     < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+                ELSE 'test'
+              END AS split
+            FROM '{DOCS}'
+            """
+        ).fetchall()
+    }
+    assert got == want
+    by_split = {}
+    for _, s in got:
+        by_split[s] = by_split.get(s, 0) + 1
+    # uniform hash: 500 docs at 80/10/10 should land within loose tolerance
+    assert 330 <= by_split["train"] <= 470
+    assert by_split["val"] >= 10 and by_split["test"] >= 10
+
+
+def test_bernoulli_sample_is_nested_and_deterministic(docs):
+    small = {r["doc_id"] for r in sampling.bernoulli_sample(docs, 0.2).collect()}
+    big = {r["doc_id"] for r in sampling.bernoulli_sample(docs, 0.5).collect()}
+    again = {r["doc_id"] for r in sampling.bernoulli_sample(docs, 0.2).collect()}
+    assert small == again  # rerun-stable (unlike df.sample)
+    assert small <= big  # threshold nesting: growing the rate only adds rows
+    assert 0 < len(small) < len(big) < 500
+
+
+def test_stratified_sample_exact_quota(docs):
+    n = 5
+    out = sampling.stratified_sample(docs, ["lang", "source"], n).collect()
+    sizes = {}
+    for r in out:
+        sizes[(r["lang"], r["source"])] = sizes.get((r["lang"], r["source"]), 0) + 1
+    stratum_totals = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(stratum_totals)
+    for k, got_n in sizes.items():
+        assert got_n == min(n, stratum_totals[k])
+
+
+def test_deterministic_shuffle_matches_duckdb(docs):
+    got = [r["doc_id"] for r in sampling.deterministic_shuffle(docs).limit(10).collect()]
+    want = [
+        int(d)
+        for (d,) in duckdb.sql(
+            f"""
+            SELECT doc_id FROM '{DOCS}'
+            ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 10
+            """
+        ).fetchall()
+    ]
+    assert got == want
+
+
+CTX = 512
+PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+        CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 32 AS shard,
+        md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+    FROM '{DOCS}' WHERE trim(text) <> ''
+),
+loc AS (
+    SELECT *, sum(n_tokens) OVER (
+        PARTITION BY shard ORDER BY ord, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum FROM t
+),
+tot AS (SELECT shard, sum(n_tokens) AS st FROM t GROUP BY shard),
+off AS (
+    SELECT shard, coalesce(sum(st) OVER (
+        ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS off FROM tot
+),
+placed AS (
+    SELECT doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS strt
+    FROM loc JOIN off USING (shard)
+),
+seg AS (
+    SELECT doc_id, n_tokens, strt,
+        unnest(range(strt // {CTX}, (strt + n_tokens - 1) // {CTX} + 1)) AS pack_id
+    FROM placed
+)
+SELECT doc_id, n_tokens, pack_id,
+    greatest(strt, pack_id * {CTX}) - pack_id * {CTX} AS pack_pos,
+    greatest(strt, pack_id * {CTX}) - strt AS doc_offset,
+    least(strt + n_tokens, (pack_id + 1) * {CTX}) - greatest(strt, pack_id * {CTX}) AS seg_tokens
+FROM seg
+"""
+
+
+def test_pack_sequences_matches_duckdb(docs):
+    got = {
+        tuple(r)
+        for r in packing.pack_sequences(docs, CTX)
+        .select("doc_id", "n_tokens", "pack_id", "pack_pos", "doc_offset", "seg_tokens")
+        .collect()
+    }
+    want = {tuple(int(v) for v in row) for row in duckdb.sql(PACK_ORACLE).fetchall()}
+    assert got == want
+
+
+def test_pack_sequences_invariants(docs):
+    packed = packing.pack_sequences(docs, CTX).collect()
+    # every document's segments cover exactly its tokens, in order
+    by_doc = {}
+    for r in packed:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r["pack_id"])
+        assert sum(s["seg_tokens"] for s in segs) == segs[0]["n_tokens"]
+        assert segs[0]["doc_offset"] == 0
+        for a, b in zip(segs, segs[1:]):
+            assert b["pack_id"] == a["pack_id"] + 1  # contiguous packs
+            assert b["doc_offset"] == a["doc_offset"] + a["seg_tokens"]
+            assert b["pack_pos"] == 0  # continuation segments start a pack
+    # every pack except the last is exactly full
+    by_pack = {}
+    for r in packed:
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["seg_tokens"]
+    last = max(by_pack)
+    assert set(by_pack) == set(range(last + 1))  # dense pack ids
+    for pid, toks in by_pack.items():
+        assert toks == CTX or pid == last
+    # segments within a pack tile it without gaps or overlaps
+    slots = {}
+    for r in packed:
+        slots.setdefault(r["pack_id"], []).append((r["pack_pos"], r["seg_tokens"]))
+    for pid, ss in slots.items():
+        ss.sort()
+        pos = 0
+        for p, n in ss:
+            assert p == pos
+            pos += n
+        assert pos == (CTX if pid != last else by_pack[last])
+
+
+def test_pack_stats(docs):
+    stats = {
+        r["pack_id"]: (r["n_docs"], r["pack_tokens"], r["fill_ratio"])
+        for r in packing.pack_stats(packing.pack_sequences(docs, CTX), CTX).collect()
+    }
+    full = [v for pid, v in stats.items() if pid != max(stats)]
+    assert all(toks == CTX and ratio == 1.0 for _, toks, ratio in full)
+
+
+def test_compaction_plan_bins(spark):
+    files = spark.createDataFrame(
+        [(f"part-{i:03d}", 60) for i in range(10)], ["path", "bytes"]
+    )
+    plan = packing.compaction_plan(files, target_bytes=100).collect()
+    bins = {}
+    for r in plan:
+        bins.setdefault(r["bin"], []).append((r["path"], r["bytes"]))
+    # path order within and across bins is preserved
+    ordered = [p for b in sorted(bins) for p, _ in sorted(bins[b])]
+    assert ordered == sorted(ordered)
+    totals = {b: sum(n for _, n in fs) for b, fs in bins.items()}
+    last = max(bins)
+    # byte-range bins: totals deviate from target by at most one file (60 B)
+    for b, tot in totals.items():
+        if b != last:
+            assert 100 - 60 <= tot <= 100 + 60
+    assert sum(totals.values()) == 600  # nothing dropped or duplicated
+
+
+def test_compact_parquet_round_trip(spark, tmp_path):
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    df = spark.range(2000).withColumn("payload", F.md5(F.col("id").cast("string")))
+    df.repartition(20).write.parquet(src)
+    n_small = len(spark.read.parquet(src).inputFiles())
+    assert n_small >= 20
+    total = sum(
+        os.path.getsize(p.removeprefix("file:"))
+        for p in spark.read.parquet(src).inputFiles()
+    )
+    n_out = packing.compact_parquet(spark, src, dest, target_bytes=total // 3)
+    assert n_out in (3, 4)
+    assert len(spark.read.parquet(dest).inputFiles()) == n_out
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert a == b
