@@ -1,6 +1,7 @@
 from kafka_connector_s3_sink_spark.operators import (
     dedup,
     grouping,
+    incremental,
     multimodal,
     packing,
     projection,
@@ -14,6 +15,7 @@ from kafka_connector_s3_sink_spark.operators import (
 __all__ = [
     "dedup",
     "grouping",
+    "incremental",
     "multimodal",
     "packing",
     "projection",

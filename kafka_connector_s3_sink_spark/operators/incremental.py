@@ -1,0 +1,255 @@
+"""Incremental deduplication against a persisted fingerprint index.
+
+A 100 TB corpus is not deduplicated from scratch per crawl: each new batch is
+checked against an on-disk INDEX of everything already accepted, and only the
+survivors (plus their fingerprints) are appended. The index is four bucketed
+tables (Spark native bucketing, ``bucketBy`` + ``saveAsTable``):
+
+- ``<prefix>_hashes``   (content_hash, doc_id)        bucketed by content_hash
+- ``<prefix>_bands``    (doc_id, band_id, band_hash)  bucketed by band_hash
+- ``<prefix>_shingles`` (doc_id, shingle)             bucketed by doc_id
+- ``<prefix>_sizes``    (doc_id, n_sh)                bucketed by doc_id
+
+Bucketing is the scale story: every per-batch join hits the index ON ITS
+BUCKET KEY, so the multi-TB index side is read pre-partitioned — no Exchange
+above its scan (verified by plan-shape test); only the new batch (small by
+definition) shuffles into the bucket layout. Fingerprints reuse the exact
+expressions of the batch dedup operators (``dedup.exact_dedup`` hashing,
+``dedup.minhash_bands``, ``dedup.shingle_rows``), so batch and incremental
+classification can never drift.
+
+Intra-batch duplicates are out of scope here by design: run the batch cascade
+(``dedup.dedup_cascade``) over the new batch first, then classify its
+survivors against history with ``incremental_dedup``, then
+``append_to_index`` the keepers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators.dedup import (
+    minhash_bands,
+    shingle_rows,
+)
+from kafka_connector_s3_sink_spark.operators.text import normalized_text
+from kafka_connector_s3_sink_spark.functions.numeric import stable_round
+
+_TABLES = ("hashes", "bands", "shingles", "sizes")
+
+
+def _fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    k: int,
+) -> dict[str, DataFrame]:
+    """The four index projections of a document set — one scan each, all
+    derived from the same normalize/tokenize expressions as the batch ops."""
+    hashes = df.select(
+        F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+    )
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
+    sh = shingle_rows(df, id_col, text_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return {"hashes": hashes, "bands": bands, "shingles": sh, "sizes": sizes}
+
+
+_BUCKET_KEYS = {
+    "hashes": "content_hash",
+    "bands": "band_hash",
+    "shingles": "doc_id",
+    "sizes": "doc_id",
+}
+
+
+def build_dedup_index(
+    df: DataFrame,
+    prefix: str,
+    location: str,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the fingerprint index for an accepted corpus.
+
+    ``num_buckets`` is the lifetime parallelism/pruning grain of the index —
+    size it for the END-STATE corpus (buckets can't be renumbered without a
+    rewrite; at 100 TB think thousands, here 8 keeps local tests honest)."""
+    parts = _fingerprints(df, id_col, text_col, num_hashes, band_size, k)
+    for name, part in parts.items():
+        key = _BUCKET_KEYS[name]
+        (
+            part.write.mode(mode)
+            .option("path", f"{location}/{prefix}_{name}")
+            .bucketBy(num_buckets, key)
+            .sortBy(key)
+            .saveAsTable(f"{prefix}_{name}")
+        )
+
+
+def append_to_index(
+    df: DataFrame,
+    prefix: str,
+    location: str,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> None:
+    """Append a batch's accepted documents to an existing index (same bucket
+    spec — Spark appends new per-bucket files, no rewrite of history)."""
+    build_dedup_index(
+        df, prefix, location, num_buckets, id_col, text_col,
+        num_hashes, band_size, k, mode="append",
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    prefix: str,
+    jaccard_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Classify a new batch against the persisted index: one row per new doc,
+    ``status`` ∈ {'exact_dup', 'near_dup', 'keep'}, ``dup_of`` the matched
+    history doc (lowest id on hash ties, highest-jaccard then lowest id for
+    near), ``jaccard`` for near matches (null otherwise).
+
+    Join ladder, each hitting the index on its bucket key:
+    1. content_hash equi-join vs ``_hashes``  → exact duplicates out.
+    2. LSH band equi-join vs ``_bands``       → candidate (new, hist) pairs.
+    3. shingle join vs ``_shingles``/``_sizes`` for candidates only
+       (semi-join pushdown on the bucketed doc_id) → exact Jaccard verify.
+    Work scales with |batch| and |collisions|, never with |history|."""
+    spark = new_docs.sparkSession
+    hashes = spark.table(f"{prefix}_hashes")
+    idx_bands = spark.table(f"{prefix}_bands")
+    idx_sh = spark.table(f"{prefix}_shingles")
+    idx_sizes = spark.table(f"{prefix}_sizes")
+
+    base = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+    )
+
+    exact = (
+        base.join(hashes.withColumnRenamed("doc_id", "_hist_id"), "content_hash")
+        .groupBy("doc_id")
+        .agg(F.min("_hist_id").alias("dup_of"))
+        .select(
+            "doc_id",
+            F.lit("exact_dup").alias("status"),
+            "dup_of",
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+
+    rest = base.join(exact.select("doc_id"), "doc_id", "left_anti")
+
+    new_bands = minhash_bands(rest, "doc_id", "text", num_hashes, band_size, k)
+    cands = (
+        new_bands.alias("n")
+        .join(
+            idx_bands.alias("h"),
+            (F.col("n.band_hash") == F.col("h.band_hash"))
+            & (F.col("n.band_id") == F.col("h.band_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"), F.col("h.doc_id").alias("hist_id")
+        )
+        .distinct()
+    )
+
+    # verify candidates with exact n-gram Jaccard: new-side shingles computed,
+    # history-side shingles/sizes read from the index for candidate docs only
+    new_sh = shingle_rows(
+        rest.join(cands.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id"),
+        "doc_id",
+        "text",
+        k,
+    )
+    new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hist_ids = cands.select(F.col("hist_id").alias("doc_id")).distinct()
+    h_sh = idx_sh.join(hist_ids, "doc_id", "left_semi")
+    h_sizes = idx_sizes.join(hist_ids, "doc_id", "left_semi")
+
+    inter = (
+        cands.join(
+            new_sh.select(F.col("doc_id").alias("new_id"), F.col("shingle").alias("s1")),
+            "new_id",
+        )
+        .join(
+            h_sh.select(F.col("doc_id").alias("_h2"), F.col("shingle").alias("s2")),
+            (F.col("hist_id") == F.col("_h2")) & (F.col("s1") == F.col("s2")),
+        )
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            new_sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n1")),
+            "new_id",
+        )
+        .join(
+            h_sizes.select(F.col("doc_id").alias("hist_id"), F.col("n_sh").alias("n2")),
+            "hist_id",
+        )
+        .select(
+            "new_id",
+            "hist_id",
+            stable_round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    near = (
+        scored.groupBy("new_id")
+        .agg(
+            F.max_by(
+                F.struct("jaccard", "hist_id"),
+                # best match: highest jaccard, ties to the LOWEST history id
+                F.struct(F.col("jaccard"), (-F.col("hist_id")).alias("_o")),
+            ).alias("_best"),
+        )
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.lit("near_dup").alias("status"),
+            F.col("_best.hist_id").alias("dup_of"),
+            F.col("_best.jaccard").alias("jaccard"),
+        )
+    )
+
+    keep = (
+        rest.join(near.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("keep").alias("status"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near).unionByName(keep)
+
+
+def drop_dedup_index(spark: SparkSession, prefix: str) -> None:
+    """Drop the four catalog tables (files at ``location`` are external and
+    removed by the caller)."""
+    for name in _TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{name}")

@@ -1,0 +1,110 @@
+"""Incremental dedup against the persisted bucketed fingerprint index:
+classification ladder (exact → LSH candidates → Jaccard verify), bucketed
+plan shape (history side never reshuffles), and index append round-trip."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import incremental
+
+PREFIX = "dixtest"
+
+
+def _fresh_text(i: int, n_words: int = 40) -> str:
+    """Deterministic word salad with hex words — shares no shingle with the
+    synthetic corpus, so it must classify as 'keep'."""
+    return " ".join(
+        hashlib.md5(f"fresh:{i}:{j}".encode()).hexdigest()[:8] for j in range(n_words)
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("dedup-index"))
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    incremental.build_dedup_index(base, PREFIX, loc, num_buckets=4)
+    yield base, loc
+    incremental.drop_dedup_index(spark, PREFIX)
+
+
+def _new_batch(spark, base):
+    exact = (
+        base.filter(F.col("doc_id") % 100 == 0)
+        .select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+    )
+    near = (
+        base.filter(F.col("doc_id") % 100 == 7)
+        .select(
+            (F.col("doc_id") + 9500).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"\s+\S+\s*$", "").alias("text"),
+        )
+    )
+    fresh = spark.createDataFrame(
+        [(9800 + i, _fresh_text(i)) for i in range(5)], ["doc_id", "text"]
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
+def test_incremental_classification(spark, index):
+    base, _ = index
+    out = incremental.incremental_dedup(
+        _new_batch(spark, base), PREFIX, jaccard_threshold=0.8
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    n_batch = _new_batch(spark, base).count()
+    assert len(by_id) == n_batch  # every new doc classified exactly once
+
+    for r in by_id.values():
+        if 9000 <= r["doc_id"] < 9500:
+            assert r["status"] == "exact_dup"
+            assert r["dup_of"] == r["doc_id"] - 9000
+            assert r["jaccard"] is None
+        elif 9500 <= r["doc_id"] < 9800:
+            assert r["status"] == "near_dup", r
+            assert r["dup_of"] == r["doc_id"] - 9500
+            assert r["jaccard"] >= 0.8
+        else:
+            assert r["status"] == "keep", r
+            assert r["dup_of"] is None and r["jaccard"] is None
+
+
+def test_index_side_join_does_not_reshuffle_history(spark, index):
+    base, _ = index
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new_h = _new_batch(spark, base).select(
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            ).alias("content_hash"),
+            "doc_id",
+        )
+        joined = new_h.join(spark.table(f"{PREFIX}_hashes"), "content_hash")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # history scan keeps its bucket layout
+        # exactly ONE Exchange: the new batch shuffles into the bucket
+        # partitioning; the (multi-TB at scale) index side has none
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_append_then_reclassify(spark, index):
+    base, loc = index
+    batch = _new_batch(spark, base)
+    first = incremental.incremental_dedup(batch, PREFIX, jaccard_threshold=0.8)
+    keepers = batch.join(
+        first.filter(F.col("status") == "keep").select("doc_id"), "doc_id"
+    )
+    n_keep = keepers.count()
+    assert n_keep == 5
+    incremental.append_to_index(keepers, PREFIX, loc, num_buckets=4)
+
+    again = incremental.incremental_dedup(
+        batch, PREFIX, jaccard_threshold=0.8
+    ).collect()
+    for r in again:
+        if r["doc_id"] >= 9800:
+            # the appended keepers are now history: re-seeing them is an exact hit
+            assert r["status"] == "exact_dup" and r["dup_of"] == r["doc_id"]
