@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.operators import incremental
 
 PREFIX = "dixtest"
+N_FRESH = 5
+FRESH_BASE = 20_000  # far above any base-derived id (base + 9500 tops out < 20k at test SFs)
 
 
 def _fresh_text(i: int, n_words: int = 40) -> str:
@@ -42,7 +44,7 @@ def _new_batch(spark, base):
         )
     )
     fresh = spark.createDataFrame(
-        [(9800 + i, _fresh_text(i)) for i in range(5)], ["doc_id", "text"]
+        [(FRESH_BASE + i, _fresh_text(i)) for i in range(N_FRESH)], ["doc_id", "text"]
     )
     return exact.unionByName(near).unionByName(fresh)
 
@@ -61,7 +63,7 @@ def test_incremental_classification(spark, index):
             assert r["status"] == "exact_dup"
             assert r["dup_of"] == r["doc_id"] - 9000
             assert r["jaccard"] is None
-        elif 9500 <= r["doc_id"] < 9800:
+        elif 9500 <= r["doc_id"] < FRESH_BASE:
             assert r["status"] == "near_dup", r
             assert r["dup_of"] == r["doc_id"] - 9500
             assert r["jaccard"] >= 0.8
@@ -98,13 +100,13 @@ def test_append_then_reclassify(spark, index):
         first.filter(F.col("status") == "keep").select("doc_id"), "doc_id"
     )
     n_keep = keepers.count()
-    assert n_keep == 5
+    assert n_keep == N_FRESH  # only the synthetic fresh docs survive the ladder
     incremental.append_to_index(keepers, PREFIX, loc, num_buckets=4)
 
     again = incremental.incremental_dedup(
         batch, PREFIX, jaccard_threshold=0.8
     ).collect()
     for r in again:
-        if r["doc_id"] >= 9800:
+        if r["doc_id"] >= FRESH_BASE:
             # the appended keepers are now history: re-seeing them is an exact hit
             assert r["status"] == "exact_dup" and r["dup_of"] == r["doc_id"]

@@ -33,9 +33,9 @@ def test_hash_split_matches_duckdb(docs):
             SELECT doc_id,
               CASE
                 WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
-                     < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+                     < CAST(floor(0.8 * 65536) AS INTEGER) THEN 'train'
                 WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
-                     < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+                     < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'val'
                 ELSE 'test'
               END AS split
             FROM '{DOCS}'
