@@ -3,7 +3,8 @@
 A 100 TB corpus is not deduplicated from scratch per crawl: each new batch is
 checked against an on-disk INDEX of everything already accepted, and only the
 survivors (plus their fingerprints) are appended. The index is four bucketed
-tables (Spark native bucketing, ``bucketBy`` + ``saveAsTable``):
+tables (Spark native bucketing, ``bucketBy`` + ``saveAsTable``), each
+additionally PARTITIONED by the ``batch_id`` that introduced the rows:
 
 - ``<prefix>_hashes``   (content_hash, doc_id)        bucketed by content_hash
 - ``<prefix>_bands``    (doc_id, band_id, band_hash)  bucketed by band_hash
@@ -13,15 +14,33 @@ tables (Spark native bucketing, ``bucketBy`` + ``saveAsTable``):
 Bucketing is the scale story: every per-batch join hits the index ON ITS
 BUCKET KEY, so the multi-TB index side is read pre-partitioned — no Exchange
 above its scan (verified by plan-shape test); only the new batch (small by
-definition) shuffles into the bucket layout. Fingerprints reuse the exact
-expressions of the batch dedup operators (``dedup.exact_dedup`` hashing,
-``dedup.minhash_bands``, ``dedup.shingle_rows``), so batch and incremental
-classification can never drift.
+definition) shuffles into the bucket layout. A bucketed scan groups same-bucket
+files across ``batch_id`` partition directories, so the partition column does
+not change the join plan — it exists for idempotence and lineage:
+
+- **Idempotent appends** (the reference's delivery contract — idempotent
+  object overwrite per `S3SinkTask.java:121-144`, `README.md:101-133`):
+  ``append_to_index`` skips any table that already contains the batch's
+  partition, so a retried/replayed batch cannot double-insert, and a PARTIAL
+  failure (some tables written, some not) is repaired by the retry — only the
+  missing tables are filled. The presence probe is partition-pruned (a
+  directory listing, never a data scan).
+- **Lineage/rollback**: a bad crawl's fingerprints are one
+  ``ALTER TABLE ... DROP PARTITION`` away from gone.
+
+Fingerprints reuse the exact expressions of the batch dedup operators
+(``dedup.exact_dedup`` hashing, ``dedup.minhash_bands``, ``dedup.shingle_rows``),
+so batch and incremental classification can never drift.
 
 Intra-batch duplicates are out of scope here by design: run the batch cascade
 (``dedup.dedup_cascade``) over the new batch first, then classify its
 survivors against history with ``incremental_dedup``, then
 ``append_to_index`` the keepers.
+
+Catalog hygiene: pass ``database`` to namespace the four tables under a
+schema (created if missing) — two pipelines sharing a metastore then cannot
+collide on a bare prefix, and ``drop_dedup_index`` only ever drops inside
+that namespace.
 """
 
 from __future__ import annotations
@@ -38,6 +57,24 @@ from kafka_connector_s3_sink_spark.functions.numeric import stable_round
 
 _TABLES = ("hashes", "bands", "shingles", "sizes")
 
+_BUCKET_KEYS = {
+    "hashes": "content_hash",
+    "bands": "band_hash",
+    "shingles": "doc_id",
+    "sizes": "doc_id",
+}
+
+
+def _qualified(prefix: str, name: str, database: str | None = None) -> str:
+    """Catalog identifier for one index table, optionally schema-qualified."""
+    base = f"{prefix}_{name}"
+    return f"{database}.{base}" if database else base
+
+
+def _ensure_database(spark: SparkSession, database: str | None) -> None:
+    if database:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
 
 def _fingerprints(
     df: DataFrame,
@@ -48,7 +85,9 @@ def _fingerprints(
     k: int,
 ) -> dict[str, DataFrame]:
     """The four index projections of a document set — one scan each, all
-    derived from the same normalize/tokenize expressions as the batch ops."""
+    derived from the same normalize/tokenize expressions as the batch ops.
+    ``bands`` comes back persisted (``dedup._materialize``) — callers that
+    run their actions eagerly must unpersist it (see ``_unpersist``)."""
     hashes = df.select(
         F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
         F.col(id_col).alias("doc_id"),
@@ -59,12 +98,32 @@ def _fingerprints(
     return {"hashes": hashes, "bands": bands, "shingles": sh, "sizes": sizes}
 
 
-_BUCKET_KEYS = {
-    "hashes": "content_hash",
-    "bands": "band_hash",
-    "shingles": "doc_id",
-    "sizes": "doc_id",
-}
+def _unpersist(parts: dict[str, DataFrame]) -> None:
+    """Release the cached intermediates of a fingerprint set. In a long-lived
+    incremental ingest loop the per-batch caches would otherwise accumulate
+    for the life of the SparkSession (disk blocks are not LRU-evicted)."""
+    parts["bands"].unpersist()
+
+
+def _write_part(
+    part: DataFrame,
+    table: str,
+    name: str,
+    location_dir: str,
+    num_buckets: int,
+    batch_id: str,
+    mode: str,
+) -> None:
+    key = _BUCKET_KEYS[name]
+    (
+        part.withColumn("batch_id", F.lit(batch_id))
+        .write.mode(mode)
+        .option("path", location_dir)
+        .partitionBy("batch_id")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
 
 
 def build_dedup_index(
@@ -78,22 +137,39 @@ def build_dedup_index(
     band_size: int = 4,
     k: int = 3,
     mode: str = "overwrite",
+    batch_id: str = "base",
+    database: str | None = None,
 ) -> None:
     """Materialize the fingerprint index for an accepted corpus.
 
     ``num_buckets`` is the lifetime parallelism/pruning grain of the index —
     size it for the END-STATE corpus (buckets can't be renumbered without a
     rewrite; at 100 TB think thousands, here 8 keeps local tests honest)."""
+    _ensure_database(df.sparkSession, database)
     parts = _fingerprints(df, id_col, text_col, num_hashes, band_size, k)
-    for name, part in parts.items():
-        key = _BUCKET_KEYS[name]
-        (
-            part.write.mode(mode)
-            .option("path", f"{location}/{prefix}_{name}")
-            .bucketBy(num_buckets, key)
-            .sortBy(key)
-            .saveAsTable(f"{prefix}_{name}")
-        )
+    try:
+        for name, part in parts.items():
+            _write_part(
+                part,
+                _qualified(prefix, name, database),
+                name,
+                f"{location}/{prefix}_{name}",
+                num_buckets,
+                batch_id,
+                mode,
+            )
+    finally:
+        _unpersist(parts)
+
+
+def _batch_present(spark: SparkSession, table: str, batch_id: str) -> bool:
+    """Has this batch already been appended to ``table``? ``batch_id`` is a
+    partition column, so this is partition pruning — a catalog/FS listing
+    probe, never a scan of index data."""
+    return (
+        spark.table(table).filter(F.col("batch_id") == batch_id).limit(1).count()
+        > 0
+    )
 
 
 def append_to_index(
@@ -106,13 +182,39 @@ def append_to_index(
     num_hashes: int = 16,
     band_size: int = 4,
     k: int = 3,
+    batch_id: str = "batch",
+    database: str | None = None,
 ) -> None:
     """Append a batch's accepted documents to an existing index (same bucket
-    spec — Spark appends new per-bucket files, no rewrite of history)."""
-    build_dedup_index(
-        df, prefix, location, num_buckets, id_col, text_col,
-        num_hashes, band_size, k, mode="append",
-    )
+    spec — Spark appends new per-bucket files, no rewrite of history).
+
+    IDEMPOTENT per ``batch_id``: each of the four tables is only written if it
+    does not already hold this batch's partition, so replaying a batch after a
+    failure (the at-least-once delivery case) cannot double-insert, and a
+    partial failure is healed by the retry — exactly the reference's
+    idempotent-overwrite delivery story (`S3SinkTask.java:121-144`) applied to
+    the index. Callers MUST pass a ``batch_id`` that is stable across retries
+    of the same batch and unique across distinct batches (e.g. the streaming
+    epoch id)."""
+    spark = df.sparkSession
+    _ensure_database(spark, database)
+    parts = _fingerprints(df, id_col, text_col, num_hashes, band_size, k)
+    try:
+        for name, part in parts.items():
+            table = _qualified(prefix, name, database)
+            if _batch_present(spark, table, batch_id):
+                continue
+            _write_part(
+                part,
+                table,
+                name,
+                f"{location}/{prefix}_{name}",
+                num_buckets,
+                batch_id,
+                "append",
+            )
+    finally:
+        _unpersist(parts)
 
 
 def incremental_dedup(
@@ -124,6 +226,8 @@ def incremental_dedup(
     num_hashes: int = 16,
     band_size: int = 4,
     k: int = 3,
+    database: str | None = None,
+    unpersist_registry: list | None = None,
 ) -> DataFrame:
     """Classify a new batch against the persisted index: one row per new doc,
     ``status`` ∈ {'exact_dup', 'near_dup', 'keep'}, ``dup_of`` the matched
@@ -135,12 +239,18 @@ def incremental_dedup(
     2. LSH band equi-join vs ``_bands``       → candidate (new, hist) pairs.
     3. shingle join vs ``_shingles``/``_sizes`` for candidates only
        (semi-join pushdown on the bucketed doc_id) → exact Jaccard verify.
-    Work scales with |batch| and |collisions|, never with |history|."""
+    Work scales with |batch| and |collisions|, never with |history|.
+
+    The batch-side band fingerprints are persisted (reused across plan
+    branches); pass ``unpersist_registry`` (a list) to collect them so the
+    caller can ``.unpersist()`` each entry once the result is materialized —
+    required in long-lived ingest loops, where per-batch caches otherwise
+    accumulate for the session lifetime."""
     spark = new_docs.sparkSession
-    hashes = spark.table(f"{prefix}_hashes")
-    idx_bands = spark.table(f"{prefix}_bands")
-    idx_sh = spark.table(f"{prefix}_shingles")
-    idx_sizes = spark.table(f"{prefix}_sizes")
+    hashes = spark.table(_qualified(prefix, "hashes", database))
+    idx_bands = spark.table(_qualified(prefix, "bands", database))
+    idx_sh = spark.table(_qualified(prefix, "shingles", database))
+    idx_sizes = spark.table(_qualified(prefix, "sizes", database))
 
     base = new_docs.select(
         F.col(id_col).alias("doc_id"),
@@ -163,6 +273,8 @@ def incremental_dedup(
     rest = base.join(exact.select("doc_id"), "doc_id", "left_anti")
 
     new_bands = minhash_bands(rest, "doc_id", "text", num_hashes, band_size, k)
+    if unpersist_registry is not None:
+        unpersist_registry.append(new_bands)
     cands = (
         new_bands.alias("n")
         .join(
@@ -222,10 +334,12 @@ def incremental_dedup(
     near = (
         scored.groupBy("new_id")
         .agg(
-            F.max_by(
+            F.min_by(
                 F.struct("jaccard", "hist_id"),
-                # best match: highest jaccard, ties to the LOWEST history id
-                F.struct(F.col("jaccard"), (-F.col("hist_id")).alias("_o")),
+                # best match: highest jaccard (negated — always numeric), ties
+                # to the LOWEST history id, which is NOT negated so any
+                # orderable id type (long, string, ...) works
+                F.struct((-F.col("jaccard")).alias("_nj"), F.col("hist_id").alias("_h")),
             ).alias("_best"),
         )
         .select(
@@ -248,8 +362,10 @@ def incremental_dedup(
     return exact.unionByName(near).unionByName(keep)
 
 
-def drop_dedup_index(spark: SparkSession, prefix: str) -> None:
+def drop_dedup_index(
+    spark: SparkSession, prefix: str, database: str | None = None
+) -> None:
     """Drop the four catalog tables (files at ``location`` are external and
     removed by the caller)."""
     for name in _TABLES:
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {_qualified(prefix, name, database)}")

@@ -101,7 +101,7 @@ def test_append_then_reclassify(spark, index):
     )
     n_keep = keepers.count()
     assert n_keep == N_FRESH  # only the synthetic fresh docs survive the ladder
-    incremental.append_to_index(keepers, PREFIX, loc, num_buckets=4)
+    incremental.append_to_index(keepers, PREFIX, loc, num_buckets=4, batch_id="b1")
 
     again = incremental.incremental_dedup(
         batch, PREFIX, jaccard_threshold=0.8
@@ -110,3 +110,21 @@ def test_append_then_reclassify(spark, index):
         if r["doc_id"] >= FRESH_BASE:
             # the appended keepers are now history: re-seeing them is an exact hit
             assert r["status"] == "exact_dup" and r["dup_of"] == r["doc_id"]
+
+    # idempotence: replaying the SAME batch_id (the at-least-once retry case)
+    # must change neither the index contents nor the classifications
+    counts_before = {
+        t: spark.table(f"{PREFIX}_{t}").count() for t in incremental._TABLES
+    }
+    incremental.append_to_index(keepers, PREFIX, loc, num_buckets=4, batch_id="b1")
+    counts_after = {
+        t: spark.table(f"{PREFIX}_{t}").count() for t in incremental._TABLES
+    }
+    assert counts_after == counts_before
+    replay = sorted(
+        (r["doc_id"], r["status"], r["dup_of"])
+        for r in incremental.incremental_dedup(
+            batch, PREFIX, jaccard_threshold=0.8
+        ).collect()
+    )
+    assert replay == sorted((r["doc_id"], r["status"], r["dup_of"]) for r in again)
