@@ -135,25 +135,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "iterations": 2,
-                "note": "per-query time is the warm 2nd iteration; queries_cold is "
-                "the 1st run (plan build + codegen + broadcast). r3 query-set "
-                "change: merged pairs (topk plain+salted, sessionize "
-                "islands+native, csv string+binary converters) now run BOTH "
-                "branches under one name; 4 TPC-H shapes (q6/q4/q2/q10) added.",
-                "queries_cold": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "iterations": 2,
+        "note": "per-query time is the warm 2nd iteration; queries_cold is "
+        "the 1st run (plan build + codegen + broadcast). r3 query-set "
+        "change: merged pairs (topk plain+salted, sessionize "
+        "islands+native, csv string+binary converters) now run BOTH "
+        "branches under one name; 4 TPC-H shapes (q6/q4/q2/q10) added.",
+        "queries_cold": cold,
+        "cold_total_sec": round(sum(cold.values()), 3),
+    }
+    line = json.dumps(result)
+    # The driver tail-captures stdout; a truncated tail once ate the r3 warm
+    # total. Persist the full JSON to a file first, then print the one line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

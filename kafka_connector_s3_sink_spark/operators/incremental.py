@@ -350,12 +350,15 @@ def incremental_dedup(
         )
     )
 
+    # null dup_of must carry the index's id type (long, string, ...) or the
+    # union with the exact/near branches fails for non-numeric ids
+    id_type = hashes.schema["doc_id"].dataType
     keep = (
         rest.join(near.select("doc_id"), "doc_id", "left_anti")
         .select(
             "doc_id",
             F.lit("keep").alias("status"),
-            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(None).cast(id_type).alias("dup_of"),
             F.lit(None).cast("double").alias("jaccard"),
         )
     )

@@ -24,9 +24,6 @@ file-metadata listing (O(n_files) rows, not O(data)), then rewrite.
 
 from __future__ import annotations
 
-import math
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,20 +152,73 @@ def compaction_plan(
     )
 
 
+def _strip_scheme(col):
+    """Normalize a file URI for equi-joining listings against
+    ``input_file_name()``: drop the scheme and any authority slashes
+    (``file:/x``, ``file:///x``, ``s3a://bucket/x`` all reduce to a stable
+    suffix form)."""
+    return F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "")
+
+
+def list_files(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-metadata listing ``(path, bytes)`` of a directory tree via the
+    Hadoop FileSystem client — storage-agnostic (``file:``, ``hdfs:``,
+    ``s3a:``, anything with a Hadoop FS implementation), unlike
+    ``os.path.getsize`` which only ever worked on a local mount. Hidden files
+    (``_SUCCESS``, ``.crc``) are excluded, matching what a parquet scan reads.
+
+    The iterator is driver-side and O(n_files) — the same documented bound as
+    the sink manifest; a million-file listing is tens of MB."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(path, True)
+    rows = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rows.append((st.getPath().toString(), st.getLen()))
+    return spark.createDataFrame(rows, "path string, bytes long")
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,
     dest_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
+    listing: DataFrame | None = None,
 ) -> int:
     """Rewrite a directory of small parquet files into ~``target_bytes``
-    outputs. Output-file count derives from the listing's total bytes (local
-    paths here; an object-store deployment reads sizes from the FS client the
-    same way — the plan, a round-robin ``repartition``, is storage-agnostic).
-    Returns the number of output partitions written."""
-    df = spark.read.parquet(src_dir)
-    paths = [p.removeprefix("file:") for p in df.inputFiles()]
-    total = sum(os.path.getsize(p) for p in paths)
-    n_out = max(1, math.ceil(total / target_bytes))
-    df.repartition(n_out).write.mode("overwrite").parquet(dest_dir)
-    return n_out
+    outputs, grouped by the byte-range bins ``compaction_plan`` assigns over
+    the file listing (NOT a blind round-robin): every source file's rows land
+    in its planned bin, bins are co-located one-per-output-partition via a
+    range repartition on the dense bin id, and each partition writes one file.
+    Keeping the plan authoritative means the listing (sizes from the Hadoop FS
+    client — object-store safe) fully determines the output layout, so the
+    same plan can be audited, diffed, or executed elsewhere.
+
+    ``listing`` overrides the FS listing (e.g. a pre-collected metadata table
+    on a store where listing is expensive). Returns the number of bins
+    written."""
+    listing = list_files(spark, src_dir) if listing is None else listing
+    plan = compaction_plan(listing, target_bytes).select(
+        _strip_scheme(F.col("path")).alias("_file"), F.col("bin").alias("_bin")
+    )
+    n_bins = plan.agg(F.max("_bin")).first()[0]
+    if n_bins is None:
+        raise ValueError(f"no files to compact under {src_dir}")
+    n_bins = int(n_bins) + 1
+    df = (
+        spark.read.parquet(src_dir)
+        .withColumn("_file", _strip_scheme(F.input_file_name()))
+        .join(F.broadcast(plan), "_file")
+    )
+    (
+        df.repartitionByRange(n_bins, F.col("_bin"))
+        .drop("_file", "_bin")
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )
+    return n_bins

@@ -203,6 +203,23 @@ def test_compaction_plan_bins(spark):
     assert sum(totals.values()) == 600  # nothing dropped or duplicated
 
 
+def test_list_files_matches_local_stat(spark, tmp_path):
+    # the Hadoop FS listing must agree with the local filesystem on both
+    # membership (hidden _SUCCESS/.crc excluded) and byte sizes
+    src = str(tmp_path / "src")
+    spark.range(100).repartition(4).write.parquet(src)
+    listed = {
+        r["path"].removeprefix("file:"): r["bytes"]
+        for r in packing.list_files(spark, src).collect()
+    }
+    on_disk = {
+        os.path.join(src, f): os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if not f.startswith(("_", "."))
+    }
+    assert listed == on_disk
+
+
 def test_compact_parquet_round_trip(spark, tmp_path):
     src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
     df = spark.range(2000).withColumn("payload", F.md5(F.col("id").cast("string")))
@@ -216,6 +233,27 @@ def test_compact_parquet_round_trip(spark, tmp_path):
     n_out = packing.compact_parquet(spark, src, dest, target_bytes=total // 3)
     assert n_out in (3, 4)
     assert len(spark.read.parquet(dest).inputFiles()) == n_out
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    assert a == b
+
+
+def test_compact_parquet_synthetic_listing(spark, tmp_path):
+    # a caller-supplied listing df (e.g. a metadata table on a store where
+    # listing is expensive) drives the plan instead of the FS client, and the
+    # plan's bins — not a round-robin — decide which source files group
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    df = spark.range(1200).withColumn("payload", F.md5(F.col("id").cast("string")))
+    df.repartition(12).write.parquet(src)
+    listing = packing.list_files(spark, src)
+    # perturb into a synthetic listing: same files, sizes replaced by a
+    # constant — 12 equal files at target 4 units/bin → exactly 3 bins
+    synthetic = listing.select("path", F.lit(10).alias("bytes"))
+    n_out = packing.compact_parquet(
+        spark, src, dest, target_bytes=40, listing=synthetic
+    )
+    assert n_out == 3
+    assert len(spark.read.parquet(dest).inputFiles()) == 3
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dest).collect()}
     assert a == b
