@@ -275,11 +275,24 @@ def q_sink_timestamp_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sink_jsonl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4: JSONL rendering, JSON-document values inlined, field order kept."""
+    """§2.4 JSONL rendering (JSON-document values inlined, field order kept)
+    + §2.2 envelope=false single-field unwrap, merged (r4) under one gate
+    entry — both produce the same (offset, json_line) grain, so they share
+    the window slot, tagged by ``branch``; BOTH branches execute and are
+    value-checked (the merge freed a slot for ``incremental_dedup``)."""
     recs = kafka_records_from_events(spark, sf_dir)
-    cfg = EngineConfig(output_fields=(OutputField.VALUE, OutputField.KEY))
+    full = EngineConfig(output_fields=(OutputField.VALUE, OutputField.KEY))
+    bare = EngineConfig(output_fields=(OutputField.VALUE,), envelope=False)
     return recs.select(
-        "offset", projection.json_object_column(cfg).alias("json_line")
+        "offset",
+        projection.json_object_column(full).alias("json_line"),
+        F.lit("jsonl").alias("branch"),
+    ).unionByName(
+        recs.select(
+            "offset",
+            projection.json_object_column(bare).alias("json_line"),
+            F.lit("unwrap").alias("branch"),
+        )
     )
 
 
@@ -291,12 +304,56 @@ def q_sink_headers_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_sink_envelope_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2: envelope=false with a single value field → bare JSON value."""
-    recs = kafka_records_from_events(spark, sf_dir)
-    cfg = EngineConfig(output_fields=(OutputField.VALUE,), envelope=False)
-    return recs.select(
-        "offset", projection.json_object_column(cfg).alias("json_line")
+_INCR_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup vs the persisted bucketed fingerprint index
+    (``operators/incremental.py``), registered r4 so the one major r3
+    operator verified only by pytest gets a DuckDB oracle. The documents
+    table is the accepted HISTORY (index built once per sf_dir, cached —
+    classification, the part under test, runs fully every call); the planted
+    batch holds exact copies (+500k of ids ≡3 mod 10), tail-trimmed near
+    copies (+600k of ≡6), and fresh synthetic docs (+700k of ≡9, five
+    md5-derived tokens). The oracle composes the same ladder — hash join →
+    band join (minus exacts) → candidate Jaccard ≥0.8 with
+    (jaccard desc, hist_id asc) best-match — in one DuckDB query."""
+    import tempfile
+
+    from kafka_connector_s3_sink_spark.operators import incremental
+
+    docs = _docs(spark, sf_dir)
+    if sf_dir not in _INCR_INDEX_CACHE:
+        loc = tempfile.mkdtemp(prefix="gate_incr_idx_")
+        incremental.build_dedup_index(
+            docs, "gate_incr", loc, num_buckets=4, database="gate_dedup"
+        )
+        _INCR_INDEX_CACHE[sf_dir] = loc
+    did = F.col("doc_id")
+    batch = (
+        docs.filter(did % 10 == 3)
+        .select((did + 500_000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(did % 10 == 6).select(
+                (did + 600_000).alias("doc_id"),
+                F.regexp_replace("text", r"\s+\S+\s*$", "").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(did % 10 == 9).select(
+                (did + 700_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.md5(F.concat(did.cast("string"), F.lit(f":{i}")))
+                        for i in range(5)
+                    ],
+                ).alias("text"),
+            )
+        )
+    )
+    return incremental.incremental_dedup(
+        batch, "gate_incr", jaccard_threshold=0.8, database="gate_dedup"
     )
 
 
@@ -507,9 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_group_key_upsert": q_sink_group_key_upsert,
         "sink_chunking": q_sink_chunking,
         "sink_timestamp_grouping": q_sink_timestamp_grouping,
-        "sink_jsonl_render": q_sink_jsonl_render,
+        "sink_jsonl_render": q_sink_jsonl_render,  # jsonl + envelope-unwrap branches
         "sink_headers_csv": q_sink_headers_csv,
-        "sink_envelope_unwrap": q_sink_envelope_unwrap,
         "sink_json_converter": q_sink_json_converter,
         "sink_avro_converter": q_sink_avro_converter,
         "sink_schema_rotation": q_sink_schema_rotation,
@@ -569,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
             _scaled_embeddings(s, d), threshold=0.999
         ),
+        # r4: the incremental path (classify a batch vs the persisted bucketed
+        # index) joins the oracle window — slot freed by merging the two
+        # (offset, json_line)-grain sink entries under sink_jsonl_render
+        "incremental_dedup": q_incremental_dedup,
         # merged r3.2: nprobe=1 + nprobe=2 probes of one shared index
         # (`nprobe` tag), freeing a window slot for pipeline_pack_split
         "ann_ivf_topk": _q_ann_ivf_both,
@@ -876,8 +936,11 @@ def oracle_sql() -> dict[str, str]:
                     '{{"value":', value, ',"key":',
                     CASE WHEN key IS NULL THEN 'null' ELSE '"' || key || '"' END,
                     '}}'
-                ) AS json_line
+                ) AS json_line,
+                'jsonl' AS branch
             FROM kafka
+            UNION ALL
+            SELECT "offset", value AS json_line, 'unwrap' AS branch FROM kafka
         """,
         "sink_headers_csv": f"""
             WITH {KAFKA_CTE}
@@ -889,9 +952,110 @@ def oracle_sql() -> dict[str, str]:
                 ) AS headers_csv
             FROM kafka
         """,
-        "sink_envelope_unwrap": f"""
-            WITH {KAFKA_CTE}
-            SELECT "offset", value AS json_line FROM kafka
+        "incremental_dedup": f"""
+            WITH hist AS (SELECT doc_id, text FROM documents),
+            batch AS (
+                SELECT doc_id + 500000 AS doc_id, text
+                FROM documents WHERE doc_id % 10 = 3
+                UNION ALL
+                SELECT doc_id + 600000 AS doc_id,
+                    regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+                FROM documents WHERE doc_id % 10 = 6
+                UNION ALL
+                SELECT orig + 700000 AS doc_id,
+                    concat_ws(' ',
+                        md5(CAST(orig AS VARCHAR) || ':0'),
+                        md5(CAST(orig AS VARCHAR) || ':1'),
+                        md5(CAST(orig AS VARCHAR) || ':2'),
+                        md5(CAST(orig AS VARCHAR) || ':3'),
+                        md5(CAST(orig AS VARCHAR) || ':4')
+                    ) AS text
+                FROM (SELECT doc_id AS orig FROM documents WHERE doc_id % 10 = 9)
+            ),
+            hist_hash AS (SELECT md5({NORM}) AS h, doc_id FROM hist),
+            exact AS (
+                SELECT b.doc_id, min(hh.doc_id) AS dup_of
+                FROM (SELECT doc_id, md5({NORM}) AS h FROM batch) b
+                JOIN hist_hash hh ON b.h = hh.h
+                GROUP BY b.doc_id
+            ),
+            rest AS (
+                SELECT * FROM batch
+                WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+            ),
+            htoks AS (SELECT doc_id, {TOKS} AS w FROM hist),
+            hsh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM htoks),
+            hsig AS (
+                SELECT doc_id,
+                    list_transform(range(0, 16), j ->
+                        list_min(list_transform(s, x ->
+                            md5(CAST(j AS VARCHAR) || ':' || x)))
+                    ) AS sg
+                FROM hsh
+            ),
+            hbands AS (
+                SELECT doc_id, b AS band_id,
+                    md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+                FROM hsig, (SELECT unnest(range(0, 4)) AS b)
+            ),
+            btoks AS (SELECT doc_id, {TOKS} AS w FROM rest),
+            bsh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM btoks),
+            bsig AS (
+                SELECT doc_id,
+                    list_transform(range(0, 16), j ->
+                        list_min(list_transform(s, x ->
+                            md5(CAST(j AS VARCHAR) || ':' || x)))
+                    ) AS sg
+                FROM bsh
+            ),
+            bbands AS (
+                SELECT doc_id, b AS band_id,
+                    md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+                FROM bsig, (SELECT unnest(range(0, 4)) AS b)
+            ),
+            cands AS (
+                SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+                FROM bbands n JOIN hbands h
+                  ON n.band_hash = h.band_hash AND n.band_id = h.band_id
+            ),
+            hex AS (SELECT doc_id, unnest(s) AS shingle FROM hsh),
+            bex AS (SELECT doc_id, unnest(s) AS shingle FROM bsh),
+            hsizes AS (SELECT doc_id, count(*) AS n_sh FROM hex GROUP BY 1),
+            bsizes AS (SELECT doc_id, count(*) AS n_sh FROM bex GROUP BY 1),
+            inter AS (
+                SELECT c.new_id, c.hist_id, count(*) AS n_inter
+                FROM cands c
+                JOIN bex a ON a.doc_id = c.new_id
+                JOIN hex b2 ON b2.doc_id = c.hist_id AND b2.shingle = a.shingle
+                GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT new_id, hist_id,
+                    floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5)
+                        / 10000.0 AS jaccard
+                FROM inter
+                JOIN bsizes s1 ON s1.doc_id = new_id
+                JOIN hsizes s2 ON s2.doc_id = hist_id
+                WHERE floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5)
+                        / 10000.0 >= 0.8
+            ),
+            near AS (
+                SELECT new_id AS doc_id, hist_id AS dup_of, jaccard
+                FROM scored
+                QUALIFY row_number() OVER (
+                    PARTITION BY new_id ORDER BY jaccard DESC, hist_id ASC
+                ) = 1
+            )
+            SELECT doc_id, 'exact_dup' AS status, dup_of,
+                CAST(NULL AS DOUBLE) AS jaccard
+            FROM exact
+            UNION ALL
+            SELECT doc_id, 'near_dup' AS status, dup_of, jaccard FROM near
+            UNION ALL
+            SELECT doc_id, 'keep' AS status, CAST(NULL AS BIGINT) AS dup_of,
+                CAST(NULL AS DOUBLE) AS jaccard
+            FROM rest
+            WHERE doc_id NOT IN (SELECT doc_id FROM near)
         """,
         "sink_schema_rotation": f"""
             WITH {KAFKA_CTE},

@@ -228,6 +228,7 @@ def incremental_dedup(
     k: int = 3,
     database: str | None = None,
     unpersist_registry: list | None = None,
+    exclude_batch_id: str | None = None,
 ) -> DataFrame:
     """Classify a new batch against the persisted index: one row per new doc,
     ``status`` ∈ {'exact_dup', 'near_dup', 'keep'}, ``dup_of`` the matched
@@ -245,12 +246,27 @@ def incremental_dedup(
     branches); pass ``unpersist_registry`` (a list) to collect them so the
     caller can ``.unpersist()`` each entry once the result is materialized —
     required in long-lived ingest loops, where per-batch caches otherwise
-    accumulate for the session lifetime."""
+    accumulate for the session lifetime.
+
+    ``exclude_batch_id`` makes a retried streaming epoch classify IDENTICALLY
+    to its first attempt: pass the epoch's own batch id and the index reads
+    filter that partition out (partition pruning — a listing-level skip), so
+    a partial failure AFTER ``append_to_index`` cannot make the replay see
+    the batch's own fingerprints and mark every keeper a dup of itself. The
+    classify → append → write cycle becomes idempotent end-to-end (the
+    reference's flush-cycle contract, `S3SinkTask.java:121-144`)."""
     spark = new_docs.sparkSession
-    hashes = spark.table(_qualified(prefix, "hashes", database))
-    idx_bands = spark.table(_qualified(prefix, "bands", database))
-    idx_sh = spark.table(_qualified(prefix, "shingles", database))
-    idx_sizes = spark.table(_qualified(prefix, "sizes", database))
+
+    def _idx(name: str) -> DataFrame:
+        t = spark.table(_qualified(prefix, name, database))
+        if exclude_batch_id is not None:
+            t = t.filter(F.col("batch_id") != exclude_batch_id)
+        return t
+
+    hashes = _idx("hashes")
+    idx_bands = _idx("bands")
+    idx_sh = _idx("shingles")
+    idx_sizes = _idx("sizes")
 
     base = new_docs.select(
         F.col(id_col).alias("doc_id"),

@@ -183,6 +183,35 @@ def list_files(spark: SparkSession, src_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "path string, bytes long")
 
 
+def _bin_partition_keys(spark: SparkSession, n_bins: int) -> DataFrame:
+    """A deterministic injective bin → shuffle-key mapping: for each of the
+    ``n_bins`` hash partitions, probe (driver-trivially, O(n_bins) rows) for a
+    long value that murmur3-hashes onto it — ``F.hash`` is the same Murmur3
+    ``repartition(n, col)`` partitions by — so repartitioning on the remapped
+    key lands every bin in its OWN partition, every run.
+
+    Why not ``repartitionByRange`` on the dense bin id: range partitioning
+    SAMPLES to pick boundaries, and its per-partition sampling seeds derive
+    from RDD ids — session-history-dependent state — so on a low-cardinality
+    key (bins ARE low-cardinality by design) an unlucky sample merges two bins
+    into one partition and leaves another empty. Compaction output layout must
+    be a pure function of the plan."""
+    span = max(n_bins * 64, 64)
+    while True:
+        cand = spark.range(0, span).select(
+            F.col("id").alias("_pkey"),
+            F.pmod(F.hash(F.col("id")), F.lit(n_bins)).alias("_part"),
+        )
+        remap = cand.groupBy("_part").agg(F.min("_pkey").alias("_pkey"))
+        if remap.count() == n_bins:
+            # assign bins to covered partitions in partition order
+            w = Window.orderBy(F.col("_part").asc())
+            return remap.select(
+                (F.row_number().over(w) - 1).alias("_bin"), "_pkey"
+            )
+        span *= 2  # vanishingly unlikely (n·e^-64); deterministic retry
+
+
 def compact_parquet(
     spark: SparkSession,
     src_dir: str,
@@ -194,10 +223,12 @@ def compact_parquet(
     outputs, grouped by the byte-range bins ``compaction_plan`` assigns over
     the file listing (NOT a blind round-robin): every source file's rows land
     in its planned bin, bins are co-located one-per-output-partition via a
-    range repartition on the dense bin id, and each partition writes one file.
-    Keeping the plan authoritative means the listing (sizes from the Hadoop FS
-    client — object-store safe) fully determines the output layout, so the
-    same plan can be audited, diffed, or executed elsewhere.
+    deterministic hash repartition on a remapped bin key (see
+    ``_bin_partition_keys`` — sampling-free, so the output layout is a pure
+    function of the plan), and each partition writes one file. Keeping the
+    plan authoritative means the listing (sizes from the Hadoop FS client —
+    object-store safe) fully determines the output layout, so the same plan
+    can be audited, diffed, or executed elsewhere.
 
     ``listing`` overrides the FS listing (e.g. a pre-collected metadata table
     on a store where listing is expensive). Returns the number of bins
@@ -210,14 +241,15 @@ def compact_parquet(
     if n_bins is None:
         raise ValueError(f"no files to compact under {src_dir}")
     n_bins = int(n_bins) + 1
+    plan = plan.join(F.broadcast(_bin_partition_keys(spark, n_bins)), "_bin")
     df = (
         spark.read.parquet(src_dir)
         .withColumn("_file", _strip_scheme(F.input_file_name()))
         .join(F.broadcast(plan), "_file")
     )
     (
-        df.repartitionByRange(n_bins, F.col("_bin"))
-        .drop("_file", "_bin")
+        df.repartition(n_bins, F.col("_pkey"))
+        .drop("_file", "_bin", "_pkey")
         .write.mode("overwrite")
         .parquet(dest_dir)
     )

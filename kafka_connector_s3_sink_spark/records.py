@@ -63,16 +63,26 @@ N_PARTITIONS = 4
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the driver's ``events`` table, normalizing its TIMESTAMP(NANOS)
-    column (illegal for Spark's parquet reader by default) to a regular
-    microsecond TimestampType — ns→µs truncation matches what DuckDB's
-    reader does, so oracle comparisons stay exact."""
+    """Read the driver's ``events`` table, normalizing whatever physical type
+    this round's generator used for ``ts`` to a regular UTC-instant
+    TimestampType. The column has shipped as TIMESTAMP(NANOS) (illegal for
+    Spark's parquet reader by default → nanos-as-long → µs truncation, the
+    same truncation DuckDB's reader applies) and as µs TIMESTAMP_NTZ (Spark
+    infers TimestampNTZType → cast to instant in an explicitly-UTC session,
+    matching DuckDB's naive-timestamp-as-UTC ``epoch_ms``). Oracle
+    comparisons stay exact on every path."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the NTZ→instant cast below reads the session zone; pin it so the view
+    # is identical no matter which session the driver/bench runs us in
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":  # nanos-as-long path
+    t = dict(ev.dtypes).get("ts")
+    if t == "bigint":  # nanos-as-long path
         # integer DIV, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53 exact
         # range, so float division would round the low bits
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif t == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

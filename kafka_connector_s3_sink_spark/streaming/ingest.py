@@ -1,0 +1,194 @@
+"""Streaming LLM-data ingest: the full dedup/pack/split layer wired into one
+``foreachBatch`` pipeline, the production shape the batch operators were built
+for. Each micro-batch of crawled documents runs:
+
+1. **Intra-batch cascade** (``dedup.dedup_cascade``): exact pass → LSH
+   candidates → Jaccard verify → connected components; only cluster
+   canonicals survive to the next stage.
+2. **Incremental classification vs the persisted index**
+   (``incremental.incremental_dedup``): cascade survivors are checked against
+   everything PREVIOUS batches accepted — bucket-key joins, work scales with
+   |batch|, never |history|. The epoch's own index partition is excluded
+   (``exclude_batch_id``), see Idempotence below.
+3. **Index append** (``incremental.append_to_index``): the keepers'
+   fingerprints join the index under this epoch's ``batch_id`` partition
+   (skip-if-present → replay-safe).
+4. **Split + pack** (``sampling.hash_split`` / ``packing.pack_sequences``):
+   keepers get their leakage-stable train/val/test label and their segment
+   layout in fixed-``ctx_len`` training packs (pack ids are per-batch).
+5. **Sink write**: keepers (with split) and the pack plan land under
+   ``<dest>/batch_id=<epoch>/`` via dynamic partition overwrite — a retried
+   epoch REPLACES its own output objects and touches nothing else.
+
+The micro-batch boundary IS the consistency boundary, exactly the
+reference's flush cycle (`S3SinkTask.java:121-144`: flush → write objects →
+commit offsets): Spark commits the epoch to the checkpoint only after
+``foreachBatch`` returns, so every stage above either completed for a batch
+or the whole batch re-runs.
+
+Idempotence of the re-run (at-least-once delivery, replayed epoch):
+- the cascade is deterministic (content-derived hashes, no ``rand()``);
+- classification excludes the epoch's own ``batch_id`` partition from the
+  index reads, so fingerprints appended by a half-finished first attempt
+  don't make the replay classify keepers as duplicates of themselves;
+- ``append_to_index`` skips tables already holding the epoch's partition;
+- the sink overwrite replaces the epoch's own partition directory.
+Together: re-running any prefix of the cycle converges to the same index,
+the same classifications, and the same output objects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import dedup, incremental, packing, sampling
+
+
+@dataclass(frozen=True)
+class IngestConfig:
+    """Knobs of the streaming ingest pipeline (operator params are the batch
+    operators' own defaults unless overridden here)."""
+
+    index_prefix: str
+    index_location: str
+    dest_dir: str
+    checkpoint_location: str
+    database: Optional[str] = None
+    num_buckets: int = 8
+    jaccard_threshold: float = 0.8
+    ctx_len: int = 512
+    split_weights: Mapping[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def _epoch_batch_id(batch_id: int) -> str:
+    """Stable, lexically-ordered partition value for a streaming epoch —
+    the streaming analogue of the reference's zero-padded offset names
+    (`template.py` `%020d`): retries of epoch N reuse it verbatim."""
+    return f"epoch-{batch_id:020d}"
+
+
+def process_crawl_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    config: IngestConfig,
+) -> None:
+    """One flush cycle of the LLM ingest (runs under ``foreachBatch`` and,
+    identically, in batch tests — one code path, like ``write_batch``)."""
+    spark = batch_df.sparkSession
+    epoch = _epoch_batch_id(batch_id)
+    id_col, text_col = config.id_col, config.text_col
+
+    # stage 1: intra-batch cascade → canonical docs only
+    clusters = dedup.dedup_cascade(
+        batch_df,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=config.jaccard_threshold,
+    )
+    canon = batch_df.join(
+        clusters.filter(F.col("is_canonical") == 1).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+    # stage 2: classify canonicals against history (self-partition excluded
+    # so a replayed epoch can't see its own first-attempt fingerprints)
+    bands_cache: list = []
+    classified = incremental.incremental_dedup(
+        canon,
+        config.index_prefix,
+        jaccard_threshold=config.jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        database=config.database,
+        unpersist_registry=bands_cache,
+        exclude_batch_id=epoch,
+    )
+    keepers = canon.join(
+        classified.filter(F.col("status") == "keep").select(
+            F.col("doc_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    # the keeper set feeds three consumers (index append, split write, pack);
+    # materialize it once instead of re-running cascade+classification
+    keepers = keepers.persist()
+    try:
+        # stage 3: keepers' fingerprints join the index (skip-if-present)
+        incremental.append_to_index(
+            keepers,
+            config.index_prefix,
+            config.index_location,
+            num_buckets=config.num_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            batch_id=epoch,
+            database=config.database,
+        )
+
+        # stage 4+5: split label, then idempotent per-epoch partition overwrite
+        labeled = sampling.hash_split(
+            keepers, config.split_weights, id_col=id_col
+        ).withColumn("batch_id", F.lit(epoch))
+        overwrite_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                labeled.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{config.dest_dir}/documents")
+            )
+            packed = packing.pack_sequences(
+                keepers, config.ctx_len, id_col=id_col, text_col=text_col
+            ).withColumn("batch_id", F.lit(epoch))
+            (
+                packed.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{config.dest_dir}/packs")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", overwrite_mode
+            )
+    finally:
+        keepers.unpersist()
+        for cached in bands_cache:
+            cached.unpersist()
+
+
+def start_ingest_pipeline(
+    docs: DataFrame,
+    config: IngestConfig,
+    query_name: str = "llm-ingest",
+    trigger: Optional[dict] = None,
+):
+    """Start the streaming ingest over a streaming DataFrame of documents
+    (``id_col``, ``text_col``, any passthrough columns). The index at
+    ``index_prefix`` must exist (``incremental.build_dedup_index`` — possibly
+    over an empty frame for a cold start).
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain-what-exists,
+    the replayable-batch shape); pass e.g. ``{"processingTime": "30 seconds"}``
+    for a continuous deployment."""
+    writer = (
+        docs.writeStream.queryName(query_name)
+        .foreachBatch(
+            lambda batch_df, batch_id: process_crawl_batch(
+                batch_df, batch_id, config
+            )
+        )
+        .option("checkpointLocation", config.checkpoint_location)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()

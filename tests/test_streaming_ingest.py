@@ -1,0 +1,164 @@
+"""End-to-end streaming LLM ingest (`streaming/ingest.py`): crawl batches →
+intra-batch cascade → incremental classification vs the persisted index →
+index append → split/pack → per-epoch partition write. Covers ≥2 micro-batches,
+a checkpoint restart, and epoch-replay idempotence."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import incremental
+from kafka_connector_s3_sink_spark.streaming import ingest
+
+PREFIX = "ingtest"
+
+
+def _text(tag: str, n_words: int = 40) -> str:
+    """Deterministic distinctive word salad (shingle-friendly)."""
+    return " ".join(
+        hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:8] for j in range(n_words)
+    )
+
+
+def _trim_last_word(t: str) -> str:
+    return t.rsplit(" ", 1)[0]
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    """Index over a 10-doc base corpus + ingest config + inbox dir."""
+    base_rows = [(i, _text(f"base:{i}")) for i in range(10)]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    loc = str(tmp_path / "index")
+    incremental.build_dedup_index(base, PREFIX, loc, num_buckets=4)
+    cfg = ingest.IngestConfig(
+        index_prefix=PREFIX,
+        index_location=loc,
+        dest_dir=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        num_buckets=4,
+        ctx_len=16,
+        split_weights={"train": 1.0},
+    )
+    yield spark, base, cfg, str(tmp_path / "inbox")
+    incremental.drop_dedup_index(spark, PREFIX)
+
+
+def _run_available(spark, cfg, inbox):
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(inbox)
+    )
+    q = ingest.start_ingest_pipeline(stream, cfg)
+    q.awaitTermination()
+
+
+def _drop(spark, inbox, rows):
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inbox)
+
+
+def _docs_by_epoch(spark, cfg):
+    out = spark.read.parquet(f"{cfg.dest_dir}/documents")
+    return {
+        (r["batch_id"], r["doc_id"]): r["split"] for r in out.collect()
+    }
+
+
+def test_ingest_two_batches_restart_and_replay(spark, env):
+    spark, base, cfg, inbox = env
+
+    # epoch 0: one exact dup of history, one near dup of history, two fresh,
+    # one intra-batch exact dup of a fresh doc (cascade keeps the min id)
+    base_texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    _drop(
+        spark,
+        inbox,
+        [
+            (100, base_texts[3]),                       # exact dup of base 3
+            (101, _trim_last_word(base_texts[7])),      # near dup of base 7
+            (102, _text("fresh:102")),                  # keep
+            (103, _text("fresh:103")),                  # keep
+            (104, _text("fresh:102")),                  # intra-batch dup of 102
+        ],
+    )
+    _run_available(spark, cfg, inbox)
+    docs = _docs_by_epoch(spark, cfg)
+    epoch0 = ingest._epoch_batch_id(0)
+    assert {k for k in docs if k[0] == epoch0} == {(epoch0, 102), (epoch0, 103)}
+    assert all(v == "train" for v in docs.values())
+
+    # epoch 1 (same checkpoint, new run): a dup of an epoch-0 keeper must now
+    # be caught by the INDEX (cross-batch), plus one fresh doc
+    _drop(
+        spark,
+        inbox,
+        [
+            (200, _text("fresh:102")),                  # exact dup of keeper 102
+            (201, _text("fresh:201")),                  # keep
+        ],
+    )
+    _run_available(spark, cfg, inbox)
+    docs = _docs_by_epoch(spark, cfg)
+    epoch1 = ingest._epoch_batch_id(1)
+    assert {k for k in docs if k[0] == epoch1} == {(epoch1, 201)}
+
+    # restart (third run, same checkpoint): near dup of epoch-1 keeper + fresh
+    _drop(
+        spark,
+        inbox,
+        [
+            (300, _trim_last_word(_text("fresh:201"))),  # near dup of keeper 201
+            (301, _text("fresh:301")),                   # keep
+        ],
+    )
+    _run_available(spark, cfg, inbox)
+    docs = _docs_by_epoch(spark, cfg)
+    epoch2 = ingest._epoch_batch_id(2)
+    assert {k for k in docs if k[0] == epoch2} == {(epoch2, 301)}
+    # earlier epochs' outputs untouched by later runs
+    assert {k for k in docs if k[0] == epoch0} == {(epoch0, 102), (epoch0, 103)}
+    assert {k for k in docs if k[0] == epoch1} == {(epoch1, 201)}
+
+    # packs exist for every epoch with keepers; every non-final pack of an
+    # epoch is exactly ctx_len tokens
+    packs = spark.read.parquet(f"{cfg.dest_dir}/packs")
+    by_epoch = {
+        r["batch_id"]: r["n"]
+        for r in packs.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_epoch) == {epoch0, epoch1, epoch2}
+
+    # index holds exactly the keepers' fingerprints per epoch partition
+    hashes = spark.table(f"{PREFIX}_hashes")
+    per_batch = {
+        r["batch_id"]: sorted(r["ids"])
+        for r in hashes.groupBy("batch_id")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .collect()
+    }
+    assert per_batch[epoch0] == [102, 103]
+    assert per_batch[epoch1] == [201]
+    assert per_batch[epoch2] == [301]
+
+    # REPLAY epoch 2 (the at-least-once case): classifications, index row
+    # counts, and output objects must all be bit-identical
+    n_index_rows = {
+        t: spark.table(f"{PREFIX}_{t}").count()
+        for t in ("hashes", "bands", "shingles", "sizes")
+    }
+    docs_before = _docs_by_epoch(spark, cfg)
+    replay = spark.createDataFrame(
+        [
+            (300, _trim_last_word(_text("fresh:201"))),
+            (301, _text("fresh:301")),
+        ],
+        ["doc_id", "text"],
+    )
+    ingest.process_crawl_batch(replay, 2, cfg)
+    assert _docs_by_epoch(spark, cfg) == docs_before
+    assert {
+        t: spark.table(f"{PREFIX}_{t}").count()
+        for t in ("hashes", "bands", "shingles", "sizes")
+    } == n_index_rows
