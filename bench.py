@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "incremental_dedup",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -146,7 +147,10 @@ def main() -> None:
         "the 1st run (plan build + codegen + broadcast). r3 query-set "
         "change: merged pairs (topk plain+salted, sessionize "
         "islands+native, csv string+binary converters) now run BOTH "
-        "branches under one name; 4 TPC-H shapes (q6/q4/q2/q10) added.",
+        "branches under one name; 4 TPC-H shapes (q6/q4/q2/q10) added. "
+        "r4: sink_jsonl_render additionally runs the envelope-unwrap "
+        "branch (merged entry); incremental_dedup added — its cold time "
+        "includes the one-time index build, warm is classification only.",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
     }

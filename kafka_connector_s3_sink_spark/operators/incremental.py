@@ -263,6 +263,16 @@ def incremental_dedup(
             t = t.filter(F.col("batch_id") != exclude_batch_id)
         return t
 
+    def _cache(df: DataFrame) -> DataFrame:
+        # the classification DAG fans each of these small frames into 2-4 plan
+        # branches (union arms, anti-joins, semi-joins); without caching, every
+        # branch re-runs the md5/shingle/minhash expression chains upstream —
+        # measured 11s → ~3s at sf0.1. Registered for caller unpersist.
+        df = df.persist()
+        if unpersist_registry is not None:
+            unpersist_registry.append(df)
+        return df
+
     hashes = _idx("hashes")
     idx_bands = _idx("bands")
     idx_sh = _idx("shingles")
@@ -274,7 +284,7 @@ def incremental_dedup(
         F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
     )
 
-    exact = (
+    exact = _cache(
         base.join(hashes.withColumnRenamed("doc_id", "_hist_id"), "content_hash")
         .groupBy("doc_id")
         .agg(F.min("_hist_id").alias("dup_of"))
@@ -286,12 +296,12 @@ def incremental_dedup(
         )
     )
 
-    rest = base.join(exact.select("doc_id"), "doc_id", "left_anti")
+    rest = _cache(base.join(exact.select("doc_id"), "doc_id", "left_anti"))
 
     new_bands = minhash_bands(rest, "doc_id", "text", num_hashes, band_size, k)
     if unpersist_registry is not None:
         unpersist_registry.append(new_bands)
-    cands = (
+    cands = _cache(
         new_bands.alias("n")
         .join(
             idx_bands.alias("h"),
@@ -306,11 +316,15 @@ def incremental_dedup(
 
     # verify candidates with exact n-gram Jaccard: new-side shingles computed,
     # history-side shingles/sizes read from the index for candidate docs only
-    new_sh = shingle_rows(
-        rest.join(cands.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id"),
-        "doc_id",
-        "text",
-        k,
+    new_sh = _cache(
+        shingle_rows(
+            rest.join(
+                cands.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id"
+            ),
+            "doc_id",
+            "text",
+            k,
+        )
     )
     new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hist_ids = cands.select(F.col("hist_id").alias("doc_id")).distinct()
@@ -347,7 +361,7 @@ def incremental_dedup(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
-    near = (
+    near = _cache(
         scored.groupBy("new_id")
         .agg(
             F.min_by(

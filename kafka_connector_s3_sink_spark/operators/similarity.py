@@ -392,6 +392,35 @@ def _probe_centroids(
     )
 
 
+def assign_corpus(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+) -> DataFrame:
+    """The build-time half of an IVF index as a DataFrame: every (nonzero)
+    corpus vector with its norm and nearest-centroid bucket — columns
+    ``(nbr_id, cvec_v, cnorm_v, centroid_id)``. Feed it to
+    ``ivf_topk(assigned_corpus=...)`` (persisted or materialized) to amortize
+    the assignment scan across many probe calls — the in-memory analogue of
+    ``write_ivf_index``, whose on-disk layout is this same frame partitioned
+    by ``centroid_id``."""
+    return _assign_centroids(
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("cvec_v"),
+        )
+        .filter(nonzero_vec(F.col("cvec_v")))
+        .withColumn("cnorm_v", l2norm(F.col("cvec_v"))),
+        centroids,
+        id_col="nbr_id",
+        vec_col="cvec_v",
+        norm_col="cnorm_v",
+        assignment=assignment,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -404,6 +433,7 @@ def ivf_topk(
     fit_sample_cap: int | None = 256,
     assignment: str = "auto",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid; each query probes its
     top-``nprobe`` centroids' buckets and brute-forces cosine inside them.
@@ -422,6 +452,10 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    if assigned_corpus is not None and centroids is None:
+        raise ValueError(
+            "assigned_corpus requires the centroids it was assigned with"
+        )
     cents = (
         centroids
         if centroids is not None
@@ -429,18 +463,10 @@ def ivf_topk(
             corpus, n_centroids, 1, id_col, vec_col, fit_sample_cap, assignment
         )
     )
-    c_assigned = _assign_centroids(
-        corpus.select(
-            F.col(id_col).alias("nbr_id"),
-            F.col(vec_col).cast("array<double>").alias("cvec_v"),
-        )
-        .filter(nonzero_vec(F.col("cvec_v")))
-        .withColumn("cnorm_v", l2norm(F.col("cvec_v"))),
-        cents,
-        id_col="nbr_id",
-        vec_col="cvec_v",
-        norm_col="cnorm_v",
-        assignment=assignment,
+    c_assigned = (
+        assigned_corpus
+        if assigned_corpus is not None
+        else assign_corpus(corpus, cents, id_col, vec_col, assignment)
     )
     q_assigned = _probe_centroids(
         queries.select(

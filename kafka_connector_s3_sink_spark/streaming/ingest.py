@@ -2,6 +2,9 @@
 ``foreachBatch`` pipeline, the production shape the batch operators were built
 for. Each micro-batch of crawled documents runs:
 
+0. **Quality floor** (optional, ``min_quality``): drop documents below the
+   heuristic ``text.quality_score`` — a narrow map stage ahead of every
+   shuffle. Per-epoch audit counts land under ``<dest>/metrics``.
 1. **Intra-batch cascade** (``dedup.dedup_cascade``): exact pass → LSH
    candidates → Jaccard verify → connected components; only cluster
    canonicals survive to the next stage.
@@ -46,12 +49,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.operators import dedup, incremental, packing, sampling
+from kafka_connector_s3_sink_spark.operators.text import quality_score
 
 
 @dataclass(frozen=True)
 class IngestConfig:
     """Knobs of the streaming ingest pipeline (operator params are the batch
-    operators' own defaults unless overridden here)."""
+    operators' own defaults unless overridden here).
+
+    ``min_quality`` (optional) drops documents below the heuristic
+    ``text.quality_score`` BEFORE any dedup work — a narrow map stage, the
+    cheapest place to shed junk. ``write_metrics`` emits one audit row per
+    epoch under ``<dest>/metrics`` (same idempotent per-epoch overwrite as
+    the data outputs)."""
 
     index_prefix: str
     index_location: str
@@ -66,6 +76,8 @@ class IngestConfig:
     )
     id_col: str = "doc_id"
     text_col: str = "text"
+    min_quality: Optional[float] = None
+    write_metrics: bool = True
 
 
 def _epoch_batch_id(batch_id: int) -> str:
@@ -85,6 +97,19 @@ def process_crawl_batch(
     spark = batch_df.sparkSession
     epoch = _epoch_batch_id(batch_id)
     id_col, text_col = config.id_col, config.text_col
+
+    # stage 0 (optional): quality floor — narrow map, sheds junk before any
+    # shuffle-bearing dedup work touches it
+    n_input = batch_df.count() if config.write_metrics else None
+    if config.min_quality is not None:
+        batch_df = batch_df.filter(
+            quality_score(F.col(text_col)) >= config.min_quality
+        )
+    n_qualified = (
+        batch_df.count()
+        if (config.write_metrics and config.min_quality is not None)
+        else n_input
+    )
 
     # stage 1: intra-batch cascade → canonical docs only
     clusters = dedup.dedup_cascade(
@@ -111,7 +136,7 @@ def process_crawl_batch(
         database=config.database,
         unpersist_registry=bands_cache,
         exclude_batch_id=epoch,
-    )
+    ).persist()  # feeds keepers AND the metrics rollup; one row per canonical
     keepers = canon.join(
         classified.filter(F.col("status") == "keep").select(
             F.col("doc_id").alias(id_col)
@@ -157,12 +182,42 @@ def process_crawl_batch(
                 .partitionBy("batch_id")
                 .parquet(f"{config.dest_dir}/packs")
             )
+            if config.write_metrics:
+                # one audit row per epoch: counts are O(1)-row driver results
+                # over the already-persisted classification (plus two narrow
+                # map-only passes over the raw batch for input/quality counts)
+                by_status = {
+                    r["status"]: r["n"]
+                    for r in classified.groupBy("status")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                metrics = spark.createDataFrame(
+                    [
+                        (
+                            n_input,
+                            n_qualified,
+                            sum(by_status.values()),
+                            by_status.get("exact_dup", 0),
+                            by_status.get("near_dup", 0),
+                            by_status.get("keep", 0),
+                        )
+                    ],
+                    "n_input long, n_qualified long, n_canonical long, "
+                    "n_exact_dup long, n_near_dup long, n_keep long",
+                ).withColumn("batch_id", F.lit(epoch))
+                (
+                    metrics.write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{config.dest_dir}/metrics")
+                )
         finally:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", overwrite_mode
             )
     finally:
         keepers.unpersist()
+        classified.unpersist()
         for cached in bands_cache:
             cached.unpersist()
 

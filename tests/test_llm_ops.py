@@ -212,6 +212,29 @@ def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path, sf_dir):
         assert any("centroid_id" in s for s in segs), (
             f"probe did not prune partitions:\n{plan}"
         )
+        # the filter must list EXACTLY the query set's probe buckets — the
+        # same ids the probe assignment computes — not a superset scan
+        probe_ids = sorted(
+            {
+                r["centroid_id"]
+                for r in similarity._probe_centroids(
+                    queries.selectExpr(
+                        "query_id", "cast(embedding as array<double>) as qvec"
+                    ).withColumn("qnorm", similarity.l2norm(F.col("qvec"))),
+                    cents,
+                    nprobe,
+                    id_col="query_id",
+                    vec_col="qvec",
+                    norm_col="qnorm",
+                ).select("centroid_id").collect()
+            }
+        )
+        seg = next(s for s in segs if "centroid_id" in s)
+        assert all(str(pid) in seg for pid in probe_ids), (
+            f"PartitionFilters missing probe buckets {probe_ids}:\n{seg}"
+        )
+        if nprobe == 2:
+            assert len(probe_ids) >= 2  # ≥2 distinct buckets actually probed
         inmem = similarity.ivf_topk(
             corpus, queries, k=5, nprobe=nprobe, centroids=cents
         )

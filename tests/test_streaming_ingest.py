@@ -66,6 +66,27 @@ def _docs_by_epoch(spark, cfg):
     }
 
 
+def test_ingest_quality_floor(spark, env):
+    """min_quality drops junk before dedup (stage 0); the metrics row traces
+    the cut (n_input vs n_qualified)."""
+    import dataclasses
+
+    spark, base, cfg, inbox = env
+    cfg = dataclasses.replace(cfg, min_quality=0.5)
+    junk = "!!! ??? ... ;;; :::"  # pure punctuation → quality ~0
+    ingest.process_crawl_batch(
+        spark.createDataFrame(
+            [(400, _text("fresh:400")), (401, junk)], ["doc_id", "text"]
+        ),
+        0,
+        cfg,
+    )
+    out = spark.read.parquet(f"{cfg.dest_dir}/documents")
+    assert {r["doc_id"] for r in out.collect()} == {400}
+    m = spark.read.parquet(f"{cfg.dest_dir}/metrics").collect()[0]
+    assert (m["n_input"], m["n_qualified"], m["n_keep"]) == (2, 1, 1)
+
+
 def test_ingest_two_batches_restart_and_replay(spark, env):
     spark, base, cfg, inbox = env
 
@@ -141,6 +162,19 @@ def test_ingest_two_batches_restart_and_replay(spark, env):
     assert per_batch[epoch0] == [102, 103]
     assert per_batch[epoch1] == [201]
     assert per_batch[epoch2] == [301]
+
+    # per-epoch audit metrics: counts trace the funnel for every epoch
+    metrics = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(f"{cfg.dest_dir}/metrics").collect()
+    }
+    m0 = metrics[epoch0]
+    assert (m0["n_input"], m0["n_qualified"], m0["n_canonical"]) == (5, 5, 4)
+    assert (m0["n_exact_dup"], m0["n_near_dup"], m0["n_keep"]) == (1, 1, 2)
+    m1 = metrics[epoch1]
+    assert (m1["n_input"], m1["n_exact_dup"], m1["n_keep"]) == (2, 1, 1)
+    m2 = metrics[epoch2]
+    assert (m2["n_input"], m2["n_near_dup"], m2["n_keep"]) == (2, 1, 1)
 
     # REPLAY epoch 2 (the at-least-once case): classifications, index row
     # counts, and output objects must all be bit-identical
