@@ -515,14 +515,19 @@ def write_ivf_index(
     fit_sample_cap: int | None = 256,
     assignment: str = "auto",
     centroids: list[tuple[int, list[float]]] | None = None,
+    batch_id: str = "base",
 ) -> list[tuple[int, list[float]]]:
     """Persist the corpus as an on-disk IVF index: each vector is assigned to
-    its nearest centroid and written ``partitionBy(centroid_id)`` (parquet),
-    with the fitted quantizer saved to ``<dest>/_centroids.json``. This is the
-    deployment shape ``ivf_topk``'s docstring promises for 100 TB: the
-    assignment scan runs ONCE at build time, norms are precomputed into the
-    index, and a probe becomes a partition-pruned scan of ``nprobe``
-    directories (see ``ivf_topk_indexed``) instead of a full-corpus pass.
+    its nearest centroid and written ``partitionBy(centroid_id, batch_id)``
+    (parquet), with the fitted quantizer saved to ``<dest>/_centroids.json``.
+    This is the deployment shape ``ivf_topk``'s docstring promises for
+    100 TB: the assignment scan runs ONCE at build time, norms are
+    precomputed into the index, and a probe becomes a partition-pruned scan
+    of ``nprobe`` bucket directories (see ``ivf_topk_indexed``) instead of a
+    full-corpus pass. ``batch_id`` is the ingest-lineage partition (same
+    contract as the dedup index): the initial build is one batch, and
+    ``append_to_ivf_index`` adds later crawls' embeddings under their own
+    partition value — replay-idempotent, rollback = drop the partition.
 
     Zero-norm vectors are excluded at build time — their cosine is undefined,
     matching every query path's up-front filter.
@@ -552,14 +557,72 @@ def write_ivf_index(
     )
     (
         assigned.select("vec_id", "vec", "norm", "centroid_id")
+        .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
-        .partitionBy("centroid_id")
+        .partitionBy("centroid_id", "batch_id")
         .parquet(dest_dir)
     )
     # quantizer sidecar: O(k·dim) scalars, driver-side by construction
     with open(os.path.join(dest_dir, "_centroids.json"), "w") as f:
         json.dump({"centroids": [[cid, cvec] for cid, cvec in cents]}, f)
     return cents
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+) -> None:
+    """Append a crawl batch's embeddings to an existing on-disk IVF index
+    under the EXISTING quantizer (no refit — standard IVF maintenance: the
+    coarse quantizer stays frozen between rebuilds so bucket membership of
+    history never changes; watch ``ivf_index_stats`` for drift and rebuild
+    when bucket skew grows). Only the new batch is assigned — O(|batch|),
+    never a history rewrite.
+
+    IDEMPOTENT per ``batch_id`` via dynamic partition overwrite on the
+    ``(centroid_id, batch_id)`` layout: assignment is deterministic, so a
+    replayed batch rewrites exactly its own partition directories and touches
+    no other batch — the same at-least-once contract as the dedup index's
+    skip-if-present appends and the sink's idempotent object names
+    (`S3SinkTask.java:121-144`)."""
+    spark = new_vectors.sparkSession
+    cents = read_ivf_centroids(index_dir)
+    assigned = assign_corpus(new_vectors, cents, id_col, vec_col, assignment)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            assigned.select(
+                F.col("nbr_id").alias("vec_id"),
+                F.col("cvec_v").alias("vec"),
+                F.col("cnorm_v").alias("norm"),
+                "centroid_id",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("centroid_id", "batch_id")
+            .parquet(index_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def ivf_index_stats(spark, index_dir: str) -> DataFrame:
+    """Bucket-occupancy rollup of a persisted IVF index: rows per
+    (centroid_id, batch_id). This is the drift/skew monitor for the frozen
+    quantizer — when new batches pile disproportionately into few buckets
+    (distribution shift), probes over those buckets stop being ~1/k of the
+    corpus and it is time to refit + rebuild. Scans only parquet metadata
+    grains (count per partition), not vector payloads."""
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("centroid_id", "batch_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
 
 
 def read_ivf_centroids(index_dir: str) -> list[tuple[int, list[float]]]:

@@ -229,7 +229,12 @@ def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path, sf_dir):
                 ).select("centroid_id").collect()
             }
         )
-        seg = next(s for s in segs if "centroid_id" in s)
+        # bracketed filter content only (snippets span into adjacent plan
+        # lines, which also mention centroid_id as a projected column)
+        filters = [
+            s.split("]")[0] for s in plan.split("PartitionFilters: [")[1:]
+        ]
+        seg = next(s for s in filters if "centroid_id" in s)
         assert all(str(pid) in seg for pid in probe_ids), (
             f"PartitionFilters missing probe buckets {probe_ids}:\n{seg}"
         )
@@ -241,6 +246,46 @@ def test_ivf_persisted_index_prunes_and_matches(spark, tmp_path, sf_dir):
         assert sorted(map(tuple, indexed.collect()), key=lambda t: (t[0], t[3])) == (
             sorted(map(tuple, inmem.collect()), key=lambda t: (t[0], t[3]))
         )
+
+
+def test_ivf_index_append_replay_and_probe(spark, tmp_path, sf_dir):
+    """Incremental IVF maintenance: a new batch appends under the frozen
+    quantizer into its own (centroid_id, batch_id) partitions; replaying the
+    same batch is a no-op (dynamic overwrite of its own dirs); probes see the
+    appended vectors; the occupancy rollup traces both batches."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = corpus.filter(F.col("vec_id") >= 100)
+    dest = str(tmp_path / "ivf_incr")
+    similarity.write_ivf_index(base, dest, n_centroids=8)
+
+    batch = corpus.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    similarity.append_to_ivf_index(batch, dest, batch_id="crawl-1")
+    rows_after = spark.read.parquet(dest).count()
+    assert rows_after == base.count() + batch.count()
+
+    # replay: same batch id, bit-identical content — no growth, no change
+    similarity.append_to_ivf_index(batch, dest, batch_id="crawl-1")
+    assert spark.read.parquet(dest).count() == rows_after
+
+    stats = {
+        (r["centroid_id"], r["batch_id"]): r["n_vectors"]
+        for r in similarity.ivf_index_stats(spark, dest).collect()
+    }
+    assert sum(n for (c, b), n in stats.items() if b == "crawl-1") == batch.count()
+    assert sum(n for (c, b), n in stats.items() if b == "base") == base.count()
+
+    # a probe AT an appended vector's position must return that vector as
+    # its rank-1 neighbor (cosine 1.0 with its un-offset twin excluded? no —
+    # the twin vec_id<100 is NOT in the index; the appended copy is)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk_indexed(spark, dest, queries, k=1, nprobe=1)
+    top = {r["query_id"]: (r["nbr_id"], r["cosine"]) for r in got.collect()}
+    for qid in (0, 1, 2):
+        assert top[qid][0] == qid + 100_000 and top[qid][1] == 1.0
 
 
 def test_text_analysis_columns(spark):
