@@ -15,7 +15,10 @@ for. Each micro-batch of crawled documents runs:
    (``exclude_batch_id``), see Idempotence below.
 3. **Index append** (``incremental.append_to_index``): the keepers'
    fingerprints join the index under this epoch's ``batch_id`` partition
-   (skip-if-present → replay-safe).
+   (skip-if-present → replay-safe). When the stream carries embeddings and
+   an IVF index dir is configured, the keepers' vectors also join the ANN
+   index (``similarity.append_to_ivf_index``, frozen quantizer, dynamic
+   overwrite of the epoch's own partitions).
 4. **Split + pack** (``sampling.hash_split`` / ``packing.pack_sequences``):
    keepers get their leakage-stable train/val/test label and their segment
    layout in fixed-``ctx_len`` training packs (pack ids are per-batch).
@@ -78,6 +81,38 @@ class IngestConfig:
     text_col: str = "text"
     min_quality: Optional[float] = None
     write_metrics: bool = True
+    # optional ANN-index maintenance: when the stream carries an embedding
+    # column and an IVF index dir (built by similarity.write_ivf_index), each
+    # epoch's keepers are appended under the frozen quantizer — same
+    # replay-idempotent per-epoch partition contract as everything else
+    embedding_col: Optional[str] = None
+    ivf_index_dir: Optional[str] = None
+
+
+def documents_from_records(
+    records: DataFrame,
+    value_schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adapter from the canonical Kafka record shape
+    (``records.KAFKA_RECORD_SCHEMA`` — what ``normalize_kafka_stream``
+    yields) to the document shape the ingest stages consume: the JSON
+    ``value`` payload parses into typed columns (PERMISSIVE — malformed
+    payloads null out and are dropped), falling back to the Kafka offset as
+    the document id when the payload carries none. Works identically on a
+    streaming or batch frame, so the full path
+    ``kafka_source → normalize_kafka_stream → documents_from_records →
+    start_ingest_pipeline`` is one declarative plan."""
+    parsed = records.select(
+        F.col("offset"),
+        F.from_json(F.col("value"), value_schema).alias("_doc"),
+    )
+    cols = [f.strip().split(" ")[0] for f in value_schema.split(",")]
+    out = parsed.select(
+        F.coalesce(F.col(f"_doc.{id_col}"), F.col("offset")).alias(id_col),
+        *[F.col(f"_doc.{c}").alias(c) for c in cols if c != id_col],
+    )
+    return out.filter(F.col("text").isNotNull())
 
 
 def _epoch_batch_id(batch_id: int) -> str:
@@ -159,6 +194,21 @@ def process_crawl_batch(
             batch_id=epoch,
             database=config.database,
         )
+
+        # stage 3b (optional): keepers' embeddings join the ANN index —
+        # assignment under the frozen quantizer is O(keepers), and the write
+        # dynamically overwrites only this epoch's partitions
+        if config.embedding_col is not None and config.ivf_index_dir is not None:
+            from kafka_connector_s3_sink_spark.operators import similarity
+
+            similarity.append_to_ivf_index(
+                keepers.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(config.embedding_col).alias("embedding"),
+                ),
+                config.ivf_index_dir,
+                batch_id=epoch,
+            )
 
         # stage 4+5: split label, then idempotent per-epoch partition overwrite
         labeled = sampling.hash_split(

@@ -66,6 +66,24 @@ def _docs_by_epoch(spark, cfg):
     }
 
 
+def test_documents_from_records(spark):
+    """Kafka record shape → document shape: JSON values parse into typed
+    columns, malformed payloads drop, a missing doc_id falls back to the
+    Kafka offset."""
+    recs = spark.createDataFrame(
+        [
+            ("t", 0, 1, None, '{"doc_id": 11, "text": "alpha beta"}', 0, None),
+            ("t", 0, 2, None, '{"text": "no id doc"}', 0, None),
+            ("t", 0, 3, None, "not-json", 0, None),
+            ("t", 0, 4, None, '{"doc_id": 44}', 0, None),  # no text → dropped
+        ],
+        "topic string, partition int, offset long, key string, value string,"
+        " timestamp long, headers array<struct<key:string,value:binary>>",
+    )
+    out = {r["doc_id"]: r["text"] for r in ingest.documents_from_records(recs).collect()}
+    assert out == {11: "alpha beta", 2: "no id doc"}
+
+
 def test_ingest_quality_floor(spark, env):
     """min_quality drops junk before dedup (stage 0); the metrics row traces
     the cut (n_input vs n_qualified)."""
@@ -85,6 +103,44 @@ def test_ingest_quality_floor(spark, env):
     assert {r["doc_id"] for r in out.collect()} == {400}
     m = spark.read.parquet(f"{cfg.dest_dir}/metrics").collect()[0]
     assert (m["n_input"], m["n_qualified"], m["n_keep"]) == (2, 1, 1)
+
+
+def test_ingest_appends_keeper_embeddings_to_ivf_index(spark, env, tmp_path):
+    """With embedding_col + ivf_index_dir configured, each epoch's KEEPERS
+    (and only they — dups are excluded) join the ANN index under the frozen
+    quantizer, in the epoch's own partition."""
+    import dataclasses
+    import random
+
+    from kafka_connector_s3_sink_spark.operators import similarity
+
+    spark, base, cfg, inbox = env
+    rnd = random.Random(7)
+    base_vecs = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_dir = str(tmp_path / "ivf")
+    similarity.write_ivf_index(base_vecs, ivf_dir, n_centroids=4)
+    n_base_rows = spark.read.parquet(ivf_dir).count()
+
+    cfg = dataclasses.replace(cfg, embedding_col="embedding", ivf_index_dir=ivf_dir)
+    base_texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    batch = spark.createDataFrame(
+        [
+            (500, base_texts[2], [1.0] * 8),          # exact dup → NOT indexed
+            (501, _text("fresh:501"), [2.0] * 8),     # keeper → indexed
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    ingest.process_crawl_batch(batch, 3, cfg)
+    epoch = ingest._epoch_batch_id(3)
+    idx = spark.read.parquet(ivf_dir)
+    added = idx.filter(F.col("batch_id") == epoch)
+    assert [r["vec_id"] for r in added.collect()] == [501]
+    # replay: no growth
+    ingest.process_crawl_batch(batch, 3, cfg)
+    assert spark.read.parquet(ivf_dir).count() == n_base_rows + 1
 
 
 def test_ingest_two_batches_restart_and_replay(spark, env):
