@@ -1,0 +1,174 @@
+"""Schema Registry client against a real local HTTP server: schema-by-id
+with memoization, latest-by-subject, retry/backoff on 5xx, permanent 4xx,
+and the full wire path — discover ids in framed payloads, resolve them over
+HTTP once, decode with the evolution-merged struct."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.formats import avro, registry
+
+SCHEMA_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "User",
+        "fields": [{"name": "name", "type": "string"}],
+    }
+)
+SCHEMA_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "User",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "blocked", "type": "boolean", "default": False},
+        ],
+    }
+)
+
+
+class _Registry(BaseHTTPRequestHandler):
+    schemas = {7: SCHEMA_V1, 9: SCHEMA_V2}
+    subjects = {"users-value": (9, SCHEMA_V2)}
+    requests_seen: list = []
+    fail_next = 0  # serve this many 500s before succeeding
+
+    def do_GET(self):  # noqa: N802 (stdlib naming)
+        _Registry.requests_seen.append(self.path)
+        if _Registry.fail_next > 0:
+            _Registry.fail_next -= 1
+            self.send_response(500)
+            self.end_headers()
+            return
+        if self.path.startswith("/schemas/ids/"):
+            sid = int(self.path.rsplit("/", 1)[-1])
+            if sid in self.schemas:
+                body = json.dumps({"schema": self.schemas[sid]})
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body.encode())
+            else:
+                self.send_response(404)
+                self.end_headers()
+        elif self.path.startswith("/subjects/") and self.path.endswith(
+            "/versions/latest"
+        ):
+            subject = self.path.split("/")[2]
+            sid, schema = self.subjects[subject]
+            body = json.dumps({"id": sid, "version": 1, "schema": schema})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body.encode())
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+
+@pytest.fixture(scope="module")
+def registry_url():
+    server = HTTPServer(("127.0.0.1", 0), _Registry)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def _client(registry_url, **kw):
+    kw.setdefault("backoff_s", 0.01)
+    return registry.SchemaRegistryClient(registry_url, **kw)
+
+
+def test_get_schema_and_memoization(registry_url):
+    c = _client(registry_url)
+    _Registry.requests_seen.clear()
+    assert json.loads(c.get_schema(7)) == json.loads(SCHEMA_V1)
+    assert json.loads(c.get_schema(7)) == json.loads(SCHEMA_V1)
+    assert _Registry.requests_seen == ["/schemas/ids/7"]  # second hit cached
+
+
+def test_unknown_id_is_permanent_error(registry_url):
+    c = _client(registry_url)
+    _Registry.requests_seen.clear()
+    with pytest.raises(registry.SchemaRegistryError, match="404"):
+        c.get_schema(12345)
+    assert len(_Registry.requests_seen) == 1  # 4xx did not retry
+
+
+def test_retry_then_success(registry_url):
+    c = _client(registry_url, retries=3)
+    _Registry.requests_seen.clear()
+    _Registry.fail_next = 2
+    assert json.loads(c.get_schema(9)) == json.loads(SCHEMA_V2)
+    assert len(_Registry.requests_seen) == 3  # two 500s, then 200
+
+
+def test_exhausted_retries_raise(registry_url):
+    c = _client(registry_url, retries=1)
+    c._cache.clear()
+    _Registry.fail_next = 5
+    with pytest.raises(registry.SchemaRegistryError, match="unreachable"):
+        c.get_schema(7)
+    _Registry.fail_next = 0
+
+
+def test_latest_by_subject(registry_url):
+    c = _client(registry_url)
+    sid, schema = c.latest("users-value")
+    assert sid == 9 and json.loads(schema) == json.loads(SCHEMA_V2)
+    _Registry.requests_seen.clear()
+    assert c.get_schema(9)  # latest() primed the id cache
+    assert _Registry.requests_seen == []
+
+
+def test_end_to_end_decode_via_registry(spark, registry_url):
+    """The reference's AvroConverter flow (AvroIntegrationTest.java:135-137):
+    framed payloads → discover distinct ids JVM-side → resolve each id once
+    over HTTP → per-record decode with the evolution-merged struct."""
+    payloads = [
+        (
+            1,
+            avro.encode(
+                {"name": "ann"}, avro.parse_schema(SCHEMA_V1), confluent_schema_id=7
+            ),
+        ),
+        (
+            2,
+            avro.encode(
+                {"name": "bob", "blocked": True},
+                avro.parse_schema(SCHEMA_V2),
+                confluent_schema_id=9,
+            ),
+        ),
+    ]
+    df = spark.createDataFrame(payloads, "offset long, value binary")
+
+    ids = registry.collect_schema_ids(df, "value")
+    assert ids == [7, 9]
+
+    c = _client(registry_url)
+    _Registry.requests_seen.clear()
+    schema_map = c.schema_map(ids)
+    assert len(_Registry.requests_seen) == len(ids)  # one fetch per id, total
+
+    out = avro.decode_avro_column(
+        df,
+        "value",
+        schema_map,
+        confluent_framing=True,
+        schema_id_column="sid",
+    )
+    rows = {r["offset"]: r for r in out.collect()}
+    assert rows[1]["sid"] == 7
+    assert rows[1]["decoded"]["name"] == "ann"
+    assert rows[1]["decoded"]["blocked"] is None  # v1 payload, merged struct
+    assert rows[2]["sid"] == 9
+    assert rows[2]["decoded"]["blocked"] is True
