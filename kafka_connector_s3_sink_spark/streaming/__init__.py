@@ -1,7 +1,21 @@
+from kafka_connector_s3_sink_spark.streaming.ingest import (
+    IngestConfig,
+    documents_from_records,
+    process_crawl_batch,
+    start_ingest_pipeline,
+)
 from kafka_connector_s3_sink_spark.streaming.pipeline import (
     kafka_source,
     normalize_kafka_stream,
     start_pipeline,
 )
 
-__all__ = ["kafka_source", "normalize_kafka_stream", "start_pipeline"]
+__all__ = [
+    "IngestConfig",
+    "documents_from_records",
+    "kafka_source",
+    "normalize_kafka_stream",
+    "process_crawl_batch",
+    "start_ingest_pipeline",
+    "start_pipeline",
+]
