@@ -49,6 +49,45 @@ def _new_batch(spark, base):
     return exact.unionByName(near).unionByName(fresh)
 
 
+def test_adversarial_texts_classify_cleanly(spark, tmp_path):
+    """Empty, whitespace-only, and non-ASCII documents flow through the whole
+    ladder: empty and whitespace both normalize to the empty string (one
+    duplicate class, min-id winner), unicode matches exactly, fresh keeps."""
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, ""),
+            (3, "   "),
+            (4, "émoji \U0001f600 text ünicode test"),
+        ],
+        ["doc_id", "text"],
+    )
+    loc = str(tmp_path / "adv-index")
+    incremental.build_dedup_index(base, "advidx", loc, num_buckets=4)
+    try:
+        batch = spark.createDataFrame(
+            [
+                (10, ""),
+                (11, "  \t "),
+                (12, "émoji \U0001f600 text ünicode test"),
+                (13, "wholly fresh content here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = sorted(
+            (r["doc_id"], r["status"], r["dup_of"])
+            for r in incremental.incremental_dedup(batch, "advidx").collect()
+        )
+        assert out == [
+            (10, "exact_dup", 2),
+            (11, "exact_dup", 2),
+            (12, "exact_dup", 4),
+            (13, "keep", None),
+        ]
+    finally:
+        incremental.drop_dedup_index(spark, "advidx")
+
+
 def test_incremental_classification(spark, index):
     base, _ = index
     out = incremental.incremental_dedup(
