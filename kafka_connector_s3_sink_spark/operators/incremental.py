@@ -229,6 +229,7 @@ def incremental_dedup(
     database: str | None = None,
     unpersist_registry: list | None = None,
     exclude_batch_id: str | None = None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Classify a new batch against the persisted index: one row per new doc,
     ``status`` ∈ {'exact_dup', 'near_dup', 'keep'}, ``dup_of`` the matched
@@ -254,7 +255,20 @@ def incremental_dedup(
     a partial failure AFTER ``append_to_index`` cannot make the replay see
     the batch's own fingerprints and mark every keeper a dup of itself. The
     classify → append → write cycle becomes idempotent end-to-end (the
-    reference's flush-cycle contract, `S3SinkTask.java:121-144`)."""
+    reference's flush-cycle contract, `S3SinkTask.java:121-144`).
+
+    ``max_band_df`` is the hot-band guard (same idea as the shingle df-cap
+    in ``dedup.ngram_jaccard_dupes``): a band shared by B batch docs and H
+    history docs emits B×H candidate pairs on ONE join key — with
+    boilerplate-heavy corpora (site templates, license headers) H can be
+    millions and the band join becomes the straggler. The cap drops bands
+    whose HISTORY frequency exceeds it before the join, bounding any key's
+    fan-out at B×cap. Cost: one aggregation over the bands table that rides
+    its bucket layout (grouping on a superset of the bucket key — no
+    Exchange). Semantics: documents whose every shared band is hot classify
+    'keep' (bounded recall loss on mass-duplicated boilerplate — exactly the
+    content the exact pass and the quality filters should be eating first);
+    default ``None`` keeps exact LSH semantics."""
     spark = new_docs.sparkSession
 
     def _idx(name: str) -> DataFrame:
@@ -277,6 +291,15 @@ def incremental_dedup(
     idx_bands = _idx("bands")
     idx_sh = _idx("shingles")
     idx_sizes = _idx("sizes")
+
+    if max_band_df is not None:
+        hot = (
+            idx_bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_df)
+            .select("band_id", "band_hash")
+        )
+        idx_bands = idx_bands.join(hot, ["band_id", "band_hash"], "left_anti")
 
     base = new_docs.select(
         F.col(id_col).alias("doc_id"),
@@ -393,6 +416,63 @@ def incremental_dedup(
         )
     )
     return exact.unionByName(near).unionByName(keep)
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    prefix: str,
+    location: str,
+    num_buckets: int = 8,
+    database: str | None = None,
+    compact_batch_id: str = "compacted",
+) -> None:
+    """Rewrite each index table's accumulated per-epoch files into one
+    compact batch partition, preserving the bucket spec — the index-side
+    small-files maintenance op. Every ``append_to_index`` epoch adds at least
+    one file per bucket per table, so after N epochs a bucket-key join opens
+    N× more files than it needs; compaction folds history into a single
+    ``batch_id=<compact_batch_id>`` partition with identical bucketing (the
+    join plan — bucketed scan, no Exchange on the index side — is unchanged,
+    it just opens fewer files).
+
+    Swap order keeps a queryable table at every step except one rename
+    instant: write ``<table>__staging`` (own location, suffixed with
+    ``compact_batch_id`` so successive compactions never overwrite the files
+    a previous swap made live) → rename live → ``__old`` → rename staging →
+    live → drop ``__old``. Use a FRESH ``compact_batch_id`` per compaction
+    (e.g. a date); reusing one only to RETRY it is safe — a table whose live
+    location already carries this id's suffix is skipped, so a replay after
+    a partial failure finishes the remaining tables and touches nothing
+    else. The old data files are external and left at their location for
+    the caller to reap (the same contract as ``drop_dedup_index``).
+    Epoch-level lineage/rollback is traded away for the fold — compact once
+    per many epochs, after the retention window where per-crawl rollback
+    matters has passed."""
+    for name in _TABLES:
+        live = _qualified(prefix, name, database)
+        staging = _qualified(f"{prefix}__staging", name, database)
+        old = _qualified(f"{prefix}__old", name, database)
+        suffix = f"{prefix}_{name}__compact_{compact_batch_id}"
+        loc_rows = spark.sql(f"DESCRIBE FORMATTED {live}").collect()
+        live_loc = next(
+            (r["data_type"] for r in loc_rows if r["col_name"] == "Location"), ""
+        )
+        if live_loc.rstrip("/").endswith(suffix):
+            continue  # this compaction already swapped this table (retry)
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        _write_part(
+            spark.table(live).drop("batch_id"),
+            staging,
+            name,
+            f"{location}/{suffix}",
+            num_buckets,
+            compact_batch_id,
+            "overwrite",
+        )
+        spark.sql(f"ALTER TABLE {live} RENAME TO {old}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {live}")
+        spark.sql(f"DROP TABLE {old}")
 
 
 def drop_dedup_index(

@@ -81,6 +81,9 @@ class IngestConfig:
     text_col: str = "text"
     min_quality: Optional[float] = None
     write_metrics: bool = True
+    # hot-band guard for the history classification (incremental_dedup's
+    # max_band_df): bounds any band's join fan-out on boilerplate-heavy crawls
+    max_band_df: Optional[int] = None
     # optional ANN-index maintenance: when the stream carries an embedding
     # column and an IVF index dir (built by similarity.write_ivf_index), each
     # epoch's keepers are appended under the frozen quantizer — same
@@ -171,6 +174,7 @@ def process_crawl_batch(
         database=config.database,
         unpersist_registry=bands_cache,
         exclude_batch_id=epoch,
+        max_band_df=config.max_band_df,
     ).persist()  # feeds keepers AND the metrics rollup; one row per canonical
     keepers = canon.join(
         classified.filter(F.col("status") == "keep").select(

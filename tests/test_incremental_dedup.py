@@ -49,6 +49,111 @@ def _new_batch(spark, base):
     return exact.unionByName(near).unionByName(fresh)
 
 
+def test_hot_band_guard(spark, tmp_path):
+    """max_band_df drops bands hotter than the cap on the history side: a
+    batch doc whose only matching bands come from mass-duplicated
+    boilerplate classifies 'keep' under the cap (bounded recall loss,
+    bounded join fan-out), 'near_dup' without it."""
+    # 30 byte-identical boilerplate docs: every band they emit has df=30, so
+    # every band a near-copy can MATCH is hot — the worst-case template page
+    boiler = "terms of service apply to all content on this site " * 3
+    base = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], ["doc_id", "text"]
+    )
+    loc = str(tmp_path / "hotidx")
+    incremental.build_dedup_index(base, "hotidx", loc, num_buckets=4)
+    try:
+        batch = spark.createDataFrame(
+            [(900, boiler + "page brand-new")], ["doc_id", "text"]
+        )
+        plain = incremental.incremental_dedup(
+            batch, "hotidx", jaccard_threshold=0.5
+        ).collect()[0]
+        assert plain["status"] == "near_dup"
+        capped = incremental.incremental_dedup(
+            batch, "hotidx", jaccard_threshold=0.5, max_band_df=10
+        ).collect()[0]
+        assert capped["status"] == "keep"
+    finally:
+        incremental.drop_dedup_index(spark, "hotidx")
+
+
+def test_compact_dedup_index(spark, tmp_path):
+    """Index compaction folds per-epoch appends into one batch partition:
+    classifications identical, fewer files, bucketed join plan preserved
+    (still no Exchange over the index side), replay of the same compaction
+    id is a no-op."""
+    import hashlib as _h
+
+    def txt(tag):
+        return " ".join(
+            _h.md5(f"{tag}:{j}".encode()).hexdigest()[:8] for j in range(30)
+        )
+
+    base = spark.createDataFrame(
+        [(i, txt(f"c:{i}")) for i in range(8)], ["doc_id", "text"]
+    )
+    loc = str(tmp_path / "cidx")
+    incremental.build_dedup_index(base, "cmpidx", loc, num_buckets=4)
+    try:
+        for e in range(2):
+            incremental.append_to_index(
+                spark.createDataFrame(
+                    [(100 + 10 * e + j, txt(f"e{e}:{j}")) for j in range(3)],
+                    ["doc_id", "text"],
+                ),
+                "cmpidx",
+                loc,
+                num_buckets=4,
+                batch_id=f"ep{e}",
+            )
+        batch = spark.createDataFrame(
+            [(500, txt("c:3")), (501, txt("e1:1")), (502, txt("new"))],
+            ["doc_id", "text"],
+        )
+        before = sorted(
+            map(tuple, incremental.incremental_dedup(batch, "cmpidx").collect())
+        )
+        files_before = len(spark.table("cmpidx_hashes").inputFiles())
+
+        incremental.compact_dedup_index(
+            spark, "cmpidx", loc, num_buckets=4, compact_batch_id="c1"
+        )
+        after = sorted(
+            map(tuple, incremental.incremental_dedup(batch, "cmpidx").collect())
+        )
+        assert after == before
+        assert len(spark.table("cmpidx_hashes").inputFiles()) < files_before
+        batches = {
+            r["batch_id"]
+            for r in spark.table("cmpidx_hashes").select("batch_id").distinct().collect()
+        }
+        assert batches == {"c1"}
+
+        # bucketed plan preserved: history side still reads pre-partitioned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            h = spark.table("cmpidx_hashes")
+            probe = base.selectExpr(
+                "md5(cast(trim(regexp_replace(lower(text), '\\\\s+', ' ')) as binary))"
+                " as content_hash",
+                "doc_id",
+            ).join(h, "content_hash")
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # replaying the SAME compaction id is a no-op
+        rows = spark.table("cmpidx_hashes").count()
+        incremental.compact_dedup_index(
+            spark, "cmpidx", loc, num_buckets=4, compact_batch_id="c1"
+        )
+        assert spark.table("cmpidx_hashes").count() == rows
+    finally:
+        incremental.drop_dedup_index(spark, "cmpidx")
+
+
 def test_adversarial_texts_classify_cleanly(spark, tmp_path):
     """Empty, whitespace-only, and non-ASCII documents flow through the whole
     ladder: empty and whitespace both normalize to the empty string (one
