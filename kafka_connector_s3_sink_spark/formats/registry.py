@@ -105,6 +105,42 @@ class SchemaRegistryClient:
         return sid, schema
 
 
+def decode_with_registry(
+    df,
+    column: str,
+    client_or_url,
+    output_column: str = "decoded",
+    schema_id_column: str | None = None,
+):
+    """The reference's AvroConverter flow in one call: discover the distinct
+    schema ids the payload column carries (JVM-side), resolve each once
+    through the registry (driver-side, memoized), and decode against the
+    evolution-merged struct. Accepts a ``SchemaRegistryClient`` or a base
+    URL. The id discovery is one extra scan of a 4-byte slice — for a
+    micro-batch that is the right trade against shipping a registry client
+    to every executor."""
+    from kafka_connector_s3_sink_spark.formats.avro import decode_avro_column
+
+    client = (
+        client_or_url
+        if isinstance(client_or_url, SchemaRegistryClient)
+        else SchemaRegistryClient(client_or_url)
+    )
+    ids = collect_schema_ids(df, column)
+    if not ids:
+        raise SchemaRegistryError(
+            f"no Confluent-framed schema ids found in column {column!r}"
+        )
+    return decode_avro_column(
+        df,
+        column,
+        client.schema_map(ids),
+        output_column=output_column,
+        confluent_framing=True,
+        schema_id_column=schema_id_column,
+    )
+
+
 def collect_schema_ids(df, column: str) -> list[int]:
     """Distinct Confluent schema ids present in a framed BinaryType column:
     byte 0 is the magic (0), bytes 1-4 the big-endian id. One JVM-side

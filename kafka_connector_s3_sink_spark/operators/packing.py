@@ -38,6 +38,7 @@ def pack_sequences(
     text_col: str = "text",
     seed: str = "pack",
     n_shards: int = 32,
+    per_doc_overhead: int = 0,
 ) -> DataFrame:
     """Assign every document its segments in fixed-``ctx_len`` training packs.
 
@@ -51,18 +52,30 @@ def pack_sequences(
     Scale shape: one hash shuffle (shard window) + one broadcast join
     (``n_shards`` offset rows) + a narrow fan-out. The shard-offset window
     sorts ``n_shards`` rows on a single task — bounded by config, not data.
+
+    ``per_doc_overhead`` models tokenizer framing (e.g. one EOS per
+    document, or BOS+EOS = 2): each document occupies
+    ``token_count + overhead`` slots in the stream, so pack boundaries and
+    fill ratios match what the real tokenized corpus will produce. Default
+    0 keeps raw-token semantics (and the oracle contract).
     """
     if ctx_len <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    if per_doc_overhead < 0:
+        raise ValueError(
+            f"per_doc_overhead must be >= 0, got {per_doc_overhead}"
+        )
     did = F.col(id_col)
     toks = (
         df.select(
             did,
-            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            (token_count(F.col(text_col)).cast("long") + per_doc_overhead).alias(
+                "n_tokens"
+            ),
             (hash_bucket(did, seed) % n_shards).alias("_shard"),
             shuffle_key(did, seed).alias("_ord"),
         )
-        .filter(F.col("n_tokens") > 0)
+        .filter(F.col("n_tokens") > per_doc_overhead)
     )
     w_shard = (
         Window.partitionBy("_shard")

@@ -174,6 +174,35 @@ def test_pack_sequences_invariants(docs):
         assert pos == (CTX if pid != last else by_pack[last])
 
 
+def test_pack_sequences_per_doc_overhead(docs):
+    """per_doc_overhead models tokenizer framing: every document occupies
+    token_count + overhead slots, so total packed tokens grow by exactly
+    n_docs × overhead and all tiling invariants still hold."""
+    plain = packing.pack_sequences(docs, CTX).collect()
+    eos = packing.pack_sequences(docs, CTX, per_doc_overhead=1).collect()
+    n_docs = len({r["doc_id"] for r in plain})
+    assert len({r["doc_id"] for r in eos}) == n_docs  # nothing dropped
+    assert (
+        sum(r["seg_tokens"] for r in eos)
+        == sum(r["seg_tokens"] for r in plain) + n_docs
+    )
+    per_doc = {}
+    for r in eos:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["seg_tokens"]
+    plain_per_doc = {}
+    for r in plain:
+        plain_per_doc[r["doc_id"]] = (
+            plain_per_doc.get(r["doc_id"], 0) + r["seg_tokens"]
+        )
+    assert all(per_doc[d] == plain_per_doc[d] + 1 for d in per_doc)
+    # non-final packs stay exactly full
+    by_pack = {}
+    for r in eos:
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + r["seg_tokens"]
+    last = max(by_pack)
+    assert all(t == CTX for p, t in by_pack.items() if p != last)
+
+
 def test_pack_stats(docs):
     stats = {
         r["pack_id"]: (r["n_docs"], r["pack_tokens"], r["fill_ratio"])

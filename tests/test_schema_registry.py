@@ -129,6 +129,24 @@ def test_latest_by_subject(registry_url):
     assert _Registry.requests_seen == []
 
 
+def test_decode_with_registry_one_call(spark, registry_url):
+    """decode_with_registry = discover + resolve + decode in one call, from
+    a bare URL."""
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                avro.encode(
+                    {"name": "zoe"}, avro.parse_schema(SCHEMA_V1), confluent_schema_id=7
+                ),
+            )
+        ],
+        "offset long, value binary",
+    )
+    out = registry.decode_with_registry(df, "value", registry_url)
+    assert out.collect()[0]["decoded"]["name"] == "zoe"
+
+
 def test_end_to_end_decode_via_registry(spark, registry_url):
     """The reference's AvroConverter flow (AvroIntegrationTest.java:135-137):
     framed payloads → discover distinct ids JVM-side → resolve each id once
