@@ -606,3 +606,108 @@ def events_after_signup(spark: SparkSession, sf_dir: str, days: int = 7) -> Data
         )
         .orderBy("signup_id")
     )
+
+
+# -- additional TPC-H shapes (r4: breadth beyond the 50-entry gate window;
+# -- each has a DuckDB twin in tests/test_relational_extra.py) --------------
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-aggregate ratio: the share of revenue
+    coming from PROMO parts inside a date window. Plan: part is a dimension
+    (broadcast), the conditional sums fold map-side into ONE global
+    aggregation — no second pass over lineitem for the numerator."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            stable_round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated aggregate as a two-pass join: per-part
+    average quantity (pass 1, partial agg), joined back to price lines below
+    20% of their part's average (pass 2). The correlated scalar subquery
+    becomes one shuffle on partkey + one equi-join — never a per-row
+    re-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_floor")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_floor"))
+        .agg(
+            stable_round(F.sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_yearly_small_qty_revenue"
+            )
+        )
+    )
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_quantity: float = 150.0, k: int = 20
+) -> DataFrame:
+    """TPC-H Q18 shape — group-HAVING as a pre-aggregated semi join: orders
+    whose lineitem quantity total exceeds the threshold, enriched with
+    customer and ranked by value. The HAVING runs on the aggregated
+    (small) side BEFORE any join — orders/customer only ever join the
+    qualifying keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(stable_round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def disjunctive_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — disjunctive (OR-of-ANDs) predicates across the
+    join: each branch pairs a brand with size and quantity bounds. The
+    brand/size conjuncts are part-side, the quantity conjuncts
+    lineitem-side, so Catalyst pushes each side's OR-union into its scan
+    (both scans carry PushedFilters) and the residual OR evaluates inside
+    the (broadcast) join — no cross product, one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = lambda brand, smin, smax, qmin, qmax: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(smin, smax))
+        & (F.col("l_quantity").between(qmin, qmax))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(
+        branch("Brand#12", 1, 15, 1, 20)
+        | branch("Brand#23", 10, 30, 10, 35)
+        | branch("Brand#34", 20, 50, 20, 50)
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        stable_round(F.sum(rev), 2).alias("disc_revenue"),
+    )

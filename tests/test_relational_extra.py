@@ -1,0 +1,130 @@
+"""DuckDB twins for the r4 breadth TPC-H shapes (beyond the 50-entry gate
+window): conditional-aggregate ratio (Q14), correlated aggregate as a
+two-pass join (Q17), group-HAVING semi join (Q18), disjunctive predicate
+pushdown (Q19). Each Spark result must match the independently-phrased SQL
+bit-for-bit after the shared stable rounding."""
+
+import duckdb
+import pytest
+
+from kafka_connector_s3_sink_spark.operators import relational
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("lineitem", "orders", "part", "customer")
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_promo_revenue_ratio(spark, con):
+    got = _rows(relational.promo_revenue_ratio(spark, SF_DIR))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT floor((100.0 *
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+                / 10000.0 AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+            """
+        ).fetchall()
+    )
+    assert got == want and got[0][0] > 0
+
+
+def test_small_quantity_revenue(spark, con):
+    got = _rows(relational.small_quantity_revenue(spark, SF_DIR))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH pa AS (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_floor
+                FROM lineitem GROUP BY 1
+            )
+            SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+                AS avg_yearly_small_qty_revenue
+            FROM lineitem JOIN pa USING (l_partkey)
+            WHERE l_quantity < qty_floor
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_large_volume_orders(spark, con):
+    got = [tuple(r) for r in relational.large_volume_orders(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH big AS (
+                SELECT l_orderkey,
+                    floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 > 150.0
+            )
+            SELECT c_name, o_orderkey, o_totalprice AS total_price, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_price DESC, o_orderkey ASC
+            LIMIT 20
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_disjunctive_branded_revenue(spark, con):
+    got = _rows(relational.disjunctive_branded_revenue(spark, SF_DIR))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT count(*) AS n_lines,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                    / 100.0 AS disc_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
+            """
+        ).fetchall()
+    )
+    assert got == want and got[0][0] > 0
+
+
+def test_disjunctive_predicates_reach_both_scans(spark):
+    """The OR-of-ANDs splits per side: both the part scan and the lineitem
+    scan must carry pushed filters (the point of the Q19 shape)."""
+    plan = (
+        relational.disjunctive_branded_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+        if seg and not seg.startswith("]")
+    ]
+    assert any("p_brand" in s or "p_size" in s for s in pushed), pushed
+    assert any("l_quantity" in s for s in pushed), pushed
