@@ -711,3 +711,83 @@ def disjunctive_branded_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         stable_round(F.sum(rev), 2).alias("disc_revenue"),
     )
+
+
+def waiting_suppliers(
+    spark: SparkSession, sf_dir: str, late_days: int = 90, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS against the same fact table:
+    suppliers who shipped late (> ``late_days`` after the order date) on a
+    multi-supplier order where EVERY OTHER supplier shipped on time. Both
+    quantified predicates become aggregations on the (orderkey) grain —
+    one shuffle of lineitem, then semi-join-style filters on the small
+    aggregated side — instead of two correlated per-row subqueries."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).cast("int"),
+    )
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_supp_late").alias("_n_late_supp"),
+    )
+    # the order qualifies for a supplier iff: >1 suppliers participate,
+    # this supplier is late, and no other supplier is late
+    return (
+        per_supp.filter(F.col("_supp_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
+        .limit(k)
+    )
+
+
+def idle_rich_customers(
+    spark: SparkSession, sf_dir: str, max_orders: int = 5
+) -> DataFrame:
+    """TPC-H Q22 shape — scalar aggregate subquery + anti join: customers
+    with above-average positive account balance who placed at most
+    ``max_orders`` orders, rolled up by market segment. The scalar average
+    is one tiny aggregate broadcast as a literal-free cross-filter; the
+    "not highly active" quantifier is a LEFT ANTI join against the
+    pre-aggregated active-customer keys — never a per-row correlated
+    probe."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    active = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_orders)
+        .select("c_custkey")
+    )
+    return (
+        rich.join(active, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            stable_round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -128,3 +128,60 @@ def test_disjunctive_predicates_reach_both_scans(spark):
     ]
     assert any("p_brand" in s or "p_size" in s for s in pushed), pushed
     assert any("l_quantity" in s for s in pushed), pushed
+
+
+def test_waiting_suppliers(spark, con):
+    got = [tuple(r) for r in relational.waiting_suppliers(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH j AS (
+                SELECT l_orderkey, l_suppkey,
+                    CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INTEGER)
+                        AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            per_supp AS (
+                SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+                FROM j GROUP BY 1, 2
+            ),
+            per_order AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                    sum(supp_late) AS n_late_supp
+                FROM per_supp GROUP BY 1
+            )
+            SELECT l_suppkey, count(*) AS numwait
+            FROM per_supp JOIN per_order USING (l_orderkey)
+            WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, l_suppkey ASC
+            LIMIT 20
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_idle_rich_customers(spark, con):
+    got = [tuple(r) for r in relational.idle_rich_customers(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH avg_bal AS (
+                SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+            ),
+            active AS (
+                SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 5
+            )
+            SELECT c_mktsegment, count(*) AS n_customers,
+                floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_balance
+            FROM customer, avg_bal
+            WHERE c_acctbal > a
+              AND c_custkey NOT IN (SELECT o_custkey FROM active)
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
