@@ -791,3 +791,42 @@ def idle_rich_customers(
         )
         .orderBy("c_mktsegment")
     )
+
+
+def nation_pair_trade(
+    spark: SparkSession, sf_dir: str, k: int = 25
+) -> DataFrame:
+    """TPC-H Q7 shape — one fact scan feeding TWO independent dimension
+    paths: lineitem → supplier → nation gives the shipping nation, lineitem
+    → orders → customer → nation the receiving one; revenue rolls up per
+    (supplier nation, customer nation, year) for differing nations. Both
+    nation joins are fixed-cardinality broadcasts (aliased — the same dim
+    table joins twice under different roles); the fact shuffles once for
+    the orders join and once into the 3-key aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(stable_round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "supp_nation", "cust_nation", "ship_year")
+        .limit(k)
+    )

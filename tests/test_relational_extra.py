@@ -185,3 +185,37 @@ def test_idle_rich_customers(spark, con):
         ).fetchall()
     ]
     assert got == want and len(got) > 0
+
+
+def test_nation_pair_trade(spark, con):
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS supplier AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/supplier.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS nation AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/nation.parquet')"
+    )
+    got = [tuple(r) for r in relational.nation_pair_trade(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                    / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, supp_nation, cust_nation, ship_year
+            LIMIT 25
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 25
