@@ -830,3 +830,58 @@ def nation_pair_trade(
         .orderBy(F.col("revenue").desc(), "supp_nation", "cust_nation", "ship_year")
         .limit(k)
     )
+
+
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — left-outer fact join + count-of-counts histogram:
+    every customer keeps a row even with zero orders (the LEFT join is the
+    point — an inner join silently drops the zero bucket), then the
+    distribution is a second, tiny aggregation over per-customer counts.
+    Two shuffles total, both on shrinking grains (customer key, then count
+    value)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count(col): nulls → 0
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def segment_revenue_share(
+    spark: SparkSession, sf_dir: str, min_share: float = 0.05
+) -> DataFrame:
+    """TPC-H Q11 flavor — group aggregate measured against a GLOBAL scalar:
+    each market segment's order-value share of the whole book, keeping
+    segments above a floor. The global total is a one-row aggregate joined
+    back by broadcast — computed once, never per group (the correlated
+    re-aggregation trap); both aggregations ride one shuffle each."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    seg = j.groupBy("c_mktsegment").agg(
+        F.sum("o_totalprice").alias("_seg_value")
+    )
+    total = j.agg(F.sum("o_totalprice").alias("_total"))
+    return (
+        seg.join(F.broadcast(total))
+        .filter(F.col("_seg_value") > min_share * F.col("_total"))
+        .select(
+            "c_mktsegment",
+            stable_round(F.col("_seg_value"), 2).alias("segment_value"),
+            stable_round(F.col("_seg_value") / F.col("_total"), 4).alias("share"),
+        )
+        .orderBy(F.col("segment_value").desc())
+    )

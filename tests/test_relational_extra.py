@@ -219,3 +219,56 @@ def test_nation_pair_trade(spark, con):
         ).fetchall()
     ]
     assert got == want and len(got) == 25
+
+
+def test_order_count_distribution(spark, con):
+    got = [
+        tuple(r)
+        for r in relational.order_count_distribution(spark, SF_DIR).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY 1
+            )
+            SELECT n_orders, count(*) AS n_customers
+            FROM per_cust GROUP BY 1
+            ORDER BY n_customers DESC, n_orders DESC
+            """
+        ).fetchall()
+    ]
+    assert got == want and sum(r[1] for r in got) == 150
+
+
+def test_segment_revenue_share(spark, con):
+    got = [
+        tuple(r)
+        for r in relational.segment_revenue_share(spark, SF_DIR).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH j AS (
+                SELECT o_totalprice, c_mktsegment
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            seg AS (
+                SELECT c_mktsegment, sum(o_totalprice) AS seg_value FROM j
+                GROUP BY 1
+            ),
+            tot AS (SELECT sum(o_totalprice) AS total FROM j)
+            SELECT c_mktsegment,
+                floor(seg_value * 100.0 + 0.5) / 100.0 AS segment_value,
+                floor((seg_value / total) * 10000.0 + 0.5) / 10000.0 AS share
+            FROM seg, tot
+            WHERE seg_value > 0.05 * total
+            ORDER BY segment_value DESC
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
