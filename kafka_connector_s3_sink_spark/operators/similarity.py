@@ -533,7 +533,6 @@ def write_ivf_index(
     matching every query path's up-front filter.
     """
     import json
-    import os
 
     cents = (
         centroids
@@ -562,9 +561,15 @@ def write_ivf_index(
         .partitionBy("centroid_id", "batch_id")
         .parquet(dest_dir)
     )
-    # quantizer sidecar: O(k·dim) scalars, driver-side by construction
-    with open(os.path.join(dest_dir, "_centroids.json"), "w") as f:
-        json.dump({"centroids": [[cid, cvec] for cid, cvec in cents]}, f)
+    # quantizer sidecar: O(k·dim) scalars, driver-side by construction.
+    # Written through the storage client so the index works on s3://, not
+    # just a local mount (same contract as the sink's exact-name objects).
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    ObjectStorage(dest_dir).write_bytes(
+        "_centroids.json",
+        json.dumps({"centroids": [[cid, cvec] for cid, cvec in cents]}).encode(),
+    )
     return cents
 
 
@@ -627,13 +632,13 @@ def ivf_index_stats(spark, index_dir: str) -> DataFrame:
 
 def read_ivf_centroids(index_dir: str) -> list[tuple[int, list[float]]]:
     import json
-    import os
 
-    with open(os.path.join(index_dir, "_centroids.json")) as f:
-        return [
-            (int(cid), [float(c) for c in cvec])
-            for cid, cvec in json.load(f)["centroids"]
-        ]
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    data = json.loads(ObjectStorage(index_dir).read_bytes("_centroids.json"))
+    return [
+        (int(cid), [float(c) for c in cvec]) for cid, cvec in data["centroids"]
+    ]
 
 
 def ivf_topk_indexed(

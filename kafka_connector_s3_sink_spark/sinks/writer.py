@@ -14,6 +14,10 @@ Spark-first decomposition:
                                     one compression buffer, not by group size
 
 Only step 5 is Python, and it is pure I/O (the bytes were rendered JVM-side).
+Object I/O goes through ``sinks.storage.ObjectStorage`` (pyarrow.fs), so
+``dest_dir`` may be a local path, ``file://``, ``s3://``, ``gs://`` or
+``hdfs://`` URI; every object commit is atomic (temp+rename, or direct PUT on
+object stores) with abort-on-error parity to ``S3OutputStream.java:101-132``.
 Idempotence: object names derive from (topic, partition, start_offset) — at-least-once
 reprocessing overwrites the same objects (``README.md:101-133``); key-mode later
 flushes intentionally overwrite (``README.md:158-170``).
@@ -28,7 +32,6 @@ requirement) prefer ``write_spark_native``, which keeps everything in the JVM
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, Window
@@ -45,21 +48,8 @@ from kafka_connector_s3_sink_spark.operators.grouping import (
     assign_schema_runs,
     last_value_per_key,
 )
+from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
 from kafka_connector_s3_sink_spark.template import GrouperType, ensure_utc_session
-
-def _safe_object_path(dest_dir: str, name: str) -> str:
-    """Join an object name under dest_dir, refusing path escapes.
-
-    Object names can embed record data ({{key}} templates), so a hostile key
-    like ``../../x`` must not traverse outside the sink root. "/" separators
-    are allowed (S3-prefix-style subdirectories); ".." segments and absolute
-    names are not.
-    """
-    path = os.path.normpath(os.path.join(dest_dir, name.lstrip("/")))
-    root = os.path.abspath(dest_dir)
-    if not os.path.abspath(path).startswith(root + os.sep):
-        raise ValueError(f"object name {name!r} escapes the sink directory")
-    return path
 
 
 def _filename_column(config: EngineConfig, clock: Column | None) -> Column:
@@ -86,9 +76,17 @@ def write_batch(
     dest_dir: str,
     clock: Column | None = None,
     manifest: str = "driver",
+    storage: ObjectStorage | None = None,
+    fault: object | None = None,
 ) -> list[tuple[str, int]]:
     """Write one batch of canonical Kafka records as exactly-named objects under
-    ``dest_dir``. Returns [(object_name, record_count)] sorted by name.
+    ``dest_dir`` (a local path or any ``pyarrow.fs`` URI — ``file://``,
+    ``s3://``, ``hdfs://``). Returns [(object_name, record_count)] sorted by
+    name. ``storage`` overrides the default ``ObjectStorage(dest_dir)``
+    (e.g. to force a commit mode); ``fault`` is a picklable callable
+    ``fault(object_name)`` invoked mid-write before each object commits —
+    test hook for the abort-on-error contract (a raised exception must leave
+    no partial object, ``S3OutputStreamTest``'s abort semantics).
 
     ``clock`` injects a fixed timestamp for the {{timestamp}} template variable
     (tests; the reference's own tests race midnight, IntegrationTest.java:246-258).
@@ -103,6 +101,8 @@ def write_batch(
     (same names, same contents — idempotent like the objects themselves).
     """
     ensure_utc_session(df.sparkSession)
+    if storage is None:
+        storage = ObjectStorage(dest_dir)
     # flush-time schema-type contract, exact reference behavior+message
     # (ConnectException at flush; S3SinkTaskTest.java:474-498)
     enforce_csv_schema_types(df.schema, config)
@@ -159,7 +159,7 @@ def write_batch(
                     F.col("value").cast("string"), config.parquet_value_schema
                 ),
             )
-        writer = _parquet_partition_writer(dest_dir, config, ordered.schema)
+        writer = _parquet_partition_writer(storage, config, ordered.schema, fault)
     else:
         ordered = (
             prepared.select(
@@ -170,115 +170,123 @@ def write_batch(
             .repartition(F.col("_file"))
             .sortWithinPartitions("_file", "_ord")
         )
-        writer = _text_partition_writer(dest_dir, config)
+        writer = _text_partition_writer(storage, config, fault)
 
     if manifest == "sidecar":
-        results = ordered.rdd.mapPartitions(_sidecar_manifest(writer, dest_dir))
+        results = ordered.rdd.mapPartitions(_sidecar_manifest(writer, storage))
         results.count()  # triggers the write; counts objects, not rows
         return []
     written = ordered.rdd.mapPartitions(writer).collect()
     return sorted(written)
 
 
-def _sidecar_manifest(writer, dest_dir: str):
+def _sidecar_manifest(writer, storage: ObjectStorage):
     """Wrap a partition writer so each task streams its own manifest shard to
-    ``dest_dir/_manifest/part-<partitionId>.jsonl`` — one JSON line per object,
+    ``<dest>/_manifest/part-<partitionId>.jsonl`` — one JSON line per object,
     nothing returned to the driver.
 
-    Storage assumption: shards are written with the same plain-``open`` local
-    I/O as the data objects, so ``dest_dir`` must be a SHARED filesystem
-    (NFS/FUSE mount) for multi-node clusters — on executor-local disks the
-    shards would scatter. An object-store deployment routes BOTH object and
-    shard writes through the same storage client (s3a committer / boto);
-    swapping the I/O layer is localized to the two ``open`` sites here and in
-    the partition writers."""
+    Shards go through the same ``ObjectStorage`` client as the data objects,
+    so the manifest works on any pyarrow.fs backend (``file:``/``s3://``/
+    ``hdfs://``) — no shared-mount assumption. The shard is buffered in the
+    task (one small JSON line per OBJECT the task wrote — bounded by the
+    manifest's own documented O(objects-per-task)) and committed atomically
+    after the task's objects, so a task retry rewrites both identically."""
 
     def write(rows: Iterator) -> Iterator[tuple[str, int]]:
         import json
 
         from pyspark import TaskContext
 
-        shard = None
-        try:
-            for name, count in writer(rows):
-                if shard is None:
-                    mdir = os.path.join(dest_dir, "_manifest")
-                    os.makedirs(mdir, exist_ok=True)
-                    pid = TaskContext.get().partitionId()
-                    shard = open(os.path.join(mdir, f"part-{pid:05d}.jsonl"), "w")
-                shard.write(
-                    json.dumps({"object": name, "records": count}) + "\n"
-                )
-                yield (name, count)
-        finally:
-            if shard is not None:
-                shard.close()
+        lines: list[str] = []
+        for name, count in writer(rows):
+            lines.append(json.dumps({"object": name, "records": count}))
+            yield (name, count)
+        if lines:
+            pid = TaskContext.get().partitionId()
+            storage.write_bytes(
+                f"_manifest/part-{pid:05d}.jsonl",
+                ("\n".join(lines) + "\n").encode(),
+            )
 
     return write
 
 
-def _text_partition_writer(dest_dir: str, config: EngineConfig):
+def _text_partition_writer(storage: ObjectStorage, config: EngineConfig, fault=None):
     """Streaming per-partition writer for CSV/JSONL/JSON.
 
     Rows arrive clustered by filename and sorted by offset; the writer holds one
     open compressed stream and (for JSON) a single one-line lookbehind to place
     trailing commas — memory is O(compression buffer), never O(group).
+
+    Each object streams through ``storage.open_output`` — committed only on a
+    clean finish; any exception (including the ``fault`` test hook) aborts the
+    in-flight object so no partial bytes are visible under its final name
+    (``S3OutputStream.java:101-132`` abort parity).
     """
     compression = config.file_compression
     is_json_array = config.format_type is FormatType.JSON
 
     def write(rows: Iterator) -> Iterator[tuple[str, int]]:
         current: str | None = None
-        out = None
+        cm = None  # storage.open_output context for the in-flight object
         stream = None
         pending: str | None = None
         count = 0
 
         def finish():
-            nonlocal out, stream, pending, count
-            if out is None:
+            nonlocal cm, stream, pending, count
+            if cm is None:
                 return None
             if is_json_array:
                 if pending is not None:
                     stream.write((pending + "\n").encode())
                 stream.write(b"]\n")
-            stream.close()
-            out.close()
+            stream.close()  # flush compressed tail into the raw stream
+            if fault is not None:
+                fault(current)  # raises → except below aborts via cm.__exit__
+            cm.__exit__(None, None, None)  # commit (rename / complete upload)
             result = (current, count)
-            out = stream = pending = None
+            cm = stream = pending = None
             return result
 
-        for row in rows:
-            name, line = row[0], row[1]  # (_file, _line, _ord) positional —
-            # Row.__getitem__ by name is a field-index lookup per access; at
-            # millions of rows per partition the constant matters
-            if name != current:
-                done = finish()
-                if done:
-                    yield done
-                current = name
-                count = 0
-                path = _safe_object_path(dest_dir, name)
-                os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
-                out = open(path, "wb")
-                stream = open_compressed(out, compression)
+        try:
+            for row in rows:
+                name, line = row[0], row[1]  # (_file, _line, _ord) positional —
+                # Row.__getitem__ by name is a field-index lookup per access; at
+                # millions of rows per partition the constant matters
+                if name != current:
+                    done = finish()
+                    if done:
+                        yield done
+                    current = name
+                    count = 0
+                    cm = storage.open_output(name)
+                    raw = cm.__enter__()
+                    stream = open_compressed(raw, compression)
+                    if is_json_array:
+                        stream.write(b"[\n")
                 if is_json_array:
-                    stream.write(b"[\n")
-            if is_json_array:
-                if pending is not None:
-                    stream.write((pending + ",\n").encode())
-                pending = line
-            else:
-                stream.write((line + "\n").encode())
-            count += 1
-        done = finish()
-        if done:
-            yield done
+                    if pending is not None:
+                        stream.write((pending + ",\n").encode())
+                    pending = line
+                else:
+                    stream.write((line + "\n").encode())
+                count += 1
+            done = finish()
+            if done:
+                yield done
+        except BaseException as e:
+            if cm is not None:  # abort: delete temp / never complete final
+                cm.__exit__(type(e), e, e.__traceback__)
+                cm = None
+            raise
 
     return write
 
 
-def _parquet_partition_writer(dest_dir: str, config: EngineConfig, schema):
+def _parquet_partition_writer(
+    storage: ObjectStorage, config: EngineConfig, schema, fault=None
+):
     """Per-partition parquet writer: buffers one group's rows into an Arrow
     table and writes a single parquet object with the reference's envelope
     column order (README.md:357-405). Parquet needs the whole row group anyway,
@@ -328,14 +336,15 @@ def _parquet_partition_writer(dest_dir: str, config: EngineConfig, schema):
         def flush():
             if current is None or not buffer[0]:
                 return None
-            path = _safe_object_path(dest_dir, current)
-            os.makedirs(os.path.dirname(path) or dest_dir, exist_ok=True)
             arrays = [
                 pa.array(col, type=arrow_schema.field(i).type)
                 for i, col in enumerate(buffer)
             ]
             table = pa.Table.from_arrays(arrays, schema=arrow_schema)
-            pq.write_table(table, path, compression=compression)
+            with storage.open_output(current) as out:
+                pq.write_table(table, out, compression=compression)
+                if fault is not None:
+                    fault(current)  # raises inside the context → abort, no object
             return (current, len(buffer[0]))
 
         for row in rows:

@@ -1,0 +1,137 @@
+"""Storage-client tests: the exact-name write path over pyarrow.fs URIs and
+the abort-on-error contract (reference: ``S3OutputStream.java:101-132`` aborts
+the multipart upload on failure so no partial object is ever visible;
+``S3OutputStreamTest`` pins that a failed stream leaves nothing behind)."""
+
+import base64
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from kafka_connector_s3_sink_spark.config import (
+    CompressionType,
+    EngineConfig,
+    FormatType,
+)
+from kafka_connector_s3_sink_spark.records import KAFKA_RECORD_SCHEMA
+from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode()).decode()
+
+
+def rows_two_objects():
+    return [
+        Row(topic="t", partition=p, offset=p * 100 + i, key=f"k{i}",
+            value=f"v-{p}-{i}", timestamp=1000 + i, headers=None)
+        for p in (0, 1) for i in range(3)
+    ]
+
+
+def test_object_storage_roundtrip_and_listing(tmp_path):
+    st = ObjectStorage(str(tmp_path))
+    st.write_bytes("a/b/obj.txt", b"hello")
+    assert st.read_bytes("a/b/obj.txt") == b"hello"
+    assert st.exists("a/b/obj.txt")
+    assert not st.exists("a/b/missing")
+    assert st.listing() == ["a/b/obj.txt"]
+
+
+def test_object_storage_rejects_path_escape(tmp_path):
+    st = ObjectStorage(str(tmp_path))
+    with pytest.raises(ValueError, match="escapes"):
+        st.full_path("../../etc/passwd")
+    with pytest.raises(ValueError, match="escapes"):
+        st.full_path("a/../../x")
+    # absolute names are treated as prefix-relative, not absolute
+    assert st.full_path("/sub/x").endswith("/sub/x")
+
+
+def test_object_storage_abort_leaves_no_temp_or_object(tmp_path):
+    st = ObjectStorage(str(tmp_path))
+    with pytest.raises(RuntimeError):
+        with st.open_output("obj.bin") as out:
+            out.write(b"partial bytes")
+            raise RuntimeError("boom")
+    # no final object, no leftover temp file (hidden or otherwise)
+    assert os.listdir(tmp_path) == []
+
+
+def test_write_batch_accepts_file_uri(spark, tmp_path):
+    """The golden-name path through an explicit file:// URI — the same route an
+    s3:// deployment takes, resolved by pyarrow.fs instead of plain open()."""
+    cfg = EngineConfig(file_compression=CompressionType.NONE)
+    written = write_batch(
+        records_df(spark), cfg, "file://" + str(tmp_path)
+    )
+    assert [w[0] for w in written] == ["t-0-0", "t-1-100"]
+    assert (tmp_path / "t-0-0").read_text().splitlines() == [
+        b64("v-0-0"), b64("v-0-1"), b64("v-0-2"),
+    ]
+
+
+def records_df(spark):
+    return spark.createDataFrame(rows_two_objects(), KAFKA_RECORD_SCHEMA)
+
+
+def FailOnObject(name):
+    """Fault hook: raise when committing the named object. A closure so
+    cloudpickle ships it by value (test modules aren't importable on
+    executors)."""
+
+    def fault(object_name):
+        if object_name == name:
+            raise RuntimeError(f"injected failure on {object_name}")
+
+    return fault
+
+
+@pytest.mark.parametrize("fmt", [FormatType.CSV, FormatType.PARQUET])
+def test_failed_write_leaves_no_partial_object(spark, tmp_path, fmt):
+    """Kill the writer mid-batch: the failing object must not exist under its
+    final name (abort contract), and no hidden temp may linger."""
+    cfg = EngineConfig(format_type=fmt, file_compression=CompressionType.GZIP
+                       if fmt is FormatType.CSV else CompressionType.NONE)
+    with pytest.raises(Exception, match="injected failure"):
+        write_batch(records_df(spark), cfg, str(tmp_path),
+                    fault=FailOnObject("t-1-100" + (".gz" if fmt is FormatType.CSV else "")))
+    names = {f for f in os.listdir(tmp_path)}
+    assert not any("t-1-100" in n for n in names), names
+    assert not any(".inprogress-" in n for n in names), names
+
+
+def test_retry_after_failure_converges_to_clean_run(spark, tmp_path, tmp_path_factory):
+    """At-least-once: a failed batch re-run (task retry / job restart) must
+    produce the byte-identical object set of a clean run — deterministic names
+    + atomic commits (README.md:101-133)."""
+    cfg = EngineConfig(file_compression=CompressionType.GZIP)
+    df = records_df(spark)
+    with pytest.raises(Exception, match="injected failure"):
+        write_batch(df, cfg, str(tmp_path), fault=FailOnObject("t-0-0.gz"))
+    # retry without the fault: same dest, converges
+    written = write_batch(df, cfg, str(tmp_path))
+    clean_dir = tmp_path_factory.mktemp("clean")
+    clean = write_batch(df, cfg, str(clean_dir))
+    assert written == clean
+    for name, _ in clean:
+        assert (tmp_path / name).read_bytes() == (clean_dir / name).read_bytes()
+
+
+def test_sidecar_manifest_through_storage(spark, tmp_path):
+    """Sidecar shards go through the same storage client (no shared-mount
+    assumption) and name every object the batch wrote."""
+    import json
+
+    cfg = EngineConfig(file_compression=CompressionType.NONE)
+    result = write_batch(records_df(spark), cfg, str(tmp_path), manifest="sidecar")
+    assert result == []
+    mdir = tmp_path / "_manifest"
+    entries = []
+    for shard in sorted(mdir.iterdir()):
+        for line in shard.read_text().splitlines():
+            entries.append(json.loads(line))
+    assert sorted(e["object"] for e in entries) == ["t-0-0", "t-1-100"]
+    assert all(e["records"] == 3 for e in entries)
