@@ -318,6 +318,21 @@ _INCR_INDEX_CACHE: dict[str, str] = {}
 _INCR_CACHE_REGISTRY: list = []
 
 
+def release_caches() -> None:
+    """Drop the deferred persist()s of the last q_incremental_dedup call.
+
+    The classification ladder persists intermediates that must stay cached
+    until the RESULT DataFrame is materialized (the query fn returns lazily),
+    so the query can't unpersist them itself. Callers that materialize and
+    move on (bench loops, the driver gate) call this between queries so one
+    entry's cached blocks don't occupy the block manager while the next
+    entry's timing runs — the r4 `pipeline_pack_split` regression was exactly
+    this interference. q_incremental_dedup also self-releases on re-entry."""
+    for cached in _INCR_CACHE_REGISTRY:
+        cached.unpersist()
+    _INCR_CACHE_REGISTRY.clear()
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup vs the persisted bucketed fingerprint index
     (``operators/incremental.py``), registered r4 so the one major r3
@@ -335,9 +350,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # caches of the PREVIOUS call are safe to drop once a new call starts
     # (the prior result was materialized by then); keeps bench loops flat
-    for cached in _INCR_CACHE_REGISTRY:
-        cached.unpersist()
-    _INCR_CACHE_REGISTRY.clear()
+    release_caches()
 
     docs = _docs(spark, sf_dir)
     if sf_dir not in _INCR_INDEX_CACHE:
@@ -571,6 +584,65 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.unionByName(native)
 
 
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, exact AND LSH-bucketed paths in one result (merged r5 to
+    free a window slot). Both branches share the output schema
+    (query_id, nbr_id, cosine, rank); `method` tags which plan produced each
+    row. Unlike topk_users the branches are NOT value-identical — LSH is
+    approximate by design — so each oracle branch mirrors its own plan."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = (
+        corpus.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    brute = similarity.brute_force_topk(corpus, qs).select(
+        F.lit("brute").alias("method"), "query_id", "nbr_id", "cosine", "rank"
+    )
+    lsh = similarity.lsh_topk(corpus, qs).select(
+        F.lit("lsh").alias("method"), "query_id", "nbr_id", "cosine", "rank"
+    )
+    return brute.unionByName(lsh)
+
+
+def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate generation, exact-Jaccard AND MinHash-LSH paths in
+    one result (merged r5). Shared (id1, id2) pair grain; the Jaccard branch
+    carries its similarity, the LSH branch emits candidates only (its verify
+    half lives in dedup_clusters), so `jaccard` is NULL there."""
+    jac = dedup.ngram_jaccard_dupes(
+        _corpus(spark, sf_dir), threshold=0.7, max_df_ratio=0.2
+    ).select(F.lit("jaccard").alias("method"), "id1", "id2", "jaccard")
+    lsh = dedup.minhash_lsh_pairs(_corpus(spark, sf_dir)).select(
+        F.lit("lsh").alias("method"),
+        "id1",
+        "id2",
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return jac.unionByName(lsh)
+
+
+def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text analytics, top-ngrams AND quality-filter rollup in one
+    result (merged r5): (branch, key, n, metric_a, metric_b) — ngram rows
+    carry document frequency, quality rows the per-language survivor stats."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ngrams = text_ops.top_ngrams(docs).select(
+        F.lit("top_ngrams").alias("branch"),
+        F.col("ngram").alias("key"),
+        F.col("doc_freq").cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+    )
+    quality = text_ops.quality_filter_stats(docs).select(
+        F.lit("quality_filter").alias("branch"),
+        F.col("lang_pred").alias("key"),
+        F.col("n_docs").cast("bigint").alias("n"),
+        F.col("avg_quality").alias("metric_a"),
+        F.col("avg_stopword_ratio").alias("metric_b"),
+    )
+    return ngrams.unionByName(quality)
+
+
 # ---------------------------------------------------------------------------
 # queries() / oracle_sql()
 
@@ -608,14 +680,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_customer_activity": relational.customer_activity_setops,  # EXCEPT + INTERSECT
         "array_functions": relational.token_array_functions,
         "semi_join_parts": relational.parts_with_orders_semi,
-        "distinct_users_per_topic": relational.distinct_users_per_topic,
+        # r5: exact COUNT(DISTINCT) folded into value_statistics (same
+        # per-event_type grain) — the freed slot holds a TPC-H shape
         "approx_distinct_users": relational.approx_distinct_users,
         "scalar_string_functions": relational.scalar_string_function_sampler,
         "json_functions": relational.json_function_sampler,
         "window_rank_ntile": relational.order_rank_windows,
-        "value_statistics": relational.value_statistics,
+        "value_statistics": relational.value_statistics,  # + exact countDistinct
         "asof_prev_purchase": relational.asof_prev_purchase,
         "range_join_events_after_signup": relational.events_after_signup,
+        # r5: the nine r4 TPC-H shapes join the oracle window, merged onto
+        # shared grains (branch tags — every shape still executes)
+        "tpch_scalar_aggregates": relational.tpch_scalar_aggregates,  # Q14+Q17+Q19
+        "tpch_order_analytics": relational.tpch_order_analytics,  # Q18+Q7
+        "tpch_quantified_counts": relational.tpch_quantified_counts,  # Q21+Q13
+        "tpch_segment_rollups": relational.tpch_segment_rollups,  # Q22+Q11
         # event-time / sessionization (streaming shapes, run in batch)
         "sessionize_events": _q_sessionize_events,  # islands + native session_window
         "tumbling_window_counts": lambda s, d: sessions.tumbling_window_counts(
@@ -623,19 +702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # LLM-pipeline extensions
         "text_analysis": lambda s, d: text_ops.analyze(_pii_docs(s, d)),
-        "text_top_ngrams": lambda s, d: text_ops.top_ngrams(
-            s.read.parquet(f"{d}/documents.parquet")
-        ),
-        "text_quality_filter": lambda s, d: text_ops.quality_filter_stats(
-            s.read.parquet(f"{d}/documents.parquet")
-        ),
+        "text_corpus_stats": _q_text_corpus_stats,  # top-ngrams + quality rollup
         "dedup_exact": lambda s, d: dedup.exact_dedup(
             dedup.with_exact_duplicates(_docs(s, d))
         ),
-        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_dupes(
-            _corpus(s, d), threshold=0.7, max_df_ratio=0.2
-        ),
-        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_corpus(s, d)),
+        "dedup_candidate_pairs": _q_dedup_candidate_pairs,  # jaccard + minhash-lsh
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
         # the full cascade: exact pass → LSH candidates → Jaccard verify →
         # clusters, over a corpus planted with BOTH exact (+100k) and
@@ -657,18 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (`nprobe` tag), freeing a window slot for pipeline_pack_split
         "ann_ivf_topk": _q_ann_ivf_both,
         "pipeline_pack_split": q_pipeline_pack_split,
-        "ann_lsh_topk": lambda s, d: similarity.lsh_topk(
-            s.read.parquet(f"{d}/embeddings.parquet"),
-            s.read.parquet(f"{d}/embeddings.parquet")
-            .filter(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-        ),
-        "ann_cosine_topk": lambda s, d: similarity.brute_force_topk(
-            s.read.parquet(f"{d}/embeddings.parquet"),
-            s.read.parquet(f"{d}/embeddings.parquet")
-            .filter(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"),
-        ),
+        "ann_topk": _q_ann_topk,  # exact brute-force + LSH-bucketed branches
         "multimodal_features": lambda s, d: multimodal.feature_rows(
             multimodal.extract_features(
                 multimodal.media_from_documents(
@@ -894,7 +954,6 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL\nSELECT *, 2 AS nprobe FROM ({_ivf_oracle_sql(nprobe=2)})"
         ),
         "pipeline_pack_split": _pack_split_oracle_sql(),
-        "ann_lsh_topk": _lsh_oracle_sql(),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},
             line AS (
@@ -1152,12 +1211,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
             ORDER BY p_partkey
         """,
-        "distinct_users_per_topic": """
-            SELECT event_type,
-                count(DISTINCT user_id) AS n_users,
-                count(*) AS n_events
-            FROM events GROUP BY event_type ORDER BY event_type
-        """,
         "scalar_string_functions": r"""
             SELECT o_orderkey,
                 upper(o_orderpriority) AS prio_upper,
@@ -1205,6 +1258,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "value_statistics": """
             SELECT event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events,
                 floor((quantile_cont(value, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
                 floor((quantile_cont(value, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
                 floor((quantile_cont(value, 0.99)) * 10000.0 + 0.5) / 10000.0 AS p99,
@@ -1212,6 +1267,154 @@ def oracle_sql() -> dict[str, str]:
                 floor((min(value)) * 100.0 + 0.5) / 100.0 AS value_min,
                 floor((max(value)) * 100.0 + 0.5) / 100.0 AS value_max
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "tpch_scalar_aggregates": """
+            SELECT * FROM (
+                SELECT floor((100.0 *
+                    sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                    / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+                    / 10000.0 AS promo_revenue_pct
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+            ), (
+                WITH pa AS (
+                    SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_floor
+                    FROM lineitem GROUP BY 1
+                )
+                SELECT floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+                    AS avg_yearly_small_qty_revenue
+                FROM lineitem JOIN pa USING (l_partkey)
+                WHERE l_quantity < qty_floor
+            ), (
+                SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                    floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                        / 100.0 AS disc_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 1 AND 20)
+                   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                       AND l_quantity BETWEEN 10 AND 35)
+                   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+                       AND l_quantity BETWEEN 20 AND 50)
+            )
+        """,
+        "tpch_order_analytics": """
+            SELECT 'q18_large_orders' AS branch, c_name AS dim1,
+                CAST(NULL AS VARCHAR) AS dim2,
+                CAST(o_orderkey AS BIGINT) AS k,
+                total_price AS val1, total_qty AS val2
+            FROM (
+                WITH big AS (
+                    SELECT l_orderkey,
+                        floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS total_qty
+                    FROM lineitem GROUP BY 1
+                    HAVING floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 > 150.0
+                )
+                SELECT c_name, o_orderkey, o_totalprice AS total_price, total_qty
+                FROM big
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                ORDER BY total_price DESC, o_orderkey ASC
+                LIMIT 20
+            )
+            UNION ALL
+            SELECT 'q7_nation_trade' AS branch, supp_nation AS dim1,
+                cust_nation AS dim2, ship_year AS k,
+                revenue AS val1, CAST(NULL AS DOUBLE) AS val2
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                    floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                        / 100.0 AS revenue
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE n1.n_name <> n2.n_name
+                GROUP BY 1, 2, 3
+                ORDER BY revenue DESC, supp_nation, cust_nation, ship_year
+                LIMIT 25
+            )
+        """,
+        "tpch_quantified_counts": """
+            SELECT 'q21_waiting_suppliers' AS branch,
+                CAST(l_suppkey AS BIGINT) AS k, CAST(numwait AS BIGINT) AS n
+            FROM (
+                WITH j AS (
+                    SELECT l_orderkey, l_suppkey,
+                        CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INTEGER)
+                            AS late
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                ),
+                per_supp AS (
+                    SELECT l_orderkey, l_suppkey, max(late) AS supp_late
+                    FROM j GROUP BY 1, 2
+                ),
+                per_order AS (
+                    SELECT l_orderkey, count(*) AS n_supp,
+                        sum(supp_late) AS n_late_supp
+                    FROM per_supp GROUP BY 1
+                )
+                SELECT l_suppkey, count(*) AS numwait
+                FROM per_supp JOIN per_order USING (l_orderkey)
+                WHERE supp_late = 1 AND n_supp > 1 AND n_late_supp = 1
+                GROUP BY 1
+                ORDER BY numwait DESC, l_suppkey ASC
+                LIMIT 20
+            )
+            UNION ALL
+            SELECT 'q13_order_counts' AS branch,
+                CAST(n_orders AS BIGINT) AS k, CAST(n_customers AS BIGINT) AS n
+            FROM (
+                WITH per_cust AS (
+                    SELECT c_custkey, count(o_orderkey) AS n_orders
+                    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                    GROUP BY 1
+                )
+                SELECT n_orders, count(*) AS n_customers
+                FROM per_cust GROUP BY 1
+            )
+        """,
+        "tpch_segment_rollups": """
+            SELECT 'q22_idle_rich' AS branch, c_mktsegment,
+                CAST(n_customers AS DOUBLE) AS metric_a,
+                total_balance AS metric_b
+            FROM (
+                WITH avg_bal AS (
+                    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+                ),
+                active AS (
+                    SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 5
+                )
+                SELECT c_mktsegment, count(*) AS n_customers,
+                    floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_balance
+                FROM customer, avg_bal
+                WHERE c_acctbal > a
+                  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+                GROUP BY 1
+            )
+            UNION ALL
+            SELECT 'q11_revenue_share' AS branch, c_mktsegment,
+                segment_value AS metric_a, share AS metric_b
+            FROM (
+                WITH j AS (
+                    SELECT o_totalprice, c_mktsegment
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                ),
+                seg AS (
+                    SELECT c_mktsegment, sum(o_totalprice) AS seg_value FROM j
+                    GROUP BY 1
+                ),
+                tot AS (SELECT sum(o_totalprice) AS total FROM j)
+                SELECT c_mktsegment,
+                    floor(seg_value * 100.0 + 0.5) / 100.0 AS segment_value,
+                    floor((seg_value / total) * 10000.0 + 0.5) / 10000.0 AS share
+                FROM seg, tot
+                WHERE seg_value > 0.05 * total
+            )
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1490,7 +1693,7 @@ def oracle_sql() -> dict[str, str]:
                 {_PII_COUNTS_SQL}
             FROM base
         """,
-        "text_top_ngrams": f"""
+        "text_corpus_stats": f"""
             WITH toks AS (SELECT doc_id, {TOKS} AS w FROM documents),
             grams AS (
                 SELECT doc_id,
@@ -1500,14 +1703,14 @@ def oracle_sql() -> dict[str, str]:
                     )) AS g
                 FROM toks
             ),
-            ex AS (SELECT doc_id, unnest(g) AS ngram FROM grams)
-            SELECT ngram, count(*) AS doc_freq
-            FROM ex GROUP BY 1
-            ORDER BY doc_freq DESC, ngram ASC
-            LIMIT 20
-        """,
-        "text_quality_filter": f"""
-            WITH base AS (
+            ex AS (SELECT doc_id, unnest(g) AS ngram FROM grams),
+            ngram_top AS (
+                SELECT ngram, count(*) AS doc_freq
+                FROM ex GROUP BY 1
+                ORDER BY doc_freq DESC, ngram ASC
+                LIMIT 20
+            ),
+            base AS (
                 SELECT text,
                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                         t -> t IN {STOPWORDS_SQL}))
@@ -1525,14 +1728,25 @@ def oracle_sql() -> dict[str, str]:
                         + 0.3 * least(stop_r * 4.0, 1.0)
                         + 0.2 * (1.0 - least(punct_r * 5.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality
                 FROM base
+            ),
+            quality_rollup AS (
+                SELECT lang_pred,
+                    count(*) AS n_docs,
+                    floor((avg(quality)) * 10000.0 + 0.5) / 10000.0 AS avg_quality,
+                    floor((avg(stop_rounded)) * 10000.0 + 0.5) / 10000.0 AS avg_stopword_ratio
+                FROM scored
+                WHERE quality >= 0.5
+                GROUP BY lang_pred
             )
-            SELECT lang_pred,
-                count(*) AS n_docs,
-                floor((avg(quality)) * 10000.0 + 0.5) / 10000.0 AS avg_quality,
-                floor((avg(stop_rounded)) * 10000.0 + 0.5) / 10000.0 AS avg_stopword_ratio
-            FROM scored
-            WHERE quality >= 0.5
-            GROUP BY lang_pred ORDER BY lang_pred
+            SELECT 'top_ngrams' AS branch, ngram AS key,
+                CAST(doc_freq AS BIGINT) AS n,
+                CAST(NULL AS DOUBLE) AS metric_a, CAST(NULL AS DOUBLE) AS metric_b
+            FROM ngram_top
+            UNION ALL
+            SELECT 'quality_filter' AS branch, lang_pred AS key,
+                CAST(n_docs AS BIGINT) AS n,
+                avg_quality AS metric_a, avg_stopword_ratio AS metric_b
+            FROM quality_rollup
         """,
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}
@@ -1541,7 +1755,8 @@ def oracle_sql() -> dict[str, str]:
                 count(*) AS n_dups
             FROM corpus GROUP BY 1
         """,
-        "dedup_ngram_jaccard": f"""
+        "dedup_candidate_pairs": f"""
+            SELECT 'jaccard' AS method, id1, id2, jaccard FROM (
             WITH {CORPUS_CTE},
             toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
             sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
@@ -1565,8 +1780,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s1 ON s1.doc_id = id1
             JOIN sizes s2 ON s2.doc_id = id2
             WHERE floor((n_inter / (s1.n_sh + s2.n_sh - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.7
-        """,
-        "dedup_minhash_lsh": f"""
+            )
+            UNION ALL
+            SELECT 'lsh' AS method, id1, id2, CAST(NULL AS DOUBLE) AS jaccard FROM (
             WITH {CORPUS_CTE},
             toks AS (SELECT doc_id, {TOKS} AS w FROM corpus),
             sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
@@ -1587,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_hash = b.band_hash AND a.band_id = b.band_id
              AND a.doc_id < b.doc_id
+            )
         """,
         "dedup_simhash": f"""
             WITH {CORPUS_CTE},
@@ -1714,7 +1931,8 @@ def oracle_sql() -> dict[str, str]:
                     / (sqrt(list_dot_product(a.vec, a.vec))
                        * sqrt(list_dot_product(b.vec, b.vec)))) * 10000.0 + 0.5) / 10000.0 >= 0.999
         """,
-        "ann_cosine_topk": """
+        "ann_topk": """
+            SELECT 'brute' AS method, query_id, nbr_id, cosine, rank FROM (
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
                 FROM embeddings WHERE vec_id < 5
@@ -1735,6 +1953,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
+            )
+            UNION ALL
+            SELECT 'lsh' AS method, query_id, nbr_id, cosine, rank FROM (
+        """ + _lsh_oracle_sql() + """
+            )
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

@@ -46,14 +46,17 @@ BENCH_QUERIES = [
     "semi_join_parts",
     "value_statistics",
     "array_functions",
+    "tpch_scalar_aggregates",
+    "tpch_order_analytics",
+    "tpch_quantified_counts",
+    "tpch_segment_rollups",
     "text_analysis",
+    "text_corpus_stats",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_candidate_pairs",
     "dedup_simhash",
     "incremental_dedup",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
+    "ann_topk",
     "ann_ivf_topk",
     "multimodal_features",
     "pipeline_pack_split",
@@ -85,10 +88,14 @@ def main() -> None:
     kafka_records_from_events(spark, SF_DIR).count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # Each query runs twice: the first pass pays one-time JVM costs (codegen
-    # compile, broadcast build, shuffle-file creation) that vary run to run;
-    # the SECOND (warm) pass is the headline number so round-over-round deltas
-    # track plan changes, not JVM noise. Cold totals are reported alongside.
+    # Each query runs once cold + three warm: the cold pass pays one-time JVM
+    # costs (codegen compile, broadcast build, shuffle-file creation); the
+    # headline number is the MEDIAN of the three warm passes, so
+    # round-over-round per-query deltas track plan changes, not JVM noise
+    # (r4 lesson: single warm samples disagreed with isolated re-measurement
+    # by up to 3x on sub-second queries). Any session caches an entry deferred
+    # are released after each pass so one entry's blocks never skew the next
+    # entry's timing (the r4 pipeline_pack_split regression).
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -97,9 +104,14 @@ def main() -> None:
         t0 = time.time()
         run()
         cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        run()
-        timings[name] = round(time.time() - t1, 3)
+        entrymod.release_caches()
+        warm = []
+        for _ in range(3):
+            t1 = time.time()
+            run()
+            warm.append(time.time() - t1)
+            entrymod.release_caches()
+        timings[name] = round(sorted(warm)[1], 3)
 
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -142,15 +154,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "iterations": 2,
-        "note": "per-query time is the warm 2nd iteration; queries_cold is "
-        "the 1st run (plan build + codegen + broadcast). r3 query-set "
-        "change: merged pairs (topk plain+salted, sessionize "
-        "islands+native, csv string+binary converters) now run BOTH "
-        "branches under one name; 4 TPC-H shapes (q6/q4/q2/q10) added. "
-        "r4: sink_jsonl_render additionally runs the envelope-unwrap "
-        "branch (merged entry); incremental_dedup added — its cold time "
-        "includes the one-time index build, warm is classification only.",
+        "iterations": 4,
+        "note": "per-query time is the MEDIAN of 3 warm iterations (r5 "
+        "change for reproducibility; was single warm run); queries_cold is "
+        "the 1st run (plan build + codegen + broadcast). r5 query-set "
+        "changes vs r4: ann_cosine_topk+ann_lsh_topk merged into ann_topk, "
+        "dedup_ngram_jaccard+dedup_minhash_lsh into dedup_candidate_pairs "
+        "(both branches run under the merged name — times are the SUM of "
+        "the old pair); text_corpus_stats = old text_top_ngrams + "
+        "text_quality_filter; value_statistics additionally computes exact "
+        "countDistinct; 4 merged TPC-H entries added (tpch_* = Q14+Q17+Q19, "
+        "Q18+Q7, Q21+Q13, Q22+Q11). incremental_dedup cold still includes "
+        "the one-time index build; its deferred caches are now released "
+        "after each pass (r4 pipeline_pack_split interference fix).",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
     }

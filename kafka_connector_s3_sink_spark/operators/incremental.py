@@ -230,6 +230,7 @@ def incremental_dedup(
     unpersist_registry: list | None = None,
     exclude_batch_id: str | None = None,
     max_band_df: int | None = None,
+    exclude_batch_docs: bool = False,
 ) -> DataFrame:
     """Classify a new batch against the persisted index: one row per new doc,
     ``status`` ∈ {'exact_dup', 'near_dup', 'keep'}, ``dup_of`` the matched
