@@ -19,7 +19,9 @@ thundering herd.
 
 from __future__ import annotations
 
+import base64
 import json
+import ssl
 import time
 import urllib.error
 import urllib.request
@@ -36,7 +38,15 @@ class SchemaRegistryClient:
     with memoization (ids are immutable in the registry — a cached schema is
     cached forever) and bounded retry with exponential backoff for transient
     5xx/connection failures. 4xx errors do not retry — an unknown id stays
-    unknown."""
+    unknown.
+
+    Production knobs a hosted Confluent registry needs on day one:
+    ``auth=(user, password)`` sends HTTP basic auth (the
+    ``basic.auth.user.info`` config of the reference's converter stack);
+    ``ca_file`` pins a private CA bundle for TLS endpoints (corporate
+    registries are rarely on public trust roots). Both are optional and
+    default to the reference's anonymous-plaintext test posture
+    (`AvroIntegrationTest.java:135-137`)."""
 
     def __init__(
         self,
@@ -44,12 +54,22 @@ class SchemaRegistryClient:
         timeout: float = 10.0,
         retries: int = 3,
         backoff_s: float = 0.2,
+        auth: tuple[str, str] | None = None,
+        ca_file: str | None = None,
     ) -> None:
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.retries = retries
         self.backoff_s = backoff_s
         self._cache: dict[int, str] = {}
+        self._auth_header: str | None = None
+        if auth is not None:
+            user, password = auth
+            token = base64.b64encode(f"{user}:{password}".encode()).decode()
+            self._auth_header = f"Basic {token}"
+        self._ssl_context = (
+            ssl.create_default_context(cafile=ca_file) if ca_file else None
+        )
 
     # -- HTTP plumbing ----------------------------------------------------
 
@@ -58,7 +78,12 @@ class SchemaRegistryClient:
         last: Exception | None = None
         for attempt in range(self.retries + 1):
             try:
-                with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                req = urllib.request.Request(url)
+                if self._auth_header is not None:
+                    req.add_header("Authorization", self._auth_header)
+                with urllib.request.urlopen(
+                    req, timeout=self.timeout, context=self._ssl_context
+                ) as resp:
                     return json.loads(resp.read().decode("utf-8"))
             except urllib.error.HTTPError as e:
                 if e.code < 500:  # 4xx: permanent — don't hammer the registry
@@ -146,12 +171,22 @@ def collect_schema_ids(df, column: str) -> list[int]:
     byte 0 is the magic (0), bytes 1-4 the big-endian id. One JVM-side
     distinct over a 4-byte slice — O(distinct ids) result, no Python, no
     per-row registry traffic. Run it on a batch (or one micro-batch) to know
-    which schemas to resolve before decoding."""
+    which schemas to resolve before decoding.
+
+    Only rows that actually LOOK framed contribute (length ≥ 5 and magic
+    byte 0 — the same validation ``formats.avro.decode`` applies): a bare or
+    truncated payload must not yield a bogus id that 404s at the registry
+    (or worse, resolves to a real but wrong schema) and aborts the whole
+    decode."""
     from pyspark.sql import functions as F
 
+    col = F.col(column)
     rows = (
-        df.select(
-            F.conv(F.hex(F.substring(F.col(column), 2, 4)), 16, 10)
+        df.filter(
+            (F.length(col) >= 5) & (F.substring(col, 1, 1) == F.lit(b"\x00"))
+        )
+        .select(
+            F.conv(F.hex(F.substring(col, 2, 4)), 16, 10)
             .cast("long")
             .alias("sid")
         )

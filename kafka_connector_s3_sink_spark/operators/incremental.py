@@ -57,6 +57,11 @@ from kafka_connector_s3_sink_spark.functions.numeric import stable_round
 
 _TABLES = ("hashes", "bands", "shingles", "sizes")
 
+# fallback unpersist registry for incremental_dedup callers that pass none:
+# flushed at the next registry-less call, bounding the cache leak to one
+# call's frames (see incremental_dedup)
+_ORPHAN_CACHES: list = []
+
 _BUCKET_KEYS = {
     "hashes": "content_hash",
     "bands": "band_hash",
@@ -115,9 +120,10 @@ def _write_part(
     mode: str,
 ) -> None:
     key = _BUCKET_KEYS[name]
+    if batch_id is not None:  # None: caller already carries a batch_id column
+        part = part.withColumn("batch_id", F.lit(batch_id))
     (
-        part.withColumn("batch_id", F.lit(batch_id))
-        .write.mode(mode)
+        part.write.mode(mode)
         .option("path", location_dir)
         .partitionBy("batch_id")
         .bucketBy(num_buckets, key)
@@ -269,14 +275,41 @@ def incremental_dedup(
     Exchange). Semantics: documents whose every shared band is hot classify
     'keep' (bounded recall loss on mass-duplicated boilerplate — exactly the
     content the exact pass and the quality filters should be eating first);
-    default ``None`` keeps exact LSH semantics."""
+    default ``None`` keeps exact LSH semantics.
+
+    ``exclude_batch_docs`` is the belt-and-suspenders replay guard for
+    streaming callers: drop history rows whose ``doc_id`` appears IN this
+    batch before classifying. ``exclude_batch_id`` already makes a replayed
+    epoch blind to its own fingerprints — but only while those fingerprints
+    still live under the epoch's partition; if ``compact_dedup_index`` folded
+    the epoch (see its ``protect_batch_ids``), the partition filter has
+    nothing to prune and every keeper would classify exact_dup of itself.
+    The id guard is partition-agnostic: batch ids are small, so each of the
+    four exclusions is a broadcast anti-join (no extra shuffle). In normal
+    operation ids are globally unique and the guard removes nothing."""
     spark = new_docs.sparkSession
+    batch_ids = (
+        new_docs.select(F.col(id_col).alias("doc_id")) if exclude_batch_docs else None
+    )
 
     def _idx(name: str) -> DataFrame:
         t = spark.table(_qualified(prefix, name, database))
         if exclude_batch_id is not None:
             t = t.filter(F.col("batch_id") != exclude_batch_id)
+        if batch_ids is not None:
+            t = t.join(F.broadcast(batch_ids), "doc_id", "left_anti")
         return t
+
+    # Callers that pass no registry get the module-internal one, flushed on
+    # re-entry (the previous call's result is materialized by then): without
+    # this, every registry-less call leaked its five persisted frames for the
+    # session lifetime (cached blocks are not LRU-evicted).
+    registry = unpersist_registry
+    if registry is None:
+        for _c in _ORPHAN_CACHES:
+            _c.unpersist()
+        _ORPHAN_CACHES.clear()
+        registry = _ORPHAN_CACHES
 
     def _cache(df: DataFrame) -> DataFrame:
         # the classification DAG fans each of these small frames into 2-4 plan
@@ -284,8 +317,7 @@ def incremental_dedup(
         # branch re-runs the md5/shingle/minhash expression chains upstream —
         # measured 11s → ~3s at sf0.1. Registered for caller unpersist.
         df = df.persist()
-        if unpersist_registry is not None:
-            unpersist_registry.append(df)
+        registry.append(df)
         return df
 
     hashes = _idx("hashes")
@@ -426,6 +458,7 @@ def compact_dedup_index(
     num_buckets: int = 8,
     database: str | None = None,
     compact_batch_id: str = "compacted",
+    protect_batch_ids: list[str] | None = None,
 ) -> None:
     """Rewrite each index table's accumulated per-epoch files into one
     compact batch partition, preserving the bucket spec — the index-side
@@ -448,7 +481,22 @@ def compact_dedup_index(
     the caller to reap (the same contract as ``drop_dedup_index``).
     Epoch-level lineage/rollback is traded away for the fold — compact once
     per many epochs, after the retention window where per-crawl rollback
-    matters has passed."""
+    matters has passed.
+
+    **Streaming-replay interaction — pass ``protect_batch_ids``.** Folding an
+    epoch erases its ``batch_id``, which defeats BOTH replay mechanisms the
+    streaming ingest contract depends on: ``incremental_dedup``'s
+    ``exclude_batch_id`` filter (a replayed epoch would see its own folded
+    fingerprints and classify every keeper exact_dup of itself — after which
+    the epoch's dynamic-overwrite would empty its documents partition) and
+    ``append_to_index``'s skip-if-present probe (the replay would re-append
+    duplicate fingerprints under the epoch's id). ``protect_batch_ids`` keeps
+    those epochs OUT of the fold, preserved under their own partitions with
+    identical bucketing — pass every epoch the stream's checkpoint could
+    still replay (e.g. the last N epoch ids). Callers that pass none assert
+    no protected replay horizon exists; streaming callers should ALSO run
+    classification with ``exclude_batch_docs=True`` as the partition-agnostic
+    backstop."""
     for name in _TABLES:
         live = _qualified(prefix, name, database)
         staging = _qualified(f"{prefix}__staging", name, database)
@@ -462,13 +510,26 @@ def compact_dedup_index(
             continue  # this compaction already swapped this table (retry)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         spark.sql(f"DROP TABLE IF EXISTS {old}")
+        src = spark.table(live)
+        if protect_batch_ids:
+            staged = (
+                src.filter(~F.col("batch_id").isin(list(protect_batch_ids)))
+                .withColumn("batch_id", F.lit(compact_batch_id))
+                .unionByName(
+                    src.filter(F.col("batch_id").isin(list(protect_batch_ids)))
+                )
+            )
+            batch_stamp = None  # batch_id column already present per row
+        else:
+            staged = src.drop("batch_id")
+            batch_stamp = compact_batch_id
         _write_part(
-            spark.table(live).drop("batch_id"),
+            staged,
             staging,
             name,
             f"{location}/{suffix}",
             num_buckets,
-            compact_batch_id,
+            batch_stamp,
             "overwrite",
         )
         spark.sql(f"ALTER TABLE {live} RENAME TO {old}")

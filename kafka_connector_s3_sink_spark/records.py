@@ -72,17 +72,27 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching DuckDB's naive-timestamp-as-UTC ``epoch_ms``). Oracle
     comparisons stay exact on every path."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the NTZ→instant cast below reads the session zone; pin it so the view
-    # is identical no matter which session the driver/bench runs us in
+    # The NTZ→instant cast reads the session zone AT ANALYSIS TIME (the cast
+    # expression captures it when the transformation resolves), so pin UTC
+    # only around the cast and restore the caller's zone after — a reader
+    # call must not silently change timestamp rendering for every subsequent
+    # query in the caller's session.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = dict(ev.dtypes).get("ts")
-    if t == "bigint":  # nanos-as-long path
-        # integer DIV, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53 exact
-        # range, so float division would round the low bits
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif t == "timestamp_ntz":
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        t = dict(ev.dtypes).get("ts")
+        if t == "bigint":  # nanos-as-long path
+            # integer DIV, not `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+            # exact range, so float division would round the low bits
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif t == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    finally:
+        if prev_tz is not None:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        else:
+            spark.conf.unset("spark.sql.session.timeZone")
     return ev
 
 

@@ -101,21 +101,42 @@ def documents_from_records(
     (``records.KAFKA_RECORD_SCHEMA`` — what ``normalize_kafka_stream``
     yields) to the document shape the ingest stages consume: the JSON
     ``value`` payload parses into typed columns (PERMISSIVE — malformed
-    payloads null out and are dropped), falling back to the Kafka offset as
-    the document id when the payload carries none. Works identically on a
-    streaming or batch frame, so the full path
+    payloads null out and are dropped), falling back to a synthetic id when
+    the payload carries none. Works identically on a streaming or batch
+    frame, so the full path
     ``kafka_source → normalize_kafka_stream → documents_from_records →
-    start_ingest_pipeline`` is one declarative plan."""
+    start_ingest_pipeline`` is one declarative plan.
+
+    The fallback id derives from (partition, offset) — ``partition * 2^40 +
+    offset`` — NOT the bare offset: offsets are only unique per Kafka
+    partition, and a bare-offset fallback would let two id-less records from
+    different partitions collide on one doc_id and be silently merged by the
+    dedup cascade. 2^40 offsets per partition (~1.1e12) before adjacent
+    partitions could meet, and the composite stays an orderable long.
+    ``value_schema`` is parsed with Spark's own DDL parser (nested types,
+    not naive comma-splitting); the not-null filter applies to the text
+    column actually configured, not a hardcoded name."""
+    from pyspark.sql.types import _parse_datatype_string
+
     parsed = records.select(
+        F.col("partition"),
         F.col("offset"),
         F.from_json(F.col("value"), value_schema).alias("_doc"),
     )
-    cols = [f.strip().split(" ")[0] for f in value_schema.split(",")]
+    schema = _parse_datatype_string(value_schema)
+    cols = [f.name for f in schema.fields]
+    text_col = (
+        "text" if "text" in cols else next((c for c in cols if c != id_col), id_col)
+    )
+    fallback = (
+        F.col("partition").cast("long") * F.lit(1 << 40).cast("long")
+        + F.col("offset")
+    )
     out = parsed.select(
-        F.coalesce(F.col(f"_doc.{id_col}"), F.col("offset")).alias(id_col),
+        F.coalesce(F.col(f"_doc.{id_col}"), fallback).alias(id_col),
         *[F.col(f"_doc.{c}").alias(c) for c in cols if c != id_col],
     )
-    return out.filter(F.col("text").isNotNull())
+    return out.filter(F.col(text_col).isNotNull())
 
 
 def _epoch_batch_id(batch_id: int) -> str:
@@ -175,6 +196,11 @@ def process_crawl_batch(
         unpersist_registry=bands_cache,
         exclude_batch_id=epoch,
         max_band_df=config.max_band_df,
+        # partition-agnostic replay backstop: even if index compaction folded
+        # an epoch the checkpoint can still replay (erasing the batch_id the
+        # exclude_batch_id filter prunes on), the replayed docs never see
+        # their own fingerprints — broadcast anti-joins, no extra shuffle
+        exclude_batch_docs=True,
     ).persist()  # feeds keepers AND the metrics rollup; one row per canonical
     keepers = canon.join(
         classified.filter(F.col("status") == "keep").select(

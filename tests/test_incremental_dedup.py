@@ -154,6 +154,68 @@ def test_compact_dedup_index(spark, tmp_path):
         incremental.drop_dedup_index(spark, "cmpidx")
 
 
+def test_compaction_protects_replayable_epochs(spark, tmp_path):
+    """The streaming-replay contract survives compaction: epochs inside the
+    checkpoint horizon (protect_batch_ids) keep their own partitions — a
+    replayed epoch still prunes its own fingerprints via exclude_batch_id —
+    while older history folds; and exclude_batch_docs is the
+    partition-agnostic backstop when an epoch WAS folded."""
+    import hashlib as _h
+
+    def txt(tag):
+        return " ".join(
+            _h.md5(f"{tag}:{j}".encode()).hexdigest()[:8] for j in range(30)
+        )
+
+    base = spark.createDataFrame(
+        [(i, txt(f"c:{i}")) for i in range(6)], ["doc_id", "text"]
+    )
+    loc = str(tmp_path / "pidx")
+    incremental.build_dedup_index(base, "pridx", loc, num_buckets=4)
+    try:
+        # epoch-1 appended (streaming first attempt), still replayable
+        ep_docs = spark.createDataFrame(
+            [(200 + j, txt(f"e1:{j}")) for j in range(3)], ["doc_id", "text"]
+        )
+        incremental.append_to_index(
+            ep_docs, "pridx", loc, num_buckets=4, batch_id="epoch-1"
+        )
+
+        incremental.compact_dedup_index(
+            spark, "pridx", loc, num_buckets=4, compact_batch_id="fold-1",
+            protect_batch_ids=["epoch-1"],
+        )
+        batches = {
+            r["batch_id"]
+            for r in spark.table("pridx_hashes").select("batch_id").distinct().collect()
+        }
+        assert batches == {"fold-1", "epoch-1"}
+
+        # replay of epoch-1: with its partition intact, exclude_batch_id
+        # keeps the replay blind to its own fingerprints → all keep
+        replay = incremental.incremental_dedup(
+            ep_docs, "pridx", exclude_batch_id="epoch-1"
+        )
+        assert {r["status"] for r in replay.collect()} == {"keep"}
+
+        # now fold EVERYTHING (simulating the unguarded mistake): the
+        # partition filter has nothing to prune, but exclude_batch_docs
+        # still classifies the replay identically
+        incremental.compact_dedup_index(
+            spark, "pridx", loc, num_buckets=4, compact_batch_id="fold-2"
+        )
+        naked = incremental.incremental_dedup(
+            ep_docs, "pridx", exclude_batch_id="epoch-1"
+        )
+        assert {r["status"] for r in naked.collect()} == {"exact_dup"}  # the trap
+        guarded = incremental.incremental_dedup(
+            ep_docs, "pridx", exclude_batch_id="epoch-1", exclude_batch_docs=True
+        )
+        assert {r["status"] for r in guarded.collect()} == {"keep"}
+    finally:
+        incremental.drop_dedup_index(spark, "pridx")
+
+
 def test_adversarial_texts_classify_cleanly(spark, tmp_path):
     """Empty, whitespace-only, and non-ASCII documents flow through the whole
     ladder: empty and whitespace both normalize to the empty string (one

@@ -36,9 +36,16 @@ class _Registry(BaseHTTPRequestHandler):
     subjects = {"users-value": (9, SCHEMA_V2)}
     requests_seen: list = []
     fail_next = 0  # serve this many 500s before succeeding
+    require_auth: str | None = None  # expected Authorization header value
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
         _Registry.requests_seen.append(self.path)
+        if _Registry.require_auth is not None and (
+            self.headers.get("Authorization") != _Registry.require_auth
+        ):
+            self.send_response(401)
+            self.end_headers()
+            return
         if _Registry.fail_next > 0:
             _Registry.fail_next -= 1
             self.send_response(500)
@@ -127,6 +134,45 @@ def test_latest_by_subject(registry_url):
     _Registry.requests_seen.clear()
     assert c.get_schema(9)  # latest() primed the id cache
     assert _Registry.requests_seen == []
+
+
+def test_basic_auth_header_sent_and_required(registry_url):
+    """An auth-requiring registry: anonymous requests 401 (a permanent 4xx,
+    no retry hammering); a client constructed with auth=(user, pass) sends
+    the standard basic header and succeeds."""
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"svc-user:s3cr3t").decode()
+    _Registry.require_auth = expected
+    try:
+        anon = _client(registry_url)
+        _Registry.requests_seen.clear()
+        with pytest.raises(registry.SchemaRegistryError, match="401"):
+            anon.get_schema(7)
+        assert len(_Registry.requests_seen) == 1  # 401 did not retry
+
+        authed = _client(registry_url, auth=("svc-user", "s3cr3t"))
+        assert json.loads(authed.get_schema(7)) == json.loads(SCHEMA_V1)
+    finally:
+        _Registry.require_auth = None
+
+
+def test_collect_schema_ids_skips_unframed_and_truncated(spark):
+    """Framing validation: rows without the Confluent magic byte or shorter
+    than the 5-byte frame must not contribute bogus ids (which would 404 at
+    the registry or resolve to a wrong schema)."""
+    framed = avro.encode(
+        {"name": "zoe"}, avro.parse_schema(SCHEMA_V1), confluent_schema_id=7
+    )
+    rows = [
+        (1, framed),
+        (2, b"raw-json-not-avro"),  # no magic byte → huge bogus id if read
+        (3, framed[:3]),  # truncated below the 5-byte frame
+        (4, b""),  # empty payload
+        (5, None),  # null payload
+    ]
+    df = spark.createDataFrame(rows, "offset long, value binary")
+    assert registry.collect_schema_ids(df, "value") == [7]
 
 
 def test_decode_with_registry_one_call(spark, registry_url):
