@@ -48,6 +48,12 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+# extract_features(on_error="capture"): FEATURE_SCHEMA plus a per-row error
+# column — feature/width/height are null exactly when decode_error is set
+FEATURE_SCHEMA_TOLERANT = T.StructType(
+    FEATURE_SCHEMA.fields + [T.StructField("decode_error", T.StringType(), True)]
+)
+
 
 def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic media table from the documents fixture: payload = UTF-8
@@ -158,6 +164,7 @@ def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], dict] = real_decoder,
     batch_size_hint: int = 256,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Partition-parallel feature extraction over Arrow batches (``mapInPandas``).
 
@@ -165,26 +172,48 @@ def extract_features(
     each batch to Python once; the decoder runs per-row inside the batch. At
     100 TB, pair with ``spark.sql.files.maxPartitionBytes`` so one task's
     payload working set fits executor memory.
+
+    ``on_error``: ``"raise"`` lets a decoder exception fail the task —
+    right for curated corpora where a corrupt payload IS the bug.
+    ``"capture"`` is the crawl-scale posture: the row survives with null
+    feature/width/height and the exception text in a ``decode_error``
+    column (schema ``FEATURE_SCHEMA_TOLERANT``), so one corrupt blob among
+    billions can't kill the batch — filter or route the error rows
+    downstream. Deliberate per-row granularity: a decoder exception never
+    poisons its Arrow batch neighbors.
     """
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # zip over columns, not iterrows(): iterrows materializes a Series
             # per row (~100× slower than tuple iteration on wide batches)
-            decoded = [
-                decoder(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "feature": [d["feature"] for d in decoded],
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                }
-            )
+            decoded = []
+            errors = []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                if not capture:
+                    decoded.append(decoder(p, m))
+                    continue
+                try:
+                    decoded.append(decoder(p, m))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — the point is survival
+                    decoded.append({"feature": None, "width": None, "height": None})
+                    errors.append(f"{type(e).__name__}: {e}")
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "feature": [d["feature"] for d in decoded],
+                "width": [d["width"] for d in decoded],
+                "height": [d["height"] for d in decoded],
+            }
+            if capture:
+                out["decode_error"] = errors
+            yield pd.DataFrame(out)
 
     return media.select("media_id", "media_type", "payload").mapInPandas(
-        run, schema=FEATURE_SCHEMA
+        run, schema=FEATURE_SCHEMA_TOLERANT if capture else FEATURE_SCHEMA
     )
 
 

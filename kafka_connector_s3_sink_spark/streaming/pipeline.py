@@ -87,19 +87,24 @@ def start_pipeline(
     config: EngineConfig,
     dest_dir: str,
     query_name: str = "kafka-s3-sink",
+    fault: object | None = None,
 ):
     """Start the sink query: every micro-batch runs the batch writer (the flush).
 
     The checkpoint location (``config.checkpoint_location``) is the offset-commit
     ledger; re-running a failed epoch rewrites the same object names
     (idempotent at-least-once, §2.5 delivery semantics).
+
+    ``fault`` forwards to ``write_batch``'s per-object fault hook (crash-path
+    tests: a mid-epoch failure must leave no partial object, and the
+    checkpoint replay must converge to the clean-run object set).
     """
     if not config.checkpoint_location:
         raise ValueError("checkpoint_location is required to start the streaming pipeline")
     ensure_utc_session(records.sparkSession)
 
     def flush(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch(batch_df, config, dest_dir)
+        write_batch(batch_df, config, dest_dir, fault=fault)
 
     writer = (
         records.writeStream.queryName(query_name)

@@ -437,6 +437,42 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         multimodal.extract_features(media).collect()
 
 
+def test_multimodal_capture_survives_corrupt_payloads(spark):
+    """on_error='capture' (the crawl-scale posture): a batch mixing decodable
+    and corrupt payloads yields the FULL row set — good rows decoded, corrupt
+    rows surviving with null features and the error text in decode_error —
+    instead of one bad blob failing the task."""
+    bmp = _bmp_bytes(2, 2, [[(0, 0, 0), (255, 255, 255)],
+                            [(255, 255, 255), (0, 0, 0)]])
+    truncated_wav = _wav_bytes([100] * 50)[:16]  # RIFF magic, no fmt/data
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, media_type="image", payload=bytearray(bmp),
+                meta=Row(n_bytes=len(bmp), content_md5="a", mime="image/bmp")),
+            Row(media_id=2, media_type="image", payload=bytearray(b"\xff\xd8 jpeg"),
+                meta=Row(n_bytes=7, content_md5="b", mime="image/jpeg")),
+            Row(media_id=3, media_type="audio", payload=bytearray(truncated_wav),
+                meta=Row(n_bytes=16, content_md5="c", mime="audio/wav")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.extract_features(
+        media, decoder=multimodal.real_decoder, on_error="capture"
+    ).collect()}
+    assert len(out) == 3  # full batch survived
+    assert out[1]["decode_error"] is None
+    assert (out[1]["width"], out[1]["height"]) == (2, 2)
+    assert "NotImplementedError" in out[2]["decode_error"]
+    assert out[2]["feature"] is None and out[2]["width"] is None
+    assert out[3]["decode_error"] is not None
+
+    # the raise posture is unchanged for the same mixed batch
+    with pytest.raises(Exception, match="NotImplementedError"):
+        multimodal.extract_features(
+            media, decoder=multimodal.real_decoder, on_error="raise"
+        ).collect()
+
+
 def test_frame_sample_plan(spark):
     docs = spark.createDataFrame([(1, "z" * 5000)], ["doc_id", "text"])
     media = multimodal.media_from_documents(docs)

@@ -113,6 +113,85 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
         assert f.read().splitlines() == ["b1-r0", "b1-r1"]
 
 
+def test_mid_epoch_crash_then_restart_converges(spark, tmp_path, tmp_path_factory):
+    """Crash-path delivery semantics: an epoch that dies mid-write (after some
+    objects committed, one aborted) leaves NO partial object, and restarting
+    from the checkpoint converges to exactly the object set and bytes of a
+    crash-free run (README.md:101-133 idempotent overwrite; abort parity with
+    S3OutputStream.java:101-132)."""
+    src = tmp_path / "src"
+    dest = tmp_path / "dest"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    dest.mkdir()
+
+    rows = [
+        Row(topic="cr", partition=p, offset=p * 100 + i, key=None,
+            value=f"p{p}-r{i}", timestamp=None, headers=None)
+        for p in (0, 1) for i in range(3)
+    ]
+    spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).coalesce(1).write.parquet(
+        str(src / "batch0")
+    )
+
+    cfg = EngineConfig(
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+        checkpoint_location=str(ckpt),
+        flush_interval_ms=300,
+    )
+
+    def fail_on(name):
+        def fault(object_name):
+            if object_name == name:
+                raise RuntimeError(f"injected crash on {object_name}")
+        return fault
+
+    # attempt 1: the task writing cr-1-100 dies just before commit → the
+    # epoch fails, the query terminates with the error
+    stream = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(str(src / "*"))
+    q1 = start_pipeline(stream, cfg, str(dest), fault=fail_on("cr-1-100"))
+    assert wait_for(lambda: q1.exception() is not None, timeout_s=60), (
+        "query did not fail on the injected fault"
+    )
+    q1.stop()
+    # no partial/aborted object under the failing name, no temp litter
+    assert not any("cr-1-100" in n for n in os.listdir(dest)), os.listdir(dest)
+    assert not any(".inprogress-" in n for n in os.listdir(dest)), os.listdir(dest)
+
+    # attempt 2: restart from the same checkpoint without the fault — the
+    # epoch replays and rewrites its full object set idempotently
+    stream2 = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(str(src / "*"))
+    q2 = start_pipeline(stream2, cfg, str(dest))
+    try:
+        assert wait_for(
+            lambda: os.path.exists(dest / "cr-0-0") and os.path.exists(dest / "cr-1-100")
+        ), f"restart did not converge; dest has {os.listdir(dest)}"
+    finally:
+        q2.stop()
+
+    # crash-free reference run: object set and bytes must match exactly
+    clean = tmp_path_factory.mktemp("clean-dest")
+    ckpt2 = tmp_path_factory.mktemp("clean-ckpt")
+    cfg_clean = EngineConfig(
+        value_encoding=FieldEncoding.NONE,
+        file_compression=CompressionType.NONE,
+        checkpoint_location=str(ckpt2),
+        flush_interval_ms=300,
+    )
+    stream3 = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(str(src / "*"))
+    q3 = start_pipeline(stream3, cfg_clean, str(clean))
+    try:
+        assert wait_for(
+            lambda: os.path.exists(clean / "cr-0-0") and os.path.exists(clean / "cr-1-100")
+        )
+    finally:
+        q3.stop()
+    assert sorted(os.listdir(dest)) == sorted(os.listdir(clean))
+    for name in os.listdir(clean):
+        assert (dest / name).read_bytes() == (clean / name).read_bytes(), name
+
+
 def test_backpressure_bounds_batch_size(spark, tmp_path):
     """maxFilesPerTrigger (≙ maxOffsetsPerTrigger on a Kafka source) bounds
     each micro-batch: three source files → at least three batches, each
