@@ -2,14 +2,18 @@
 
 A 100 TB corpus is not deduplicated from scratch per crawl: each new batch is
 checked against an on-disk INDEX of everything already accepted, and only the
-survivors (plus their fingerprints) are appended. The index is four bucketed
+survivors (plus their fingerprints) are appended. The index is three bucketed
 tables (Spark native bucketing, ``bucketBy`` + ``saveAsTable``), each
 additionally PARTITIONED by the ``batch_id`` that introduced the rows:
 
 - ``<prefix>_hashes``   (content_hash, doc_id)        bucketed by content_hash
 - ``<prefix>_bands``    (doc_id, band_id, band_hash)  bucketed by band_hash
 - ``<prefix>_shingles`` (doc_id, shingle)             bucketed by doc_id
-- ``<prefix>_sizes``    (doc_id, n_sh)                bucketed by doc_id
+
+(r5 format change: the former ``<prefix>_sizes`` table is gone — a history
+doc's shingle COUNT is an O(1) aggregation over the shingle rows the verify
+step already semi-joins out of ``_shingles``, so persisting it separately
+bought nothing and cost a fourth bucketed write per epoch.)
 
 Bucketing is the scale story: every per-batch join hits the index ON ITS
 BUCKET KEY, so the multi-TB index side is read pre-partitioned — no Exchange
@@ -37,7 +41,7 @@ Intra-batch duplicates are out of scope here by design: run the batch cascade
 survivors against history with ``incremental_dedup``, then
 ``append_to_index`` the keepers.
 
-Catalog hygiene: pass ``database`` to namespace the four tables under a
+Catalog hygiene: pass ``database`` to namespace the three tables under a
 schema (created if missing) — two pipelines sharing a metastore then cannot
 collide on a bare prefix, and ``drop_dedup_index`` only ever drops inside
 that namespace.
@@ -55,7 +59,7 @@ from kafka_connector_s3_sink_spark.operators.dedup import (
 from kafka_connector_s3_sink_spark.operators.text import normalized_text
 from kafka_connector_s3_sink_spark.functions.numeric import stable_round
 
-_TABLES = ("hashes", "bands", "shingles", "sizes")
+_TABLES = ("hashes", "bands", "shingles")
 
 # fallback unpersist registry for incremental_dedup callers that pass none:
 # flushed at the next registry-less call, bounding the cache leak to one
@@ -66,7 +70,6 @@ _BUCKET_KEYS = {
     "hashes": "content_hash",
     "bands": "band_hash",
     "shingles": "doc_id",
-    "sizes": "doc_id",
 }
 
 
@@ -89,7 +92,7 @@ def _fingerprints(
     band_size: int,
     k: int,
 ) -> dict[str, DataFrame]:
-    """The four index projections of a document set — one scan each, all
+    """The three index projections of a document set — one scan each, all
     derived from the same normalize/tokenize expressions as the batch ops.
     ``bands`` comes back persisted (``dedup._materialize``) — callers that
     run their actions eagerly must unpersist it (see ``_unpersist``)."""
@@ -99,8 +102,7 @@ def _fingerprints(
     )
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size, k)
     sh = shingle_rows(df, id_col, text_col, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return {"hashes": hashes, "bands": bands, "shingles": sh, "sizes": sizes}
+    return {"hashes": hashes, "bands": bands, "shingles": sh}
 
 
 def _unpersist(parts: dict[str, DataFrame]) -> None:
@@ -194,7 +196,7 @@ def append_to_index(
     """Append a batch's accepted documents to an existing index (same bucket
     spec — Spark appends new per-bucket files, no rewrite of history).
 
-    IDEMPOTENT per ``batch_id``: each of the four tables is only written if it
+    IDEMPOTENT per ``batch_id``: each of the three tables is only written if it
     does not already hold this batch's partition, so replaying a batch after a
     failure (the at-least-once delivery case) cannot double-insert, and a
     partial failure is healed by the retry — exactly the reference's
@@ -246,7 +248,8 @@ def incremental_dedup(
     Join ladder, each hitting the index on its bucket key:
     1. content_hash equi-join vs ``_hashes``  → exact duplicates out.
     2. LSH band equi-join vs ``_bands``       → candidate (new, hist) pairs.
-    3. shingle join vs ``_shingles``/``_sizes`` for candidates only
+    3. shingle join vs ``_shingles`` for candidates only (history set
+       sizes aggregate off the same semi-joined rows)
        (semi-join pushdown on the bucketed doc_id) → exact Jaccard verify.
     Work scales with |batch| and |collisions|, never with |history|.
 
@@ -285,7 +288,7 @@ def incremental_dedup(
     the epoch (see its ``protect_batch_ids``), the partition filter has
     nothing to prune and every keeper would classify exact_dup of itself.
     The id guard is partition-agnostic: batch ids are small, so each of the
-    four exclusions is a broadcast anti-join (no extra shuffle). In normal
+    exclusions is a broadcast anti-join (no extra shuffle). In normal
     operation ids are globally unique and the guard removes nothing."""
     spark = new_docs.sparkSession
     batch_ids = (
@@ -323,7 +326,6 @@ def incremental_dedup(
     hashes = _idx("hashes")
     idx_bands = _idx("bands")
     idx_sh = _idx("shingles")
-    idx_sizes = _idx("sizes")
 
     if max_band_df is not None:
         hot = (
@@ -371,7 +373,12 @@ def incremental_dedup(
     )
 
     # verify candidates with exact n-gram Jaccard: new-side shingles computed,
-    # history-side shingles/sizes read from the index for candidate docs only
+    # history-side shingles read from the index for candidate docs only. Both
+    # sides' set SIZES are aggregations over shingle rows already in hand —
+    # h_sh is the candidate docs' complete shingle set (the semi join keeps
+    # whole documents), so its per-doc count IS the history size; no separate
+    # sizes table to scan (r5 index-format trim). The groupBy rides the semi
+    # join's doc_id clustering — no additional exchange on the index side.
     new_sh = _cache(
         shingle_rows(
             rest.join(
@@ -384,8 +391,8 @@ def incremental_dedup(
     )
     new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hist_ids = cands.select(F.col("hist_id").alias("doc_id")).distinct()
-    h_sh = idx_sh.join(hist_ids, "doc_id", "left_semi")
-    h_sizes = idx_sizes.join(hist_ids, "doc_id", "left_semi")
+    h_sh = _cache(idx_sh.join(hist_ids, "doc_id", "left_semi"))
+    h_sizes = h_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     inter = (
         cands.join(
@@ -540,7 +547,7 @@ def compact_dedup_index(
 def drop_dedup_index(
     spark: SparkSession, prefix: str, database: str | None = None
 ) -> None:
-    """Drop the four catalog tables (files at ``location`` are external and
+    """Drop the three catalog tables (files at ``location`` are external and
     removed by the caller)."""
     for name in _TABLES:
         spark.sql(f"DROP TABLE IF EXISTS {_qualified(prefix, name, database)}")

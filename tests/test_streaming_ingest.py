@@ -319,7 +319,7 @@ def test_ingest_two_batches_restart_and_replay(spark, env):
     # counts, and output objects must all be bit-identical
     n_index_rows = {
         t: spark.table(f"{PREFIX}_{t}").count()
-        for t in ("hashes", "bands", "shingles", "sizes")
+        for t in ("hashes", "bands", "shingles")
     }
     docs_before = _docs_by_epoch(spark, cfg)
     replay = spark.createDataFrame(
@@ -333,5 +333,5 @@ def test_ingest_two_batches_restart_and_replay(spark, env):
     assert _docs_by_epoch(spark, cfg) == docs_before
     assert {
         t: spark.table(f"{PREFIX}_{t}").count()
-        for t in ("hashes", "bands", "shingles", "sizes")
+        for t in ("hashes", "bands", "shingles")
     } == n_index_rows
