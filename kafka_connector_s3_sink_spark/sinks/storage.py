@@ -44,10 +44,12 @@ _DIRECT_SCHEMES = {"s3", "s3a", "s3n", "gs", "gcs"}
 
 
 def _split_uri(uri: str) -> tuple[str | None, str]:
-    """(scheme, rest) — a Windows drive letter or a plain path has no scheme."""
+    """(scheme, rest) — a Windows drive letter or a plain path has no scheme.
+    Schemes are letter-led alphanumerics ("s3", "s3a", "gs" carry digits, so
+    a bare isalpha() check would misroute them to the local filesystem)."""
     if ":" in uri:
         head, _, rest = uri.partition(":")
-        if head.isalpha() and len(head) > 1:
+        if len(head) > 1 and head[0].isalpha() and head.isalnum():
             return head.lower(), rest
     return None, uri
 

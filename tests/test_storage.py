@@ -60,6 +60,30 @@ def test_object_storage_abort_leaves_no_temp_or_object(tmp_path):
     assert os.listdir(tmp_path) == []
 
 
+def test_object_storage_direct_mode_abort_deletes(tmp_path):
+    """direct commit mode (the s3://-scheme default, exercised here over the
+    local fs): no temp object ever exists, and an aborted write deletes
+    whatever the failed stream materialized at the final name."""
+    st = ObjectStorage(str(tmp_path), mode="direct")
+    st.write_bytes("ok.bin", b"fine")
+    assert (tmp_path / "ok.bin").read_bytes() == b"fine"
+    with pytest.raises(RuntimeError):
+        with st.open_output("bad.bin") as out:
+            out.write(b"partial")
+            raise RuntimeError("boom")
+    assert sorted(os.listdir(tmp_path)) == ["ok.bin"]
+
+
+def test_object_storage_mode_defaults_by_scheme():
+    assert ObjectStorage("/x/y").mode == "rename"
+    assert ObjectStorage("file:///x/y").mode == "rename"
+    assert ObjectStorage("hdfs://nn/x").mode == "rename"
+    assert ObjectStorage("s3://bucket/pre").mode == "direct"
+    assert ObjectStorage("gs://bucket/pre").mode == "direct"
+    with pytest.raises(ValueError, match="commit mode"):
+        ObjectStorage("/x", mode="yolo")
+
+
 def test_write_batch_accepts_file_uri(spark, tmp_path):
     """The golden-name path through an explicit file:// URI — the same route an
     s3:// deployment takes, resolved by pyarrow.fs instead of plain open()."""

@@ -4,8 +4,12 @@ corpus N-fold (ids offset per clone so every document is distinct text-wise —
 near-dup density stays realistic, data volume scales) and compare 1× vs N×
 wall-clock for the operations whose 100 TB story this repo claims:
 
-- dedup-index build (4 bucketed fingerprint tables)
+- dedup-index build (3 bucketed fingerprint tables)
 - incremental classification of a planted batch vs that index
+- the O(batch) claim directly: a FIXED-size batch classified against the
+  1× index vs the N× index (time must stay ~flat as history grows)
+- one full ingest epoch (quality floor → cascade → classification →
+  split/pack → per-epoch partition write) at each history scale
 - IVF corpus assignment (the only full-corpus ANN pass) + probes against it
 
 Prints a markdown table for SCALING.md. Usage:
@@ -116,6 +120,42 @@ def main() -> None:
                 r.unpersist()
 
         timed(f"incremental_classify_{label}", classify)
+
+        # the O(batch + collisions) claim, isolated: SAME batch (the 1×
+        # planted one) against this scale's index — if classification cost
+        # rode |history|, this row would grow ~linearly with the factor
+        fixed_batch = batch_of(docs1)
+
+        def classify_fixed():
+            reg: list = []
+            incremental.incremental_dedup(
+                fixed_batch, prefix, database="probedb", unpersist_registry=reg
+            ).write.format("noop").mode("overwrite").save()
+            for r in reg:
+                r.unpersist()
+
+        timed(f"classify_fixed_batch_vs_{label}_index", classify_fixed)
+
+        # one full ingest epoch against this scale's index: fixed batch, so
+        # epoch cost must track |batch| (cascade+pack) + |collisions|, not
+        # |history|. Fresh dest/ckpt per scale; epoch id unique per scale so
+        # the idempotence probe doesn't skip the append.
+        from kafka_connector_s3_sink_spark.streaming import ingest as ing
+
+        epoch_dest = tempfile.mkdtemp(prefix=f"probe_ingest_{label}_")
+        icfg = ing.IngestConfig(
+            index_prefix=prefix,
+            index_location=loc,
+            dest_dir=epoch_dest,
+            checkpoint_location=os.path.join(epoch_dest, "ckpt"),
+            database="probedb",
+            num_buckets=32,
+            min_quality=0.0,
+        )
+        t0 = time.time()
+        ing.process_crawl_batch(fixed_batch, 777, icfg)
+        rows.append((f"ingest_epoch_vs_{label}_index", time.time() - t0))
+        print(f"  ingest_epoch_vs_{label}_index: {rows[-1][1]:.2f}s", flush=True)
 
         cents = similarity.ivf_centroids(emb, 8, 1)
         t0 = time.time()
