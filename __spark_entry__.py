@@ -1338,6 +1338,88 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY revenue DESC, supp_nation, cust_nation, ship_year
                 LIMIT 25
             )
+            UNION ALL
+            SELECT 'q8_market_share' AS branch, CAST(NULL AS VARCHAR) AS dim1,
+                CAST(NULL AS VARCHAR) AS dim2, CAST(o_year AS BIGINT) AS k,
+                mkt_share AS val1, CAST(NULL AS DOUBLE) AS val2
+            FROM (
+                SELECT year(l_shipdate) AS o_year,
+                    floor((sum(CASE WHEN n1.n_name = 'BRAZIL'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                        / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+                        / 10000.0 AS mkt_share
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                GROUP BY 1
+            )
+            UNION ALL
+            SELECT 'q9_product_profit' AS branch, nation AS dim1,
+                CAST(NULL AS VARCHAR) AS dim2, CAST(o_year AS BIGINT) AS k,
+                profit AS val1, CAST(NULL AS DOUBLE) AS val2
+            FROM (
+                SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                    floor(sum(l_extendedprice * (1 - l_discount)
+                        - 0.1 * p_retailprice * l_quantity) * 100.0 + 0.5)
+                        / 100.0 AS profit
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY 1, 2
+            )
+            UNION ALL
+            SELECT 'q12_priority_modes' AS branch, line_class AS dim1,
+                CAST(NULL AS VARCHAR) AS dim2, CAST(NULL AS BIGINT) AS k,
+                CAST(high_line_count AS DOUBLE) AS val1,
+                CAST(low_line_count AS DOUBLE) AS val2
+            FROM (
+                SELECT l_returnflag AS line_class,
+                    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+                    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag IN ('A', 'R')
+                  AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+                GROUP BY 1
+            )
+            UNION ALL
+            SELECT 'q15_top_supplier' AS branch, s_name AS dim1,
+                CAST(NULL AS VARCHAR) AS dim2, CAST(s_suppkey AS BIGINT) AS k,
+                total_revenue AS val1, CAST(NULL AS DOUBLE) AS val2
+            FROM (
+                WITH rev AS (
+                    SELECT l_suppkey,
+                        floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                            / 100.0 AS total_revenue
+                    FROM lineitem
+                    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                    GROUP BY 1
+                )
+                SELECT s_suppkey, s_name, total_revenue
+                FROM rev JOIN supplier ON l_suppkey = s_suppkey
+                WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            )
+            UNION ALL
+            SELECT 'q16_supplier_counts' AS branch, p_brand AS dim1,
+                p_type AS dim2, CAST(p_size AS BIGINT) AS k,
+                CAST(supplier_cnt AS DOUBLE) AS val1, CAST(NULL AS DOUBLE) AS val2
+            FROM (
+                SELECT p_brand, p_type, p_size,
+                    count(DISTINCT suppkey) AS supplier_cnt
+                FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS suppkey
+                      FROM lineitem)
+                JOIN part ON pk = p_partkey
+                WHERE p_brand <> 'Brand#45'
+                  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+                GROUP BY 1, 2, 3
+            )
         """,
         "tpch_quantified_counts": """
             SELECT 'q21_waiting_suppliers' AS branch,
@@ -1376,6 +1458,21 @@ def oracle_sql() -> dict[str, str]:
                 )
                 SELECT n_orders, count(*) AS n_customers
                 FROM per_cust GROUP BY 1
+            )
+            UNION ALL
+            SELECT 'q20_dominant_suppliers' AS branch,
+                CAST(l_suppkey AS BIGINT) AS k, CAST(n_parts AS BIGINT) AS n
+            FROM (
+                WITH ps AS (
+                    SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+                    FROM lineitem
+                    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+                    GROUP BY 1, 2
+                ),
+                p AS (SELECT l_partkey, sum(sq) AS pq FROM ps GROUP BY 1)
+                SELECT l_suppkey, count(*) AS n_parts
+                FROM ps JOIN p USING (l_partkey)
+                WHERE sq > 0.5 * pq GROUP BY 1
             )
         """,
         "tpch_segment_rollups": """

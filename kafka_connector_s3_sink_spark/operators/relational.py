@@ -892,6 +892,182 @@ def segment_revenue_share(
     )
 
 
+def national_market_share(
+    spark: SparkSession, sf_dir: str, nation: str = "BRAZIL", region: str = "AMERICA"
+) -> DataFrame:
+    """TPC-H Q8 shape — a group's share of a filtered market per year: revenue
+    of one supplier nation over ALL revenue, within orders placed by one
+    region's customers for one part type. The share is a conditional-sum
+    ratio inside ONE aggregation (no second market pass); nation/region are
+    fixed-cardinality broadcasts on both the supplier and customer paths.
+    Adaptation for the synthetic tables: p_type = 'ECONOMY' stands in for the
+    reference's three-word type, year from l_shipdate (no o_orderdate join
+    needed for the year — the orders join still gates the customer region)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sn")
+    )
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk")
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(reg), F.col("_crk") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("_snk"))
+        .groupBy(F.year("l_shipdate").alias("o_year"))
+        .agg(
+            stable_round(
+                F.sum(F.when(F.col("_sn") == nation, vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit per (nation, year) across a five-table join.
+    Adaptation: the synthetic schema has no partsupp, so unit supply cost is
+    the deterministic proxy ``0.1 * p_retailprice`` (the shape under test is
+    the star join + two-key rollup, not the cost constant); parts filtered to
+    the PROMO type standing in for the reference's name LIKE."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("_nk"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(stable_round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def priority_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — join + IN-list filter + conditional counts per
+    group: for each line class (IN-list of two), how many of its orders are
+    high- vs low-priority. Both counts fold map-side into one aggregation on
+    the (small) class key. Adaptation: l_returnflag ∈ {'A','R'} stands in for
+    the missing l_shipmode pair, a shipdate window for the receipt/commit
+    date arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("line_class")
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the revenue view + global-max filter: per-supplier
+    revenue over a window, keeping the supplier(s) equal to the maximum. The
+    max is a one-row aggregate of the ALREADY-AGGREGATED view joined back by
+    broadcast — the view computes once (cached plan branch), never per row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-count rollup over a supply relation with
+    NOT-IN exclusions: suppliers per (brand, type, size) for an IN-list of
+    sizes, excluding one brand. Adaptation: the supply relation is the
+    DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem (no partsupp
+    table); the distinct reduces the fact to the supply grain BEFORE the
+    dimension join, so the count shuffle carries pairs, not line items."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    supply = li.select(
+        F.col("l_partkey").alias("p_partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        supply.join(F.broadcast(part), "p_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str, share: float = 0.5
+) -> DataFrame:
+    """TPC-H Q20 shape — EXISTS against a correlated aggregate threshold:
+    suppliers for whom SOME part's shipped volume exceeds ``share`` of that
+    part's total volume in a year. Both grains are pre-aggregated (per
+    (part, supplier) and per part) and the quantifier becomes an equi-join +
+    filter + distinct-ish count — never a per-row correlated subquery.
+    Adaptation: shipped volume stands in for ps_availqty (no partsupp)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_sq")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("_sq").alias("_pq"))
+    return (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("_sq") > share * F.col("_pq"))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy(F.col("n_dominant_parts").desc(), F.col("s_suppkey").asc())
+    )
+
+
 # -- r5: oracle-window wrappers — the nine r4 shapes merged onto shared grains
 # -- so all of them fit inside the driver's 50-entry gate (the registry's
 # -- established branch-tag pattern; every branch still executes) ------------
@@ -910,14 +1086,22 @@ def tpch_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 + Q7 branch-tagged union: group-HAVING semi join (large orders)
-    and dual-aliased dimension paths (nation-pair trade), projected onto a
-    shared (branch, dim1, dim2, k, val1, val2) grain. Branch discriminator
-    keeps every value independently oracle-checked."""
+    """Seven TPC-H shapes branch-tagged onto the shared
+    (branch, dim1, dim2, k, val1, val2) grain: Q18 group-HAVING semi join,
+    Q7 dual-aliased dimension paths, Q8 market-share conditional ratio,
+    Q9 star-join profit rollup, Q12 IN-list conditional counts, Q15
+    view + global-max filter, Q16 distinct-count rollup with exclusions.
+    Branch discriminator keeps every value independently oracle-checked;
+    together with the other tpch_* entries this closes all 22 TPC-H query
+    shapes inside the oracle window."""
+    _s = lambda c: F.col(c).cast("string")  # noqa: E731
+    _d = lambda c: F.col(c).cast("double")  # noqa: E731
+    _nul_s = F.lit(None).cast("string")
+    _nul_d = F.lit(None).cast("double")
     q18 = large_volume_orders(spark, sf_dir).select(
         F.lit("q18_large_orders").alias("branch"),
         F.col("c_name").alias("dim1"),
-        F.lit(None).cast("string").alias("dim2"),
+        _nul_s.alias("dim2"),
         F.col("o_orderkey").cast("bigint").alias("k"),
         F.col("total_price").alias("val1"),
         F.col("total_qty").alias("val2"),
@@ -928,15 +1112,59 @@ def tpch_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust_nation").alias("dim2"),
         F.col("ship_year").cast("bigint").alias("k"),
         F.col("revenue").alias("val1"),
-        F.lit(None).cast("double").alias("val2"),
+        _nul_d.alias("val2"),
     )
-    return q18.unionByName(q7)
+    q8 = national_market_share(spark, sf_dir).select(
+        F.lit("q8_market_share").alias("branch"),
+        _nul_s.alias("dim1"),
+        _nul_s.alias("dim2"),
+        F.col("o_year").cast("bigint").alias("k"),
+        F.col("mkt_share").alias("val1"),
+        _nul_d.alias("val2"),
+    )
+    q9 = product_type_profit(spark, sf_dir).select(
+        F.lit("q9_product_profit").alias("branch"),
+        F.col("nation").alias("dim1"),
+        _nul_s.alias("dim2"),
+        F.col("o_year").cast("bigint").alias("k"),
+        F.col("profit").alias("val1"),
+        _nul_d.alias("val2"),
+    )
+    q12 = priority_mode_counts(spark, sf_dir).select(
+        F.lit("q12_priority_modes").alias("branch"),
+        F.col("line_class").alias("dim1"),
+        _nul_s.alias("dim2"),
+        F.lit(None).cast("bigint").alias("k"),
+        _d("high_line_count").alias("val1"),
+        _d("low_line_count").alias("val2"),
+    )
+    q15 = top_supplier_revenue(spark, sf_dir).select(
+        F.lit("q15_top_supplier").alias("branch"),
+        F.col("s_name").alias("dim1"),
+        _nul_s.alias("dim2"),
+        F.col("s_suppkey").cast("bigint").alias("k"),
+        F.col("total_revenue").alias("val1"),
+        _nul_d.alias("val2"),
+    )
+    q16 = parts_supplier_counts(spark, sf_dir).select(
+        F.lit("q16_supplier_counts").alias("branch"),
+        F.col("p_brand").alias("dim1"),
+        F.col("p_type").alias("dim2"),
+        F.col("p_size").cast("bigint").alias("k"),
+        _d("supplier_cnt").alias("val1"),
+        _nul_d.alias("val2"),
+    )
+    out = q18
+    for b in (q7, q8, q9, q12, q15, q16):
+        out = out.unionByName(b)
+    return out
 
 
 def tpch_quantified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 + Q13 branch-tagged union on the shared (key, count) grain:
-    EXISTS/NOT-EXISTS as aggregated-grain filters (waiting suppliers) and the
-    left-outer count-of-counts histogram (order distribution)."""
+    """Q21 + Q13 + Q20 branch-tagged union on the shared (key, count) grain:
+    EXISTS/NOT-EXISTS as aggregated-grain filters (waiting suppliers), the
+    left-outer count-of-counts histogram (order distribution), and the
+    correlated-threshold EXISTS (dominant part suppliers)."""
     q21 = waiting_suppliers(spark, sf_dir).select(
         F.lit("q21_waiting_suppliers").alias("branch"),
         F.col("l_suppkey").cast("bigint").alias("k"),
@@ -947,7 +1175,12 @@ def tpch_quantified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("k"),
         F.col("n_customers").cast("bigint").alias("n"),
     )
-    return q21.unionByName(q13)
+    q20 = dominant_part_suppliers(spark, sf_dir).select(
+        F.lit("q20_dominant_suppliers").alias("branch"),
+        F.col("s_suppkey").cast("bigint").alias("k"),
+        F.col("n_dominant_parts").cast("bigint").alias("n"),
+    )
+    return q21.unionByName(q13).unionByName(q20)
 
 
 def tpch_segment_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -244,6 +244,156 @@ def test_order_count_distribution(spark, con):
     assert got == want and sum(r[1] for r in got) == 150
 
 
+def _dim_views(con):
+    for t in ("supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+
+def test_national_market_share(spark, con):
+    """Q8: one-pass conditional-sum ratio per year."""
+    _dim_views(con)
+    got = [tuple(r) for r in relational.national_market_share(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT year(l_shipdate) AS o_year,
+                floor((sum(CASE WHEN n1.n_name = 'BRAZIL'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                    / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5)
+                    / 10000.0 AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_product_type_profit(spark, con):
+    """Q9 (partsupp-free adaptation): star-join profit per (nation, year)."""
+    _dim_views(con)
+    got = [tuple(r) for r in relational.product_type_profit(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                floor(sum(l_extendedprice * (1 - l_discount)
+                    - 0.1 * p_retailprice * l_quantity) * 100.0 + 0.5)
+                    / 100.0 AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_priority_mode_counts(spark, con):
+    """Q12 shape (returnflag standing in for shipmode): conditional counts."""
+    got = [tuple(r) for r in relational.priority_mode_counts(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT l_returnflag AS line_class,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 2
+
+
+def test_top_supplier_revenue(spark, con):
+    """Q15: revenue view + global-max filter (all ties kept)."""
+    _dim_views(con)
+    got = [tuple(r) for r in relational.top_supplier_revenue(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH rev AS (
+                SELECT l_suppkey,
+                    floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                        / 100.0 AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) >= 1
+
+
+def test_parts_supplier_counts(spark, con):
+    """Q16 (lineitem pairs as the supply relation): distinct-count rollup."""
+    got = [tuple(r) for r in relational.parts_supplier_counts(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT p_brand, p_type, p_size, count(DISTINCT suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS suppkey FROM lineitem)
+            JOIN part ON pk = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_dominant_part_suppliers(spark, con):
+    """Q20 shape: correlated aggregate threshold as two rollups + join."""
+    got = [tuple(r) for r in relational.dominant_part_suppliers(spark, SF_DIR).collect()]
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+                FROM lineitem
+                WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+                GROUP BY 1, 2
+            ),
+            p AS (SELECT l_partkey, sum(sq) AS pq FROM ps GROUP BY 1)
+            SELECT l_suppkey AS s_suppkey, count(*) AS n_dominant_parts
+            FROM ps JOIN p USING (l_partkey)
+            WHERE sq > 0.5 * pq GROUP BY 1
+            ORDER BY n_dominant_parts DESC, s_suppkey ASC
+            """
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_segment_revenue_share(spark, con):
     got = [
         tuple(r)
