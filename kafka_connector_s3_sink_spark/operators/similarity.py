@@ -616,6 +616,49 @@ def append_to_ivf_index(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def rebuild_ivf_index(
+    spark,
+    index_dir: str,
+    dest_dir: str,
+    n_centroids: int | None = None,
+    fit_sample_cap: int | None = 256,
+    assignment: str = "auto",
+    batch_id: str = "rebuilt",
+) -> list[tuple[int, list[float]]]:
+    """REFIT the coarse quantizer over the index's CURRENT contents and write
+    a fresh index to ``dest_dir`` — the last step of the IVF lifecycle
+    (build → append-under-frozen-quantizer → ``ivf_index_stats`` drift watch
+    → rebuild when bucket skew says the frozen quantizer no longer matches
+    the distribution).
+
+    Deliberately writes to a NEW location instead of rewriting in place: the
+    old index stays fully queryable during the rebuild (it is one atomic
+    "switch the path" away from retirement — the same staged-swap discipline
+    as ``incremental.compact_dedup_index``), and a failed rebuild leaves
+    nothing half-assigned. Vectors are read from the index itself (the
+    stored ``vec`` column), so no second pass over source tables; history
+    batch lineage is intentionally folded into one ``batch_id`` — a rebuild
+    IS a compaction (drop the old location's per-epoch rollback in exchange
+    for freshly balanced buckets and one file set per bucket).
+
+    ``n_centroids`` defaults to the old quantizer's k. Returns the new
+    centroids (also persisted to ``<dest>/_centroids.json``)."""
+    old_k = len(read_ivf_centroids(index_dir))
+    vectors = spark.read.parquet(index_dir).select(
+        "vec_id", F.col("vec").alias("embedding")
+    )
+    return write_ivf_index(
+        vectors,
+        dest_dir,
+        n_centroids=n_centroids or old_k,
+        id_col="vec_id",
+        vec_col="embedding",
+        fit_sample_cap=fit_sample_cap,
+        assignment=assignment,
+        batch_id=batch_id,
+    )
+
+
 def ivf_index_stats(spark, index_dir: str) -> DataFrame:
     """Bucket-occupancy rollup of a persisted IVF index: rows per
     (centroid_id, batch_id). This is the drift/skew monitor for the frozen

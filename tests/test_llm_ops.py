@@ -288,6 +288,44 @@ def test_ivf_index_append_replay_and_probe(spark, tmp_path, sf_dir):
         assert top[qid][0] == qid + 100_000 and top[qid][1] == 1.0
 
 
+def test_ivf_rebuild_refits_and_preserves_corpus(spark, tmp_path, sf_dir):
+    """The rebuild step of the IVF lifecycle: refit over the index's current
+    contents into a NEW location — every vector present exactly once under
+    the new quantizer, history lineage folded to one batch, probes correct,
+    and the old index untouched (queryable during the switch)."""
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = corpus.filter(F.col("vec_id") >= 100)
+    old = str(tmp_path / "ivf_old")
+    similarity.write_ivf_index(base, old, n_centroids=8)
+    batch = corpus.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    similarity.append_to_ivf_index(batch, old, batch_id="crawl-1")
+
+    new = str(tmp_path / "ivf_new")
+    cents = similarity.rebuild_ivf_index(spark, old, new)
+    assert len(cents) == 8  # defaults to the old quantizer's k
+
+    total = base.count() + batch.count()
+    new_ids = [r["vec_id"] for r in spark.read.parquet(new).select("vec_id").collect()]
+    assert len(new_ids) == total and len(set(new_ids)) == total
+    batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(new).select("batch_id").distinct().collect()
+    }
+    assert batches == {"rebuilt"}  # rebuild IS a lineage compaction
+
+    # old index untouched and still queryable
+    assert spark.read.parquet(old).count() == total
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk_indexed(spark, new, queries, k=1, nprobe=1)
+    top = {r["query_id"]: (r["nbr_id"], r["cosine"]) for r in got.collect()}
+    for qid in (0, 1, 2):
+        assert top[qid][0] == qid + 100_000 and top[qid][1] == 1.0
+
+
 def test_text_analysis_columns(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox, with the lazy dog in the sun.")], ["doc_id", "text"]
