@@ -130,6 +130,38 @@ class SchemaRegistryClient:
         return sid, schema
 
 
+def client_from_properties(
+    props: dict, prefix: str = "value.converter."
+) -> SchemaRegistryClient:
+    """Build a client from the reference's Kafka-Connect converter keys
+    (the worker config a Confluent AvroConverter user already has —
+    ``value.converter.schema.registry.url``,
+    ``…basic.auth.credentials.source=USER_INFO`` +
+    ``…basic.auth.user.info=user:pass``; `AvroIntegrationTest.java:135-137`
+    configures the url form). Unknown credential sources raise — silently
+    ignoring an auth setting would turn a misconfiguration into anonymous
+    requests against a production registry."""
+    url = props.get(f"{prefix}schema.registry.url")
+    if not url:
+        raise ValueError(f"missing {prefix}schema.registry.url")
+    auth = None
+    source = props.get(f"{prefix}basic.auth.credentials.source")
+    if source is not None:
+        if source != "USER_INFO":
+            raise ValueError(
+                f"unsupported {prefix}basic.auth.credentials.source={source!r}; "
+                "only USER_INFO is implemented"
+            )
+        info = props.get(f"{prefix}basic.auth.user.info", "")
+        user, sep, password = info.partition(":")
+        if not sep:
+            raise ValueError(
+                f"{prefix}basic.auth.user.info must be 'user:password'"
+            )
+        auth = (user, password)
+    return SchemaRegistryClient(url, auth=auth)
+
+
 def decode_with_registry(
     df,
     column: str,

@@ -89,6 +89,39 @@ def hash_split(
     return df.withColumn("split", last if expr is None else expr.otherwise(last))
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic dataset-mixing filter: keep each source's rows at its own
+    rate — the training-mixture knob ("2× wiki, 0.1× crawl") applied as one
+    narrow md5-threshold filter. Sources not listed are dropped (an explicit
+    mixture IS the whitelist). Zero shuffles, scan-pushable, and — like every
+    sampler here — a pure function of (id, seed): re-runs, appends, and
+    repartitioning select the identical row set, so epoch N+1 of an
+    incremental rebuild serves the same mixture as epoch N.
+
+    Rates above 1.0 are rejected: up-sampling means REPEATING rows, which is
+    the data loader's job (or ``explode(sequence(...))`` upstream of packing)
+    — silently capping at 1.0 would misreport the mixture."""
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(
+                f"mixture rate for {name!r} must be in [0, 1], got {rate}"
+            )
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    for name, rate in rates.items():
+        cond = (F.col(source_col) == name) & (bucket < int(rate * HASH_SPACE))
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        raise ValueError("mixture rates must name at least one source")
+    return df.filter(expr)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: Sequence[str],

@@ -60,6 +60,48 @@ def test_bernoulli_sample_is_nested_and_deterministic(docs):
     assert 0 < len(small) < len(big) < 500
 
 
+def test_mixture_sample_matches_duckdb(docs):
+    """Dataset mixing: per-source keep rates over the shared md5 bucket
+    space; unlisted sources dropped; deterministic across re-runs."""
+    rates = {"src1": 0.5, "src2": 1.0}
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.mixture_sample(docs, rates, seed="mx").collect()
+    )
+    want = sorted(
+        int(r[0])
+        for r in duckdb.connect().execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{DOCS}')
+            WHERE (source = 'src1' AND
+                   CAST('0x' || substr(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) < {int(0.5 * 65536)})
+               OR (source = 'src2' AND
+                   CAST('0x' || substr(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) < 65536)
+            """
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < docs.count()
+    # re-run identical; sources outside the mixture never appear
+    again = sorted(
+        r["doc_id"]
+        for r in sampling.mixture_sample(docs, rates, seed="mx").collect()
+    )
+    assert again == got
+    kept_sources = {
+        r["source"]
+        for r in sampling.mixture_sample(docs, rates, seed="mx")
+        .select("source").distinct().collect()
+    }
+    assert kept_sources <= {"src1", "src2"}
+
+    with pytest.raises(ValueError, match="must be in"):
+        sampling.mixture_sample(docs, {"src1": 1.5})
+    with pytest.raises(ValueError, match="at least one"):
+        sampling.mixture_sample(docs, {})
+
+
 def test_stratified_sample_exact_quota(docs):
     n = 5
     out = sampling.stratified_sample(docs, ["lang", "source"], n).collect()

@@ -157,6 +157,45 @@ def test_basic_auth_header_sent_and_required(registry_url):
         _Registry.require_auth = None
 
 
+def test_client_from_connect_properties(registry_url):
+    """The reference's converter config keys build a working client: url +
+    USER_INFO basic auth; bad credential sources and malformed user info
+    raise instead of degrading to anonymous."""
+    import base64
+
+    expected = "Basic " + base64.b64encode(b"cc-user:pw").decode()
+    _Registry.require_auth = expected
+    try:
+        c = registry.client_from_properties(
+            {
+                "value.converter.schema.registry.url": registry_url,
+                "value.converter.basic.auth.credentials.source": "USER_INFO",
+                "value.converter.basic.auth.user.info": "cc-user:pw",
+            }
+        )
+        assert json.loads(c.get_schema(7)) == json.loads(SCHEMA_V1)
+    finally:
+        _Registry.require_auth = None
+
+    with pytest.raises(ValueError, match="schema.registry.url"):
+        registry.client_from_properties({})
+    with pytest.raises(ValueError, match="only USER_INFO"):
+        registry.client_from_properties(
+            {
+                "value.converter.schema.registry.url": registry_url,
+                "value.converter.basic.auth.credentials.source": "SASL_INHERIT",
+            }
+        )
+    with pytest.raises(ValueError, match="user:password"):
+        registry.client_from_properties(
+            {
+                "value.converter.schema.registry.url": registry_url,
+                "value.converter.basic.auth.credentials.source": "USER_INFO",
+                "value.converter.basic.auth.user.info": "no-colon",
+            }
+        )
+
+
 def test_collect_schema_ids_skips_unframed_and_truncated(spark):
     """Framing validation: rows without the Confluent magic byte or shorter
     than the 5-byte frame must not contribute bogus ids (which would 404 at
