@@ -166,7 +166,12 @@ def main() -> None:
         "countDistinct; 4 merged TPC-H entries added (tpch_* = Q14+Q17+Q19, "
         "Q18+Q7, Q21+Q13, Q22+Q11). incremental_dedup cold still includes "
         "the one-time index build; its deferred caches are now released "
-        "after each pass (r4 pipeline_pack_split interference fix).",
+        "after each pass (r4 pipeline_pack_split interference fix). "
+        "Reproducibility: medians of two back-to-back runs on a QUIET "
+        "machine agree within ~20-40% per sub-second query and ~15% on "
+        "totals; a run overlapping another Spark JVM's shutdown can "
+        "inflate individual entries several-fold - compare totals across "
+        "rounds, per-query only for >2x deltas.",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
     }
