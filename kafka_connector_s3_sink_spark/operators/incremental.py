@@ -548,6 +548,8 @@ def drop_dedup_index(
     spark: SparkSession, prefix: str, database: str | None = None
 ) -> None:
     """Drop the three catalog tables (files at ``location`` are external and
-    removed by the caller)."""
-    for name in _TABLES:
+    removed by the caller). Also drops the legacy ``_sizes`` table a pre-r5
+    four-table index may still carry, so upgrading deployments don't strand
+    a stale catalog entry."""
+    for name in _TABLES + ("sizes",):
         spark.sql(f"DROP TABLE IF EXISTS {_qualified(prefix, name, database)}")

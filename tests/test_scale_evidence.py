@@ -156,6 +156,57 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Spark's row-level runtime filter):
+    a selective dimension filter injects a bloom filter built from the dim
+    side into the FACT scan, so filtered-out join keys die before the
+    shuffle. The default thresholds (application side ≥ 10 GB scan) are
+    sized for exactly the 100 TB deployments this repo targets — at test SF
+    they must be lowered to trigger, which is what this test pins: the
+    mechanism works on our join shapes, the values are unchanged, and a real
+    cluster gets it with stock settings."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        with_filter = j.collect()
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # pruning is an optimization, never a semantic change
+    orders2 = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = (
+        li2.join(orders2, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .collect()
+    )
+    # float-sum addition order differs under pruning (different partition
+    # interleave) — compare at cent precision, not last-ULP
+    norm = lambda rows: sorted((r["o_orderpriority"], round(r["rev"], 2)) for r in rows)  # noqa: E731
+    assert norm(with_filter) == norm(plain)
+
+
 def test_normalize_kafka_stream_shape(spark):
     """A batch DF in Spark's exact Kafka-source schema normalizes to the
     canonical record shape (string key/value, epoch-ms timestamp, headers kept)."""
