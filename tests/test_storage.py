@@ -60,6 +60,32 @@ def test_object_storage_abort_leaves_no_temp_or_object(tmp_path):
     assert os.listdir(tmp_path) == []
 
 
+def test_full_path_never_escapes_fuzz(tmp_path):
+    """Property: for ANY object name, full_path either raises or stays under
+    the sink root — template-derived names can embed arbitrary record data
+    ({{key}}), so this is the actual security boundary, fuzzed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    st_name = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=60
+    )
+    base = str(tmp_path)
+    storage = ObjectStorage(base)
+    root = storage.full_path("probe").rsplit("/", 1)[0]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st_name)
+    def check(name):
+        try:
+            p = storage.full_path(name)
+        except ValueError:
+            return
+        assert p.startswith(root + "/") and ".." not in p.split("/")
+
+    check()
+
+
 def test_object_storage_direct_mode_abort_deletes(tmp_path):
     """direct commit mode (the s3://-scheme default, exercised here over the
     local fs): no temp object ever exists, and an aborted write deletes
