@@ -476,6 +476,7 @@ def decode_avro_column(
     output_column: str = "decoded",
     confluent_framing: bool = False,
     schema_id_column: str | None = None,
+    on_error: str = "raise",
 ):
     """``from_avro`` equivalent: decode a BinaryType column against an Avro
     schema into a typed struct column.
@@ -487,6 +488,14 @@ def decode_avro_column(
     evolution-merged union of all versions' fields (older payloads leave
     newer fields NULL). ``schema_id_column`` optionally emits which id each
     record carried, for per-id routing downstream.
+
+    ``on_error``: ``"raise"`` fails the task on the first undecodable payload
+    (a corrupt record IS the bug on a curated topic). ``"capture"`` is the
+    Kafka-Connect ``errors.tolerance=all`` posture: the row survives with a
+    NULL ``output_column`` and the exception text in ``decode_error`` —
+    route those rows to a dead-letter sink (``split_dead_letters``) exactly
+    like Connect's DLQ topic, instead of stalling the whole pipeline on one
+    poison record.
 
     Plan shape: one Arrow-batched ``mapInPandas`` pass decodes payloads to
     compact JSON strings (pure per-row CPU, no shuffle, payloads never leave
@@ -525,21 +534,40 @@ def decode_avro_column(
                 separators=(",", ":"),
             )
 
+    if on_error not in ("raise", "capture"):
+        raise AvroError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
     out_fields = [
-        f for f in df.schema.fields if f.name not in ("_avro_json", "_avro_sid")
+        f
+        for f in df.schema.fields
+        if f.name not in ("_avro_json", "_avro_sid", "_avro_err")
     ]
 
     def run(batches):
         for pdf in batches:
             pdf = pdf.copy()
-            decoded = [
-                (None, None) if payload is None else decode_one(bytes(payload))
-                for payload in pdf[column]
-            ]
+            decoded = []
+            for payload in pdf[column]:
+                if payload is None:
+                    decoded.append((None, None, None))
+                    continue
+                if not capture:
+                    decoded.append((*decode_one(bytes(payload)), None))
+                    continue
+                try:
+                    decoded.append((*decode_one(bytes(payload)), None))
+                except Exception as e:  # noqa: BLE001 — DLQ posture: survive
+                    decoded.append((None, None, f"{type(e).__name__}: {e}"))
             pdf["_avro_sid"] = [d[0] for d in decoded]
             pdf["_avro_json"] = [d[1] for d in decoded]
+            if capture:
+                pdf["_avro_err"] = [d[2] for d in decoded]
             yield pdf
 
+    err_fields = (
+        [T.StructField("_avro_err", T.StringType(), True)] if capture else []
+    )
     with_json = df.mapInPandas(
         run,
         schema=T.StructType(
@@ -548,6 +576,7 @@ def decode_avro_column(
                 T.StructField("_avro_sid", T.IntegerType(), True),
                 T.StructField("_avro_json", T.StringType(), True),
             ]
+            + err_fields
         ),
     )
     result = with_json.withColumn(
@@ -555,7 +584,9 @@ def decode_avro_column(
     )
     if schema_id_column is not None:
         result = result.withColumn(schema_id_column, F.col("_avro_sid"))
-    return result.drop("_avro_json", "_avro_sid")
+    if capture:
+        result = result.withColumn("decode_error", F.col("_avro_err"))
+    return result.drop("_avro_json", "_avro_sid", "_avro_err")
 
 
 def encode_avro_column(

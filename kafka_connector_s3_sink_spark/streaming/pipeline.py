@@ -82,6 +82,20 @@ def normalize_kafka_stream(df: DataFrame, converter: str = "string") -> DataFram
     )
 
 
+def split_dead_letters(df: DataFrame, error_col: str = "decode_error"):
+    """Kafka Connect's ``errors.tolerance=all`` + dead-letter-queue routing
+    as a DataFrame split: ``(clean, dlq)`` where ``dlq`` holds the rows a
+    capture-mode converter marked (``decode_avro_column(on_error="capture")``,
+    ``multimodal.extract_features(on_error="capture")``) and ``clean`` drops
+    the error column. Write ``dlq`` through the same sink under its own
+    prefix (the DLQ "topic"), carrying the error text as Connect's DLQ
+    headers do — one poison record never stalls the pipeline, and nothing
+    is silently dropped."""
+    clean = df.filter(F.col(error_col).isNull()).drop(error_col)
+    dlq = df.filter(F.col(error_col).isNotNull())
+    return clean, dlq
+
+
 def start_pipeline(
     records: DataFrame,
     config: EngineConfig,

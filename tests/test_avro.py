@@ -254,6 +254,50 @@ def test_decode_avro_column_roundtrip(spark):
     assert out[2] is None
 
 
+def test_decode_capture_routes_poison_records_to_dlq(spark):
+    """The errors.tolerance=all posture: one corrupt payload among good ones
+    survives as a row with null decode and the error text; split_dead_letters
+    routes it aside; raise-mode still fails the task on the same batch."""
+    from kafka_connector_s3_sink_spark.streaming.pipeline import split_dead_letters
+
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [{"name": "name", "type": "string"}],
+        }
+    )
+    good = avro.encode({"name": "ok"}, avro.parse_schema(schema_json),
+                       confluent_schema_id=1)
+    rows = [
+        Row(id=0, value=good),
+        Row(id=1, value=b"\x00\x00\x00\x00\x01\xff"),  # framed, corrupt body
+        Row(id=2, value=b"not avro at all"),           # not even framed
+        Row(id=3, value=None),
+    ]
+    df = spark.createDataFrame(rows, "id long, value binary")
+
+    decoded = avro.decode_avro_column(
+        df, "value", schema_json, confluent_framing=True, on_error="capture"
+    )
+    out = {r["id"]: r for r in decoded.collect()}
+    assert len(out) == 4  # full batch survived
+    assert out[0]["decoded"]["name"] == "ok" and out[0]["decode_error"] is None
+    assert out[1]["decoded"] is None and out[1]["decode_error"]
+    assert out[2]["decoded"] is None and "AvroError" in out[2]["decode_error"]
+    assert out[3]["decoded"] is None and out[3]["decode_error"] is None  # null ≠ poison
+
+    clean, dlq = split_dead_letters(decoded)
+    assert sorted(r["id"] for r in clean.collect()) == [0, 3]
+    assert sorted(r["id"] for r in dlq.collect()) == [1, 2]
+    assert "decode_error" not in clean.columns and "decode_error" in dlq.columns
+
+    with pytest.raises(Exception):
+        avro.decode_avro_column(
+            df, "value", schema_json, confluent_framing=True
+        ).collect()
+
+
 def test_long_out_of_int64_range_raises():
     schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
     with pytest.raises(avro.AvroError, match="64-bit"):
