@@ -544,6 +544,60 @@ def compact_dedup_index(
         spark.sql(f"DROP TABLE {old}")
 
 
+def reap_stale_index_locations(
+    spark: SparkSession,
+    prefix: str,
+    location: str,
+    database: str | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete data directories under ``location`` that no live index table
+    references — the cleanup counterpart of ``compact_dedup_index``'s staged
+    swaps, which retire the previous live directory but (deliberately) never
+    delete data a query might still be reading mid-swap. Run this AFTER a
+    compaction has settled (no queries older than the swap in flight).
+
+    Safety: candidates are only the direct children of ``location`` whose
+    name starts with ``<prefix>_``; anything currently referenced by a live,
+    staging, or old table's catalog Location survives. ``dry_run`` returns
+    the would-be-deleted paths without touching storage. Driver-side Hadoop
+    FS — works on file:/hdfs:/s3a: like ``packing.list_files``."""
+    live_locs = set()
+    for name in _TABLES:
+        for tbl_prefix in (prefix, f"{prefix}__staging", f"{prefix}__old"):
+            table = _qualified(tbl_prefix, name, database)
+            try:
+                rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            except Exception:  # noqa: BLE001 — staging/old usually absent
+                continue
+            loc = next(
+                (r["data_type"] for r in rows if r["col_name"] == "Location"), ""
+            )
+            if loc:
+                live_locs.add(loc.rstrip("/"))
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(location)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    reaped: list[str] = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        child = status.getPath()
+        if not child.getName().startswith(f"{prefix}_"):
+            continue
+        uri = child.toString().rstrip("/")
+        # compare on the scheme-less suffix: catalog Locations and FS listings
+        # may disagree on file: vs file:/// spelling
+        tail = uri.split(":", 1)[-1].lstrip("/")
+        if any(l.split(":", 1)[-1].lstrip("/") == tail for l in live_locs):
+            continue
+        reaped.append(uri)
+        if not dry_run:
+            fs.delete(child, True)
+    return sorted(reaped)
+
+
 def drop_dedup_index(
     spark: SparkSession, prefix: str, database: str | None = None
 ) -> None:

@@ -150,6 +150,24 @@ def test_compact_dedup_index(spark, tmp_path):
             spark, "cmpidx", loc, num_buckets=4, compact_batch_id="c1"
         )
         assert spark.table("cmpidx_hashes").count() == rows
+
+        # the swap retired the ORIGINAL data dirs but left them on disk;
+        # the reaper removes exactly those, never the live __compact_c1 dirs
+        import os as _os
+
+        dry = incremental.reap_stale_index_locations(
+            spark, "cmpidx", loc, dry_run=True
+        )
+        assert len(dry) == len(incremental._TABLES), dry
+        assert all("__compact_c1" not in p for p in dry)
+        reaped = incremental.reap_stale_index_locations(spark, "cmpidx", loc)
+        assert reaped == dry
+        remaining = sorted(_os.listdir(loc))
+        assert all(d.endswith("__compact_c1") for d in remaining), remaining
+        # index still fully functional after the reap
+        assert sorted(
+            map(tuple, incremental.incremental_dedup(batch, "cmpidx").collect())
+        ) == after
     finally:
         incremental.drop_dedup_index(spark, "cmpidx")
 
