@@ -7,6 +7,7 @@ from kafka_connector_s3_sink_spark.streaming.ingest import (
 from kafka_connector_s3_sink_spark.streaming.pipeline import (
     kafka_source,
     normalize_kafka_stream,
+    split_dead_letters,
     start_pipeline,
 )
 
@@ -16,6 +17,7 @@ __all__ = [
     "kafka_source",
     "normalize_kafka_stream",
     "process_crawl_batch",
+    "split_dead_letters",
     "start_ingest_pipeline",
     "start_pipeline",
 ]
