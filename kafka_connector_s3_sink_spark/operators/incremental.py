@@ -373,28 +373,34 @@ def incremental_dedup(
     )
 
     # verify candidates with exact n-gram Jaccard: new-side shingles computed,
-    # history-side shingles read from the index for candidate docs only. Both
-    # sides' set SIZES are aggregations over shingle rows already in hand —
-    # h_sh is the candidate docs' complete shingle set (the semi join keeps
-    # whole documents), so its per-doc count IS the history size; no separate
-    # sizes table to scan (r5 index-format trim). The groupBy rides the semi
-    # join's doc_id clustering — no additional exchange on the index side.
-    new_sh = _cache(
-        shingle_rows(
-            rest.join(
-                cands.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id"
-            ),
-            "doc_id",
-            "text",
-            k,
+    # history-side shingles read from the index for candidate docs only (both
+    # restrictions are SEMI joins — no distinct pre-aggregation shuffle; the
+    # join operator dedups its probe side for free). Set sizes never get their
+    # own scan or groupBy ladder:
+    #   - the pair⋈new-shingle join replicates the new doc's COMPLETE shingle
+    #     set per candidate pair, so count(*) per (new_id, hist_id) IS n1, and
+    #     a LEFT join against the history shingles marks the intersection in
+    #     the same pass — one aggregation yields n1 and n_inter together
+    #     (r5 plan trim: the separate new_sizes groupBy+join is gone);
+    #   - h_sh is the candidate docs' complete history shingle set, and its
+    #     per-doc count (n2) rides the semi join's bucketed doc_id clustering
+    #     — no Exchange on the index side.
+    new_sh = shingle_rows(
+        rest.join(
+            cands.select(F.col("new_id").alias("doc_id")), "doc_id", "left_semi"
+        ),
+        "doc_id",
+        "text",
+        k,
+    )  # single consumer since the n1 fold — no cache needed
+    h_sh = _cache(
+        idx_sh.join(
+            cands.select(F.col("hist_id").alias("doc_id")), "doc_id", "left_semi"
         )
     )
-    new_sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    hist_ids = cands.select(F.col("hist_id").alias("doc_id")).distinct()
-    h_sh = _cache(idx_sh.join(hist_ids, "doc_id", "left_semi"))
     h_sizes = h_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    inter = (
+    scored = (
         cands.join(
             new_sh.select(F.col("doc_id").alias("new_id"), F.col("shingle").alias("s1")),
             "new_id",
@@ -402,14 +408,15 @@ def incremental_dedup(
         .join(
             h_sh.select(F.col("doc_id").alias("_h2"), F.col("shingle").alias("s2")),
             (F.col("hist_id") == F.col("_h2")) & (F.col("s1") == F.col("s2")),
+            "left",
         )
         .groupBy("new_id", "hist_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    scored = (
-        inter.join(
-            new_sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n1")),
-            "new_id",
+        .agg(
+            # cands is distinct and shingles are distinct per doc, so plain
+            # counts suffice: count(*) is n1 and count(s2) — non-null only on
+            # intersection hits — is n_inter, one aggregation pass for both
+            F.count(F.lit(1)).alias("n1"),
+            F.count(F.col("s2")).alias("n_inter"),
         )
         .join(
             h_sizes.select(F.col("doc_id").alias("hist_id"), F.col("n_sh").alias("n2")),
