@@ -692,8 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: the nine r4 TPC-H shapes join the oracle window, merged onto
         # shared grains (branch tags — every shape still executes)
         "tpch_scalar_aggregates": relational.tpch_scalar_aggregates,  # Q14+Q17+Q19
-        "tpch_order_analytics": relational.tpch_order_analytics,  # Q18+Q7
-        "tpch_quantified_counts": relational.tpch_quantified_counts,  # Q21+Q13
+        "tpch_order_analytics": relational.tpch_order_analytics,  # Q18+Q7+Q8+Q9+Q12+Q15+Q16
+        "tpch_quantified_counts": relational.tpch_quantified_counts,  # Q21+Q13+Q20
         "tpch_segment_rollups": relational.tpch_segment_rollups,  # Q22+Q11
         # event-time / sessionization (streaming shapes, run in batch)
         "sessionize_events": _q_sessionize_events,  # islands + native session_window
