@@ -1,0 +1,259 @@
+"""Read-back source: sink-written objects → canonical record rows.
+
+The reference is write-only — once objects land on S3, verifying or
+re-ingesting them is the user's problem (its integration tests read objects
+back with ad-hoc Java readers, ``S3SinkTaskTest.java:811-866``). At 100 TB
+that read path IS an analytics job, so this module re-exposes it Spark-first:
+
+- **listing/scan** — ``binaryFile`` datasource (distributed, works on
+  ``file:``/``s3a:``/``hdfs:``; hidden ``_``/``.`` prefixed paths such as the
+  ``_manifest`` sidecars are excluded by Spark's own file index);
+- **decompress + line split** — one Arrow-batched ``mapInPandas`` step
+  (gzip/zstd/snappy via the same codecs the writer streams through);
+  per-task memory is O(one decompressed object), the same bound the writer's
+  ``file.max.records`` knob already enforces on the write side;
+- **typed field parsing** — pure JVM Column expressions (``split`` /
+  ``get_json_object`` / ``try_to_binary`` / ``from_json``), so the hot path
+  stays in whole-stage codegen;
+- **name parsing** — the filename template's regex inverse
+  (``FilenameTemplate.parse_pattern``) recovers the grouping variables
+  (topic, partition, start_offset | key) that the reference encodes ONLY in
+  the object name.
+
+Round-trip caveats (inherent to the reference's formats, not this reader):
+CSV renders null and empty string identically (``''``), so both read back as
+null; ``encoding=none`` payloads that contained the CSV separator or line
+breaks were written ambiguously and cannot be re-split; JSONL values that
+were inlined JSON documents read back as their compact JSON text.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connector_s3_sink_spark.config import (
+    CompressionType,
+    EngineConfig,
+    FieldEncoding,
+    FormatType,
+    OutputField,
+)
+from kafka_connector_s3_sink_spark.sinks.storage import _split_uri
+from kafka_connector_s3_sink_spark.template import GrouperType
+
+_LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("object_name", T.StringType(), False),
+        T.StructField("line_no", T.LongType(), False),
+        T.StructField("line", T.StringType(), False),
+    ]
+)
+
+def _relative_name(dest_dir: str) -> Column:
+    """Object name relative to the sink root, from binaryFile's ``path``.
+
+    ``path`` is fully qualified (``file:/…``, ``s3a://bucket/…``); the scheme
+    spelling varies by filesystem, so relativize on the scheme-less suffix of
+    ``dest_dir`` (the same normalization ``incremental.reap_stale_index_locations``
+    uses when comparing catalog locations to FS listings)."""
+    _, rest = _split_uri(dest_dir)
+    tail = "/" + rest.lstrip("/").rstrip("/")
+    return F.regexp_replace(
+        F.substring_index(F.col("path"), tail, -1), "^/+", ""
+    ).alias("object_name")
+
+
+def sink_object_lines(
+    spark: SparkSession, dest_dir: str, config: EngineConfig
+) -> DataFrame:
+    """(object_name, line_no, line) for every record line of every text-format
+    object under ``dest_dir`` — decompressed with the write-side codecs and,
+    for the JSON-array format, stripped of the ``[`` / ``]`` frame and element
+    commas, so one output row is one record in every format."""
+    compression = config.file_compression
+    is_json_array = config.format_type is FormatType.JSON
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        from kafka_connector_s3_sink_spark.formats.compression import (
+            decompress_bytes,
+        )
+
+        for pdf in batches:
+            names: list[str] = []
+            line_nos: list[int] = []
+            lines: list[str] = []
+            for name, content in zip(pdf["object_name"], pdf["content"]):
+                text = decompress_bytes(bytes(content), compression).decode("utf-8")
+                rows = text.splitlines()
+                if is_json_array:
+                    # '[' opener, one element per line with a trailing comma
+                    # on all but the last, ']' closer (render.assemble_json_array)
+                    rows = [r.rstrip(",") for r in rows[1:-1]]
+                for i, row in enumerate(rows):
+                    names.append(name)
+                    line_nos.append(i)
+                    lines.append(row)
+            yield pd.DataFrame(
+                {"object_name": names, "line_no": line_nos, "line": lines}
+            )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(dest_dir)
+        .select(_relative_name(dest_dir), "content")
+    )
+    return raw.mapInPandas(decode, _LINES_SCHEMA)
+
+
+def _csv_headers(el: Column) -> Column:
+    """Invert ``projection.headers_csv_column``: ``b64(k):b64(v);…`` →
+    array<struct<key string, value binary>>."""
+    return F.transform(
+        F.split(el, ";"),
+        lambda p: F.struct(
+            F.decode(
+                F.try_to_binary(F.split_part(p, F.lit(":"), F.lit(1)), F.lit("base64")),
+                "UTF-8",
+            ).alias("key"),
+            F.try_to_binary(
+                F.split_part(p, F.lit(":"), F.lit(2)), F.lit("base64")
+            ).alias("value"),
+        ),
+    )
+
+
+def _csv_fields(config: EngineConfig) -> list[Column]:
+    fields = F.split(F.col("line"), ",", -1)
+    cols: list[Column] = []
+    for i, f in enumerate(config.output_fields):
+        el = F.nullif(F.get(fields, i), F.lit(""))
+        if f in (OutputField.KEY, OutputField.VALUE):
+            if config.value_encoding is FieldEncoding.BASE64:
+                cols.append(F.try_to_binary(el, F.lit("base64")).alias(f.value))
+            else:
+                cols.append(el.alias(f.value))
+        elif f is OutputField.HEADERS:
+            cols.append(_csv_headers(el).alias(f.value))
+        else:  # offset / timestamp
+            cols.append(el.try_cast("long").alias(f.value))
+    return cols
+
+
+def _json_fields(config: EngineConfig, binary_payloads: bool) -> list[Column]:
+    line = F.col("line")
+    if not config.envelope and len(config.output_fields) == 1:
+        # unwrapped single-field objects: the line IS the field's JSON value;
+        # rewrap so one extraction path handles string literals and documents
+        line = F.concat(F.lit('{"'), F.lit(config.output_fields[0].value),
+                        F.lit('":'), line, F.lit("}"))
+    cols: list[Column] = []
+    for f in config.output_fields:
+        el = F.get_json_object(line, f"$.{f.value}")
+        if f in (OutputField.KEY, OutputField.VALUE):
+            if binary_payloads:
+                # byte[] payloads were serialized as base64 JSON strings
+                cols.append(F.try_to_binary(el, F.lit("base64")).alias(f.value))
+            else:
+                cols.append(el.alias(f.value))
+        elif f is OutputField.HEADERS:
+            parsed = F.from_json(
+                el,
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("key", T.StringType(), False),
+                            T.StructField("value", T.StringType(), True),
+                        ]
+                    )
+                ),
+            )
+            cols.append(
+                F.transform(
+                    parsed,
+                    lambda h: F.struct(
+                        h["key"].alias("key"),
+                        F.try_to_binary(h["value"], F.lit("base64")).alias("value"),
+                    ),
+                ).alias(f.value)
+            )
+        else:
+            cols.append(el.try_cast("long").alias(f.value))
+    return cols
+
+
+def _name_columns(config: EngineConfig) -> list[Column]:
+    """Grouping variables recovered from the object name via the template's
+    regex inverse — empty match (a foreign file in the directory) → null."""
+    tpl = config.template
+    pattern, groups = tpl.parse_pattern(
+        prefix=config.prefix, extension=config.filename_extension
+    )
+    name = F.col("object_name")
+
+    def grp(var: str) -> Column:
+        return F.nullif(F.regexp_extract(name, pattern, groups[var]), F.lit(""))
+
+    if tpl.grouper_type is GrouperType.KEY:
+        return [grp("key").alias("key_str")]
+    cols = [
+        grp("topic").alias("topic"),
+        grp("partition").try_cast("int").alias("partition"),
+        grp("start_offset").try_cast("long").alias("start_offset"),
+    ]
+    return cols
+
+
+def read_sink_objects(
+    spark: SparkSession,
+    dest_dir: str,
+    config: EngineConfig,
+    parse_names: bool = True,
+    binary_payloads: bool = True,
+) -> DataFrame:
+    """Re-ingest every object the sink wrote under ``dest_dir`` as one row per
+    record: (object_name, line_no, [name-derived grouping columns], then the
+    configured output fields with canonical types — key/value binary (or
+    string for ``encoding=none`` CSV / ``binary_payloads=False`` JSON),
+    offset/timestamp long, headers array<struct<key string, value binary>>).
+
+    ``parse_names`` adds the grouping columns recovered from the object name
+    (topic / partition / start_offset, or the stringified key in key-mode).
+    ``binary_payloads`` mirrors the write side's record schema: True when the
+    sink consumed binary key/value (base64 JSON strings / base64 CSV), False
+    when it consumed strings.
+
+    Parquet objects skip the line path entirely: they re-read with the native
+    parquet scan (typed envelope columns, internal compression), plus the
+    same name parsing.
+    """
+    if config.format_type is FormatType.PARQUET:
+        df = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(dest_dir)
+            .withColumn("path", F.col("_metadata.file_path"))
+            .withColumn("object_name", _relative_name(dest_dir))
+            .drop("path")
+        )
+        out_cols: list[Column] = [F.col("object_name")]
+        if parse_names:
+            out_cols += _name_columns(config)
+        out_cols += [F.col(f.value) for f in config.output_fields]
+        return df.select(*out_cols)
+
+    lines = sink_object_lines(spark, dest_dir, config)
+    if config.format_type is FormatType.CSV:
+        fields = _csv_fields(config)
+    else:
+        fields = _json_fields(config, binary_payloads)
+    out_cols = [F.col("object_name"), F.col("line_no")]
+    if parse_names:
+        out_cols += _name_columns(config)
+    return lines.select(*(out_cols + fields))

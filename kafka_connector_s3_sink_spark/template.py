@@ -178,6 +178,51 @@ class FilenameTemplate:
             rendered.append(F.lit(extension))
         return F.concat(*rendered) if len(rendered) > 1 else rendered[0]
 
+    # -- inverse: object name → grouping variables -----------------------
+    def parse_pattern(
+        self, prefix: str = "", extension: str = ""
+    ) -> tuple[str, dict[str, int]]:
+        """Anchored Java-regex that inverts ``filename_column``, plus a map of
+        template variable → capture-group index (first occurrence per
+        variable). Drives the read-back source's recovery of
+        (topic, partition, start_offset) from object names — the reference
+        encodes the flush's grouping ONLY in the name
+        (``S3SinkTask.java:121-144``), so re-ingestion must parse it back.
+
+        ``topic``/``key`` match greedily (``.+``); numeric neighbours and
+        literal separators pin their extent, so a topic containing the
+        separator character still parses (greedy backtracking yields the
+        longest topic consistent with the trailing groups — the same
+        ambiguity rule a human reading the name would apply)."""
+        var_rx = {
+            "topic": r"(.+)",
+            "key": r"(.+)",
+            "utc_date": r"(\d{4}-\d{2}-\d{2})",
+            "local_date": r"(\d{4}-\d{2}-\d{2})",
+        }
+        out: list[str] = [re.escape(prefix)] if prefix else []
+        groups: dict[str, int] = {}
+        gidx = 0
+        for p in self.parts:
+            if p.literal is not None:
+                out.append(re.escape(p.literal))
+                continue
+            padded = p.param == "padding" and p.value == "true"
+            if p.variable == "partition":
+                rx = r"(\d{10})" if padded else r"(\d+)"
+            elif p.variable == "start_offset":
+                rx = r"(\d{20})" if padded else r"(\d+)"
+            elif p.variable == "timestamp":
+                rx = r"(\d{4})" if p.value == "yyyy" else r"(\d{2})"
+            else:
+                rx = var_rx[p.variable]
+            gidx += 1
+            groups.setdefault(p.variable, gidx)
+            out.append(rx)
+        if extension:
+            out.append(re.escape(extension))
+        return "^" + "".join(out) + "$", groups
+
     # -- pure-Python rendering (config-time validation / unit tests) -----
     def render(
         self,
