@@ -306,12 +306,46 @@ def q_sink_jsonl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEADERS_RT_CACHE: dict[str, str] = {}
+
+
 def q_sink_headers_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2: header serialization b64(key):b64(value);… ."""
+    """§2.2: header serialization b64(key):b64(value);… — two branches on the
+    (branch, offset, headers_csv) grain:
+
+    - ``render``: direct Column rendering (the original entry).
+    - ``roundtrip`` (r5): write the records as exactly-named gzip CSV objects
+      (``sinks/writer.write_batch``), re-ingest them with the read-back source
+      (``sources/objects.read_sink_objects`` — binaryFile scan, write-side
+      codec decompress, JVM field parse incl. the headers inverse), and
+      re-render the PARSED headers. Equality with the oracle proves the full
+      write → storage → read → parse cycle is lossless, not just the
+      serializer expression.
+    """
+    import tempfile
+
+    from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+    from kafka_connector_s3_sink_spark.sources.objects import read_sink_objects
+
     recs = with_synthetic_headers(kafka_records_from_events(spark, sf_dir))
-    return recs.select(
-        "offset", projection.headers_csv_column().alias("headers_csv")
+    rendered = recs.select(
+        F.lit("render").alias("branch"),
+        "offset",
+        projection.headers_csv_column().alias("headers_csv"),
     )
+    cfg = EngineConfig(output_fields=(OutputField.OFFSET, OutputField.HEADERS))
+    dest = _HEADERS_RT_CACHE.get(sf_dir)
+    if dest is None:  # objects written once per process; the READ runs every call
+        dest = tempfile.mkdtemp(prefix="gate_headers_rt_")
+        write_batch(recs, cfg, dest)
+        _HEADERS_RT_CACHE[sf_dir] = dest
+    back = read_sink_objects(spark, dest, cfg, parse_names=False)
+    roundtrip = back.select(
+        F.lit("roundtrip").alias("branch"),
+        "offset",
+        projection.headers_csv_column(F.col("headers")).alias("headers_csv"),
+    )
+    return rendered.unionByName(roundtrip)
 
 
 _INCR_INDEX_CACHE: dict[str, str] = {}
@@ -1026,14 +1060,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT "offset", value AS json_line, 'unwrap' AS branch FROM kafka
         """,
         "sink_headers_csv": f"""
-            WITH {KAFKA_CTE}
-            SELECT "offset",
-                concat(
-                    to_base64(encode('h-topic')), ':', to_base64(encode(topic)), ';',
-                    to_base64(encode('h-offset')), ':',
-                    to_base64(encode(CAST("offset" AS VARCHAR)))
-                ) AS headers_csv
-            FROM kafka
+            WITH {KAFKA_CTE},
+            rendered AS (
+                SELECT "offset",
+                    concat(
+                        to_base64(encode('h-topic')), ':', to_base64(encode(topic)), ';',
+                        to_base64(encode('h-offset')), ':',
+                        to_base64(encode(CAST("offset" AS VARCHAR)))
+                    ) AS headers_csv
+                FROM kafka
+            )
+            SELECT 'render' AS branch, "offset", headers_csv FROM rendered
+            UNION ALL
+            SELECT 'roundtrip' AS branch, "offset", headers_csv FROM rendered
         """,
         "incremental_dedup": f"""
             WITH hist AS (SELECT doc_id, text FROM documents),

@@ -1,6 +1,15 @@
+from kafka_connector_s3_sink_spark.sources.audit import (
+    audit_sink_output,
+    read_manifest,
+)
 from kafka_connector_s3_sink_spark.sources.objects import (
     read_sink_objects,
     sink_object_lines,
 )
 
-__all__ = ["read_sink_objects", "sink_object_lines"]
+__all__ = [
+    "audit_sink_output",
+    "read_manifest",
+    "read_sink_objects",
+    "sink_object_lines",
+]

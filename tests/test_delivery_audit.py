@@ -1,0 +1,79 @@
+"""Delivery-audit tests (`sources/audit.py`): manifest agreement and
+offset-continuity detection over written sink output — the queryable form of
+the reference's at-least-once + idempotent-names delivery contract
+(README.md:101-133)."""
+
+import os
+
+from pyspark.sql import Row
+
+from kafka_connector_s3_sink_spark.config import (
+    CompressionType,
+    EngineConfig,
+    OutputField,
+)
+from kafka_connector_s3_sink_spark.records import KAFKA_RECORD_SCHEMA
+from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+from kafka_connector_s3_sink_spark.sources.audit import audit_sink_output
+
+
+def records_df(spark, rows):
+    return spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+
+
+def _rows(topic="t", partition=0, n=9, start=0):
+    return [
+        Row(topic=topic, partition=partition, offset=start + i, key=None,
+            value=f"v{start + i}", timestamp=1000 + i, headers=None)
+        for i in range(n)
+    ]
+
+
+CFG = EngineConfig(
+    output_fields=(OutputField.OFFSET, OutputField.VALUE),
+    file_max_records=3,
+    file_compression=CompressionType.NONE,
+)
+
+
+def test_contiguous_chunks_and_sidecar_manifest(spark, tmp_path):
+    rows = _rows(n=9) + _rows(partition=1, n=4, start=100)
+    write_batch(records_df(spark, rows), CFG, str(tmp_path), manifest="sidecar")
+    audit = audit_sink_output(spark, str(tmp_path), CFG)
+    got = {r["object_name"]: r for r in audit.collect()}
+    # 3 chunks of 3 on partition 0, 2 chunks (3+1) on partition 1
+    assert set(got) == {"t-0-0", "t-0-3", "t-0-6", "t-1-100", "t-1-103"}
+    assert all(r["manifest_ok"] for r in got.values())
+    assert got["t-0-0"]["records"] == 3 and got["t-0-0"]["gap_after"] == 0
+    assert got["t-0-3"]["gap_after"] == 0
+    # last object per partition has nothing after it
+    assert got["t-0-6"]["gap_after"] is None
+    assert got["t-1-100"]["gap_after"] == 0
+    assert got["t-1-103"]["records"] == 1
+
+
+def test_missing_object_shows_gap(spark, tmp_path):
+    write_batch(records_df(spark, _rows(n=9)), CFG, str(tmp_path))
+    os.remove(tmp_path / "t-0-3")  # lose the middle flush
+    audit = audit_sink_output(spark, str(tmp_path), CFG)
+    got = {r["object_name"]: r for r in audit.collect()}
+    assert set(got) == {"t-0-0", "t-0-6"}
+    # offsets 3..5 vanished: predecessor sees a 3-offset hole
+    assert got["t-0-0"]["gap_after"] == 3
+    # no sidecar was written → manifest checks are null, not failures
+    assert got["t-0-0"]["manifest_ok"] is None
+
+
+def test_tampered_object_fails_manifest(spark, tmp_path):
+    write_batch(records_df(spark, _rows(n=6)), CFG, str(tmp_path), manifest="sidecar")
+    # drop one line from an object: count no longer matches its manifest entry
+    p = tmp_path / "t-0-0"
+    lines = p.read_text().splitlines()
+    p.write_text("\n".join(lines[:-1]) + "\n")
+    audit = audit_sink_output(spark, str(tmp_path), CFG)
+    got = {r["object_name"]: r for r in audit.collect()}
+    assert got["t-0-0"]["manifest_ok"] is False
+    assert got["t-0-0"]["records"] == 2 and got["t-0-0"]["manifest_records"] == 3
+    assert got["t-0-3"]["manifest_ok"] is True
+    # the truncation also breaks offset continuity toward the next object
+    assert got["t-0-0"]["gap_after"] == 1
