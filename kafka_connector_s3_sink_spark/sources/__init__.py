@@ -5,6 +5,7 @@ from kafka_connector_s3_sink_spark.sources.audit import (
 from kafka_connector_s3_sink_spark.sources.objects import (
     read_sink_objects,
     sink_object_lines,
+    stream_sink_objects,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "read_manifest",
     "read_sink_objects",
     "sink_object_lines",
+    "stream_sink_objects",
 ]

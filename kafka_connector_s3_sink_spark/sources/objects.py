@@ -50,7 +50,8 @@ _LINES_SCHEMA = T.StructType(
     [
         T.StructField("object_name", T.StringType(), False),
         T.StructField("line_no", T.LongType(), False),
-        T.StructField("line", T.StringType(), False),
+        T.StructField("line", T.StringType(), True),
+        T.StructField("decode_error", T.StringType(), True),
     ]
 )
 
@@ -69,12 +70,23 @@ def _relative_name(dest_dir: str) -> Column:
 
 
 def sink_object_lines(
-    spark: SparkSession, dest_dir: str, config: EngineConfig
+    spark: SparkSession,
+    dest_dir: str,
+    config: EngineConfig,
+    on_error: str = "fail",
 ) -> DataFrame:
-    """(object_name, line_no, line) for every record line of every text-format
-    object under ``dest_dir`` — decompressed with the write-side codecs and,
-    for the JSON-array format, stripped of the ``[`` / ``]`` frame and element
-    commas, so one output row is one record in every format."""
+    """(object_name, line_no, line, decode_error) for every record line of
+    every text-format object under ``dest_dir`` — decompressed with the
+    write-side codecs and, for the JSON-array format, stripped of the
+    ``[`` / ``]`` frame and element commas, so one output row is one record.
+
+    ``on_error`` is the poison-object policy (the read-side analog of
+    ``errors.tolerance``): ``"fail"`` propagates a corrupt object's exception
+    and kills the task; ``"route"`` survives it — the object contributes one
+    row with ``line`` null and ``decode_error`` carrying the exception, so a
+    crawl-scale audit keeps going and the dead objects are one filter away."""
+    if on_error not in ("fail", "route"):
+        raise ValueError(f"on_error must be 'fail' or 'route', got {on_error!r}")
     compression = config.file_compression
     is_json_array = config.format_type is FormatType.JSON
 
@@ -88,9 +100,21 @@ def sink_object_lines(
         for pdf in batches:
             names: list[str] = []
             line_nos: list[int] = []
-            lines: list[str] = []
+            lines: list[str | None] = []
+            errors: list[str | None] = []
             for name, content in zip(pdf["object_name"], pdf["content"]):
-                text = decompress_bytes(bytes(content), compression).decode("utf-8")
+                try:
+                    text = decompress_bytes(bytes(content), compression).decode(
+                        "utf-8"
+                    )
+                except Exception as e:  # noqa: BLE001 — routed per policy
+                    if on_error == "fail":
+                        raise
+                    names.append(name)
+                    line_nos.append(-1)
+                    lines.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+                    continue
                 rows = text.splitlines()
                 if is_json_array:
                     # '[' opener, one element per line with a trailing comma
@@ -100,8 +124,14 @@ def sink_object_lines(
                     names.append(name)
                     line_nos.append(i)
                     lines.append(row)
+                    errors.append(None)
             yield pd.DataFrame(
-                {"object_name": names, "line_no": line_nos, "line": lines}
+                {
+                    "object_name": names,
+                    "line_no": line_nos,
+                    "line": lines,
+                    "decode_error": errors,
+                }
             )
 
     raw = (
@@ -211,12 +241,64 @@ def _name_columns(config: EngineConfig) -> list[Column]:
     return cols
 
 
+def stream_sink_objects(
+    spark: SparkSession,
+    dest_dir: str,
+    config: EngineConfig,
+    parse_names: bool = True,
+    binary_payloads: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming re-ingest: sink output as a LIVE source. Downstream pipelines
+    (enrichment, the LLM ingest cascade, replication to another store) chain
+    onto a running sink by watching its destination with Spark's native file
+    streaming source — new objects become new micro-batch rows, checkpointed
+    exactly-once like any other stream.
+
+    The line scan is ``readStream.text`` (one task per object, gzip
+    decompressed by Hadoop's built-in codec from the ``.gz`` extension);
+    parsing reuses the exact batch-path Column expressions, with the object
+    name recovered from ``input_file_name()``. Constraints inherent to the
+    streaming source: line formats only (CSV / JSONL — a JSON-array file
+    needs whole-file framing; parquet objects stream with
+    ``readStream.parquet`` directly), and none/gzip compression (zstd/snappy
+    objects need the Arrow codecs of the batch reader — Hadoop ships no
+    pure-JVM decoder for them)."""
+    if config.format_type not in (FormatType.CSV, FormatType.JSONL):
+        raise ValueError(
+            "streaming read-back supports line formats (csv/jsonl); "
+            f"{config.format_type.value} objects need the batch reader"
+        )
+    if config.file_compression not in (CompressionType.NONE, CompressionType.GZIP):
+        raise ValueError(
+            f"streaming read-back cannot decompress {config.file_compression.value} "
+            "(no pure-JVM Hadoop codec); use the batch reader"
+        )
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = (
+        reader.load(dest_dir)
+        .withColumn("path", F.input_file_name())
+        .select(_relative_name(dest_dir), F.col("value").alias("line"))
+    )
+    if config.format_type is FormatType.CSV:
+        fields = _csv_fields(config)
+    else:
+        fields = _json_fields(config, binary_payloads)
+    out_cols = [F.col("object_name")]
+    if parse_names:
+        out_cols += _name_columns(config)
+    return lines.select(*(out_cols + fields))
+
+
 def read_sink_objects(
     spark: SparkSession,
     dest_dir: str,
     config: EngineConfig,
     parse_names: bool = True,
     binary_payloads: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Re-ingest every object the sink wrote under ``dest_dir`` as one row per
     record: (object_name, line_no, [name-derived grouping columns], then the
@@ -228,7 +310,9 @@ def read_sink_objects(
     (topic / partition / start_offset, or the stringified key in key-mode).
     ``binary_payloads`` mirrors the write side's record schema: True when the
     sink consumed binary key/value (base64 JSON strings / base64 CSV), False
-    when it consumed strings.
+    when it consumed strings. ``on_error="route"`` survives corrupt objects:
+    their row carries a ``decode_error`` column (appended to the output) with
+    every field null — ``fail`` (default) propagates the task error.
 
     Parquet objects skip the line path entirely: they re-read with the native
     parquet scan (typed envelope columns, internal compression), plus the
@@ -248,7 +332,7 @@ def read_sink_objects(
         out_cols += [F.col(f.value) for f in config.output_fields]
         return df.select(*out_cols)
 
-    lines = sink_object_lines(spark, dest_dir, config)
+    lines = sink_object_lines(spark, dest_dir, config, on_error=on_error)
     if config.format_type is FormatType.CSV:
         fields = _csv_fields(config)
     else:
@@ -256,4 +340,6 @@ def read_sink_objects(
     out_cols = [F.col("object_name"), F.col("line_no")]
     if parse_names:
         out_cols += _name_columns(config)
+    if on_error == "route":
+        fields = fields + [F.col("decode_error")]
     return lines.select(*(out_cols + fields))

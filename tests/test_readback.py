@@ -255,3 +255,52 @@ def test_foreign_files_yield_null_name_columns(spark, tmp_path):
     r = read_sink_objects(spark, str(tmp_path), cfg).collect()[0]
     assert (r["topic"], r["partition"], r["start_offset"]) == ("t", 0, 0)
     assert bytes(r["value"]) == b"v"
+
+
+def test_fuzz_roundtrip_nasty_and_random_unicode(spark, tmp_path):
+    """Seeded fuzz through the FULL cycle: adversarial + random unicode values
+    written by write_batch, recovered by read_sink_objects — CSV+base64 (the
+    comma/newline-proof path) and JSONL both byte-exact."""
+    import random
+
+    from tests.test_adversarial_strings import NASTY
+
+    rng = random.Random(7)
+    pool = (
+        [chr(c) for c in range(1, 0x80)]
+        + [chr(c) for c in range(0xA0, 0x2000, 37)]
+        + ["文", "🙂", "𝄞", " "]
+    )
+    values = list(NASTY) + [
+        "".join(rng.choice(pool) for _ in range(rng.randint(1, 40)))
+        for _ in range(150)
+    ]
+    rows = [
+        Row(topic="fz", partition=0, offset=i, key=None, value=v,
+            timestamp=None, headers=None)
+        for i, v in enumerate(values)
+    ]
+    csv_cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, rows), csv_cfg, str(tmp_path / "csv"))
+    back = read_sink_objects(spark, str(tmp_path / "csv"), csv_cfg)
+    got = {r["offset"]: bytes(r["value"]).decode() for r in back.collect()}
+    assert got == dict(enumerate(values))
+
+    jsonl_cfg = EngineConfig(
+        format_type=FormatType.JSONL,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=CompressionType.NONE,
+    )
+    write_batch(records_df(spark, rows), jsonl_cfg, str(tmp_path / "jsonl"))
+    back = read_sink_objects(
+        spark, str(tmp_path / "jsonl"), jsonl_cfg, binary_payloads=False
+    )
+    got = {r["offset"]: r["value"] for r in back.collect()}
+    # JSON-document payloads read back as their compact JSON text; everything
+    # else must be byte-exact (multi-line and non-parsing lookalikes were
+    # escaped as strings by the writer, so they round-trip exactly)
+    for i, v in enumerate(values):
+        assert got[i] == v
