@@ -639,10 +639,18 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate generation, exact-Jaccard AND MinHash-LSH paths in
-    one result (merged r5). Shared (id1, id2) pair grain; the Jaccard branch
-    carries its similarity, the LSH branch emits candidates only (its verify
-    half lives in dedup_clusters), so `jaccard` is NULL there."""
+    """Near-dup candidate generation on the shared (method, id1, id2, score)
+    pair grain — three branches (merged r5):
+
+    - ``jaccard``: exact n-gram Jaccard pairs, score = similarity;
+    - ``lsh``: MinHash-LSH candidates (verify half lives in dedup_clusters),
+      score NULL;
+    - ``decontam``: benchmark decontamination
+      (``dedup.decontamination_matches``) — id1 = training doc, id2 = eval
+      doc, score = n-gram overlap ratio against the eval doc. Fixture: the
+      benchmark is tail-trimmed copies of every 20th document (true leaks,
+      ratio 1.0) plus synthetic md5-token decoys (must match nothing).
+    """
     jac = dedup.ngram_jaccard_dupes(
         _corpus(spark, sf_dir), threshold=0.7, max_df_ratio=0.2
     ).select(F.lit("jaccard").alias("method"), "id1", "id2", "jaccard")
@@ -652,7 +660,34 @@ def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id2",
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return jac.unionByName(lsh)
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    bench = (
+        docs.filter(did % 20 == 4)
+        .select(
+            (did + 900_000).alias("doc_id"),
+            F.regexp_replace("text", r"\s+\S+\s*$", "").alias("text"),
+        )
+        .unionByName(
+            docs.filter(did % 20 == 14).select(
+                (did + 950_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.md5(F.concat(did.cast("string"), F.lit(f":{i}")))
+                        for i in range(5)
+                    ],
+                ).alias("text"),
+            )
+        )
+    )
+    decon = dedup.decontamination_matches(docs, bench, min_overlap_ratio=0.5).select(
+        F.lit("decontam").alias("method"),
+        F.col("corpus_id").alias("id1"),
+        F.col("bench_id").alias("id2"),
+        F.col("overlap_ratio").alias("jaccard"),
+    )
+    return jac.unionByName(lsh).unionByName(decon)
 
 
 def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,6 +1974,35 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_hash = b.band_hash AND a.band_id = b.band_id
              AND a.doc_id < b.doc_id
+            )
+            UNION ALL
+            SELECT 'decontam' AS method, id1, id2, jaccard FROM (
+            WITH bench AS (
+                SELECT doc_id + 900000 AS doc_id,
+                       regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+                FROM documents WHERE doc_id % 20 = 4
+                UNION ALL
+                SELECT doc_id + 950000 AS doc_id,
+                       array_to_string(list_transform(range(0, 5),
+                           i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))), ' ') AS text
+                FROM documents WHERE doc_id % 20 = 14
+            ),
+            c_toks AS (SELECT doc_id, {TOKS} AS w FROM documents),
+            c_sh AS (SELECT doc_id AS corpus_id, unnest({SHINGLES_SQL}) AS shingle
+                     FROM c_toks),
+            b_toks AS (SELECT doc_id, {TOKS} AS w FROM bench),
+            b_sh AS (SELECT doc_id AS bench_id, unnest({SHINGLES_SQL}) AS shingle
+                     FROM b_toks),
+            b_sizes AS (SELECT bench_id, count(*) AS n_sh FROM b_sh GROUP BY 1),
+            inter AS (
+                SELECT corpus_id, bench_id, count(*) AS n_overlap
+                FROM c_sh JOIN b_sh USING (shingle)
+                GROUP BY 1, 2
+            )
+            SELECT corpus_id AS id1, bench_id AS id2,
+                floor((n_overlap / n_sh) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM inter JOIN b_sizes USING (bench_id)
+            WHERE floor((n_overlap / n_sh) * 10000.0 + 0.5) / 10000.0 >= 0.5
             )
         """,
         "dedup_simhash": f"""

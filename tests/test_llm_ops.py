@@ -661,3 +661,51 @@ def test_fit_sample_is_deterministic_and_bounded(spark):
     assert 40 <= len(s1) <= 200  # ~cap in expectation, tight tails
     everything = similarity.fit_sample(v, None)
     assert everything.count() == 1000
+
+
+def test_decontamination_matches(spark):
+    """True leaks score 1.0 (a trimmed eval doc's shingles are a subset of its
+    source's), unrelated docs never reach the threshold, and the ratio is
+    measured against the BENCHMARK side."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.dedup import (
+        decontamination_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="one two three four five six seven eight nine"),
+            Row(doc_id=3, text="totally unrelated content about something else"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [
+            # doc 1 minus its last word -> every bench shingle is in doc 1
+            Row(doc_id=101, text="alpha beta gamma delta epsilon zeta eta"),
+            # half-overlapping with doc 2 (shares 'three four five six' run)
+            Row(doc_id=102, text="three four five six completely different tail"),
+            # decoy: matches nothing
+            Row(doc_id=103, text="qqq www eee rrr ttt yyy uuu iii"),
+        ]
+    )
+    got = {
+        (r["corpus_id"], r["bench_id"]): (r["n_overlap"], r["overlap_ratio"])
+        for r in decontamination_matches(
+            corpus, bench, min_overlap_ratio=0.3
+        ).collect()
+    }
+    assert got[(1, 101)][1] == 1.0
+    assert (1, 103) not in got and (2, 103) not in got and (3, 103) not in got
+    # doc 2 leak: 2 shared 3-grams ('three four five', 'four five six') out of
+    # the bench doc's 5 -> 0.4
+    assert got[(2, 102)] == (2, 0.4)
+    # threshold prunes: re-run at 0.5 drops the partial leak
+    left = {
+        (r["corpus_id"], r["bench_id"])
+        for r in decontamination_matches(
+            corpus, bench, min_overlap_ratio=0.5
+        ).collect()
+    }
+    assert left == {(1, 101)}
