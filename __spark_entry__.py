@@ -709,7 +709,35 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_quality").alias("metric_a"),
         F.col("avg_stopword_ratio").alias("metric_b"),
     )
-    return ngrams.unionByName(quality)
+    # html_extract branch (r5): every doc wrapped in synthetic crawl HTML
+    # (head/style/script boilerplate, a comment, entity-laden fragment) and
+    # stripped back with text_ops.html_to_text. n = extracted length;
+    # metric_a = 1.0 iff extraction equals collapsed(text) + decoded fragment
+    # — the oracle runs the identical RE2-safe regex chain in DuckDB, so any
+    # tag/entity/whitespace divergence hash-mismatches.
+    html = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><style type="text/css">p { color:'
+            " red; }</style></head><body><!-- boilerplate --><script>var x ="
+            ' "<p>not text</p>";</script><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><div>&amp;joined &lt;b&gt; &quot;q&quot; &#39;s&#39;"
+            " one&nbsp;two</div></body></html>"
+        ),
+    )
+    extracted = text_ops.html_to_text(html)
+    collapsed = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    expected = F.concat(collapsed, F.lit(" &joined <b> \"q\" 's' one two"))
+    html_rows = docs.select(
+        F.lit("html_extract").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.length(extracted).cast("bigint").alias("n"),
+        F.when(extracted == expected, 1.0).otherwise(0.0).alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+    )
+    return ngrams.unionByName(quality).unionByName(html_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1918,6 +1946,37 @@ def oracle_sql() -> dict[str, str]:
                 CAST(n_docs AS BIGINT) AS n,
                 avg_quality AS metric_a, avg_stopword_ratio AS metric_b
             FROM quality_rollup
+            UNION ALL
+            SELECT 'html_extract' AS branch, CAST(doc_id AS VARCHAR) AS key,
+                CAST(length(extracted) AS BIGINT) AS n,
+                CASE WHEN extracted =
+                    trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                        || ' &joined <b> "q" ''s'' one two'
+                    THEN 1.0 ELSE 0.0 END AS metric_a,
+                CAST(NULL AS DOUBLE) AS metric_b
+            FROM (
+                SELECT doc_id, text,
+                    trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_replace(
+                                regexp_replace(
+                                    regexp_replace(html,
+                                        '<script\\b.*?</script\\s*>|<style\\b.*?</style\\s*>',
+                                        ' ', 'gis'),
+                                    '<!--.*?-->', ' ', 'gs'),
+                                '<[^>]*>', ' ', 'gs'),
+                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                    '\\s+', ' ', 'g')) AS extracted
+                FROM (
+                    SELECT doc_id, text,
+                        '<html><head><title>doc</title><style type="text/css">p {{ color: red; }}</style></head><body><!-- boilerplate --><script>var x = "<p>not text</p>";</script><p>'
+                        || text ||
+                        '</p><div>&amp;joined &lt;b&gt; &quot;q&quot; &#39;s&#39; one&nbsp;two</div></body></html>'
+                        AS html
+                    FROM documents
+                )
+            )
         """,
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}

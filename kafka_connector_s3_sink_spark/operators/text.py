@@ -111,6 +111,39 @@ def normalized_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+# decode order matters: named/numeric entities first, '&amp;' strictly LAST
+# (else '&amp;lt;' would double-decode to '<')
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Crawl-stage HTML → text heuristic, entirely JVM regexp (no parser in
+    the hot path): drop <script>/<style> blocks and comments (non-greedy,
+    dot-matches-newline), strip remaining tags to spaces, decode the six
+    entities that dominate crawl text, collapse whitespace.
+
+    Deliberately regex-grade — the fast first pass a 100 TB crawl pipeline
+    runs before any per-domain parser: no CDATA, no conditional comments, no
+    nested-entity handling (documented misses, same trade as the reference
+    toolchains'). Patterns avoid backreferences so an RE2-based oracle
+    (DuckDB) can run the identical chain."""
+    t = F.regexp_replace(
+        html, r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for entity, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(entity), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """md5 of the normalized text (exact-dup key)."""
     return F.md5(normalized_text(text))

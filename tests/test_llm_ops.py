@@ -709,3 +709,24 @@ def test_decontamination_matches(spark):
         ).collect()
     }
     assert left == {(1, 101)}
+
+
+def test_html_to_text(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.operators.text import html_to_text
+
+    cases = [
+        # scripts/styles/comments vanish wholesale, tags become spaces
+        ('<head><style>p{x}</style></head><b>bold</b><!-- no -->text', "bold text"),
+        # script content containing tags is not mistaken for text
+        ('<script>var a = "<p>fake</p>";</script>real', "real"),
+        # entity decode, &amp; last so &amp;lt; stays a literal '&lt;'
+        ("a&nbsp;b &lt;x&gt; &quot;q&quot; &#39;s&#39; &amp;lt;", 'a b <x> "q" \'s\' &lt;'),
+        # multi-line attributes and dotall blocks
+        ('<div\nclass="x">multi\nline</div>', "multi line"),
+    ]
+    df = spark.createDataFrame([Row(h=h) for h, _ in cases])
+    got = [r["t"] for r in df.select(html_to_text(F.col("h")).alias("t")).collect()]
+    assert got == [e for _, e in cases]
