@@ -263,3 +263,49 @@ def test_normalize_kafka_stream_shape(spark):
     assert [(h.key, bytes(h.value)) for h in row.headers] == [("h", b"x")]
     # canonical column set in canonical order
     assert out.columns == [f.name for f in KAFKA_RECORD_SCHEMA.fields]
+
+
+def test_readback_parse_stays_jvm_with_one_python_boundary(spark, tmp_path):
+    """The read-back source's plan shape: exactly ONE Python boundary (the
+    Arrow-batched decompress/split), with every field parse (split / unbase64
+    / header inversion / casts) in JVM projections — and the parquet branch
+    has ZERO Python and prunes columns at the scan."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.config import (
+        EngineConfig,
+        FormatType,
+        OutputField,
+    )
+    from kafka_connector_s3_sink_spark.records import KAFKA_RECORD_SCHEMA
+    from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+    from kafka_connector_s3_sink_spark.sources.objects import read_sink_objects
+
+    rows = [
+        Row(topic="t", partition=0, offset=i, key=f"k{i}", value=f"v{i}",
+            timestamp=1000 + i, headers=[Row(key="h", value=bytearray(b"x"))])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+    csv_cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.KEY, OutputField.VALUE,
+                       OutputField.HEADERS),
+    )
+    write_batch(df, csv_cfg, str(tmp_path / "csv"))
+    plan = _plan(read_sink_objects(spark, str(tmp_path / "csv"), csv_cfg))
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "unbase64" in plan  # field decode is a JVM expression
+
+    pq_cfg = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET, OutputField.KEY, OutputField.VALUE),
+    )
+    write_batch(df, pq_cfg, str(tmp_path / "pq"))
+    back = read_sink_objects(spark, str(tmp_path / "pq"), pq_cfg)
+    pruned = _plan(back.select("object_name", "offset"))
+    assert "MapInPandas" not in pruned and "Python" not in pruned
+    # column pruning reaches the scan: key/value are not read for a
+    # (object_name, offset) projection
+    scan = pruned[pruned.index("FileScan parquet"):].split("\n")[0]
+    assert "offset" in scan and "value" not in scan
