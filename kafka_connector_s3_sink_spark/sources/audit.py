@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
+from kafka_connector_s3_sink_spark.config import (
+    EngineConfig,
+    FormatType,
+    OutputField,
+)
 from kafka_connector_s3_sink_spark.sources.objects import read_sink_objects
 from kafka_connector_s3_sink_spark.template import GrouperType
 
@@ -51,6 +55,7 @@ def audit_sink_output(
     dest_dir: str,
     config: EngineConfig,
     check_manifest: bool = True,
+    on_error: str = "route",
 ) -> DataFrame:
     """One row per written object:
     (object_name, topic, partition, start_offset, records, min_offset,
@@ -64,11 +69,28 @@ def audit_sink_output(
       last object of each partition (nothing follows yet). Offset columns
       require ``OutputField.OFFSET`` in the sink's output fields; without it
       the audit still checks names and manifest counts.
+    - ``decode_error`` (text formats): a corrupt/undecodable object surfaces
+      as a row with ``records=0`` and the exception text — an AUDIT must
+      report broken objects, not die on them, so routing is the default here
+      (pass ``on_error="fail"`` to get the strict behavior).
     """
     has_offsets = OutputField.OFFSET in config.output_fields
-    back = read_sink_objects(spark, dest_dir, config, parse_names=True)
+    is_text = config.format_type is not FormatType.PARQUET
+    back = read_sink_objects(
+        spark, dest_dir, config, parse_names=True,
+        on_error=on_error if is_text else "fail",
+    )
+    routed = is_text and on_error == "route"
 
-    aggs = [F.count(F.lit(1)).alias("records")]
+    # a routed poison object contributes one decode_error row — it must count
+    # as 0 records, and the error text rides along per object
+    aggs = [
+        F.count(F.when(F.col("decode_error").isNull(), 1)).alias("records")
+        if routed
+        else F.count(F.lit(1)).alias("records")
+    ]
+    if routed:
+        aggs.append(F.max("decode_error").alias("decode_error"))
     if has_offsets:
         aggs += [
             F.min("offset").alias("min_offset"),

@@ -319,9 +319,15 @@ def read_sink_objects(
     same name parsing.
     """
     if config.format_type is FormatType.PARQUET:
+        reader = spark.read.option("recursiveFileLookup", "true")
+        if config.parquet_schema_rotation or config.parquet_value_schema:
+            # schema-rotated sinks write objects with DIFFERENT value structs
+            # per run; a plain read resolves to one file's schema and silently
+            # nulls the rest — merge the per-object footers instead (fields
+            # absent from an object read back null, Spark's evolution rule)
+            reader = reader.option("mergeSchema", "true")
         df = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(dest_dir)
+            reader.parquet(dest_dir)
             .withColumn("path", F.col("_metadata.file_path"))
             .withColumn("object_name", _relative_name(dest_dir))
             .drop("path")

@@ -77,3 +77,25 @@ def test_tampered_object_fails_manifest(spark, tmp_path):
     assert got["t-0-3"]["manifest_ok"] is True
     # the truncation also breaks offset continuity toward the next object
     assert got["t-0-0"]["gap_after"] == 1
+
+
+def test_corrupt_object_surfaces_in_audit(spark, tmp_path):
+    """An audit must REPORT a broken object, not die on it: the poisoned
+    object appears with records=0 and its decode error, and the healthy
+    neighbours still audit clean."""
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_max_records=3,
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, _rows(n=6)), cfg, str(tmp_path),
+                manifest="sidecar")
+    (tmp_path / "t-0-3.gz").write_bytes(b"garbage, not gzip")
+    audit = audit_sink_output(spark, str(tmp_path), cfg)
+    got = {r["object_name"]: r for r in audit.collect()}
+    bad = got["t-0-3.gz"]
+    assert bad["records"] == 0 and "BadGzipFile" in bad["decode_error"]
+    assert bad["manifest_ok"] is False  # manifest said 3, store yields 0
+    good = got["t-0-0.gz"]
+    assert good["records"] == 3 and good["manifest_ok"] is True
+    assert good["decode_error"] is None

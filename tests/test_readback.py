@@ -304,3 +304,31 @@ def test_fuzz_roundtrip_nasty_and_random_unicode(spark, tmp_path):
     # escaped as strings by the writer, so they round-trip exactly)
     for i, v in enumerate(values):
         assert got[i] == v
+
+
+def test_parquet_readback_merges_evolved_value_schemas(spark, tmp_path):
+    """Two sink runs with an EVOLVED value schema (a -> a,b) write objects
+    whose envelope structs differ; the read-back merges footers, so run-1
+    rows surface with the new field null instead of being silently dropped
+    or mis-typed (a plain parquet read resolves to ONE file's schema)."""
+    def run(cfg, rows):
+        write_batch(records_df(spark, rows), cfg, str(tmp_path))
+
+    v1 = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        parquet_value_schema="a BIGINT",
+    )
+    v2 = EngineConfig(
+        format_type=FormatType.PARQUET,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        parquet_value_schema="a BIGINT, b STRING",
+    )
+    run(v1, [Row(topic="t", partition=0, offset=0, key=None,
+                 value='{"a": 1}', timestamp=1, headers=None)])
+    run(v2, [Row(topic="t", partition=1, offset=5, key=None,
+                 value='{"a": 2, "b": "x"}', timestamp=1, headers=None)])
+    back = read_sink_objects(spark, str(tmp_path), v2)
+    got = {r["offset"]: r for r in back.collect()}
+    assert got[0]["value"]["a"] == 1 and got[0]["value"]["b"] is None
+    assert got[5]["value"]["a"] == 2 and got[5]["value"]["b"] == "x"
