@@ -19,7 +19,16 @@ from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection,
 from kafka_connector_s3_sink_spark.operators import multimodal, packing, sampling, similarity, text as text_ops
 from kafka_connector_s3_sink_spark.formats import avro
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
+from kafka_connector_s3_sink_spark.operators import urls as _urls_mod
 from kafka_connector_s3_sink_spark.streaming import sessions
+
+# URL-branch regexes interpolated into BOTH the Spark ops (via the module)
+# and the DuckDB oracle below — single source of truth, engines can't drift
+_URL_HOST_RE = _urls_mod._HOST_RE
+_URL_TRACKING_RE = _urls_mod._TRACKING_PARAM_RE
+_URL_THREE_RE = (
+    r"([^.]+\.(?:" + "|".join(t.replace(".", r"\.") for t in _urls_mod._TWO_PART_TLDS) + r"))$"
+)
 
 # ---------------------------------------------------------------------------
 # shared fixtures
@@ -737,7 +746,39 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(extracted == expected, 1.0).otherwise(0.0).alias("metric_a"),
         F.lit(None).cast("double").alias("metric_b"),
     )
-    return ngrams.unionByName(quality).unionByName(html_rows)
+    # url_domains branch (r5): synthetic crawl URLs (host diversity from
+    # doc_id, ccTLD + tracking-param + fragment + userinfo cases) rolled up
+    # per registrable domain by operators/urls.domain_stats — DuckDB runs the
+    # identical regex chain, so host/domain/canonicalization divergence
+    # hash-mismatches. Every 11th doc gets a relative (unparseable) URL that
+    # must roll up under the null domain, not vanish.
+    from kafka_connector_s3_sink_spark.operators import urls as url_ops
+
+    did = F.col("doc_id")
+    url = F.when(
+        did % 11 == 0, F.concat(F.lit("/relative/path/"), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.when(did % 3 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("sub.")),
+            F.lit("site"), (did % 7).cast("string"),
+            F.when(did % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/p/"), (did % 13).cast("string"),
+            F.lit("?utm_source=feed&id="), (did % 5).cast("string"),
+            F.lit("&utm_campaign=x#frag"),
+        )
+    )
+    url_rows = url_ops.domain_stats(docs.select(url.alias("url"))).select(
+        F.lit("url_domains").alias("branch"),
+        F.col("domain").alias("key"),
+        F.col("n_pages").cast("bigint").alias("n"),
+        F.col("n_hosts").cast("double").alias("metric_a"),
+        F.col("n_canonical").cast("double").alias("metric_b"),
+    )
+    return (
+        ngrams.unionByName(quality).unionByName(html_rows).unionByName(url_rows)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1946,6 +1987,46 @@ def oracle_sql() -> dict[str, str]:
                 CAST(n_docs AS BIGINT) AS n,
                 avg_quality AS metric_a, avg_stopword_ratio AS metric_b
             FROM quality_rollup
+            UNION ALL
+            SELECT 'url_domains' AS branch, domain AS key,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT host) AS DOUBLE) AS metric_a,
+                CAST(count(DISTINCT canonical) AS DOUBLE) AS metric_b
+            FROM (
+                SELECT
+                    nullif(CASE WHEN three <> '' THEN three ELSE two END, '') AS domain,
+                    host, canonical
+                FROM (
+                    SELECT host,
+                        coalesce(regexp_extract(host, '{_URL_THREE_RE}', 1), '') AS three,
+                        coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS two,
+                        canonical
+                    FROM (
+                        SELECT
+                            lower(nullif(regexp_extract(url, '{_URL_HOST_RE}', 1), '')) AS host,
+                            regexp_replace(regexp_replace(regexp_replace(
+                                regexp_replace(
+                                    regexp_replace(url, '#.*$', '', 'g'),
+                                    '{_URL_TRACKING_RE}', '', 'g'),
+                                '\\?&+', '?', 'g'), '&&+', '&', 'g'),
+                                '[?&]+$', '', 'g') AS canonical
+                        FROM (
+                            SELECT CASE WHEN doc_id % 11 = 0
+                                THEN '/relative/path/' || CAST(doc_id AS VARCHAR)
+                                ELSE 'https://' ||
+                                    CASE WHEN doc_id % 3 = 0 THEN 'user:pw@' ELSE '' END ||
+                                    CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'sub.' END ||
+                                    'site' || CAST(doc_id % 7 AS VARCHAR) ||
+                                    CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END ||
+                                    '/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+                                    '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+                                    '&utm_campaign=x#frag'
+                                END AS url
+                            FROM documents
+                        )
+                    )
+                )
+            ) GROUP BY domain
             UNION ALL
             SELECT 'html_extract' AS branch, CAST(doc_id AS VARCHAR) AS key,
                 CAST(length(extracted) AS BIGINT) AS n,

@@ -730,3 +730,50 @@ def test_html_to_text(spark):
     df = spark.createDataFrame([Row(h=h) for h, _ in cases])
     got = [r["t"] for r in df.select(html_to_text(F.col("h")).alias("t")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_url_ops(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.operators.urls import (
+        domain_stats,
+        registrable_domain,
+        strip_tracking,
+        url_host,
+    )
+
+    cases = [
+        # (url, host, domain, canonical)
+        ("https://www.Example.COM/a?b=1",
+         "www.example.com", "example.com", "https://www.Example.COM/a?b=1"),
+        # userinfo + port stripped; two-part TLD keeps three labels
+        ("http://user:pw@shop.example.co.uk:8080/x",
+         "shop.example.co.uk", "example.co.uk",
+         "http://user:pw@shop.example.co.uk:8080/x"),
+        # tracking params + fragment stripped, separators tidied
+        ("https://a.io/p?utm_source=x&id=7&utm_campaign=y#frag",
+         "a.io", "a.io", "https://a.io/p?id=7"),
+        # ONLY tracking params -> bare path, no dangling '?'
+        ("https://a.io/p?utm_source=x#f", "a.io", "a.io", "https://a.io/p"),
+        # relative URL: null host/domain, canonical passes through
+        ("/rel/path?utm_source=x", None, None, "/rel/path"),
+    ]
+    df = spark.createDataFrame([Row(url=u) for u, *_ in cases])
+    got = df.select(
+        "url",
+        url_host(F.col("url")).alias("h"),
+        registrable_domain(F.col("url")).alias("d"),
+        strip_tracking(F.col("url")).alias("c"),
+    ).collect()
+    by_url = {r["url"]: r for r in got}
+    for u, h, d, c in cases:
+        assert (by_url[u]["h"], by_url[u]["d"], by_url[u]["c"]) == (h, d, c), u
+
+    stats = {
+        r["domain"]: (r["n_pages"], r["n_hosts"], r["n_canonical"])
+        for r in domain_stats(df).collect()
+    }
+    assert stats["a.io"] == (2, 1, 2)
+    assert stats["example.co.uk"] == (1, 1, 1)
+    assert stats[None] == (1, 0, 1)  # unparseable rolls up, never dropped
