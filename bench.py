@@ -146,6 +146,26 @@ def main() -> None:
         finally:
             shutil.rmtree(dest, ignore_errors=True)
 
+    # read-back: re-ingest the full gzip-CSV object set (objects written once,
+    # outside the timed loop; the read + JVM parse is what's measured)
+    from kafka_connector_s3_sink_spark.sources.objects import read_sink_objects
+
+    rb_cfg = EngineConfig(
+        output_fields=tuple(sink_cases["sink_write_parquet"].output_fields),
+    )
+    rb_dest = tempfile.mkdtemp(prefix="bench-readback-")
+    try:
+        write_batch(records, rb_cfg, rb_dest)
+        timed(
+            "source_readback_csv_gzip",
+            lambda: read_sink_objects(spark, rb_dest, rb_cfg)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+    finally:
+        shutil.rmtree(rb_dest, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -167,6 +187,11 @@ def main() -> None:
         "Q18+Q7, Q21+Q13, Q22+Q11). incremental_dedup cold still includes "
         "the one-time index build; its deferred caches are now released "
         "after each pass (r4 pipeline_pack_split interference fix). "
+        "source_readback_csv_gzip (39th entry, late r5) re-ingests the "
+        "events corpus from gzip-CSV objects written once outside the "
+        "timed loop; dedup_candidate_pairs additionally runs the decontam "
+        "branch and text_corpus_stats the html_extract + url_domains "
+        "branches from late r5 on. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
