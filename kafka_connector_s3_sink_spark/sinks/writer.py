@@ -70,6 +70,55 @@ def _filename_column(config: EngineConfig, clock: Column | None) -> Column:
     )
 
 
+def prepare_with_filenames(
+    df: DataFrame, config: EngineConfig, clock: Column | None = None
+) -> DataFrame:
+    """Records with their deterministic ``_file`` object name attached — the
+    grouping/chunking/rotation half of the write, shared by the writer, the
+    dry-run manifest, and the audit-driven repair path."""
+    enforce_csv_schema_types(df.schema, config)
+    tpl = config.template
+    if tpl.grouper_type is GrouperType.KEY:
+        # last-value-per-key upsert (one record per key → one object per key)
+        df = last_value_per_key(df)
+        return df.withColumn("_file", _filename_column(config, clock))
+    if config.format_type is FormatType.PARQUET and config.parquet_schema_rotation:
+        # schema-change rotation: fold the schema-run index into the chunk
+        # key so each run names its own object starting at the run's first
+        # offset (AvroParquetIntegrationTest.java:288-335). The run window
+        # and the chunk window share one (topic, partition) shuffle.
+        df = assign_schema_runs(df)
+        if config.file_max_records > 0:
+            w = Window.partitionBy("topic", "partition", "_schema_run").orderBy(
+                "offset"
+            )
+            rn = F.row_number().over(w) - F.lit(1)
+            sub = (rn / config.file_max_records).cast("int")
+        else:
+            sub = F.lit(0)
+        chunked = df.withColumn(
+            "_chunk", F.concat_ws("-", F.col("_schema_run"), sub)
+        )
+    else:
+        chunked = assign_file_chunks(df, config)
+    return chunked.withColumn("_file", _filename_column(config, clock))
+
+
+def expected_manifest(
+    df: DataFrame, config: EngineConfig, clock: Column | None = None
+) -> DataFrame:
+    """Dry-run manifest: (object_name, records) the write WOULD produce —
+    object names are deterministic functions of the records, so this is
+    computable without touching storage. The repair path diffs it against
+    the observed store."""
+    ensure_utc_session(df.sparkSession)
+    return (
+        prepare_with_filenames(df, config, clock)
+        .groupBy(F.col("_file").alias("object_name"))
+        .agg(F.count(F.lit(1)).alias("expected_records"))
+    )
+
+
 def write_batch(
     df: DataFrame,
     config: EngineConfig,
@@ -78,6 +127,7 @@ def write_batch(
     manifest: str = "driver",
     storage: ObjectStorage | None = None,
     fault: object | None = None,
+    only_objects: DataFrame | None = None,
 ) -> list[tuple[str, int]]:
     """Write one batch of canonical Kafka records as exactly-named objects under
     ``dest_dir`` (a local path or any ``pyarrow.fs`` URI — ``file://``,
@@ -91,6 +141,11 @@ def write_batch(
     ``clock`` injects a fixed timestamp for the {{timestamp}} template variable
     (tests; the reference's own tests race midnight, IntegrationTest.java:246-258).
 
+    ``only_objects`` (a one-column DataFrame of object names) restricts the
+    write to that subset of groups — the audit-driven repair path: names are
+    deterministic, so rewriting a group reproduces it, and untouched groups
+    cost no I/O (their rows drop before rendering/shuffle).
+
     ``manifest`` controls where the per-object manifest goes. ``"driver"``
     (default) collects one (name, count) tuple per OBJECT — never data rows —
     which is fine until a batch writes millions of objects (file.max.records=1
@@ -103,38 +158,15 @@ def write_batch(
     ensure_utc_session(df.sparkSession)
     if storage is None:
         storage = ObjectStorage(dest_dir)
-    # flush-time schema-type contract, exact reference behavior+message
-    # (ConnectException at flush; S3SinkTaskTest.java:474-498)
-    enforce_csv_schema_types(df.schema, config)
-    tpl = config.template
-    if tpl.grouper_type is GrouperType.KEY:
-        # last-value-per-key upsert (one record per key → one object per key)
-        df = last_value_per_key(df)
-        prepared = df.withColumn("_file", _filename_column(config, clock))
-    else:
-        if (
-            config.format_type is FormatType.PARQUET
-            and config.parquet_schema_rotation
-        ):
-            # schema-change rotation: fold the schema-run index into the chunk
-            # key so each run names its own object starting at the run's first
-            # offset (AvroParquetIntegrationTest.java:288-335). The run window
-            # and the chunk window share one (topic, partition) shuffle.
-            df = assign_schema_runs(df)
-            if config.file_max_records > 0:
-                w = Window.partitionBy("topic", "partition", "_schema_run").orderBy(
-                    "offset"
-                )
-                rn = F.row_number().over(w) - F.lit(1)
-                sub = (rn / config.file_max_records).cast("int")
-            else:
-                sub = F.lit(0)
-            chunked = df.withColumn(
-                "_chunk", F.concat_ws("-", F.col("_schema_run"), sub)
-            )
-        else:
-            chunked = assign_file_chunks(df, config)
-        prepared = chunked.withColumn("_file", _filename_column(config, clock))
+    prepared = prepare_with_filenames(df, config, clock)
+    if only_objects is not None:
+        # repair mode: restrict the write to a given object-name set (the
+        # names are deterministic, so rewriting a group reproduces its bytes)
+        prepared = prepared.join(
+            only_objects.select(F.col(only_objects.columns[0]).alias("_file")),
+            "_file",
+            "left_semi",
+        )
 
     fmt = config.format_type
     if fmt is FormatType.PARQUET:

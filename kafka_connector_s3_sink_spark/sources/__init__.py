@@ -1,6 +1,7 @@
 from kafka_connector_s3_sink_spark.sources.audit import (
     audit_sink_output,
     read_manifest,
+    repair_sink_output,
 )
 from kafka_connector_s3_sink_spark.sources.objects import (
     read_sink_objects,
@@ -11,6 +12,7 @@ from kafka_connector_s3_sink_spark.sources.objects import (
 __all__ = [
     "audit_sink_output",
     "read_manifest",
+    "repair_sink_output",
     "read_sink_objects",
     "sink_object_lines",
     "stream_sink_objects",

@@ -38,6 +38,70 @@ from kafka_connector_s3_sink_spark.sources.objects import read_sink_objects
 from kafka_connector_s3_sink_spark.template import GrouperType
 
 
+def repair_sink_output(
+    records: DataFrame,
+    dest_dir: str,
+    config: EngineConfig,
+    clock=None,
+    manifest: str = "driver",
+    storage=None,
+) -> list[tuple[str, int]]:
+    """Self-healing delivery: rewrite exactly the objects that are broken.
+
+    Object names and contents are deterministic functions of the records
+    (the idempotence the reference's delivery contract rests on,
+    ``README.md:101-133``), so repair is a pure diff-and-rewrite:
+
+    1. ``expected_manifest`` computes the (object_name, records) set the
+       write WOULD produce — no storage touched;
+    2. the delivery audit reads what IS there (decode errors routed);
+    3. objects that are missing, record-count-mismatched, or undecodable are
+       rewritten by the normal writer restricted to that name set
+       (``only_objects`` semi join — healthy groups drop before rendering,
+       so repair cost scales with the damage, not the corpus).
+
+    Returns the writer's [(object_name, records)] for the rewritten set
+    (empty = store already consistent). Count equality is the cheap
+    integrity proxy the sidecar manifest also uses; byte-level verification
+    is the read-back round-trip's job (``sink_headers_csv`` oracle branch).
+    ``records`` must cover the audited range — records absent from the
+    input cannot be rewritten (missing objects outside it still surface in
+    the audit, just not here).
+    """
+    from kafka_connector_s3_sink_spark.sinks.writer import (
+        expected_manifest,
+        write_batch,
+    )
+
+    spark = records.sparkSession
+    expected = expected_manifest(records, config, clock)
+    observed = audit_sink_output(spark, dest_dir, config, check_manifest=False)
+    obs_cols = ["object_name", F.col("records").alias("observed_records")]
+    if "decode_error" in observed.columns:
+        obs_cols.append("decode_error")
+    else:
+        obs_cols.append(F.lit(None).cast("string").alias("decode_error"))
+    observed = observed.select(*obs_cols)
+    broken = (
+        expected.join(observed, "object_name", "left")
+        .filter(
+            F.col("observed_records").isNull()
+            | (F.col("observed_records") != F.col("expected_records"))
+            | F.col("decode_error").isNotNull()
+        )
+        .select("object_name")
+    )
+    return write_batch(
+        records,
+        config,
+        dest_dir,
+        clock=clock,
+        manifest=manifest,
+        storage=storage,
+        only_objects=broken,
+    )
+
+
 def read_manifest(spark: SparkSession, dest_dir: str) -> DataFrame:
     """(object, records) from the ``_manifest`` sidecar shards. The shards
     live under a ``_``-prefixed directory precisely so data scans skip them;

@@ -99,3 +99,31 @@ def test_corrupt_object_surfaces_in_audit(spark, tmp_path):
     good = got["t-0-0.gz"]
     assert good["records"] == 3 and good["manifest_ok"] is True
     assert good["decode_error"] is None
+
+
+def test_repair_rewrites_only_broken_objects(spark, tmp_path):
+    """repair_sink_output: deleted and truncated objects are rewritten
+    byte-identically; healthy objects are not touched; a second repair is a
+    no-op."""
+    from kafka_connector_s3_sink_spark.sources.audit import repair_sink_output
+
+    df = records_df(spark, _rows(n=9))
+    write_batch(df, CFG, str(tmp_path))
+    original = (tmp_path / "t-0-3").read_bytes()
+    healthy_mtime = os.path.getmtime(tmp_path / "t-0-0")
+    os.remove(tmp_path / "t-0-3")
+    # truncate: drop the last record line of the third chunk
+    p = tmp_path / "t-0-6"
+    p.write_text("\n".join(p.read_text().splitlines()[:-1]) + "\n")
+
+    repaired = repair_sink_output(df, str(tmp_path), CFG)
+    assert {n for n, _ in repaired} == {"t-0-3", "t-0-6"}
+    assert dict(repaired) == {"t-0-3": 3, "t-0-6": 3}
+    # determinism: the rewritten object is byte-identical to the original
+    assert (tmp_path / "t-0-3").read_bytes() == original
+    # the healthy object was never rewritten
+    assert os.path.getmtime(tmp_path / "t-0-0") == healthy_mtime
+    # store is consistent now: audit clean, second repair a no-op
+    audit = audit_sink_output(spark, str(tmp_path), CFG)
+    assert all(r["records"] == 3 for r in audit.collect())
+    assert repair_sink_output(df, str(tmp_path), CFG) == []
