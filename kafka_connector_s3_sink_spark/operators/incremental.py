@@ -465,6 +465,59 @@ def incremental_dedup(
     return exact.unionByName(near).unionByName(keep)
 
 
+def decontaminate_against_index(
+    benchmark: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap_ratio: float = 0.5,
+    database: str | None = None,
+) -> DataFrame:
+    """Which ALREADY-ACCEPTED documents leak into a new evaluation set?
+
+    The batch-vs-batch form (``dedup.decontamination_matches``) re-shingles
+    the corpus text; at 100 TB that is the expensive way to answer a
+    question the fingerprint index already holds — ``<prefix>_shingles`` IS
+    the corpus's n-gram set. Here only the benchmark is shingled, and its
+    shingle side is broadcast EXPLICITLY: leaving the choice to AQE would
+    first materialize a shuffle of the multi-TB index (AQE converts to
+    broadcast only after both shuffle stages exist), which is exactly the
+    cost this operator exists to avoid. The static broadcast makes the
+    index a straight scan→join with no Exchange below it (plan-asserted);
+    only the O(matches) overlap rows move for the pair aggregation.
+
+    Contract: the BENCHMARK must be broadcast-small (eval suites — docs in
+    the thousands). For corpus-vs-corpus overlap use
+    ``dedup.decontamination_matches``, which shuffle-joins both sides. One
+    row per (hist_id, bench_id), overlap measured against the benchmark
+    doc, filtered at ``min_overlap_ratio``.
+
+    Run it when a new eval suite lands: the flagged ``hist_id``s are the
+    training documents to quarantine before the next training snapshot."""
+    spark = benchmark.sparkSession
+    b_sh = shingle_rows(benchmark, id_col, text_col, k).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    b_sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    idx_sh = spark.table(_qualified(prefix, "shingles", database))
+    return (
+        idx_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(F.col("doc_id").alias("hist_id"), "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .join(b_sizes, "bench_id")
+        .select(
+            "hist_id",
+            "bench_id",
+            "n_overlap",
+            stable_round(F.col("n_overlap") / F.col("n_sh"), 4).alias(
+                "overlap_ratio"
+            ),
+        )
+        .filter(F.col("overlap_ratio") >= min_overlap_ratio)
+    )
+
+
 def compact_dedup_index(
     spark: SparkSession,
     prefix: str,

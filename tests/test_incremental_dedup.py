@@ -352,3 +352,65 @@ def test_append_then_reclassify(spark, index):
         ).collect()
     )
     assert replay == sorted((r["doc_id"], r["status"], r["dup_of"]) for r in again)
+
+
+def test_decontaminate_against_index(spark, tmp_path_factory):
+    """Index-backed decontamination: leaks into a new eval set are found from
+    the persisted shingle table without re-shingling the corpus, and the
+    executed plan never shuffles the index side (benchmark broadcasts)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.operators.incremental import (
+        build_dedup_index,
+        decontaminate_against_index,
+        drop_dedup_index,
+    )
+
+    loc = str(tmp_path_factory.mktemp("decon_idx"))
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="one two three four five six seven eight nine"),
+            Row(doc_id=3, text="totally unrelated content about other things"),
+        ]
+    )
+    build_dedup_index(corpus, "decon", loc, num_buckets=4, database="decon_db")
+    try:
+        bench = spark.createDataFrame(
+            [
+                Row(doc_id=101, text="alpha beta gamma delta epsilon zeta eta"),
+                Row(doc_id=102, text="qqq www eee rrr ttt yyy uuu"),
+            ]
+        )
+        res = decontaminate_against_index(
+            bench, "decon", database="decon_db", min_overlap_ratio=0.5
+        )
+        rows = {(r["hist_id"], r["bench_id"]): r["overlap_ratio"]
+                for r in res.collect()}
+        assert rows == {(1, 101): 1.0}
+        # plan contract: the index scan feeds its join directly — walking UP
+        # from the decon_shingles FileScan toward the root, a (broadcast)
+        # Join appears before any hash Exchange, i.e. the multi-TB index
+        # side is never shuffled; only the post-join pair rows are
+        final = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final
+        lines = final.splitlines()
+        scan_line = next(
+            i for i, l in enumerate(lines) if "decon_shingles" in l
+        )
+
+        def indent(l):
+            return len(l) - len(l.lstrip(" :+-*(0123456789)"))
+
+        cur = indent(lines[scan_line])
+        for i in range(scan_line - 1, -1, -1):
+            if indent(lines[i]) >= cur:
+                continue
+            cur = indent(lines[i])
+            body = lines[i].strip(" :+-")
+            if "Join" in body:
+                break  # reached the join with no Exchange in between
+            assert "Exchange hashpartitioning" not in body, lines[i]
+    finally:
+        drop_dedup_index(spark, "decon", database="decon_db")
