@@ -88,3 +88,56 @@ def test_deprecated_yyyy_unit_rewrite_applies_only_to_prefix():
         {"aws.s3.prefix": "p-{{timestamp:unit=YYYY}}/"}
     )
     assert cfg.prefix == "p-{{timestamp:unit=yyyy}}/"
+
+
+# Kafka-legal topic fragments that do NOT end in "-<digits>" — names like
+# "a-12-3" are inherently ambiguous between (topic "a", partition 12) and
+# (topic "a-1", partition 2); the inverse documents greedy-longest-topic for
+# those, and the property holds everywhere else. Padded templates have
+# fixed-width numeric groups and are NEVER ambiguous (second property).
+unambiguous_topics = st.text(
+    alphabet=st.characters(codec="ascii", categories=("L", "N")).map(str),
+    min_size=1, max_size=12,
+).flatmap(
+    lambda base: st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz._-", min_size=0, max_size=4
+    ).map(lambda tail: (base + tail).strip("-") or base)
+).filter(lambda t: t and not __import__("re").search(r"-\d+$", t))
+
+
+@given(topic=unambiguous_topics, partition=st.integers(0, 10_000),
+       offset=st.integers(0, 2**62))
+@settings(max_examples=200, deadline=None)
+def test_parse_pattern_inverts_render(topic, partition, offset):
+    import re
+
+    tpl = FilenameTemplate("{{topic}}-{{partition}}-{{start_offset}}")
+    name = tpl.render(topic=topic, partition=partition, start_offset=offset,
+                      extension=".gz")
+    pattern, groups = tpl.parse_pattern(extension=".gz")
+    m = re.match(pattern, name)
+    assert m is not None
+    assert m.group(groups["topic"]) == topic
+    assert int(m.group(groups["partition"])) == partition
+    assert int(m.group(groups["start_offset"])) == offset
+
+
+@given(topic=st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-",
+                     min_size=1, max_size=16).filter(lambda t: t.strip()),
+       partition=st.integers(0, 10_000), offset=st.integers(0, 2**62))
+@settings(max_examples=200, deadline=None)
+def test_padded_parse_pattern_unambiguous_for_any_topic(topic, partition, offset):
+    """Fixed-width padded groups remove the digit-suffix ambiguity entirely:
+    ANY Kafka-legal topic (including ones ending in '-123') round-trips."""
+    import re
+
+    tpl = FilenameTemplate(
+        "{{topic}}-{{partition:padding=true}}-{{start_offset:padding=true}}"
+    )
+    name = tpl.render(topic=topic, partition=partition, start_offset=offset)
+    pattern, groups = tpl.parse_pattern()
+    m = re.match(pattern, name)
+    assert m is not None
+    assert m.group(groups["topic"]) == topic
+    assert int(m.group(groups["partition"])) == partition
+    assert int(m.group(groups["start_offset"])) == offset
