@@ -152,6 +152,106 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def _resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resize of an uncompressed 24/32-bit BMP, fully
+    vectorized (numpy fancy indexing — no per-pixel Python), re-encoded as a
+    minimal VALID 24-bit BMP (54-byte header, 4-byte-padded rows) that
+    ``_decode_bmp`` round-trips. 32-bit input drops alpha."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    h_abs, px = abs(height), bpp // 8
+    stride = (width * px + 3) & ~3
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_off)
+        .reshape(h_abs, stride)[:, : width * px]
+        .reshape(h_abs, width, px)
+    )
+    ri = (np.arange(target_h) * h_abs) // target_h
+    ci = (np.arange(target_w) * width) // target_w
+    out = arr[ri][:, ci, :3]  # storage order preserved → orientation preserved
+
+    stride_out = (target_w * 3 + 3) & ~3
+    padded = np.zeros((target_h, stride_out), dtype=np.uint8)
+    padded[:, : target_w * 3] = out.reshape(target_h, target_w * 3)
+    body = padded.tobytes()
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,           # file header
+        40, target_w, target_h if height > 0 else -target_h,  # info header
+        1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + body
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    on_error: str = "capture",
+) -> DataFrame:
+    """Distributed image resize: BMP payloads → BMP payloads at
+    (target_w, target_h), the preprocessing step a vision-training pipeline
+    runs before feature extraction/packing. Same execution shape as
+    ``extract_features`` — payloads never leave their partition, Arrow moves
+    each batch once, the per-image work is vectorized numpy. ``on_error``
+    mirrors the decoder: ``"capture"`` (default — crawl posture) keeps the
+    row with a ``resize_error``; ``"raise"`` fails the task. Entropy-coded
+    inputs raise the same honest ``NotImplementedError`` as
+    ``real_decoder``; production plugs a codec library into ``_resize_bmp``'s
+    slot."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errors = [], []
+            for p in pdf["payload"]:
+                try:
+                    if bytes(p[:2]) != b"BM":
+                        raise NotImplementedError(
+                            "only uncompressed BMP resizes without an external "
+                            "codec library"
+                        )
+                    payloads.append(_resize_bmp(bytes(p), target_w, target_h))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — routed per policy
+                    if not capture:
+                        raise
+                    payloads.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": payloads,
+                    "width": [target_w if e is None else None for e in errors],
+                    "height": [target_h if e is None else None for e in errors],
+                    "resize_error": errors,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def fake_decoder(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode: 'width/height' derived from payload length,
     'feature' = first 8 bytes scaled to [0,1]. Keeps the full pipeline testable."""

@@ -777,3 +777,34 @@ def test_url_ops(spark):
     assert stats["a.io"] == (2, 1, 2)
     assert stats["example.co.uk"] == (1, 1, 1)
     assert stats[None] == (1, 0, 1)  # unparseable rolls up, never dropped
+
+
+def test_resize_images_bmp_roundtrip(spark):
+    """resize_images: a 4x4 quadrant BMP downsamples to 2x2 with one pixel
+    per quadrant, the output is a VALID BMP (real_decoder round-trips it at
+    the new dimensions), and a non-BMP payload routes its error."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.multimodal import (
+        _decode_bmp,
+        resize_images,
+    )
+
+    black, white = (0, 0, 0), (255, 255, 255)
+    # bottom-up rows: bottom half black, top half white, 4x4
+    bmp = _bmp_bytes(4, 4, [[black] * 4, [black] * 4, [white] * 4, [white] * 4])
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(bmp)),
+            Row(media_id=2, payload=bytearray(b"not a bitmap")),
+        ]
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    ok = out[1]
+    assert (ok["width"], ok["height"], ok["resize_error"]) == (2, 2, None)
+    decoded = _decode_bmp(bytes(ok["payload"]))
+    assert (decoded["width"], decoded["height"]) == (2, 2)
+    # 2 black + 2 white pixels -> luminance histogram at the extremes
+    assert decoded["feature"][0] == 0.5 and decoded["feature"][7] == 0.5
+    bad = out[2]
+    assert bad["payload"] is None and "NotImplementedError" in bad["resize_error"]
