@@ -202,6 +202,97 @@ def _resize_bmp(payload: bytes, target_w: int, target_h: int) -> bytes:
     return header + body
 
 
+def _resample_wav(payload: bytes, target_rate: int) -> bytes:
+    """Linear-interpolation resample of a 16-bit PCM WAV to ``target_rate``
+    (all channels, vectorized numpy), re-encoded as a minimal valid PCM WAV
+    that ``_decode_wav`` round-trips."""
+    import struct
+
+    import numpy as np
+
+    pos, n_channels, sample_rate = 12, None, None
+    frames = b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(f"WAV format={fmt_code} bits={bits}")
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)
+    if n_channels is None or not frames:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(
+        frames, dtype="<i2", count=(len(frames) // (2 * n_channels)) * n_channels
+    ).reshape(-1, n_channels)
+    n_in = samples.shape[0]
+    n_out = max(int(round(n_in * target_rate / sample_rate)), 1)
+    t = np.arange(n_out) * (n_in - 1) / max(n_out - 1, 1)
+    lo = np.floor(t).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (t - lo)[:, None]
+    out = ((1 - frac) * samples[lo] + frac * samples[hi]).astype("<i2")
+    data = out.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, target_rate,
+        target_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int, on_error: str = "capture"
+) -> DataFrame:
+    """Distributed audio resample: PCM WAV payloads → PCM WAV at
+    ``target_rate`` — the audio preprocessing twin of ``resize_images``
+    (speech models consume one fixed rate). Same execution shape and error
+    policy; output ``width`` = frames per channel at the new rate,
+    ``height`` = the new rate, matching ``_decode_wav``'s int-pair."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errors = [], []
+            for p in pdf["payload"]:
+                try:
+                    raw = bytes(p)
+                    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                        raise NotImplementedError(
+                            "only PCM WAV resamples without an external codec "
+                            "library"
+                        )
+                    payloads.append(_resample_wav(raw, target_rate))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — routed per policy
+                    if not capture:
+                        raise
+                    payloads.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            decoded = [
+                _decode_wav(b) if b is not None else {"width": None, "height": None}
+                for b in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": payloads,
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "resize_error": errors,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def resize_images(
     media: DataFrame,
     target_w: int,

@@ -808,3 +808,30 @@ def test_resize_images_bmp_roundtrip(spark):
     assert decoded["feature"][0] == 0.5 and decoded["feature"][7] == 0.5
     bad = out[2]
     assert bad["payload"] is None and "NotImplementedError" in bad["resize_error"]
+
+
+def test_resample_audio_wav_roundtrip(spark):
+    """resample_audio: an 8 kHz ramp halves to 4 kHz with frame count ~halved
+    and the output is a valid PCM WAV (_decode_wav round-trips at the new
+    rate); non-WAV payloads route their error."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.multimodal import (
+        _decode_wav,
+        resample_audio,
+    )
+
+    samples = list(range(0, 1600))  # 0.2 s ramp at 8 kHz
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(_wav_bytes(samples, 8000))),
+            Row(media_id=2, payload=bytearray(b"xxxx not audio")),
+        ]
+    )
+    out = {r["media_id"]: r for r in resample_audio(media, 4000).collect()}
+    ok = out[1]
+    assert ok["resize_error"] is None and ok["height"] == 4000
+    assert abs(ok["width"] - 800) <= 1  # ~half the frames
+    decoded = _decode_wav(bytes(ok["payload"]))
+    assert decoded["height"] == 4000 and decoded["width"] == ok["width"]
+    assert "NotImplementedError" in out[2]["resize_error"]
