@@ -343,6 +343,104 @@ def resize_images(
     return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def _y4m_frames(payload: bytes):
+    """Parse an uncompressed YUV4MPEG2 stream (pure public spec — text
+    stream header, per-frame ``FRAME`` markers, raw 4:2:0 planes) and yield
+    (frame_no, width, height, y_plane bytes). The only video container that
+    decodes without a codec library; entropy-coded video (H.264/VP9/AV1)
+    raises the same honest ``NotImplementedError`` as images/audio."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only uncompressed YUV4MPEG2 (y4m) decodes without an external "
+            "codec library"
+        )
+    nl = payload.index(b"\n")
+    width = height = None
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise NotImplementedError(f"y4m chroma {tok[1:].decode()} (only 420)")
+    if not width or not height:
+        raise NotImplementedError("y4m header missing W/H")
+    frame_bytes = width * height * 3 // 2  # 4:2:0: Y + quarter-size U,V
+    pos, frame_no = nl + 1, 0
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise NotImplementedError("malformed y4m FRAME marker")
+        y = payload[fnl + 1 : fnl + 1 + width * height]
+        yield frame_no, width, height, y
+        pos = fnl + 1 + frame_bytes
+        frame_no += 1
+
+
+def extract_frame_features(
+    media: DataFrame, every_n: int = 10, on_error: str = "capture"
+) -> DataFrame:
+    """Execute the frame-sampling plan: decode video payloads, keep every
+    ``every_n``-th frame, and emit an 8-bin luma histogram per sampled frame
+    — one output row per (media_id, frame_no). ``frame_sample_plan`` is the
+    JVM-side cost/row-count plan for this operator; this is the Python
+    boundary that runs it (same Arrow batching and error posture as the
+    image/audio ops). Frame fan-out happens INSIDE the task — a 10k-frame
+    video emits its sampled rows from one payload read, no shuffle."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_no", "feature", "width", "height",
+                    "decode_error")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for fno, w, h, y in _y4m_frames(bytes(p)):
+                        if fno % every_n:
+                            continue
+                        luma = np.frombuffer(y, dtype=np.uint8)
+                        hist = np.bincount(luma >> 5, minlength=8)[:8]
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(fno)
+                        out["feature"].append(
+                            (hist / max(luma.size, 1)).astype(float).tolist()
+                        )
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — routed per policy
+                    if not capture:
+                        raise
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(None)
+                    out["feature"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, FRAME_FEATURE_SCHEMA
+    )
+
+
 def fake_decoder(payload: bytes, media_type: str) -> dict:
     """Deterministic fake decode: 'width/height' derived from payload length,
     'feature' = first 8 bytes scaled to [0,1]. Keeps the full pipeline testable."""

@@ -835,3 +835,42 @@ def test_resample_audio_wav_roundtrip(spark):
     decoded = _decode_wav(bytes(ok["payload"]))
     assert decoded["height"] == 4000 and decoded["width"] == ok["width"]
     assert "NotImplementedError" in out[2]["resize_error"]
+
+
+def _y4m_bytes(width, height, y_frames):
+    """Minimal YUV4MPEG2 stream: given per-frame Y planes (bytes), U/V filled
+    with 128 (neutral chroma)."""
+    uv = bytes([128]) * (width * height // 4)
+    out = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+    for y in y_frames:
+        out += b"FRAME\n" + y + uv + uv
+    return out
+
+
+def test_extract_frame_features_y4m(spark):
+    """Real video frame sampling: every_n picks frames 0 and 2 of 4, per-frame
+    luma histograms are exact, and a non-y4m payload routes its error."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.multimodal import (
+        extract_frame_features,
+    )
+
+    w, h = 4, 2
+    dark, bright = bytes([0]) * (w * h), bytes([255]) * (w * h)
+    video = _y4m_bytes(w, h, [dark, bright, bright, dark])
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(video)),
+            Row(media_id=2, payload=bytearray(b"AVI nope")),
+        ]
+    )
+    rows = extract_frame_features(media, every_n=2).collect()
+    good = {(r["media_id"], r["frame_no"]): r for r in rows
+            if r["decode_error"] is None}
+    assert set(good) == {(1, 0), (1, 2)}
+    assert good[(1, 0)]["feature"][0] == 1.0   # all-dark frame -> bin 0
+    assert good[(1, 2)]["feature"][7] == 1.0   # all-bright frame -> bin 7
+    assert good[(1, 0)]["width"] == w and good[(1, 0)]["height"] == h
+    bad = [r for r in rows if r["decode_error"] is not None]
+    assert len(bad) == 1 and "NotImplementedError" in bad[0]["decode_error"]
