@@ -129,11 +129,17 @@ class ObjectStorage:
         parent = posixpath.dirname(final)
         if parent:
             fs.create_dir(parent, recursive=True)
+        # compression=None everywhere: pyarrow's default 'detect' keys on the
+        # FILE EXTENSION, which would gzip direct-mode writes to '*.gz' names
+        # a second time (the payload is already codec-compressed) while
+        # leaving rename-mode untouched (temp names carry no extension) —
+        # an asymmetry that corrupts object stores only. Byte-transparent I/O
+        # is this client's contract; codecs live in formats/compression.
         if self.mode == "rename":
             tmp = posixpath.join(
                 parent, f".{posixpath.basename(final)}.inprogress-{uuid.uuid4().hex}"
             )
-            stream = fs.open_output_stream(tmp)
+            stream = fs.open_output_stream(tmp, compression=None)
             try:
                 yield stream
             except BaseException:
@@ -146,7 +152,7 @@ class ObjectStorage:
             stream.close()
             fs.move(tmp, final)
         else:
-            stream = fs.open_output_stream(final)
+            stream = fs.open_output_stream(final, compression=None)
             try:
                 yield stream
             except BaseException:
@@ -164,7 +170,7 @@ class ObjectStorage:
 
     def read_bytes(self, name: str) -> bytes:
         fs, _ = self._resolve()
-        with fs.open_input_stream(self.full_path(name)) as f:
+        with fs.open_input_stream(self.full_path(name), compression=None) as f:
             return f.read()
 
     def exists(self, name: str) -> bool:

@@ -3,6 +3,9 @@ from kafka_connector_s3_sink_spark.sources.audit import (
     read_manifest,
     repair_sink_output,
 )
+from kafka_connector_s3_sink_spark.sources.datasource import (
+    SinkObjectsDataSource,
+)
 from kafka_connector_s3_sink_spark.sources.objects import (
     read_sink_objects,
     sink_object_lines,
@@ -10,6 +13,7 @@ from kafka_connector_s3_sink_spark.sources.objects import (
 )
 
 __all__ = [
+    "SinkObjectsDataSource",
     "audit_sink_output",
     "read_manifest",
     "repair_sink_output",

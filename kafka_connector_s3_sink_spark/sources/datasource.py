@@ -1,0 +1,200 @@
+"""Spark Python Data Source exposing sink output as a registrable format.
+
+``sources.objects.read_sink_objects`` is the FAST path (JVM column parsing
+behind one Arrow boundary). This module wraps the same store as a Spark 4
+Python Data Source — ``spark.read.format("sink_objects")`` — for the places
+a format string is the integration point: SQL (``CREATE TABLE … USING``),
+catalog tools, and anything that configures readers by name rather than by
+Python call. The trade is explicit: rows materialize in Python (the Data
+Source API's execution model), so per-byte cost is higher than the
+column-expression path; the partition planning is identical in spirit —
+one ``InputPartition`` per object, so a billion-object store fans out to
+exactly as many tasks as objects and each task streams one object through
+the write-side codecs.
+
+Options (all strings, per the API):
+- ``path``              — sink destination (any ``pyarrow.fs`` URI)
+- ``format``            — csv | jsonl | json (parquet: use Spark's native reader)
+- ``compression``       — none | gzip | snappy | zstd
+- ``fields``            — comma-joined output fields, default ``value``
+- ``encoding``          — base64 | none (CSV payload encoding)
+- ``template``/``prefix`` — filename template for name parsing
+
+Registration: ``spark.dataSource.register(SinkObjectsDataSource)`` (the
+engine does not auto-register — Python data sources are per-session).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+
+class _ObjectPartition(InputPartition):
+    def __init__(self, name: str):
+        self.name = name
+
+
+def _schema_for(fields: Sequence[str], fmt: str, encoding: str) -> T.StructType:
+    cols = [
+        T.StructField("object_name", T.StringType(), False),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("start_offset", T.LongType(), True),
+    ]
+    binary_payloads = fmt == "csv" and encoding == "base64"
+    for f in fields:
+        if f in ("key", "value"):
+            t = T.BinaryType() if binary_payloads else T.StringType()
+        elif f in ("offset", "timestamp"):
+            t = T.LongType()
+        elif f == "headers":
+            t = T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType(), True),
+                        T.StructField("value", T.BinaryType(), True),
+                    ]
+                )
+            )
+        else:
+            raise ValueError(f"unknown output field {f!r}")
+        cols.append(T.StructField(f, t, True))
+    return T.StructType(cols)
+
+
+class SinkObjectsDataSource(DataSource):
+    """``spark.read.format("sink_objects").option("path", …)`` over a sink
+    destination. See module docstring for options and the fast-path note."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sink_objects"
+
+    def schema(self) -> T.StructType:
+        fields = [
+            f.strip()
+            for f in self.options.get("fields", "value").split(",")
+            if f.strip()
+        ]
+        return _schema_for(
+            fields,
+            self.options.get("format", "csv"),
+            self.options.get("encoding", "base64"),
+        )
+
+    def reader(self, schema: T.StructType) -> "_SinkObjectsReader":
+        return _SinkObjectsReader(self.options, schema)
+
+
+class _SinkObjectsReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.path = options["path"]
+        self.fmt = options.get("format", "csv")
+        self.compression = options.get("compression", "gzip")
+        self.fields = [
+            f.strip() for f in options.get("fields", "value").split(",") if f.strip()
+        ]
+        self.encoding = options.get("encoding", "base64")
+        self.template = options.get(
+            "template", "{{topic}}-{{partition}}-{{start_offset}}"
+        )
+        self.prefix = options.get("prefix", "")
+        self.envelope = options.get("envelope", "true").lower() == "true"
+        if self.fmt not in ("csv", "jsonl", "json"):
+            raise ValueError(
+                f"sink_objects reads csv/jsonl/json (got {self.fmt!r}); "
+                "parquet objects read with spark.read.parquet"
+            )
+
+    # -- planning (driver): one partition per object --------------------
+    def partitions(self):
+        from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+        storage = ObjectStorage(self.path)
+        return [_ObjectPartition(n) for n in storage.listing()]
+
+    # -- execution (task): stream one object ----------------------------
+    def read(self, partition: _ObjectPartition) -> Iterator[tuple]:
+        from kafka_connector_s3_sink_spark.config import CompressionType
+        from kafka_connector_s3_sink_spark.formats.compression import (
+            decompress_bytes,
+        )
+        from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+        from kafka_connector_s3_sink_spark.template import FilenameTemplate
+
+        name = partition.name
+        tpl = FilenameTemplate(self.template)
+        ext = (
+            ""
+            if self.compression == "none"
+            else CompressionType(self.compression).extension
+        )
+        pattern, groups = tpl.parse_pattern(prefix=self.prefix, extension=ext)
+        m = re.match(pattern, name)
+        topic = m.group(groups["topic"]) if m and "topic" in groups else None
+        part = (
+            int(m.group(groups["partition"]))
+            if m and "partition" in groups
+            else None
+        )
+        start = (
+            int(m.group(groups["start_offset"]))
+            if m and "start_offset" in groups
+            else None
+        )
+
+        data = decompress_bytes(
+            ObjectStorage(self.path).read_bytes(name),
+            CompressionType(self.compression),
+        )
+        lines = data.decode("utf-8").splitlines()
+        if self.fmt == "json":
+            lines = [l.rstrip(",") for l in lines[1:-1]]
+        for line in lines:
+            yield (name, topic, part, start, *self._parse(line))
+
+    def _parse(self, line: str) -> list:
+        if self.fmt == "csv":
+            cells = line.split(",")
+            out = []
+            for i, f in enumerate(self.fields):
+                cell = cells[i] if i < len(cells) else ""
+                if cell == "":
+                    out.append(None)
+                elif f in ("key", "value"):
+                    out.append(
+                        base64.b64decode(cell) if self.encoding == "base64" else cell
+                    )
+                elif f in ("offset", "timestamp"):
+                    out.append(int(cell))
+                elif f == "headers":
+                    out.append(
+                        [
+                            (
+                                base64.b64decode(k).decode("utf-8"),
+                                base64.b64decode(v),
+                            )
+                            for k, v in (p.split(":", 1) for p in cell.split(";"))
+                        ]
+                    )
+            return out
+        if not self.envelope and len(self.fields) == 1:
+            # unwrapped single-field objects: the line IS the field's value
+            obj = {self.fields[0]: json.loads(line)}
+        else:
+            obj = json.loads(line)
+        out = []
+        for f in self.fields:
+            v = obj.get(f)
+            if f == "headers" and v is not None:
+                v = [(h["key"], base64.b64decode(h["value"])) for h in v]
+            elif f == "value" and isinstance(v, (dict, list)):
+                v = json.dumps(v, separators=(",", ":"))
+            out.append(v)
+        return out

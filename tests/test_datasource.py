@@ -1,0 +1,79 @@
+"""Spark 4 Python Data Source wrapper (`spark.read.format("sink_objects")`)
+over sink output — one InputPartition per object, SQL-reachable via
+CREATE TABLE ... USING."""
+
+import pytest
+from pyspark.sql import Row
+
+from kafka_connector_s3_sink_spark.config import (
+    CompressionType,
+    EngineConfig,
+    FormatType,
+    OutputField,
+)
+from kafka_connector_s3_sink_spark.records import KAFKA_RECORD_SCHEMA
+from kafka_connector_s3_sink_spark.sinks.writer import write_batch
+from kafka_connector_s3_sink_spark.sources.datasource import SinkObjectsDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(SinkObjectsDataSource)
+    return spark
+
+
+def _rows(n=6):
+    return [
+        Row(topic="t", partition=i % 2, offset=100 + i, key=f"k{i}",
+            value=f"v{i}", timestamp=1000 + i, headers=None)
+        for i in range(n)
+    ]
+
+
+def records_df(spark, rows):
+    return spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+
+
+def test_format_read_csv_gzip(registered, spark, tmp_path):
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.KEY, OutputField.VALUE),
+        file_max_records=2,
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, _rows()), cfg, str(tmp_path))
+    df = (
+        spark.read.format("sink_objects")
+        .option("path", str(tmp_path))
+        .option("fields", "offset,key,value")
+        .load()
+    )
+    got = {r["offset"]: r for r in df.collect()}
+    assert len(got) == 6
+    assert bytes(got[103]["value"]) == b"v3" and bytes(got[103]["key"]) == b"k3"
+    assert (got[103]["topic"], got[103]["partition"]) == ("t", 1)
+    # one partition per object: chunks of 2 per (topic, partition) over
+    # offsets 100,102,104 / 101,103,105 -> 4 objects
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_format_read_jsonl_via_sql(registered, spark, tmp_path):
+    cfg = EngineConfig(
+        format_type=FormatType.JSONL,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=CompressionType.NONE,
+    )
+    write_batch(records_df(spark, _rows(3)), cfg, str(tmp_path))
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW sink_view
+            USING sink_objects
+            OPTIONS (
+              path '{tmp_path}', format 'jsonl', compression 'none',
+              fields 'offset,value'
+            )"""
+    )
+    rows = spark.sql(
+        "SELECT offset, value FROM sink_view ORDER BY offset"
+    ).collect()
+    assert [(r["offset"], r["value"]) for r in rows] == [
+        (100, "v0"), (101, "v1"), (102, "v2"),
+    ]

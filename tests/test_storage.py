@@ -185,3 +185,25 @@ def test_sidecar_manifest_through_storage(spark, tmp_path):
             entries.append(json.loads(line))
     assert sorted(e["object"] for e in entries) == ["t-0-0", "t-1-100"]
     assert all(e["records"] == 3 for e in entries)
+
+
+def test_storage_is_byte_transparent_for_gz_names():
+    """Regression: pyarrow's open_*_stream defaults to compression='detect'
+    (extension-keyed), which would re-gzip direct-mode writes to '*.gz' names
+    and auto-gunzip reads — rename mode masked it because temp names carry no
+    extension. The client must be byte-transparent in BOTH modes: exactly the
+    written bytes come back, whatever the name implies."""
+    import gzip
+    import tempfile
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    payload = gzip.compress(b"already compressed once", mtime=0)
+    for mode in ("rename", "direct"):
+        root = tempfile.mkdtemp(prefix=f"store-{mode}-")
+        storage = ObjectStorage(root, mode=mode)
+        storage.write_bytes("data.gz", payload)
+        with open(f"{root}/data.gz", "rb") as f:
+            on_disk = f.read()
+        assert on_disk == payload, mode          # no second compression
+        assert storage.read_bytes("data.gz") == payload, mode  # no auto-gunzip
