@@ -31,7 +31,12 @@ import json
 import re
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 
@@ -91,6 +96,9 @@ class SinkObjectsDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "_SinkObjectsReader":
         return _SinkObjectsReader(self.options, schema)
 
+    def simpleStreamReader(self, schema: T.StructType):
+        return _SinkObjectsStreamReader(self.options, schema)
+
 
 class _SinkObjectsReader(DataSourceReader):
     def __init__(self, options, schema):
@@ -121,6 +129,9 @@ class _SinkObjectsReader(DataSourceReader):
 
     # -- execution (task): stream one object ----------------------------
     def read(self, partition: _ObjectPartition) -> Iterator[tuple]:
+        return self.read_object(partition.name)
+
+    def read_object(self, name: str) -> Iterator[tuple]:
         from kafka_connector_s3_sink_spark.config import CompressionType
         from kafka_connector_s3_sink_spark.formats.compression import (
             decompress_bytes,
@@ -128,7 +139,6 @@ class _SinkObjectsReader(DataSourceReader):
         from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
         from kafka_connector_s3_sink_spark.template import FilenameTemplate
 
-        name = partition.name
         tpl = FilenameTemplate(self.template)
         ext = (
             ""
@@ -198,3 +208,51 @@ class _SinkObjectsReader(DataSourceReader):
                 v = json.dumps(v, separators=(",", ":"))
             out.append(v)
         return out
+
+
+class _SinkObjectsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: ``spark.readStream.format("sink_objects")``.
+
+    Complements ``sources.objects.stream_sink_objects`` (Spark's file
+    source), which cannot decompress zstd/snappy (no pure-JVM Hadoop codec)
+    — here decompression is the Python write-side codecs, so EVERY sink
+    compression streams. The offset is the set of already-ingested object
+    names (objects are immutable and appear under new names, so set
+    difference IS the new data; ``readBetweenOffsets`` replays exactly
+    ``end − start``, giving checkpointed exactly-once). The offset therefore
+    grows with the object count — fine for the stores this targets; for
+    billion-object none/gzip stores prefer ``stream_sink_objects``, whose
+    seen-file log Spark manages incrementally."""
+
+    def __init__(self, options, schema):
+        self._batch = _SinkObjectsReader(options, schema)
+        self._path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"names": []}
+
+    def _listing(self) -> list:
+        from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+        return ObjectStorage(self._path).listing()
+
+    def read(self, start: dict):
+        # rows materialize as a list: the simple-reader API pickles the
+        # result driver-side for prefetch (a generator can't pickle) — the
+        # documented driver-memory model of SimpleDataSourceStreamReader
+        seen = set(start["names"])
+        new = [n for n in self._listing() if n not in seen]
+        end = {"names": sorted(seen | set(new))}
+        rows = [r for name in new for r in self._batch.read_object(name)]
+        return rows, end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start["names"])
+        return [
+            r
+            for name in sorted(set(end["names"]) - seen)
+            for r in self._batch.read_object(name)
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # objects are immutable; nothing to clean up

@@ -77,3 +77,53 @@ def test_format_read_jsonl_via_sql(registered, spark, tmp_path):
     assert [(r["offset"], r["value"]) for r in rows] == [
         (100, "v0"), (101, "v1"), (102, "v2"),
     ]
+
+
+def test_stream_reader_zstd_two_epochs(registered, spark, tmp_path):
+    """spark.readStream.format('sink_objects') streams the compressions the
+    JVM file source can't (zstd): first availableNow pass drains epoch 1,
+    new objects land, the restarted stream (same checkpoint) emits ONLY the
+    new rows — the seen-name offset is the exactly-once cursor."""
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=CompressionType.ZSTD,
+    )
+    write_batch(records_df(spark, _rows(3)), cfg, str(tmp_path / "store"))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("sink_objects")
+            .option("path", str(tmp_path / "store"))
+            .option("fields", "offset,value")
+            .option("compression", "zstd")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = {r["offset"] for r in spark.read.parquet(out).collect()}
+    assert first == {100, 101, 102}
+
+    write_batch(
+        records_df(
+            spark,
+            [Row(topic="t2", partition=0, offset=7, key=None, value="late",
+                 timestamp=1, headers=None)],
+        ),
+        cfg,
+        str(tmp_path / "store"),
+    )
+    drain()
+    allrows = spark.read.parquet(out).collect()
+    # restart from the checkpoint emitted ONLY the new object's rows
+    assert {r["offset"] for r in allrows} == {100, 101, 102, 7}
+    late = [r for r in allrows if r["offset"] == 7]
+    assert len(late) == 1 and bytes(late[0]["value"]) == b"late"
+    assert late[0]["topic"] == "t2"
