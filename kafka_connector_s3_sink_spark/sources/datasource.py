@@ -94,6 +94,12 @@ class SinkObjectsDataSource(DataSource):
         )
 
     def reader(self, schema: T.StructType) -> "_SinkObjectsReader":
+        # pushdown is an OPT-IN subclass: Spark refuses to initialize any
+        # reader that merely DEFINES pushFilters() unless
+        # spark.sql.python.filterPushdown.enabled is true, so the capability
+        # must not leak into default configurations
+        if self.options.get("pushdown", "false").lower() == "true":
+            return _SinkObjectsPushdownReader(self.options, schema)
         return _SinkObjectsReader(self.options, schema)
 
     def simpleStreamReader(self, schema: T.StructType):
@@ -125,18 +131,30 @@ class _SinkObjectsReader(DataSourceReader):
         from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
 
         storage = ObjectStorage(self.path)
-        return [_ObjectPartition(n) for n in storage.listing()]
+        names = storage.listing()
+        preds = getattr(self, "_name_predicates", [])
+        if preds:
+            kept = []
+            for n in names:
+                parsed = dict(zip(("topic", "partition", "start_offset"),
+                                  self._parse_name(n)))
+                # NULL comparisons are never true — unparseable names prune
+                if all(
+                    parsed[c] is not None and op(parsed[c], v)
+                    for c, op, v in preds
+                ):
+                    kept.append(n)
+            names = kept
+        return [_ObjectPartition(n) for n in names]
 
     # -- execution (task): stream one object ----------------------------
     def read(self, partition: _ObjectPartition) -> Iterator[tuple]:
         return self.read_object(partition.name)
 
-    def read_object(self, name: str) -> Iterator[tuple]:
+    def _parse_name(self, name: str) -> tuple:
+        """(topic, partition, start_offset) recovered from one object name
+        via the template regex inverse; (None, None, None) when unparseable."""
         from kafka_connector_s3_sink_spark.config import CompressionType
-        from kafka_connector_s3_sink_spark.formats.compression import (
-            decompress_bytes,
-        )
-        from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
         from kafka_connector_s3_sink_spark.template import FilenameTemplate
 
         tpl = FilenameTemplate(self.template)
@@ -158,7 +176,16 @@ class _SinkObjectsReader(DataSourceReader):
             if m and "start_offset" in groups
             else None
         )
+        return topic, part, start
 
+    def read_object(self, name: str) -> Iterator[tuple]:
+        from kafka_connector_s3_sink_spark.config import CompressionType
+        from kafka_connector_s3_sink_spark.formats.compression import (
+            decompress_bytes,
+        )
+        from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+        topic, part, start = self._parse_name(name)
         data = decompress_bytes(
             ObjectStorage(self.path).read_bytes(name),
             CompressionType(self.compression),
@@ -209,6 +236,42 @@ class _SinkObjectsReader(DataSourceReader):
             out.append(v)
         return out
 
+
+class _SinkObjectsPushdownReader(_SinkObjectsReader):
+    """Opt-in (``option("pushdown", "true")`` + Spark conf
+    ``spark.sql.python.filterPushdown.enabled=true``): accepts filters over
+    the name-derived columns (``topic``, ``partition``, ``start_offset``) —
+    constant per object, so evaluating them against the PARSED NAME prunes
+    whole objects at planning time, before any byte is read: the format-API
+    analog of partition pruning. ``offset``-level predicates are NOT
+    prunable from names (an object's row-offset range isn't knowable
+    without reading it) and are returned to Spark with everything else."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: lambda a, b: a == b,
+            GreaterThan: lambda a, b: a > b,
+            GreaterThanOrEqual: lambda a, b: a >= b,
+            LessThan: lambda a, b: a < b,
+            LessThanOrEqual: lambda a, b: a <= b,
+        }
+        self._name_predicates = []
+        rest = []
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col in ("topic", "partition", "start_offset") and type(f) in ops:
+                self._name_predicates.append((col, ops[type(f)], f.value))
+            else:
+                rest.append(f)
+        return rest
 
 class _SinkObjectsStreamReader(SimpleDataSourceStreamReader):
     """Streaming form: ``spark.readStream.format("sink_objects")``.

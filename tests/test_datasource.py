@@ -127,3 +127,35 @@ def test_stream_reader_zstd_two_epochs(registered, spark, tmp_path):
     late = [r for r in allrows if r["offset"] == 7]
     assert len(late) == 1 and bytes(late[0]["value"]) == b"late"
     assert late[0]["topic"] == "t2"
+
+
+def test_filter_pushdown_prunes_objects(registered, spark, tmp_path):
+    """Predicates on name-derived columns prune whole objects at planning
+    time: topic equality + a start_offset bound leaves exactly one of four
+    partitions, and results stay correct."""
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_max_records=2,
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, _rows(6)), cfg, str(tmp_path))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        base = (
+            spark.read.format("sink_objects")
+            .option("path", str(tmp_path))
+            .option("fields", "offset,value")
+            .option("pushdown", "true")
+            .load()
+        )
+        assert base.rdd.getNumPartitions() == 4
+        pruned = base.filter(
+            (base.partition == 1) & (base.start_offset >= 105)
+        )
+        # planning-time pruning: only t-1-105.gz survives
+        assert pruned.rdd.getNumPartitions() == 1
+        rows = pruned.collect()
+        assert {r["offset"] for r in rows} == {105}
+        assert bytes(rows[0]["value"]) == b"v5"
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
