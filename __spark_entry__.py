@@ -318,6 +318,21 @@ def q_sink_jsonl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEADERS_RT_CACHE: dict[str, str] = {}
 
 
+def _reap_headers_rt_dirs() -> None:
+    """atexit: remove the per-process roundtrip object stores so repeated
+    gate/bench runs don't accumulate one temp dir per (process, sf_dir)."""
+    import shutil
+
+    for d in _HEADERS_RT_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _HEADERS_RT_CACHE.clear()
+
+
+import atexit as _atexit  # noqa: E402 — colocated with the cache it reaps
+
+_atexit.register(_reap_headers_rt_dirs)
+
+
 def q_sink_headers_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2: header serialization b64(key):b64(value);… — two branches on the
     (branch, offset, headers_csv) grain:
@@ -2007,7 +2022,7 @@ def oracle_sql() -> dict[str, str]:
                             regexp_replace(regexp_replace(regexp_replace(
                                 regexp_replace(
                                     regexp_replace(url, '#.*$', '', 'g'),
-                                    '{_URL_TRACKING_RE}', '', 'g'),
+                                    '{_URL_TRACKING_RE}', '\\1', 'g'),
                                 '\\?&+', '?', 'g'), '&&+', '&', 'g'),
                                 '[?&]+$', '', 'g') AS canonical
                         FROM (

@@ -32,8 +32,11 @@ _TWO_PART_TLDS = (
     "co.nz", "co.za", "com.sg", "com.tr",
 )
 
-# params that identify campaigns/clicks, not content
-_TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref_src)=[^&#]*"
+# params that identify campaigns/clicks, not content. Anchored to a '?'/'&'
+# separator (captured and re-emitted on replace) so substrings of LONGER
+# param names never match ('?xutm_source=1', 'begclid=7' are content params);
+# a lookbehind would read nicer but RE2 (the DuckDB oracle) lacks lookbehinds.
+_TRACKING_PARAM_RE = r"([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref_src)=[^&#]*"
 
 
 def url_host(url: Column) -> Column:
@@ -59,7 +62,7 @@ def strip_tracking(url: Column) -> Column:
     ``gclid``, …), then tidy separator artifacts — the canonical form for
     URL-level dedup. Content-bearing params survive untouched."""
     u = F.regexp_replace(url, r"#.*$", "")
-    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "$1")
     # collapse empty-param artifacts: '?&' -> '?', '&&' -> '&', trailing ?/&
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, r"&&+", "&")

@@ -190,6 +190,10 @@ class ObjectStorage:
         for info in fs.get_file_info(sel):
             if info.type == pafs.FileType.File:
                 rel = posixpath.relpath(info.path, base)
-                if not posixpath.basename(rel).startswith((".", "_")):
+                # Spark's hidden-path rule: any "."/"_"-led path COMPONENT
+                # hides the object, not just the basename — a sidecar
+                # manifest shard "_manifest/part-00000.jsonl" must not be
+                # served as data to sink_objects partition planning.
+                if not any(seg.startswith((".", "_")) for seg in rel.split("/")):
                     out.append(rel)
         return sorted(out)

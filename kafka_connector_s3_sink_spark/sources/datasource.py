@@ -18,6 +18,10 @@ Options (all strings, per the API):
 - ``compression``       — none | gzip | snappy | zstd
 - ``fields``            — comma-joined output fields, default ``value``
 - ``encoding``          — base64 | none (CSV payload encoding)
+- ``binary_payloads``   — true | false: decode key/value to BinaryType
+  (default: true for csv+base64, false for jsonl/json — i.e. each format's
+  faithful read-back; set true on JSON formats to recover original bytes,
+  matching ``read_sink_objects(binary_payloads=True)``)
 - ``template``/``prefix`` — filename template for name parsing
 
 Registration: ``spark.dataSource.register(SinkObjectsDataSource)`` (the
@@ -45,14 +49,26 @@ class _ObjectPartition(InputPartition):
         self.name = name
 
 
-def _schema_for(fields: Sequence[str], fmt: str, encoding: str) -> T.StructType:
+def _resolve_binary(fmt: str, encoding: str, option: str | None) -> bool:
+    """Whether key/value columns decode to BinaryType. Default preserves the
+    sink's serialization faithfully per format (csv+base64 → bytes, JSON
+    formats → the b64 strings as written); an explicit ``binary_payloads``
+    option overrides, so the SAME store reads back with the SAME types from
+    this DataSource and from ``read_sink_objects(binary_payloads=True)``."""
+    if option is not None:
+        return option.lower() == "true"
+    return fmt == "csv" and encoding == "base64"
+
+
+def _schema_for(
+    fields: Sequence[str], fmt: str, encoding: str, binary_payloads: bool
+) -> T.StructType:
     cols = [
         T.StructField("object_name", T.StringType(), False),
         T.StructField("topic", T.StringType(), True),
         T.StructField("partition", T.IntegerType(), True),
         T.StructField("start_offset", T.LongType(), True),
     ]
-    binary_payloads = fmt == "csv" and encoding == "base64"
     for f in fields:
         if f in ("key", "value"):
             t = T.BinaryType() if binary_payloads else T.StringType()
@@ -87,10 +103,13 @@ class SinkObjectsDataSource(DataSource):
             for f in self.options.get("fields", "value").split(",")
             if f.strip()
         ]
+        fmt = self.options.get("format", "csv")
+        enc = self.options.get("encoding", "base64")
         return _schema_for(
             fields,
-            self.options.get("format", "csv"),
-            self.options.get("encoding", "base64"),
+            fmt,
+            enc,
+            _resolve_binary(fmt, enc, self.options.get("binary_payloads")),
         )
 
     def reader(self, schema: T.StructType) -> "_SinkObjectsReader":
@@ -115,6 +134,9 @@ class _SinkObjectsReader(DataSourceReader):
             f.strip() for f in options.get("fields", "value").split(",") if f.strip()
         ]
         self.encoding = options.get("encoding", "base64")
+        self.binary_payloads = _resolve_binary(
+            self.fmt, self.encoding, options.get("binary_payloads")
+        )
         self.template = options.get(
             "template", "{{topic}}-{{partition}}-{{start_offset}}"
         )
@@ -206,7 +228,9 @@ class _SinkObjectsReader(DataSourceReader):
                     out.append(None)
                 elif f in ("key", "value"):
                     out.append(
-                        base64.b64decode(cell) if self.encoding == "base64" else cell
+                        base64.b64decode(cell)
+                        if self.encoding == "base64" and self.binary_payloads
+                        else cell
                     )
                 elif f in ("offset", "timestamp"):
                     out.append(int(cell))
@@ -233,6 +257,17 @@ class _SinkObjectsReader(DataSourceReader):
                 v = [(h["key"], base64.b64decode(h["value"])) for h in v]
             elif f == "value" and isinstance(v, (dict, list)):
                 v = json.dumps(v, separators=(",", ":"))
+                if self.binary_payloads:
+                    v = v.encode("utf-8")
+            elif (
+                f in ("key", "value")
+                and self.binary_payloads
+                and isinstance(v, str)
+            ):
+                # sink JSON formats serialize binary key/value as base64
+                # strings; binary_payloads=true restores the original bytes
+                # so this path agrees with read_sink_objects(binary_payloads)
+                v = base64.b64decode(v)
             out.append(v)
         return out
 

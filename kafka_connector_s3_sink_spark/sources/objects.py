@@ -59,14 +59,22 @@ def _relative_name(dest_dir: str) -> Column:
     """Object name relative to the sink root, from binaryFile's ``path``.
 
     ``path`` is fully qualified (``file:/…``, ``s3a://bucket/…``); the scheme
-    spelling varies by filesystem, so relativize on the scheme-less suffix of
-    ``dest_dir`` (the same normalization ``incremental.reap_stale_index_locations``
-    uses when comparing catalog locations to FS listings)."""
-    _, rest = _split_uri(dest_dir)
-    tail = "/" + rest.lstrip("/").rstrip("/")
-    return F.regexp_replace(
-        F.substring_index(F.col("path"), tail, -1), "^/+", ""
-    ).alias("object_name")
+    spelling AND slash count vary by filesystem (``file:/p``, ``file:///p``),
+    so strip an ANCHORED prefix: optional scheme, any run of slashes, then
+    the scheme-less dest path literally. Anchoring (vs the old
+    substring-index on the tail's last occurrence) keeps object paths that
+    repeat the dest's tail segment (dest ``/data`` holding ``x/data/y``) and
+    bucket-root dests relativizing correctly — a mis-relativized name parses
+    to null grouping columns and silently drops out of the delivery audit."""
+    import os
+    import re as _re
+
+    scheme, rest = _split_uri(dest_dir)
+    if scheme is None:
+        rest = os.path.abspath(rest)  # binaryFile qualifies relative paths
+    rest = rest.strip("/")
+    prefix = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?/*" + _re.escape(rest) + "/+"
+    return F.regexp_replace(F.col("path"), prefix, "").alias("object_name")
 
 
 def sink_object_lines(

@@ -129,6 +129,73 @@ def test_stream_reader_zstd_two_epochs(registered, spark, tmp_path):
     assert late[0]["topic"] == "t2"
 
 
+def test_sidecar_manifest_store_roundtrips(registered, spark, tmp_path):
+    """r6 regression (ADVICE medium): a store written with manifest='sidecar'
+    holds `_manifest/part-*.jsonl` shards beside the data objects; listing()
+    must hide any '_'/'.'-led path COMPONENT (Spark's hidden-path rule), so
+    the DataSource plans partitions over data objects ONLY — previously the
+    gzip config died decompressing the manifest shard."""
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, _rows(4)), cfg, str(tmp_path),
+                manifest="sidecar")
+    names = ObjectStorage(str(tmp_path)).listing()
+    assert names and not any("_manifest" in n for n in names)
+    df = (
+        spark.read.format("sink_objects")
+        .option("path", str(tmp_path))
+        .option("fields", "offset,value")
+        .load()
+    )
+    assert {r["offset"] for r in df.collect()} == {100, 101, 102, 103}
+
+
+def test_json_binary_payloads_option(registered, spark, tmp_path):
+    """r6 (ADVICE low): binary_payloads=true on the JSONL branch decodes the
+    sink's base64 key/value strings back to BinaryType, agreeing with
+    read_sink_objects(binary_payloads=True) on the same store; the default
+    stays the faithful string read-back."""
+    from kafka_connector_s3_sink_spark.records import KAFKA_RECORD_SCHEMA_BINARY
+
+    cfg = EngineConfig(
+        format_type=FormatType.JSONL,
+        output_fields=(OutputField.OFFSET, OutputField.KEY, OutputField.VALUE),
+        file_compression=CompressionType.NONE,
+    )
+    payload = bytes([0x00, 0xFF, 0xFE, 0x01])  # non-UTF-8: b64 is mandatory
+    rows = [
+        Row(topic="b", partition=0, offset=100 + i, key=f"k{i}".encode(),
+            value=payload, timestamp=1000 + i, headers=None)
+        for i in range(3)
+    ]
+    write_batch(
+        spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA_BINARY),
+        cfg,
+        str(tmp_path),
+    )
+    base = (
+        spark.read.format("sink_objects")
+        .option("path", str(tmp_path))
+        .option("format", "jsonl")
+        .option("compression", "none")
+        .option("fields", "offset,key,value")
+    )
+    import base64 as b64
+    default = {r["offset"]: r for r in base.load().collect()}
+    assert default[101]["value"] == b64.b64encode(payload).decode()
+    binary = {
+        r["offset"]: r
+        for r in base.option("binary_payloads", "true").load().collect()
+    }
+    assert bytes(binary[101]["value"]) == payload
+    assert bytes(binary[101]["key"]) == b"k1"
+    assert binary.keys() == default.keys()
+
+
 def test_filter_pushdown_prunes_objects(registered, spark, tmp_path):
     """Predicates on name-derived columns prune whole objects at planning
     time: topic equality + a start_offset bound leaves exactly one of four

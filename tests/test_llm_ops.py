@@ -758,6 +758,17 @@ def test_url_ops(spark):
         ("https://a.io/p?utm_source=x#f", "a.io", "a.io", "https://a.io/p"),
         # relative URL: null host/domain, canonical passes through
         ("/rel/path?utm_source=x", None, None, "/rel/path"),
+        # r6 anchoring: SUBSTRINGS of longer param names are content params
+        ("https://a.io/p?xutm_source=1",
+         "a.io", "a.io", "https://a.io/p?xutm_source=1"),
+        ("https://a.io/p?id=2&begclid=7",
+         "a.io", "a.io", "https://a.io/p?id=2&begclid=7"),
+        # r6 anchoring: 'utm_x=' in a PATH segment is not a parameter
+        ("https://a.io/utm_source=dir/p?gclid=9",
+         "a.io", "a.io", "https://a.io/utm_source=dir/p"),
+        # adjacent tracking params collapse cleanly
+        ("https://a.io/p?utm_a=1&utm_b=2&id=3",
+         "a.io", "a.io", "https://a.io/p?id=3"),
     ]
     df = spark.createDataFrame([Row(url=u) for u, *_ in cases])
     got = df.select(
@@ -774,7 +785,7 @@ def test_url_ops(spark):
         r["domain"]: (r["n_pages"], r["n_hosts"], r["n_canonical"])
         for r in domain_stats(df).collect()
     }
-    assert stats["a.io"] == (2, 1, 2)
+    assert stats["a.io"] == (6, 1, 6)
     assert stats["example.co.uk"] == (1, 1, 1)
     assert stats[None] == (1, 0, 1)  # unparseable rolls up, never dropped
 

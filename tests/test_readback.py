@@ -332,3 +332,23 @@ def test_parquet_readback_merges_evolved_value_schemas(spark, tmp_path):
     got = {r["offset"]: r for r in back.collect()}
     assert got[0]["value"]["a"] == 1 and got[0]["value"]["b"] is None
     assert got[5]["value"]["a"] == 2 and got[5]["value"]["b"] == "x"
+
+
+def test_relative_name_anchored_strip(spark, tmp_path):
+    """r6 regression (ADVICE low): an object path that REPEATS the dest dir's
+    tail segment must relativize from the anchored dest prefix, not the last
+    occurrence of the tail — otherwise name parsing yields null grouping
+    columns and the delivery audit silently loses those objects."""
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.sources.objects import _relative_name
+
+    dest = str(tmp_path / "data")
+    paths = [
+        f"file:{dest}/x/data/y-0-1.gz",   # tail 'data' repeats mid-path
+        f"file://{dest}/plain-0-2.gz",    # slash-count variant
+        f"file:{dest}/data/data-0-3.gz",  # object dir literally named 'data'
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = [r["object_name"] for r in df.select(_relative_name(dest)).collect()]
+    assert got == ["x/data/y-0-1.gz", "plain-0-2.gz", "data/data-0-3.gz"]
