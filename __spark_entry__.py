@@ -318,14 +318,18 @@ def q_sink_jsonl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEADERS_RT_CACHE: dict[str, str] = {}
 
 
+_WARC_FIXTURE_CACHE: dict[str, str] = {}
+
+
 def _reap_headers_rt_dirs() -> None:
     """atexit: remove the per-process roundtrip object stores so repeated
     gate/bench runs don't accumulate one temp dir per (process, sf_dir)."""
     import shutil
 
-    for d in _HEADERS_RT_CACHE.values():
-        shutil.rmtree(d, ignore_errors=True)
-    _HEADERS_RT_CACHE.clear()
+    for cache in (_HEADERS_RT_CACHE, _WARC_FIXTURE_CACHE):
+        for d in cache.values():
+            shutil.rmtree(d, ignore_errors=True)
+        cache.clear()
 
 
 import atexit as _atexit  # noqa: E402 — colocated with the cache it reaps
@@ -791,8 +795,48 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hosts").cast("double").alias("metric_a"),
         F.col("n_canonical").cast("double").alias("metric_b"),
     )
+    # warc_ingest branch (r6): the documents corpus is exported as REAL
+    # per-member-gzip WARC archives (distributed write_warc, one archive per
+    # partition, HTTP-response framing around the SAME synthetic html as
+    # html_extract) and re-ingested with read_warc → warc_documents. n =
+    # extracted-text length over the round-tripped payload, metric_a = body
+    # byte length, metric_b = parsed HTTP status — the oracle recomputes all
+    # three from `documents` directly, so ANY byte lost or duplicated in
+    # WARC framing, gzip member splitting, HTTP head parsing, or the
+    # archive/task fan-out hash-mismatches. Archives are built once per
+    # process per sf_dir (the READ runs every call) and reaped at exit.
+    from kafka_connector_s3_sink_spark.sources import warc as warc_mod
+
+    warc_dir = _WARC_FIXTURE_CACHE.get(sf_dir)
+    if warc_dir is None:
+        import tempfile
+
+        warc_dir = tempfile.mkdtemp(prefix="gate_warc_")
+        warc_mod.write_warc(
+            docs.select(
+                F.concat(
+                    F.lit("https://site"), (did % 7).cast("string"),
+                    F.lit(".com/doc/"), did.cast("string"),
+                ).alias("target_uri"),
+                F.encode(html, "UTF-8").alias("payload"),
+            ).repartition(8),
+            warc_dir,
+            warcinfo="software: spark-graft gate\r\n",
+        )
+        _WARC_FIXTURE_CACHE[sf_dir] = warc_dir
+    wdocs = warc_mod.warc_documents(warc_mod.read_warc(spark, warc_dir))
+    warc_rows = wdocs.select(
+        F.lit("warc_ingest").alias("branch"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).alias("key"),
+        F.length("text").cast("bigint").alias("n"),
+        F.col("n_bytes").cast("double").alias("metric_a"),
+        F.col("http_status").cast("double").alias("metric_b"),
+    )
     return (
-        ngrams.unionByName(quality).unionByName(html_rows).unionByName(url_rows)
+        ngrams.unionByName(quality)
+        .unionByName(html_rows)
+        .unionByName(url_rows)
+        .unionByName(warc_rows)
     )
 
 
@@ -1992,6 +2036,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
                 WHERE quality >= 0.5
                 GROUP BY lang_pred
+            ),
+            wrapped AS (
+                SELECT doc_id, text, html,
+                    trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_replace(
+                                regexp_replace(
+                                    regexp_replace(html,
+                                        '<script\\b.*?</script\\s*>|<style\\b.*?</style\\s*>',
+                                        ' ', 'gis'),
+                                    '<!--.*?-->', ' ', 'gs'),
+                                '<[^>]*>', ' ', 'gs'),
+                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+                    '\\s+', ' ', 'g')) AS extracted
+                FROM (
+                    SELECT doc_id, text,
+                        '<html><head><title>doc</title><style type="text/css">p {{ color: red; }}</style></head><body><!-- boilerplate --><script>var x = "<p>not text</p>";</script><p>'
+                        || text ||
+                        '</p><div>&amp;joined &lt;b&gt; &quot;q&quot; &#39;s&#39; one&nbsp;two</div></body></html>'
+                        AS html
+                    FROM documents
+                )
             )
             SELECT 'top_ngrams' AS branch, ngram AS key,
                 CAST(doc_freq AS BIGINT) AS n,
@@ -2050,29 +2117,13 @@ def oracle_sql() -> dict[str, str]:
                         || ' &joined <b> "q" ''s'' one two'
                     THEN 1.0 ELSE 0.0 END AS metric_a,
                 CAST(NULL AS DOUBLE) AS metric_b
-            FROM (
-                SELECT doc_id, text,
-                    trim(regexp_replace(
-                        replace(replace(replace(replace(replace(replace(
-                            regexp_replace(
-                                regexp_replace(
-                                    regexp_replace(html,
-                                        '<script\\b.*?</script\\s*>|<style\\b.*?</style\\s*>',
-                                        ' ', 'gis'),
-                                    '<!--.*?-->', ' ', 'gs'),
-                                '<[^>]*>', ' ', 'gs'),
-                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
-                    '\\s+', ' ', 'g')) AS extracted
-                FROM (
-                    SELECT doc_id, text,
-                        '<html><head><title>doc</title><style type="text/css">p {{ color: red; }}</style></head><body><!-- boilerplate --><script>var x = "<p>not text</p>";</script><p>'
-                        || text ||
-                        '</p><div>&amp;joined &lt;b&gt; &quot;q&quot; &#39;s&#39; one&nbsp;two</div></body></html>'
-                        AS html
-                    FROM documents
-                )
-            )
+            FROM wrapped
+            UNION ALL
+            SELECT 'warc_ingest' AS branch, CAST(doc_id AS VARCHAR) AS key,
+                CAST(length(extracted) AS BIGINT) AS n,
+                CAST(strlen(html) AS DOUBLE) AS metric_a,
+                200.0 AS metric_b
+            FROM wrapped
         """,
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}

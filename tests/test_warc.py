@@ -1,0 +1,151 @@
+"""Distributed WARC/WET ingestion (`sources/warc.py`): spec framing, per-
+member gzip splitting, HTTP payload parse, corruption routing, and the
+write_warc → read_warc byte round-trip that the correctness gate's
+`warc_ingest` branch extends to the full documents corpus."""
+
+import gzip
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.sources.warc import (
+    build_http_response_payload,
+    build_record,
+    iter_warc_records,
+    read_warc,
+    warc_documents,
+    write_warc,
+)
+
+HTML = b"<html><body><p>Hello &amp; welcome</p><script>x=1</script></body></html>"
+
+
+def _archive_bytes(per_member_gzip=True):
+    """Three records: warcinfo, response (HTML), conversion (WET text)."""
+    records = [
+        build_record("warcinfo", b"software: test\r\n"),
+        build_record(
+            "response",
+            build_http_response_payload(HTML),
+            target_uri="https://ex.com/a",
+        ),
+        build_record(
+            "conversion",
+            "already extracted text Ω".encode("utf-8"),
+            target_uri="https://ex.com/a",
+            content_type="text/plain",
+        ),
+    ]
+    if per_member_gzip:
+        return b"".join(gzip.compress(r, mtime=0) for r in records)
+    return b"".join(records)
+
+
+def test_iter_warc_records_framing():
+    got = list(iter_warc_records(b"".join([
+        build_record("response", b"abc", target_uri="https://x/1"),
+        build_record("metadata", b""),
+    ])))
+    assert [e for *_, e in got] == [None, None]
+    (h1, b1, _), (h2, b2, _) = got
+    assert h1["warc-type"] == "response" and b1 == b"abc"
+    assert h1["warc-target-uri"] == "https://x/1"
+    assert h2["warc-type"] == "metadata" and b2 == b""
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_read_warc_parses_all_record_types(spark, tmp_path, gz):
+    name = "t.warc.gz" if gz else "t.warc"
+    (tmp_path / name).write_bytes(_archive_bytes(per_member_gzip=gz))
+    rows = {r["warc_type"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"warcinfo", "response", "conversion"}
+    resp = rows["response"]
+    assert resp["target_uri"] == "https://ex.com/a"
+    assert resp["http_status"] == 200
+    assert resp["http_content_type"].startswith("text/html")
+    assert bytes(resp["payload"]) == HTML  # HTTP head stripped, body intact
+    conv = rows["conversion"]
+    assert bytes(conv["payload"]).decode() == "already extracted text Ω"
+    assert conv["http_status"] is None
+    assert all(r["parse_error"] is None for r in rows.values())
+
+
+def test_read_warc_routes_corrupt_member_and_resyncs(spark, tmp_path):
+    """A damaged middle member costs exactly ITS record: the reader reports
+    one parse_error row and resynchronizes at the next gzip magic."""
+    r = [gzip.compress(build_record(
+            "response", build_http_response_payload(b"<p>%d</p>" % i),
+            target_uri=f"https://ex.com/{i}"), mtime=0) for i in range(3)]
+    bad = bytearray(r[1])
+    for i in range(12, 30):  # stomp the deflate stream, keep the magic
+        bad[i] ^= 0xFF
+    (tmp_path / "c.warc.gz").write_bytes(r[0] + bytes(bad) + r[2])
+    out = read_warc(spark, str(tmp_path)).collect()
+    good = [x for x in out if x["parse_error"] is None]
+    errs = [x for x in out if x["parse_error"] is not None]
+    assert {x["target_uri"] for x in good} == {"https://ex.com/0", "https://ex.com/2"}
+    assert len(errs) == 1 and "gzip" in errs[0]["parse_error"]
+    with pytest.raises(Exception):
+        read_warc(spark, str(tmp_path), on_error="fail").collect()
+
+
+def test_warc_documents_shape(spark, tmp_path):
+    (tmp_path / "t.warc.gz").write_bytes(_archive_bytes())
+    docs = warc_documents(read_warc(spark, str(tmp_path)))
+    rows = docs.orderBy("mime").collect()
+    # warcinfo filtered out; response + conversion remain
+    assert len(rows) == 2
+    html_doc = [r for r in rows if r["mime"].startswith("text/html")][0]
+    assert html_doc["text"] == "Hello & welcome"  # entities + script handled
+    assert html_doc["url"] == "https://ex.com/a"
+    assert html_doc["http_status"] == 200
+    assert html_doc["fetched_at"] is not None and html_doc["doc_id"] >= 0
+    wet_doc = [r for r in rows if r["mime"] == "text/plain"][0]
+    assert wet_doc["text"] == "already extracted text Ω"
+
+
+def test_write_warc_read_warc_roundtrip(spark, tmp_path):
+    """Distributed export → re-ingest is byte-lossless, archives are
+    per-record gzip members (independently decompressable), and empty
+    partitions write no archive."""
+    rows = [
+        Row(target_uri=f"https://site{i % 3}.com/doc/{i}",
+            payload=f"<html><body>doc {i} Ω</body></html>".encode())
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "target_uri string, payload binary")
+    written = write_warc(df.repartition(4), str(tmp_path), warcinfo="t: 1\r\n")
+    assert 0 < len(written) <= 4
+    assert all(w.endswith(".warc.gz") for w in written)
+    back = read_warc(spark, str(tmp_path))
+    resp = back.filter(F.col("warc_type") == "response").collect()
+    assert len(resp) == 10
+    by_uri = {r["target_uri"]: r for r in resp}
+    for row in rows:
+        got = by_uri[row["target_uri"]]
+        assert bytes(got["payload"]) == row["payload"]
+        assert got["http_status"] == 200
+        assert got["parse_error"] is None
+    # warcinfo leads each non-empty archive
+    infos = back.filter(F.col("warc_type") == "warcinfo").collect()
+    assert len(infos) == len(written)
+    assert all(i["record_no"] == 0 for i in infos)
+    # per-member framing: first member of an archive decompresses standalone
+    first = (tmp_path / written[0]).read_bytes()
+    import zlib
+    d = zlib.decompressobj(wbits=31)
+    member = d.decompress(first)
+    assert member.startswith(b"WARC/1.0") and d.unused_data
+
+
+def test_write_warc_task_retry_is_byte_identical(spark, tmp_path):
+    """Record ids are content-derived, gzip mtime pinned: rewriting the same
+    partition reproduces the archive byte-for-byte (task-retry idempotence,
+    the sink's deterministic-name contract applied to WARC export)."""
+    rows = [Row(target_uri="https://a/1", payload=b"<p>x</p>")]
+    df = spark.createDataFrame(rows, "target_uri string, payload binary").coalesce(1)
+    w1 = write_warc(df, str(tmp_path / "a"))
+    w2 = write_warc(df, str(tmp_path / "b"))
+    assert w1 == w2
+    assert (tmp_path / "a" / w1[0]).read_bytes() == (tmp_path / "b" / w2[0]).read_bytes()
