@@ -38,8 +38,8 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -121,7 +121,7 @@ class SinkObjectsDataSource(DataSource):
             return _SinkObjectsPushdownReader(self.options, schema)
         return _SinkObjectsReader(self.options, schema)
 
-    def simpleStreamReader(self, schema: T.StructType):
+    def streamReader(self, schema: T.StructType):
         return _SinkObjectsStreamReader(self.options, schema)
 
 
@@ -308,19 +308,27 @@ class _SinkObjectsPushdownReader(_SinkObjectsReader):
                 rest.append(f)
         return rest
 
-class _SinkObjectsStreamReader(SimpleDataSourceStreamReader):
+class _SinkObjectsStreamReader(DataSourceStreamReader):
     """Streaming form: ``spark.readStream.format("sink_objects")``.
 
     Complements ``sources.objects.stream_sink_objects`` (Spark's file
     source), which cannot decompress zstd/snappy (no pure-JVM Hadoop codec)
     — here decompression is the Python write-side codecs, so EVERY sink
-    compression streams. The offset is the set of already-ingested object
-    names (objects are immutable and appear under new names, so set
-    difference IS the new data; ``readBetweenOffsets`` replays exactly
-    ``end − start``, giving checkpointed exactly-once). The offset therefore
-    grows with the object count — fine for the stores this targets; for
-    billion-object none/gzip stores prefer ``stream_sink_objects``, whose
-    seen-file log Spark manages incrementally."""
+    compression streams.
+
+    Partition-planning reader (r6 — graduated from
+    ``SimpleDataSourceStreamReader``, whose execution model materialized
+    every new object's rows ON THE DRIVER): the driver only LISTS —
+    ``latestOffset`` snapshots the store's object names, ``partitions``
+    plans one ``InputPartition`` per listing-delta object, and every byte
+    of object data is read, decompressed, and parsed inside executor tasks
+    via ``read`` — the engine's last driver-side data path removed.
+
+    The offset is the set of already-ingested object names: objects are
+    immutable and appear under new names, so set difference IS the new
+    data, and replaying ``end − start`` from the checkpoint is exactly-once.
+    The offset JSON therefore grows with the object count — the listing,
+    not the data, is the driver's only per-object cost."""
 
     def __init__(self, options, schema):
         self._batch = _SinkObjectsReader(options, schema)
@@ -334,23 +342,17 @@ class _SinkObjectsStreamReader(SimpleDataSourceStreamReader):
 
         return ObjectStorage(self._path).listing()
 
-    def read(self, start: dict):
-        # rows materialize as a list: the simple-reader API pickles the
-        # result driver-side for prefetch (a generator can't pickle) — the
-        # documented driver-memory model of SimpleDataSourceStreamReader
-        seen = set(start["names"])
-        new = [n for n in self._listing() if n not in seen]
-        end = {"names": sorted(seen | set(new))}
-        rows = [r for name in new for r in self._batch.read_object(name)]
-        return rows, end
+    def latestOffset(self) -> dict:
+        return {"names": self._listing()}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        seen = set(start["names"])
-        return [
-            r
-            for name in sorted(set(end["names"]) - seen)
-            for r in self._batch.read_object(name)
-        ]
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["names"]) - set(start["names"]))
+        return [_ObjectPartition(n) for n in new]
+
+    def read(self, partition: _ObjectPartition) -> Iterator[tuple]:
+        # runs in an executor task — one object per task, streamed through
+        # the write-side codecs, identical row shape to the batch reader
+        return self._batch.read_object(partition.name)
 
     def commit(self, end: dict) -> None:
         pass  # objects are immutable; nothing to clean up

@@ -129,6 +129,42 @@ def test_stream_reader_zstd_two_epochs(registered, spark, tmp_path):
     assert late[0]["topic"] == "t2"
 
 
+def test_stream_reader_reads_in_tasks(registered, spark, tmp_path):
+    """r6: the partition-planning DataSourceStreamReader plans ONE
+    InputPartition per new object — the microbatch arrives with exactly
+    that many RDD partitions, i.e. object bytes are read in executor tasks,
+    not materialized on the driver."""
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_max_records=1,
+        file_compression=CompressionType.SNAPPY,
+    )
+    write_batch(records_df(spark, _rows(3)), cfg, str(tmp_path / "store"))
+    seen = {}
+
+    def capture(batch_df, batch_id):
+        seen[batch_id] = (
+            batch_df.rdd.getNumPartitions(),
+            batch_df.count(),
+        )
+
+    q = (
+        spark.readStream.format("sink_objects")
+        .option("path", str(tmp_path / "store"))
+        .option("fields", "offset,value")
+        .option("compression", "snappy")
+        .load()
+        .writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # 3 records, file_max_records=1 -> 3 objects -> 3 partitions in one batch
+    assert sum(n for n, _ in seen.values()) == 3
+    assert sum(c for _, c in seen.values()) == 3
+
+
 def test_sidecar_manifest_store_roundtrips(registered, spark, tmp_path):
     """r6 regression (ADVICE medium): a store written with manifest='sidecar'
     holds `_manifest/part-*.jsonl` shards beside the data objects; listing()
