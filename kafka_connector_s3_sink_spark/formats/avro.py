@@ -28,9 +28,12 @@ emit for ``BinaryType`` fields.
 from __future__ import annotations
 
 import base64
+import datetime as _dt
+import decimal as _decimal
 import io
 import json
 import struct as _struct
+import uuid as _uuid
 from typing import Any
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
@@ -260,6 +263,9 @@ def _encode(value: Any, schema: Any, out: io.BytesIO, names: dict[str, Any]) -> 
         if isinstance(t, (dict, list)):
             _encode(value, t, out, names)
             return
+        lt = schema.get("logicalType")
+        if lt is not None:
+            value = _logical_to_raw(value, lt, schema)
         if t == "record":
             for f in schema.get("fields", []):
                 _encode(value[f["name"]], f["type"], out, names)
@@ -314,8 +320,130 @@ def _encode(value: Any, schema: Any, out: io.BytesIO, names: dict[str, Any]) -> 
     raise AvroError(f"unsupported schema {schema!r}")
 
 
+# ---------------------------------------------------------------------------
+# logical types (Avro spec "Logical Types"; the CDC-stream surface —
+# Confluent/Debezium lean on timestamp-millis/micros, date, decimal, uuid)
+
+# microseconds per unit of the annotated long
+_TS_LOGICAL = {
+    "timestamp-millis": 1_000,
+    "timestamp-micros": 1,
+    "local-timestamp-millis": 1_000,
+    "local-timestamp-micros": 1,
+}
+
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _logical_to_raw(value: Any, lt: str, schema: dict) -> Any:
+    """Typed Python value (datetime/date/Decimal/UUID) → the raw Avro value
+    the base type encodes; already-raw values pass through untouched (spec:
+    an unknown/ignored logical type is just its base type)."""
+    t = schema["type"]
+    if lt == "decimal" and isinstance(value, _decimal.Decimal):
+        scale = int(schema.get("scale", 0))
+        scaled = value.scaleb(scale)
+        if scaled != scaled.to_integral_value():
+            raise AvroError(
+                f"decimal {value} does not fit scale {scale} exactly"
+            )
+        unscaled = int(scaled)
+        if t == "fixed":
+            return unscaled.to_bytes(int(schema["size"]), "big", signed=True)
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)  # two's complement
+        return unscaled.to_bytes(nbytes, "big", signed=True)
+    if lt in _TS_LOGICAL and isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:  # aware → the UTC instant
+            delta = value - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        else:  # naive → epoch in its own (local) terms
+            delta = value - _EPOCH_DT
+        return (delta // _dt.timedelta(microseconds=1)) // _TS_LOGICAL[lt]
+    if (
+        lt == "date"
+        and isinstance(value, _dt.date)
+        and not isinstance(value, _dt.datetime)
+    ):
+        return (value - _EPOCH_DATE).days
+    if lt == "uuid" and isinstance(value, _uuid.UUID):
+        return str(value)
+    if lt in ("time-millis", "time-micros") and isinstance(value, _dt.time):
+        micros = (
+            value.hour * 3_600_000_000
+            + value.minute * 60_000_000
+            + value.second * 1_000_000
+            + value.microsecond
+        )
+        return micros // (1_000 if lt == "time-millis" else 1)
+    return value
+
+
+def _matches_logical(value: Any, lt: str) -> bool:
+    """Union-branch matching for TYPED logical values (raw values still
+    match through the base-type rules)."""
+    if lt == "decimal":
+        return isinstance(value, _decimal.Decimal)
+    if lt in _TS_LOGICAL:
+        return isinstance(value, _dt.datetime)
+    if lt == "date":
+        return isinstance(value, _dt.date) and not isinstance(value, _dt.datetime)
+    if lt == "uuid":
+        return isinstance(value, _uuid.UUID)
+    if lt in ("time-millis", "time-micros"):
+        return isinstance(value, _dt.time)
+    return False
+
+
+def _spark_logical_type(lt: str, t: str, schema: dict):
+    """Spark DataType for a recognized (logicalType, base type) pair; None
+    falls back to the base type (the spec's rule for unknown annotations).
+    time-millis/micros deliberately stay raw ints — Spark's JSON bridge has
+    no time-of-day parse path, and a silent cast would corrupt values."""
+    from pyspark.sql import types as T
+
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        return T.DecimalType(
+            int(schema.get("precision", 10)), int(schema.get("scale", 0))
+        )
+    if lt == "date" and t == "int":
+        return T.DateType()
+    if lt in ("timestamp-millis", "timestamp-micros") and t == "long":
+        return T.TimestampType()
+    if lt in ("local-timestamp-millis", "local-timestamp-micros") and t == "long":
+        return T.TimestampNTZType()
+    if lt == "uuid" and t == "string":
+        return T.StringType()
+    return None
+
+
+def _jsonable_logical(value: Any, lt: str, t: str, schema: dict):
+    """(converted, handled): decoded raw value → the JSON string shape
+    Spark's from_json parses into the _spark_logical_type — decimal as a
+    plain decimal string, date as ISO, timestamps as microsecond ISO-8601
+    (UTC-suffixed for instants, bare for NTZ)."""
+    if lt == "decimal" and t in ("bytes", "fixed"):
+        scale = int(schema.get("scale", 0))
+        unscaled = int.from_bytes(value, "big", signed=True)
+        return format(_decimal.Decimal(unscaled).scaleb(-scale), "f"), True
+    if lt == "date" and t == "int":
+        return (_EPOCH_DATE + _dt.timedelta(days=value)).isoformat(), True
+    if lt in _TS_LOGICAL and t == "long":
+        micros = value * _TS_LOGICAL[lt]
+        stamp = (_EPOCH_DT + _dt.timedelta(microseconds=micros)).isoformat(
+            sep="T", timespec="microseconds"
+        )
+        if lt.startswith("timestamp-"):
+            return stamp + "Z", True  # instant: pinned UTC
+        return stamp, True  # local-*: naive, parsed as TimestampNTZ
+    return None, False
+
+
 def _matches(value: Any, schema: Any, names: dict[str, Any]) -> bool:
     schema = _resolve(schema, names)
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt is not None and _matches_logical(value, lt):
+            return True
     t = schema["type"] if isinstance(schema, dict) else schema
     if t == "null":
         return value is None
@@ -374,6 +502,11 @@ def spark_type_for(schema: Any, names: dict[str, Any] | None = None):
         t = schema["type"]
         if isinstance(t, (dict, list)):
             return spark_type_for(t, names)
+        lt = schema.get("logicalType")
+        if lt is not None:
+            logical = _spark_logical_type(lt, t, schema)
+            if logical is not None:
+                return logical
         if t == "record":
             return T.StructType(
                 [
@@ -424,6 +557,11 @@ def _jsonable(value: Any, schema: Any, names: dict[str, Any]) -> Any:
         t = schema["type"]
         if isinstance(t, (dict, list)):
             return _jsonable(value, t, names)
+        lt = schema.get("logicalType")
+        if lt is not None:
+            converted, handled = _jsonable_logical(value, lt, t, schema)
+            if handled:
+                return converted
         if t == "record":
             return {
                 f["name"]: _jsonable(value[f["name"]], f["type"], names)

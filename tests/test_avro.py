@@ -420,3 +420,130 @@ def test_envelope_headers_map_variant():
         "value": b"payload",
     }
     assert avro.decode(avro.encode(env, mapped), mapped) == env
+
+
+# ---------------------------------------------------------------------------
+# logical types (r6): timestamp-millis/micros, local-timestamp-*, date,
+# decimal(bytes/fixed), uuid — the CDC-stream surface
+
+
+CDC_SCHEMA = json.dumps({
+    "type": "record", "name": "txn", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amount",
+         "type": {"type": "bytes", "logicalType": "decimal",
+                  "precision": 12, "scale": 2}},
+        {"name": "fee",
+         "type": {"type": "fixed", "name": "fee8", "size": 8,
+                  "logicalType": "decimal", "precision": 10, "scale": 4}},
+        {"name": "created_at",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "ts_ms",
+         "type": ["null",
+                  {"type": "long", "logicalType": "timestamp-millis"}]},
+        {"name": "local_seen",
+         "type": {"type": "long", "logicalType": "local-timestamp-micros"}},
+        {"name": "birth_date", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "txn_id", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "t_of_day",
+         "type": {"type": "int", "logicalType": "time-millis"}},
+    ],
+})
+
+
+def _cdc_value():
+    import datetime as dt
+    import decimal
+    import uuid
+
+    return {
+        "id": 7,
+        "amount": decimal.Decimal("-12345.67"),
+        "fee": decimal.Decimal("3.1400"),
+        "created_at": dt.datetime(2024, 3, 1, 12, 34, 56, 123456,
+                                  tzinfo=dt.timezone.utc),
+        "ts_ms": dt.datetime(2024, 3, 1, 12, 34, 56, 123000,
+                             tzinfo=dt.timezone.utc),
+        "local_seen": dt.datetime(2024, 3, 1, 9, 0, 0, 42),
+        "birth_date": dt.date(1999, 12, 31),
+        "txn_id": uuid.UUID("12345678-1234-5678-1234-567812345678"),
+        "t_of_day": dt.time(1, 2, 3, 456000),
+    }
+
+
+def test_logical_types_encode_from_typed_values():
+    """Typed Python values (Decimal/datetime/date/UUID/time) encode to the
+    same bytes as their raw spec representations."""
+    schema = avro.parse_schema(CDC_SCHEMA)
+    typed = avro.encode(_cdc_value(), schema)
+    raw = avro.encode({
+        "id": 7,
+        "amount": (-1234567).to_bytes(3, "big", signed=True),
+        "fee": (31400).to_bytes(8, "big", signed=True),
+        "created_at": 1709296496123456,
+        "ts_ms": 1709296496123,
+        "local_seen": (int((__import__("datetime").datetime(2024, 3, 1, 9, 0, 0, 42)
+                            - __import__("datetime").datetime(1970, 1, 1)
+                            ).total_seconds() * 1_000_000) + 0),
+        "birth_date": 10956,
+        "txn_id": "12345678-1234-5678-1234-567812345678",
+        "t_of_day": 3723456,
+    }, schema)
+    assert typed == raw
+
+
+def test_logical_types_spark_type_derivation():
+    from pyspark.sql import types as T
+
+    t = avro.spark_type_for(avro.parse_schema(CDC_SCHEMA))
+    by_name = {f.name: f.dataType for f in t.fields}
+    assert by_name["amount"] == T.DecimalType(12, 2)
+    assert by_name["fee"] == T.DecimalType(10, 4)
+    assert by_name["created_at"] == T.TimestampType()
+    assert by_name["ts_ms"] == T.TimestampType()
+    assert by_name["local_seen"] == T.TimestampNTZType()
+    assert by_name["birth_date"] == T.DateType()
+    assert by_name["txn_id"] == T.StringType()
+    # time-of-day stays a raw int: no silent-corruption cast path
+    assert by_name["t_of_day"] == T.IntegerType()
+
+
+def test_logical_types_decode_column_roundtrip(spark):
+    """CDC-shaped fixture through the sink_avro_converter path
+    (decode_avro_column with Confluent framing): every logical type lands as
+    the PROPER Spark type and value, nullable branch included."""
+    import datetime as dt
+    import decimal
+
+    schema = avro.parse_schema(CDC_SCHEMA)
+    v1 = _cdc_value()
+    v2 = dict(v1, id=8, ts_ms=None, amount=decimal.Decimal("0.05"))
+    rows = [Row(value=avro.encode(v, schema, confluent_schema_id=21))
+            for v in (v1, v2)]
+    df = spark.createDataFrame(rows, "value binary")
+    out = avro.decode_avro_column(
+        df, "value", {21: CDC_SCHEMA}, confluent_framing=True
+    )
+    got = {r["decoded"]["id"]: r["decoded"] for r in out.collect()}
+    d1 = got[7]
+    assert d1["amount"] == decimal.Decimal("-12345.67")
+    assert d1["fee"] == decimal.Decimal("3.1400")
+    # session tz is UTC: the instant round-trips exactly
+    assert d1["created_at"] == dt.datetime(2024, 3, 1, 12, 34, 56, 123456)
+    assert d1["ts_ms"] == dt.datetime(2024, 3, 1, 12, 34, 56, 123000)
+    assert d1["local_seen"] == dt.datetime(2024, 3, 1, 9, 0, 0, 42)
+    assert d1["birth_date"] == dt.date(1999, 12, 31)
+    assert d1["txn_id"] == "12345678-1234-5678-1234-567812345678"
+    assert d1["t_of_day"] == 3723456
+    d2 = got[8]
+    assert d2["ts_ms"] is None and d2["amount"] == decimal.Decimal("0.05")
+
+
+def test_decimal_scale_mismatch_raises():
+    import decimal
+
+    schema = avro.parse_schema(json.dumps(
+        {"type": "bytes", "logicalType": "decimal",
+         "precision": 10, "scale": 2}))
+    with pytest.raises(avro.AvroError, match="scale"):
+        avro.encode(decimal.Decimal("1.234"), schema)
