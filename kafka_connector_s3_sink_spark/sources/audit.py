@@ -29,11 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_connector_s3_sink_spark.config import (
-    EngineConfig,
-    FormatType,
-    OutputField,
-)
+from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.sources.objects import read_sink_objects
 from kafka_connector_s3_sink_spark.template import GrouperType
 
@@ -133,18 +129,19 @@ def audit_sink_output(
       last object of each partition (nothing follows yet). Offset columns
       require ``OutputField.OFFSET`` in the sink's output fields; without it
       the audit still checks names and manifest counts.
-    - ``decode_error`` (text formats): a corrupt/undecodable object surfaces
-      as a row with ``records=0`` and the exception text — an AUDIT must
-      report broken objects, not die on them, so routing is the default here
-      (pass ``on_error="fail"`` to get the strict behavior).
+    - ``decode_error``: a corrupt/undecodable object surfaces as a row with
+      ``records=0`` and the exception text — an AUDIT must report broken
+      objects, not die on them, so routing is the default here (pass
+      ``on_error="fail"`` to get the strict behavior). Text formats route
+      per-object decode failures; parquet (r6) routes footer-validation
+      failures (a corrupt footer would otherwise kill the native scan at
+      planning time).
     """
     has_offsets = OutputField.OFFSET in config.output_fields
-    is_text = config.format_type is not FormatType.PARQUET
     back = read_sink_objects(
-        spark, dest_dir, config, parse_names=True,
-        on_error=on_error if is_text else "fail",
+        spark, dest_dir, config, parse_names=True, on_error=on_error,
     )
-    routed = is_text and on_error == "route"
+    routed = on_error == "route"
 
     # a routed poison object contributes one decode_error row — it must count
     # as 0 records, and the error text rides along per object

@@ -227,6 +227,92 @@ def _json_fields(config: EngineConfig, binary_payloads: bool) -> list[Column]:
     return cols
 
 
+def _validate_parquet_objects(
+    spark: SparkSession, dest_dir: str
+) -> tuple[list[str], list[tuple[str, str]]]:
+    """Partition the store's objects into (healthy, [(name, error)]) by
+    reading each object's parquet FOOTER in executor tasks (pyarrow through
+    the picklable ``ObjectStorage`` client — executors have no py4j
+    gateway). Footer metadata is the integrity gate the native scan itself
+    trusts: a truncated/overwritten tail or bad magic fails here, one task
+    per batch of objects, O(footer bytes) per object. Driver cost is
+    O(objects) names — the same order as the listing that planned them."""
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    storage = ObjectStorage(dest_dir)
+    names = storage.listing()
+    if not names:
+        return [], []
+
+    def validate(batches) -> Iterator:
+        import io as _io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            errs = []
+            for n in pdf["object_name"]:
+                try:
+                    # metadata parse validates magic + footer thrift; touch
+                    # num_rows so a lazily-parsed footer fully materializes
+                    pq.ParquetFile(
+                        _io.BytesIO(storage.read_bytes(n))
+                    ).metadata.num_rows
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — routed per contract
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"object_name": pdf["object_name"], "decode_error": errs}
+            )
+
+    name_df = spark.createDataFrame(
+        [(n,) for n in names], "object_name string"
+    ).repartition(min(len(names), 32))
+    rows = name_df.mapInPandas(
+        validate, "object_name string, decode_error string"
+    ).collect()
+    good = sorted(r["object_name"] for r in rows if r["decode_error"] is None)
+    bad = sorted(
+        (r["object_name"], r["decode_error"])
+        for r in rows
+        if r["decode_error"] is not None
+    )
+    return good, bad
+
+
+def _parquet_envelope_schema(config: EngineConfig) -> T.StructType:
+    """Envelope schema for the degenerate every-object-corrupt route case —
+    no healthy footer exists to type the columns, so key/value fall back to
+    binary (the sink's BYTES-converter shape)."""
+    value_t: T.DataType = (
+        T.StructType.fromDDL(config.parquet_value_schema)
+        if config.parquet_value_schema
+        else T.BinaryType()
+    )
+    types: dict[str, T.DataType] = {
+        "key": T.BinaryType(),
+        "value": value_t,
+        "offset": T.LongType(),
+        "timestamp": T.LongType(),
+        "headers": T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), True),
+                    T.StructField("value", T.BinaryType(), True),
+                ]
+            )
+        ),
+    }
+    return T.StructType(
+        [T.StructField("object_name", T.StringType(), False)]
+        + [
+            T.StructField(f.value, types[f.value], True)
+            for f in config.output_fields
+        ]
+    )
+
+
 def _name_columns(config: EngineConfig) -> list[Column]:
     """Grouping variables recovered from the object name via the template's
     regex inverse — empty match (a foreign file in the directory) → null."""
@@ -324,9 +410,18 @@ def read_sink_objects(
 
     Parquet objects skip the line path entirely: they re-read with the native
     parquet scan (typed envelope columns, internal compression), plus the
-    same name parsing.
+    same name parsing. ``on_error="route"`` for parquet (r6) pre-validates
+    every object's FOOTER in executor tasks (pyarrow metadata read through
+    the same ``ObjectStorage`` client) — a corrupt-footer object would
+    otherwise kill the whole native scan at planning; validated-bad objects
+    surface as one ``decode_error`` row each and the scan reads only the
+    healthy set.
     """
     if config.format_type is FormatType.PARQUET:
+        if on_error not in ("fail", "route"):
+            raise ValueError(
+                f"on_error must be 'fail' or 'route', got {on_error!r}"
+            )
         reader = spark.read.option("recursiveFileLookup", "true")
         if config.parquet_schema_rotation or config.parquet_value_schema:
             # schema-rotated sinks write objects with DIFFERENT value structs
@@ -334,17 +429,44 @@ def read_sink_objects(
             # nulls the rest — merge the per-object footers instead (fields
             # absent from an object read back null, Spark's evolution rule)
             reader = reader.option("mergeSchema", "true")
+        bad: list[tuple[str, str]] = []
+        source: str | list[str] = dest_dir
+        if on_error == "route":
+            good, bad = _validate_parquet_objects(spark, dest_dir)
+            source = [f"{dest_dir.rstrip('/')}/{n}" for n in good]
         df = (
-            reader.parquet(dest_dir)
+            (reader.parquet(*source) if isinstance(source, list) else
+             reader.parquet(source))
             .withColumn("path", F.col("_metadata.file_path"))
             .withColumn("object_name", _relative_name(dest_dir))
             .drop("path")
-        )
+        ) if source else None
         out_cols: list[Column] = [F.col("object_name")]
         if parse_names:
             out_cols += _name_columns(config)
         out_cols += [F.col(f.value) for f in config.output_fields]
-        return df.select(*out_cols)
+        if on_error != "route":
+            return df.select(*out_cols)
+        if df is None:
+            # every object failed validation: synthesize the envelope types
+            # so the error rows still carry the documented columns
+            df = spark.createDataFrame([], _parquet_envelope_schema(config))
+        good_df = df.select(*out_cols, F.lit(None).cast("string").alias("decode_error"))
+        if not bad:
+            return good_df
+        bad_df = spark.createDataFrame(
+            bad, "object_name string, decode_error string"
+        )
+        null_fields = [
+            F.lit(None).cast(good_df.schema[f.value].dataType).alias(f.value)
+            for f in config.output_fields
+        ]
+        bad_cols: list[Column] = [F.col("object_name")]
+        if parse_names:
+            bad_cols += _name_columns(config)
+        return good_df.unionByName(
+            bad_df.select(*bad_cols, *null_fields, F.col("decode_error"))
+        )
 
     lines = sink_object_lines(spark, dest_dir, config, on_error=on_error)
     if config.format_type is FormatType.CSV:

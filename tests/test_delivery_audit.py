@@ -127,3 +127,78 @@ def test_repair_rewrites_only_broken_objects(spark, tmp_path):
     audit = audit_sink_output(spark, str(tmp_path), CFG)
     assert all(r["records"] == 3 for r in audit.collect())
     assert repair_sink_output(df, str(tmp_path), CFG) == []
+
+
+PARQUET_CFG_KW = dict(
+    output_fields=(OutputField.OFFSET, OutputField.VALUE),
+    file_max_records=3,
+)
+
+
+def _parquet_cfg():
+    from kafka_connector_s3_sink_spark.config import FormatType
+
+    return EngineConfig(format_type=FormatType.PARQUET, **PARQUET_CFG_KW)
+
+
+def test_parquet_corrupt_footer_routed_in_audit(spark, tmp_path):
+    """r6: a parquet object with a damaged FOOTER (truncated tail — the
+    magic+metadata live at the end) is routed as a decode_error row instead
+    of killing the native scan; healthy neighbours audit clean with intact
+    offsets."""
+    cfg = _parquet_cfg()
+    write_batch(records_df(spark, _rows(n=9)), cfg, str(tmp_path),
+                manifest="sidecar")
+    victim = tmp_path / "t-0-3"
+    data = victim.read_bytes()
+    victim.write_bytes(data[: len(data) // 2])  # footer gone
+    audit = audit_sink_output(spark, str(tmp_path), cfg)
+    got = {r["object_name"]: r for r in audit.collect()}
+    assert set(got) == {"t-0-0", "t-0-3", "t-0-6"}
+    bad = got["t-0-3"]
+    assert bad["records"] == 0 and bad["decode_error"]
+    assert bad["manifest_ok"] is False
+    # name-derived columns survive even though the payload is unreadable
+    assert (bad["topic"], bad["partition"], bad["start_offset"]) == ("t", 0, 3)
+    good = got["t-0-0"]
+    assert good["records"] == 3 and good["manifest_ok"] is True
+    assert good["min_offset"] == 0 and good["max_offset"] == 2
+
+
+def test_parquet_repair_rewrites_corrupt_footer_object(spark, tmp_path):
+    """r6: repair detects the footer-corrupt parquet object and rewrites it
+    byte-identically (deterministic parquet writer); healthy objects
+    untouched; second repair is a no-op."""
+    from kafka_connector_s3_sink_spark.sources.audit import repair_sink_output
+
+    cfg = _parquet_cfg()
+    df = records_df(spark, _rows(n=9))
+    write_batch(df, cfg, str(tmp_path))
+    original = (tmp_path / "t-0-3").read_bytes()
+    healthy_mtime = os.path.getmtime(tmp_path / "t-0-0")
+    data = (tmp_path / "t-0-3").read_bytes()
+    (tmp_path / "t-0-3").write_bytes(data[: len(data) // 2])
+
+    repaired = repair_sink_output(df, str(tmp_path), cfg)
+    assert dict(repaired) == {"t-0-3": 3}
+    assert (tmp_path / "t-0-3").read_bytes() == original
+    assert os.path.getmtime(tmp_path / "t-0-0") == healthy_mtime
+    audit = audit_sink_output(spark, str(tmp_path), cfg)
+    rows = audit.collect()
+    assert all(r["records"] == 3 for r in rows)
+    assert all(r["decode_error"] is None for r in rows)
+    assert repair_sink_output(df, str(tmp_path), cfg) == []
+
+
+def test_parquet_every_object_corrupt_still_audits(spark, tmp_path):
+    """Degenerate route case: ALL footers damaged — the audit still returns
+    one error row per object (typed schema synthesized, no native scan)."""
+    cfg = _parquet_cfg()
+    write_batch(records_df(spark, _rows(n=6)), cfg, str(tmp_path))
+    for p in tmp_path.iterdir():
+        if p.is_file():
+            p.write_bytes(p.read_bytes()[:40])
+    audit = audit_sink_output(spark, str(tmp_path), cfg)
+    got = {r["object_name"]: r for r in audit.collect()}
+    assert set(got) == {"t-0-0", "t-0-3"}
+    assert all(r["records"] == 0 and r["decode_error"] for r in got.values())
