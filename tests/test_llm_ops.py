@@ -885,3 +885,55 @@ def test_extract_frame_features_y4m(spark):
     assert good[(1, 0)]["width"] == w and good[(1, 0)]["height"] == h
     bad = [r for r in rows if r["decode_error"] is not None]
     assert len(bad) == 1 and "NotImplementedError" in bad[0]["decode_error"]
+
+
+def test_registrable_domain_psl(spark):
+    """r6: real-PSL algorithm — wildcard (*.ck), exception (!www.ck), deep
+    suffixes, and divergence from the heuristic on rules it doesn't know."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.operators.urls import (
+        registrable_domain,
+        registrable_domain_psl,
+    )
+
+    rules = [
+        "// comment line", "",
+        "com", "uk", "co.uk", "com.au", "au",
+        "ck", "*.ck", "!www.ck",
+        "us", "k12.ma.us", "pvt.k12.ma.us",
+    ]
+    cases = [
+        # (url, psl_domain)
+        ("https://a.b.example.co.uk/x", "example.co.uk"),
+        ("https://shop.big.com.au/", "big.com.au"),
+        ("https://example.com/", "example.com"),
+        # wildcard: every label under ck is a public suffix...
+        ("https://foo.bar.ck/", "foo.bar.ck"),
+        # ...except the exception rule: www.ck IS registrable
+        ("https://www.ck/", "www.ck"),
+        ("https://sub.www.ck/", "www.ck"),
+        # deep suffix: pvt.k12.ma.us is public, one more label registers
+        ("https://school.pvt.k12.ma.us/", "school.pvt.k12.ma.us"),
+        # host that IS a public suffix -> null
+        ("https://co.uk/", None),
+        # unlisted TLD: implicit * rule
+        ("https://x.y.internal/", "y.internal"),
+        # relative URL: null host -> null domain
+        ("/rel/only", None),
+    ]
+    df = spark.createDataFrame([Row(url=u, tag=i) for i, (u, _) in enumerate(cases)])
+    got = {r["tag"]: r["domain"]
+           for r in registrable_domain_psl(df, rules).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # divergence from the heuristic where the PSL knows better:
+    heur = {
+        r["tag"]: r["d"]
+        for r in df.select("tag", registrable_domain(F.col("url")).alias("d")).collect()
+    }
+    assert heur[3] == "bar.ck" and got[3] == "foo.bar.ck"      # *.ck
+    assert heur[6] == "ma.us" and got[6] == "school.pvt.k12.ma.us"
+    # passthrough: original columns survive
+    assert set(registrable_domain_psl(df, rules).columns) == {"url", "tag", "domain"}
