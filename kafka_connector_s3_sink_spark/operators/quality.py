@@ -1,0 +1,160 @@
+"""Trainable document-quality classifier: hash-featured logistic regression
+whose SCORING is a pure deterministic Column chain.
+
+The static ``text.quality_score`` heuristic is a fixed linear blend of three
+signals. Real pipelines tune the blend against labeled data (wiki-vs-crawl
+style weak labels); this module trains that model WITHOUT leaving Spark's
+execution model or adding a serving dependency:
+
+- **Features** (``quality_features``): a bias, the engine's existing dense
+  text signals (length norm, stopword ratio, punctuation ratio, mean word
+  length), and a hashed bag-of-words — token → ``conv(md5[:4], 16, 10) %
+  n_buckets`` frequency per bucket (the hashing trick; the md5-prefix hash
+  is the repo's portable-hash idiom, reproducible in an external oracle,
+  unlike Spark's Murmur3). Everything is JVM Column arithmetic.
+- **Training** (``fit_quality_classifier``): logistic regression by IRLS —
+  each iteration aggregates the D×D normal-equation terms (X'WX, X'Wz) with
+  one Arrow-batched ``mapInPandas`` pass (numpy partials per partition, one
+  tiny row each), solves the D×D system on the driver, and broadcasts the
+  new weights into the next pass. D = n_buckets + 5 (~21): per-iteration
+  driver work is O(D²) rows × partitions — scale-invariant; the corpus is
+  only ever scanned, never collected.
+- **Scoring** (``classifier_score``): ``sigmoid(w · features)`` as a Column
+  expression with the learned weights inlined as literals — whole-stage
+  codegen, oracle-checkable (a DuckDB twin runs the identical chain), and
+  usable anywhere a Column fits, including the streaming ingest quality
+  floor (``IngestConfig.quality_weights``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators.text import (
+    mean_word_length,
+    punct_ratio,
+    stopword_ratio,
+    tokens_column,
+)
+
+N_BUCKETS = 16
+N_DENSE = 5  # bias + 4 signals
+
+
+def _bucket_eq(j: int):
+    """Closure factory — HOF lambdas need exact arity (no default-arg
+    captures)."""
+
+    def eq(x: Column) -> Column:
+        return x == j
+
+    return eq
+
+
+def quality_features(text: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """``array<double>`` of length ``n_buckets + 5``:
+    ``[1.0, len_norm, stopword_ratio, punct_ratio, mean_word_len_norm,
+    bucket_0_freq, …]`` — all deterministic JVM expressions."""
+    toks = tokens_column(F.lower(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+    hashed = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % n_buckets
+        ),
+    )
+    dense = [
+        F.lit(1.0),
+        F.least(F.length(text) / F.lit(500.0), F.lit(1.0)).cast("double"),
+        stopword_ratio(text).cast("double"),
+        punct_ratio(text).cast("double"),
+        (F.least(mean_word_length(text), F.lit(20.0)) / F.lit(20.0)).cast(
+            "double"
+        ),
+    ]
+    buckets = [
+        (F.size(F.filter(hashed, _bucket_eq(j))) / n).cast("double")
+        for j in range(n_buckets)
+    ]
+    return F.array(*dense, *buckets)
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = N_BUCKETS,
+    iterations: int = 4,
+    reg: float = 1e-3,
+) -> list[float]:
+    """Learn logistic-regression weights over ``quality_features`` by IRLS.
+
+    Deterministic given the data (no sampling, no initialization noise:
+    weights start at zero and every step is a closed-form solve), so
+    repeated fits — and task retries inside a fit — produce identical
+    models. ``reg`` is the ridge term that keeps the solve stable when a
+    hash bucket is empty."""
+    import numpy as np
+
+    dim = n_buckets + N_DENSE
+    feats = df.select(
+        quality_features(F.col(text_col), n_buckets).alias("f"),
+        F.col(label_col).cast("double").alias("y"),
+    )
+    w = np.zeros(dim)
+    for _ in range(iterations):
+        w_list = [float(x) for x in w]
+
+        def partial(batches) -> Iterator:
+            import numpy as np
+            import pandas as pd
+
+            ww = np.array(w_list)
+            xtx = np.zeros((dim, dim))
+            xtz = np.zeros(dim)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf["f"].tolist(), dtype=float)
+                y = pdf["y"].to_numpy(dtype=float)
+                eta = X @ ww
+                p = 1.0 / (1.0 + np.exp(-eta))
+                wgt = np.clip(p * (1.0 - p), 1e-6, None)
+                z = eta + (y - p) / wgt
+                xtx += (X * wgt[:, None]).T @ X
+                xtz += X.T @ (wgt * z)
+            yield pd.DataFrame(
+                {"xtx": [xtx.ravel().tolist()], "xtz": [xtz.tolist()]}
+            )
+
+        parts = feats.mapInPandas(
+            partial, "xtx array<double>, xtz array<double>"
+        ).collect()  # O(n_partitions) tiny rows — the reduce step
+        xtx = sum(np.array(r["xtx"]).reshape(dim, dim) for r in parts)
+        xtz = sum(np.array(r["xtz"]) for r in parts)
+        xtx += reg * np.eye(dim)
+        w = np.linalg.solve(xtx, xtz)
+    return [float(x) for x in w]
+
+
+def classifier_score(
+    text: Column, weights: Sequence[float], n_buckets: int = N_BUCKETS
+) -> Column:
+    """``sigmoid(w · quality_features(text))`` with ``weights`` inlined as
+    literals — a pure Column chain (no UDF, no model object), identical
+    under an external oracle running the same arithmetic."""
+    if len(weights) != n_buckets + N_DENSE:
+        raise ValueError(
+            f"expected {n_buckets + N_DENSE} weights, got {len(weights)}"
+        )
+    f = quality_features(text, n_buckets)
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(f, w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))

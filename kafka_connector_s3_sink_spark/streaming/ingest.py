@@ -80,6 +80,10 @@ class IngestConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     min_quality: Optional[float] = None
+    # alternative to the static heuristic: learned logistic weights from
+    # operators.quality.fit_quality_classifier — when set, the floor compares
+    # min_quality against classifier_score (still a pure Column chain)
+    quality_weights: Optional[tuple] = None
     write_metrics: bool = True
     # hot-band guard for the history classification (incremental_dedup's
     # max_band_df): bounds any band's join fan-out on boilerplate-heavy crawls
@@ -161,9 +165,17 @@ def process_crawl_batch(
     # shuffle-bearing dedup work touches it
     n_input = batch_df.count() if config.write_metrics else None
     if config.min_quality is not None:
-        batch_df = batch_df.filter(
-            quality_score(F.col(text_col)) >= config.min_quality
-        )
+        if config.quality_weights is not None:
+            from kafka_connector_s3_sink_spark.operators.quality import (
+                classifier_score,
+            )
+
+            floor = classifier_score(
+                F.col(text_col), config.quality_weights
+            )
+        else:
+            floor = quality_score(F.col(text_col))
+        batch_df = batch_df.filter(floor >= config.min_quality)
     n_qualified = (
         batch_df.count()
         if (config.write_metrics and config.min_quality is not None)

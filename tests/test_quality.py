@@ -1,0 +1,127 @@
+"""Trainable quality classifier (`operators/quality.py`): IRLS training
+separates planted good/junk corpora, fitting is deterministic, and scoring
+is a pure Column chain a DuckDB oracle reproduces to the digit."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators.quality import (
+    classifier_score,
+    fit_quality_classifier,
+    quality_features,
+)
+
+GOOD = [
+    "the committee published its final report on the river restoration and "
+    "the town council voted to adopt all of its recommendations this year",
+    "she walked along the shore in the morning and watched the boats come "
+    "in with the tide while the gulls circled over the harbor wall",
+    "a careful reader will notice that the author returns to the same theme "
+    "in each chapter and builds the argument slowly toward its conclusion",
+    "the orchestra rehearsed for three hours and the conductor was pleased "
+    "with the balance between the strings and the brass in the final piece",
+]
+JUNK = [
+    "!!! click here buy now $$$ ;;; ::: !!!",
+    "xx yy zz qq ww !!!! ???? ....",
+    "aaa bbb ccc ddd eee fff ggg",
+    "%% ## @@ || ~~ ^^ ``",
+]
+
+
+def _labeled(spark):
+    rows = [Row(text=t, label=1) for t in GOOD] + [
+        Row(text=t, label=0) for t in JUNK
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_fit_separates_planted_corpora_and_is_deterministic(spark):
+    df = _labeled(spark)
+    w1 = fit_quality_classifier(df)
+    w2 = fit_quality_classifier(df)
+    assert w1 == w2  # zero-init + closed-form steps: bit-deterministic
+    scored = df.select(
+        "label", classifier_score(F.col("text"), w1).alias("s")
+    ).collect()
+    good = [r["s"] for r in scored if r["label"] == 1]
+    bad = [r["s"] for r in scored if r["label"] == 0]
+    assert min(good) > 0.5 > max(bad)
+    assert min(good) > max(bad) + 0.2  # real margin, not threshold luck
+
+
+def test_feature_vector_shape_and_determinism(spark):
+    df = spark.createDataFrame([Row(text=GOOD[0])])
+    f = df.select(quality_features(F.col("text")).alias("f")).collect()[0]["f"]
+    assert len(f) == 21 and f[0] == 1.0
+    assert all(v >= 0.0 for v in f)
+    # hashed frequencies sum to ~1 (every token lands in exactly one bucket)
+    assert abs(sum(f[5:]) - 1.0) < 1e-9
+
+
+def test_classifier_score_matches_duckdb_twin(spark):
+    """The scoring chain (tokenize → portable hash buckets → dense signals →
+    dot → sigmoid) reproduces in DuckDB bit-for-bit at 1e-12 — the property
+    that makes the classifier oracle-checkable."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from kafka_connector_s3_sink_spark.operators.text import STOPWORDS
+
+    df = _labeled(spark)
+    w = fit_quality_classifier(df)
+    got = {
+        r["text"]: r["s"]
+        for r in df.select(
+            "text", classifier_score(F.col("text"), w).alias("s")
+        ).collect()
+    }
+
+    stop_sql = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    w_sql = "[" + ", ".join(repr(x) for x in w) + "]"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join("(?)" for _ in got)
+        + ") t(text)",
+        list(got),
+    )
+    twin = con.execute(f"""
+        WITH feats AS (
+            SELECT text,
+                regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                regexp_split_to_array(trim(text), '\\s+') AS rtoks
+            FROM docs
+        ), vec AS (
+            SELECT text,
+                list_concat(
+                    [1.0,
+                     least(length(text) / 500.0, 1.0),
+                     len(list_filter(toks, t -> t IN {stop_sql}))
+                        / greatest(len(toks), 1),
+                     (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        / greatest(length(text), 1),
+                     least(list_sum(list_transform(rtoks, t -> length(t)))
+                        / greatest(len(rtoks), 1), 20.0) / 20.0],
+                    list_transform(range(0, 16), j ->
+                        CAST(len(list_filter(
+                            list_transform(toks, t ->
+                                CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) % 16),
+                            h -> h = j)) AS DOUBLE) / greatest(len(toks), 1))
+                ) AS f
+            FROM feats
+        )
+        SELECT text,
+            1.0 / (1.0 + exp(-list_sum(
+                list_transform(range(0, 21), i -> f[i + 1] * ({w_sql})[i + 1])
+            ))) AS s
+        FROM vec
+    """).fetchall()
+    assert len(twin) == len(got)
+    for text, s in twin:
+        assert abs(s - got[text]) < 1e-12, text
+
+
+def test_score_rejects_wrong_weight_count(spark):
+    with pytest.raises(ValueError, match="21 weights"):
+        classifier_score(F.col("text"), [0.0] * 5)

@@ -188,6 +188,47 @@ def test_ingest_quality_floor(spark, env):
     assert (m["n_input"], m["n_qualified"], m["n_keep"]) == (2, 1, 1)
 
 
+def test_ingest_quality_floor_with_learned_classifier(spark, env):
+    """r6: quality_weights switches stage 0 from the static heuristic to the
+    trained classifier_score — junk scored low by the MODEL is cut and the
+    metrics trace it, same contract as the heuristic floor."""
+    import dataclasses
+
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        fit_quality_classifier,
+    )
+
+    spark, base, cfg, inbox = env
+    good = (
+        "the committee published its final report on the river restoration "
+        "and the town council voted to adopt all of the recommendations"
+    )
+    junk = "!!! ??? buy now $$$ ;;; :::"
+    train = spark.createDataFrame(
+        [Row(text=good, label=1), Row(text=junk, label=0),
+         Row(text=good + " again this year", label=1),
+         Row(text="%% ## @@ || ~~", label=0)]
+    )
+    weights = tuple(fit_quality_classifier(train))
+    cfg = dataclasses.replace(
+        cfg, min_quality=0.5, quality_weights=weights
+    )
+    ingest.process_crawl_batch(
+        spark.createDataFrame(
+            [(500, good + " published today"), (501, junk)],
+            ["doc_id", "text"],
+        ),
+        0,
+        cfg,
+    )
+    out = spark.read.parquet(f"{cfg.dest_dir}/documents")
+    assert {r["doc_id"] for r in out.collect()} == {500}
+    m = spark.read.parquet(f"{cfg.dest_dir}/metrics").collect()[0]
+    assert (m["n_input"], m["n_qualified"], m["n_keep"]) == (2, 1, 1)
+
+
 def test_ingest_appends_keeper_embeddings_to_ivf_index(spark, env, tmp_path):
     """With embedding_col + ivf_index_dir configured, each epoch's KEEPERS
     (and only they — dups are excluded) join the ANN index under the frozen
