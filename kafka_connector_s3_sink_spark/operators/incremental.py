@@ -49,7 +49,7 @@ that namespace.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.operators.dedup import (
@@ -291,6 +291,12 @@ def incremental_dedup(
     exclusions is a broadcast anti-join (no extra shuffle). In normal
     operation ids are globally unique and the guard removes nothing."""
     spark = new_docs.sparkSession
+    if not jaccard_threshold > 0:
+        # the zero-intersection fast path (null jaccard → filtered) is only
+        # equivalent to an explicit 0-score when the threshold is positive;
+        # a 0 threshold would also be semantically useless (every band
+        # collision would classify near_dup)
+        raise ValueError("jaccard_threshold must be > 0")
     batch_ids = (
         new_docs.select(F.col(id_col).alias("doc_id")) if exclude_batch_docs else None
     )
@@ -369,7 +375,15 @@ def incremental_dedup(
         .select(
             F.col("n.doc_id").alias("new_id"), F.col("h.doc_id").alias("hist_id")
         )
-        .distinct()
+        # r6 plan trim: repartition on new_id BEFORE the pair dedup —
+        # hashpartitioning(new_id) satisfies the (new_id, hist_id) clustering
+        # (subset rule), so the dedup aggregate adds no Exchange of its own,
+        # and every downstream new_id-keyed consumer (the new_sh join, the
+        # verify aggregations) reuses this one shuffle. Per-new_id fan-out is
+        # bounded by the band-collision guard (max_band_df), so the coarser
+        # key is not a skew hazard.
+        .repartition("new_id")
+        .dropDuplicates(["new_id", "hist_id"])
     )
 
     # verify candidates with exact n-gram Jaccard: new-side shingles computed,
@@ -393,12 +407,16 @@ def incremental_dedup(
         "text",
         k,
     )  # single consumer since the n1 fold — no cache needed
-    h_sh = _cache(
-        idx_sh.join(
-            cands.select(F.col("hist_id").alias("doc_id")), "doc_id", "left_semi"
-        )
-    )
-    h_sizes = h_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # history set size (n2) rides each shingle row as a window count over the
+    # semi join's bucketed doc_id clustering (Sort only, no Exchange) — r6
+    # plan trim: the former separate h_sizes aggregate + hist_id join re-keyed
+    # the verify stream to hist_id right before `near` needed new_id again,
+    # costing an SMJ fallback pair AND a fresh Exchange for the best-match
+    # aggregate. With n2 inlined, the single repartition(new_id) below feeds
+    # the pair aggregate (subset-clustering) and `near` (equal keys) alike.
+    h_sh = idx_sh.join(
+        cands.select(F.col("hist_id").alias("doc_id")), "doc_id", "left_semi"
+    ).withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
 
     scored = (
         cands.join(
@@ -406,21 +424,27 @@ def incremental_dedup(
             "new_id",
         )
         .join(
-            h_sh.select(F.col("doc_id").alias("_h2"), F.col("shingle").alias("s2")),
+            h_sh.select(
+                F.col("doc_id").alias("_h2"),
+                F.col("shingle").alias("s2"),
+                F.col("n_sh"),
+            ),
             (F.col("hist_id") == F.col("_h2")) & (F.col("s1") == F.col("s2")),
             "left",
         )
+        .repartition("new_id")
         .groupBy("new_id", "hist_id")
         .agg(
             # cands is distinct and shingles are distinct per doc, so plain
             # counts suffice: count(*) is n1 and count(s2) — non-null only on
-            # intersection hits — is n_inter, one aggregation pass for both
+            # intersection hits — is n_inter; n_sh rides intersection rows
+            # (constant per hist doc, so max = the value). A pair with ZERO
+            # intersection never sees n2 — its jaccard is null and the
+            # threshold filter drops it, which is value-identical to the old
+            # explicit 0-score for any threshold > 0 (enforced below).
             F.count(F.lit(1)).alias("n1"),
             F.count(F.col("s2")).alias("n_inter"),
-        )
-        .join(
-            h_sizes.select(F.col("doc_id").alias("hist_id"), F.col("n_sh").alias("n2")),
-            "hist_id",
+            F.max("n_sh").alias("n2"),
         )
         .select(
             "new_id",
