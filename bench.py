@@ -63,6 +63,69 @@ BENCH_QUERIES = [
 ]
 
 
+def check_mode() -> int:
+    """``bench.py --check``: re-run the 5 most expensive committed entries
+    and warn when a median disagrees >2x with BENCH_LAST.json — the round's
+    committed numbers become self-validating instead of trusted (r5 lesson:
+    two same-day runs on a shared sandbox disagreed 17% on totals with
+    per-query swings to 2.5x; a >2x delta means either a quiet-machine
+    violation or a real regression, and both deserve a second look)."""
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json")) as f:
+        committed = json.load(f)
+    qs = entrymod.queries()
+    top = sorted(
+        ((t, n) for n, t in committed["queries"].items() if n in qs),
+        reverse=True,
+    )[:5]
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench-check")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    disagreements = []
+    for committed_t, name in top:
+        run = lambda: qs[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        run()  # cold
+        entrymod.release_caches()
+        warm = []
+        for _ in range(3):
+            t1 = time.time()
+            run()
+            warm.append(time.time() - t1)
+            entrymod.release_caches()
+        now = sorted(warm)[1]
+        ratio = max(now, committed_t) / max(min(now, committed_t), 1e-9)
+        flag = "DISAGREES" if ratio > 2.0 else "ok"
+        print(
+            f"{flag:9s} {name}: committed {committed_t:.2f}s, "
+            f"re-measured {now:.2f}s ({ratio:.2f}x)"
+        )
+        if ratio > 2.0:
+            disagreements.append(name)
+    if disagreements:
+        print(
+            f"WARNING: {len(disagreements)} entries disagree >2x with the "
+            f"committed BENCH_LAST.json ({', '.join(disagreements)}) — "
+            "re-run the full bench on a quiet machine before trusting it"
+        )
+        return 1
+    print("bench check: committed numbers reproduce within 2x")
+    return 0
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -210,4 +273,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--check" in sys.argv[1:]:
+        sys.exit(check_mode())
     main()
