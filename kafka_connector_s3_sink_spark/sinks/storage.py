@@ -169,9 +169,15 @@ class ObjectStorage:
             out.write(data)
 
     def read_bytes(self, name: str) -> bytes:
-        fs, _ = self._resolve()
-        with fs.open_input_stream(self.full_path(name), compression=None) as f:
+        with self.open_input(name) as f:
             return f.read()
+
+    def open_input(self, name: str):
+        """Readable binary stream for object ``name`` (caller closes) —
+        the chunked-read path for consumers that must not hold a whole
+        object (streaming WARC decode)."""
+        fs, _ = self._resolve()
+        return fs.open_input_stream(self.full_path(name), compression=None)
 
     def exists(self, name: str) -> bool:
         import pyarrow.fs as pafs

@@ -149,3 +149,97 @@ def test_write_warc_task_retry_is_byte_identical(spark, tmp_path):
     w2 = write_warc(df, str(tmp_path / "b"))
     assert w1 == w2
     assert (tmp_path / "a" / w1[0]).read_bytes() == (tmp_path / "b" / w2[0]).read_bytes()
+
+
+@pytest.fixture(scope="module")
+def warc_registered(spark):
+    from kafka_connector_s3_sink_spark.sources.warc import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    return spark
+
+
+def test_warc_datasource_matches_binaryfile_route(warc_registered, spark, tmp_path):
+    """The registrable 'warc' format (streaming gzip-member decode, O(chunk)
+    task memory) yields exactly the rows of the binaryFile route."""
+    (tmp_path / "a.warc.gz").write_bytes(_archive_bytes())
+    via_ds = (
+        spark.read.format("warc").option("path", str(tmp_path)).load().collect()
+    )
+    via_bf = read_warc(spark, str(tmp_path)).collect()
+
+    def key(rows):
+        return sorted(
+            (r["warc_type"], r["target_uri"],
+             bytes(r["payload"]) if r["payload"] is not None else None,
+             r["http_status"], r["content_length"])
+            for r in rows
+        )
+
+    assert key(via_ds) == key(via_bf) and len(via_ds) == 3
+    # one partition per archive
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_warc_datasource_streaming_two_epochs(warc_registered, spark, tmp_path):
+    """readStream.format('warc'): first drain ingests existing archives; a
+    new drop is picked up from the checkpoint as exactly the delta."""
+    store, out, ckpt = (str(tmp_path / d) for d in ("store", "out", "ckpt"))
+    import os
+    os.makedirs(store)
+    (tmp_path / "store" / "a.warc.gz").write_bytes(_archive_bytes())
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .option("path", store)
+            .load()
+            .filter(F.col("warc_type") == "response")
+            .select("target_uri", "record_no")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert {r["target_uri"] for r in spark.read.parquet(out).collect()} == {
+        "https://ex.com/a"
+    }
+    late = build_record(
+        "response",
+        build_http_response_payload(b"<p>late</p>"),
+        target_uri="https://ex.com/late",
+    )
+    (tmp_path / "store" / "b.warc.gz").write_bytes(gzip.compress(late, mtime=0))
+    drain()
+    uris = sorted(r["target_uri"] for r in spark.read.parquet(out).collect())
+    assert uris == ["https://ex.com/a", "https://ex.com/late"]
+
+
+def test_warc_datasource_routes_corrupt_stream(warc_registered, spark, tmp_path):
+    """A corrupt gzip member in the streaming decoder aborts that archive's
+    remainder as ONE routed error row; the archive's earlier records and
+    other archives survive."""
+    r0 = gzip.compress(build_record(
+        "response", build_http_response_payload(b"<p>0</p>"),
+        target_uri="https://ok/0"), mtime=0)
+    bad = bytearray(gzip.compress(build_record(
+        "response", build_http_response_payload(b"<p>1</p>"),
+        target_uri="https://bad/1"), mtime=0))
+    for i in range(12, 30):
+        bad[i] ^= 0xFF
+    (tmp_path / "c.warc.gz").write_bytes(r0 + bytes(bad))
+    (tmp_path / "d.warc.gz").write_bytes(_archive_bytes())
+    rows = (
+        spark.read.format("warc").option("path", str(tmp_path)).load().collect()
+    )
+    good = [r for r in rows if r["parse_error"] is None]
+    errs = [r for r in rows if r["parse_error"] is not None]
+    assert {r["target_uri"] for r in good if r["warc_type"] == "response"} == {
+        "https://ok/0", "https://ex.com/a"
+    }
+    assert len(errs) == 1 and errs[0]["warc_file"] == "c.warc.gz"
