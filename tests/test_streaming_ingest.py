@@ -376,3 +376,60 @@ def test_ingest_two_batches_restart_and_replay(spark, env):
         t: spark.table(f"{PREFIX}_{t}").count()
         for t in ("hashes", "bands", "shingles")
     } == n_index_rows
+
+
+def test_crawl_to_ingest_end_to_end_via_warc(spark, env, tmp_path):
+    """r6 — the full crawl story: WARC archives stream through the 'warc'
+    source → warc_documents (HTML extraction, content-derived ids) → the
+    ingest pipeline (quality floor off, cascade + index classify + pack).
+    An archived copy of an indexed base doc classifies exact_dup and stays
+    out of the corpus; fresh pages land as keepers; a second drain of the
+    same store ingests nothing new (checkpointed listing-delta offsets)."""
+    import dataclasses
+    import gzip
+
+    from kafka_connector_s3_sink_spark.sources import warc as warc_mod
+
+    spark.dataSource.register(warc_mod.WarcDataSource)
+    spark_, base, cfg, _ = env
+    base_texts = {r["doc_id"]: r["text"] for r in base.collect()}
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+
+    def page(uri, text):
+        return gzip.compress(
+            warc_mod.build_record(
+                "response",
+                warc_mod.build_http_response_payload(
+                    f"<html><body><p>{text}</p></body></html>".encode()
+                ),
+                target_uri=uri,
+            ),
+            mtime=0,
+        )
+
+    (crawl / "seg-0.warc.gz").write_bytes(
+        page("https://fresh.io/a", _text("crawl:a"))
+        + page("https://dup.io/b", base_texts[3])  # verbatim indexed doc
+        + page("https://fresh.io/c", _text("crawl:c"))
+    )
+
+    cfg = dataclasses.replace(cfg, checkpoint_location=str(tmp_path / "ck2"))
+
+    def drain():
+        docs = warc_mod.warc_documents(
+            spark.readStream.format("warc").option("path", str(crawl)).load()
+        ).select("doc_id", "text")
+        q = ingest.start_ingest_pipeline(docs, cfg)
+        q.awaitTermination(180)
+
+    drain()
+    out = spark.read.parquet(f"{cfg.dest_dir}/documents")
+    kept_texts = {r["text"] for r in out.collect()}
+    assert _text("crawl:a") in kept_texts and _text("crawl:c") in kept_texts
+    assert base_texts[3] not in kept_texts  # classified exact_dup vs index
+    n_first = out.count()
+
+    drain()  # same store, new stream from checkpoint: no new archives
+    assert spark.read.parquet(f"{cfg.dest_dir}/documents").count() == n_first
