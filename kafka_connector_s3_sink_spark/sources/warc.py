@@ -385,16 +385,24 @@ def write_warc(
     file_prefix: str = "crawl",
     compress: bool = True,
     warcinfo: str | None = None,
+    record_type: str = "response",
 ) -> list[str]:
     """Write ``(target_uri, payload [, warc_date, http_status,
-    http_content_type])`` rows as spec-framed WARC ``response`` archives, one
+    http_content_type])`` rows as spec-framed WARC archives, one
     ``<prefix>-<partitionId>.warc[.gz]`` per partition, per-record gzip
     members (splittable), streamed through ``ObjectStorage`` with the sink's
     abort-on-error commit (a failed task leaves no partial archive; a retry
     reproduces identical bytes — record ids are content-derived). Returns the
-    object names written. Rows with null payload are skipped."""
+    object names written. Rows with null payload are skipped.
+
+    ``record_type="response"`` (default) wraps each payload in an HTTP
+    response (a crawl archive); ``"conversion"`` writes the payload verbatim
+    as ``text/plain`` conversion records — the WET shape (see ``write_wet``
+    for the documents-DataFrame convenience form)."""
     from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
 
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"record_type must be response|conversion, got {record_type!r}")
     storage = ObjectStorage(dest_dir)
     cols = set(df.columns)
     sel = [
@@ -407,7 +415,8 @@ def write_warc(
         (F.col("http_content_type") if "http_content_type" in cols
          else F.lit("text/html; charset=utf-8")).alias("http_content_type"),
     ]
-    ext = ".warc.gz" if compress else ".warc"
+    wet = record_type == "conversion"
+    ext = (".warc.wet" if wet else ".warc") + (".gz" if compress else "")
 
     def write_partition(rows: Iterator) -> Iterator[str]:
         from pyspark import TaskContext
@@ -428,6 +437,17 @@ def write_warc(
                                      warc_date=row["warc_date"]))
                 first = False
                 wrote = True
+                if wet:
+                    put(
+                        build_record(
+                            "conversion",
+                            bytes(row["payload"]),
+                            target_uri=row["target_uri"],
+                            warc_date=row["warc_date"],
+                            content_type="text/plain",
+                        )
+                    )
+                    continue
                 http = build_http_response_payload(
                     bytes(row["payload"]),
                     status=row["http_status"],
@@ -452,6 +472,34 @@ def write_warc(
             return
 
     return sorted(df.select(*sel).rdd.mapPartitions(safe).collect())
+
+
+def write_wet(
+    docs: DataFrame,
+    dest_dir: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    file_prefix: str = "extract",
+    compress: bool = True,
+    warcinfo: str | None = None,
+) -> list[str]:
+    """Export a documents DataFrame as WET archives (``conversion`` records,
+    payload = the extracted text) — the crawl-native materialization of a
+    post-extraction corpus, re-ingestable by ``read_warc``/the ``warc``
+    source on the other side (``warc_documents`` passes conversion payloads
+    through as ``text``). Null-text rows are skipped."""
+    return write_warc(
+        docs.select(
+            F.col(url_col).alias("target_uri"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        ),
+        dest_dir,
+        file_prefix=file_prefix,
+        compress=compress,
+        warcinfo=warcinfo,
+        record_type="conversion",
+    )
 
 
 class _EmptyPartition(Exception):

@@ -243,3 +243,21 @@ def test_warc_datasource_routes_corrupt_stream(warc_registered, spark, tmp_path)
         "https://ok/0", "https://ex.com/a"
     }
     assert len(errs) == 1 and errs[0]["warc_file"] == "c.warc.gz"
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """WET export: documents → conversion archives → re-ingest yields the
+    same texts via warc_documents (the post-extraction corpus materialized
+    crawl-natively); null-text rows are skipped."""
+    from kafka_connector_s3_sink_spark.sources.warc import write_wet
+
+    rows = [
+        Row(url=f"https://d/{i}", text=f"extracted text Ω {i}") for i in range(5)
+    ] + [Row(url="https://d/null", text=None)]
+    docs = spark.createDataFrame(rows, "url string, text string").repartition(2)
+    written = write_wet(docs, str(tmp_path), warcinfo="w: 1\r\n")
+    assert written and all(w.endswith(".warc.wet.gz") for w in written)
+    back = warc_documents(read_warc(spark, str(tmp_path)))
+    got = {r["url"]: r["text"] for r in back.collect()}
+    assert got == {f"https://d/{i}": f"extracted text Ω {i}" for i in range(5)}
+    assert all(r["mime"] == "text/plain" for r in back.collect())
