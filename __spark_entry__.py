@@ -26,6 +26,14 @@ from kafka_connector_s3_sink_spark.streaming import sessions
 # and the DuckDB oracle below — single source of truth, engines can't drift
 _URL_HOST_RE = _urls_mod._HOST_RE
 _URL_TRACKING_RE = _urls_mod._TRACKING_PARAM_RE
+
+from kafka_connector_s3_sink_spark.operators.quality import (  # noqa: E402
+    PINNED_WEIGHTS_V1 as _QCLF_W,
+)
+
+# learned-model weights inlined into BOTH the Spark chain and the DuckDB
+# oracle from the same constant — keeping the two scoring chains in sync
+_QCLF_W_SQL = "[" + ", ".join(repr(x) for x in _QCLF_W) + "]"
 _URL_THREE_RE = (
     r"([^.]+\.(?:" + "|".join(t.replace(".", r"\.") for t in _urls_mod._TWO_PART_TLDS) + r"))$"
 )
@@ -832,11 +840,32 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("double").alias("metric_a"),
         F.col("http_status").cast("double").alias("metric_b"),
     )
+    # quality_clf branch (r6): every doc scored by the TRAINED hash-featured
+    # logistic model (operators/quality.PINNED_WEIGHTS_V1 — refitting the
+    # pinned corpus reproduces it bit-for-bit, pytest-pinned). The oracle
+    # rebuilds the full chain in DuckDB: portable md5-prefix token hashing →
+    # bucket frequencies + dense signals → dot → sigmoid, weights inlined
+    # from the same constant — a learned model inside the correctness gate.
+    from kafka_connector_s3_sink_spark.functions.numeric import stable_round
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        PINNED_WEIGHTS_V1,
+        classifier_score,
+    )
+
+    clf_score = classifier_score(F.col("text"), PINNED_WEIGHTS_V1)
+    clf_rows = docs.select(
+        F.lit("quality_clf").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        text_ops.token_count(F.col("text")).cast("bigint").alias("n"),
+        stable_round(clf_score, 4).alias("metric_a"),
+        F.when(clf_score >= 0.5, 1.0).otherwise(0.0).alias("metric_b"),
+    )
     return (
         ngrams.unionByName(quality)
         .unionByName(html_rows)
         .unionByName(url_rows)
         .unionByName(warc_rows)
+        .unionByName(clf_rows)
     )
 
 
@@ -2124,6 +2153,43 @@ def oracle_sql() -> dict[str, str]:
                 CAST(strlen(html) AS DOUBLE) AS metric_a,
                 200.0 AS metric_b
             FROM wrapped
+            UNION ALL
+            SELECT 'quality_clf' AS branch, CAST(doc_id AS VARCHAR) AS key,
+                CAST(len(qc_rtoks) AS BIGINT) AS n,
+                floor(qc_s * 10000.0 + 0.5) / 10000.0 AS metric_a,
+                CASE WHEN qc_s >= 0.5 THEN 1.0 ELSE 0.0 END AS metric_b
+            FROM (
+                SELECT doc_id, qc_rtoks,
+                    1.0 / (1.0 + exp(-list_sum(list_transform(
+                        range(0, 21),
+                        i -> qc_f[i + 1] * ({_QCLF_W_SQL})[i + 1]
+                    )))) AS qc_s
+                FROM (
+                    SELECT doc_id, qc_rtoks,
+                        list_concat(
+                            [1.0,
+                             least(length(text) / 500.0, 1.0),
+                             len(list_filter(qc_toks, t -> t IN {STOPWORDS_SQL}))
+                                / greatest(len(qc_toks), 1),
+                             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                / greatest(length(text), 1),
+                             least(list_sum(list_transform(qc_rtoks, t -> length(t)))
+                                / greatest(len(qc_rtoks), 1), 20.0) / 20.0],
+                            list_transform(range(0, 16), j ->
+                                CAST(len(list_filter(
+                                    list_transform(qc_toks, t ->
+                                        CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) % 16),
+                                    h -> h = j)) AS DOUBLE)
+                                / greatest(len(qc_toks), 1))
+                        ) AS qc_f
+                    FROM (
+                        SELECT doc_id, text,
+                            regexp_split_to_array(trim(lower(text)), '\\s+') AS qc_toks,
+                            regexp_split_to_array(trim(text), '\\s+') AS qc_rtoks
+                        FROM documents
+                    )
+                )
+            )
         """,
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}

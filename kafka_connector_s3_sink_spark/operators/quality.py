@@ -43,6 +43,57 @@ from kafka_connector_s3_sink_spark.operators.text import (
 N_BUCKETS = 16
 N_DENSE = 5  # bias + 4 signals
 
+# Reference model: trained by ``fit_quality_classifier`` on PINNED_CORPUS
+# (below). Training is bit-deterministic (zero init, closed-form IRLS
+# steps), so refitting the corpus reproduces these weights EXACTLY —
+# ``tests/test_quality.py`` pins that. The correctness gate scores the
+# documents table with this model (``text_corpus_stats`` ``quality_clf``
+# branch) against a DuckDB oracle running the identical arithmetic.
+PINNED_CORPUS: tuple[tuple[str, int], ...] = (
+    ("the committee published its final report on the river restoration and "
+     "the town council voted to adopt all of its recommendations this year", 1),
+    ("she walked along the shore in the morning and watched the boats come "
+     "in with the tide while the gulls circled over the harbor wall", 1),
+    ("a careful reader will notice that the author returns to the same theme "
+     "in each chapter and builds the argument slowly toward its conclusion", 1),
+    ("the orchestra rehearsed for three hours and the conductor was pleased "
+     "with the balance between the strings and the brass in the final piece", 1),
+    ("after the storm had passed the farmers walked their fields and found "
+     "that the new drainage channels had carried most of the water away", 1),
+    ("the museum opened a new wing this spring and the first exhibition "
+     "traces the history of printing from carved blocks to movable type", 1),
+    ("!!! click here buy now $$$ ;;; ::: !!!", 0),
+    ("xx yy zz qq ww !!!! ???? ....", 0),
+    ("aaa bbb ccc ddd eee fff ggg", 0),
+    ("%% ## @@ || ~~ ^^ ``", 0),
+    ("win win win free free free !!! $$$", 0),
+    ("qwerty asdf zxcv uiop hjkl ;;;", 0),
+)
+
+PINNED_WEIGHTS_V1: tuple[float, ...] = (
+    -3.618904674784998,
+    10.386635016917065,
+    12.678851078760806,
+    -3.8378613442878358,
+    3.819888778121184,
+    0.5995421700836313,
+    -0.44598586661764666,
+    -3.321249137507838,
+    1.5722498923417474,
+    4.766589553509029,
+    2.403025180338034,
+    -1.8440579828998223,
+    -1.5568889232651335,
+    -0.19865556772055212,
+    2.443801939249954,
+    0.5287297952986143,
+    -0.6553756533544723,
+    -3.6550837612605096,
+    -4.318311367537571,
+    -1.186789618940438,
+    1.249554673498027,
+)
+
 
 def _bucket_eq(j: int):
     """Closure factory — HOF lambdas need exact arity (no default-arg

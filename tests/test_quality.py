@@ -125,3 +125,21 @@ def test_classifier_score_matches_duckdb_twin(spark):
 def test_score_rejects_wrong_weight_count(spark):
     with pytest.raises(ValueError, match="21 weights"):
         classifier_score(F.col("text"), [0.0] * 5)
+
+
+def test_pinned_weights_reproduce_exactly(spark):
+    """PINNED_WEIGHTS_V1 is not a checked-in artifact of a lost run: fitting
+    the pinned corpus reproduces it BIT-FOR-BIT (zero init + closed-form
+    IRLS steps), so the gate's quality_clf branch scores a model anyone can
+    re-derive."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        PINNED_CORPUS,
+        PINNED_WEIGHTS_V1,
+    )
+
+    df = spark.createDataFrame(
+        [Row(text=t, label=y) for t, y in PINNED_CORPUS]
+    ).coalesce(1)
+    assert tuple(fit_quality_classifier(df)) == PINNED_WEIGHTS_V1
