@@ -22,6 +22,10 @@ Options (all strings, per the API):
   (default: true for csv+base64, false for jsonl/json — i.e. each format's
   faithful read-back; set true on JSON formats to recover original bytes,
   matching ``read_sink_objects(binary_payloads=True)``)
+- ``on_error``          — fail (default) | route: with ``route``, a corrupt
+  object (or unparseable line) yields one row with the exception in an
+  appended ``decode_error`` column instead of failing the task — the
+  format-API form of the fast path's poison-object routing
 - ``template``/``prefix`` — filename template for name parsing
 
 Registration: ``spark.dataSource.register(SinkObjectsDataSource)`` (the
@@ -61,7 +65,11 @@ def _resolve_binary(fmt: str, encoding: str, option: str | None) -> bool:
 
 
 def _schema_for(
-    fields: Sequence[str], fmt: str, encoding: str, binary_payloads: bool
+    fields: Sequence[str],
+    fmt: str,
+    encoding: str,
+    binary_payloads: bool,
+    route_errors: bool = False,
 ) -> T.StructType:
     cols = [
         T.StructField("object_name", T.StringType(), False),
@@ -86,6 +94,8 @@ def _schema_for(
         else:
             raise ValueError(f"unknown output field {f!r}")
         cols.append(T.StructField(f, t, True))
+    if route_errors:
+        cols.append(T.StructField("decode_error", T.StringType(), True))
     return T.StructType(cols)
 
 
@@ -110,6 +120,7 @@ class SinkObjectsDataSource(DataSource):
             fmt,
             enc,
             _resolve_binary(fmt, enc, self.options.get("binary_payloads")),
+            route_errors=self.options.get("on_error", "fail").lower() == "route",
         )
 
     def reader(self, schema: T.StructType) -> "_SinkObjectsReader":
@@ -142,6 +153,11 @@ class _SinkObjectsReader(DataSourceReader):
         )
         self.prefix = options.get("prefix", "")
         self.envelope = options.get("envelope", "true").lower() == "true"
+        self.on_error = options.get("on_error", "fail").lower()
+        if self.on_error not in ("fail", "route"):
+            raise ValueError(
+                f"on_error must be 'fail' or 'route', got {self.on_error!r}"
+            )
         if self.fmt not in ("csv", "jsonl", "json"):
             raise ValueError(
                 f"sink_objects reads csv/jsonl/json (got {self.fmt!r}); "
@@ -208,15 +224,35 @@ class _SinkObjectsReader(DataSourceReader):
         from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
 
         topic, part, start = self._parse_name(name)
-        data = decompress_bytes(
-            ObjectStorage(self.path).read_bytes(name),
-            CompressionType(self.compression),
-        )
-        lines = data.decode("utf-8").splitlines()
+        route = self.on_error == "route"
+        nulls = (None,) * len(self.fields)
+        try:
+            data = decompress_bytes(
+                ObjectStorage(self.path).read_bytes(name),
+                CompressionType(self.compression),
+            )
+            lines = data.decode("utf-8").splitlines()
+        except Exception as e:  # noqa: BLE001 — routed per option
+            if not route:
+                raise
+            # poison OBJECT: one row, payload columns null, error text rides
+            yield (name, topic, part, start, *nulls, f"{type(e).__name__}: {e}")
+            return
         if self.fmt == "json":
             lines = [l.rstrip(",") for l in lines[1:-1]]
         for line in lines:
-            yield (name, topic, part, start, *self._parse(line))
+            try:
+                parsed = self._parse(line)
+            except Exception as e:  # noqa: BLE001 — routed per option
+                if not route:
+                    raise
+                yield (name, topic, part, start, *nulls,
+                       f"{type(e).__name__}: {e}")
+                continue
+            if route:
+                yield (name, topic, part, start, *parsed, None)
+            else:
+                yield (name, topic, part, start, *parsed)
 
     def _parse(self, line: str) -> list:
         if self.fmt == "csv":

@@ -262,3 +262,36 @@ def test_filter_pushdown_prunes_objects(registered, spark, tmp_path):
         assert bytes(rows[0]["value"]) == b"v5"
     finally:
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+def test_on_error_route_survives_poison_object(registered, spark, tmp_path):
+    """r6: on_error=route gives the format API the fast path's poison-object
+    posture — the corrupt object yields one decode_error row (name-derived
+    columns intact), healthy objects read normally, and the default still
+    fails fast."""
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_max_records=2,
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, _rows(4)), cfg, str(tmp_path))
+    (tmp_path / "t-0-102.gz").write_bytes(b"not gzip at all")
+    def base():
+        return (
+            spark.read.format("sink_objects")
+            .option("path", str(tmp_path))
+            .option("fields", "offset,value")
+        )
+
+    routed = base().option("on_error", "route").load().collect()
+    errs = [r for r in routed if r["decode_error"] is not None]
+    good = [r for r in routed if r["decode_error"] is None]
+    # the 4 real records still read; the foreign poison object adds 1 error row
+    assert {r["offset"] for r in good} == {100, 101, 102, 103}
+    assert len(errs) == 1
+    assert (errs[0]["topic"], errs[0]["partition"], errs[0]["start_offset"]) == (
+        "t", 0, 102
+    )
+    assert errs[0]["offset"] is None and "BadGzipFile" in errs[0]["decode_error"]
+    with pytest.raises(Exception):
+        base().load().collect()  # default: fail fast
