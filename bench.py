@@ -238,28 +238,26 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "iterations": 4,
-        "note": "per-query time is the MEDIAN of 3 warm iterations (r5 "
-        "change for reproducibility; was single warm run); queries_cold is "
-        "the 1st run (plan build + codegen + broadcast). r5 query-set "
-        "changes vs r4: ann_cosine_topk+ann_lsh_topk merged into ann_topk, "
-        "dedup_ngram_jaccard+dedup_minhash_lsh into dedup_candidate_pairs "
-        "(both branches run under the merged name — times are the SUM of "
-        "the old pair); text_corpus_stats = old text_top_ngrams + "
-        "text_quality_filter; value_statistics additionally computes exact "
-        "countDistinct; 4 merged TPC-H entries added (tpch_* = Q14+Q17+Q19, "
-        "Q18+Q7, Q21+Q13, Q22+Q11). incremental_dedup cold still includes "
-        "the one-time index build; its deferred caches are now released "
-        "after each pass (r4 pipeline_pack_split interference fix). "
-        "source_readback_csv_gzip (39th entry, late r5) re-ingests the "
-        "events corpus from gzip-CSV objects written once outside the "
-        "timed loop; dedup_candidate_pairs additionally runs the decontam "
-        "branch and text_corpus_stats the html_extract + url_domains "
-        "branches from late r5 on. "
+        "note": "per-query time is the MEDIAN of 3 warm iterations; "
+        "queries_cold is the 1st run (plan build + codegen + broadcast). "
+        "r6 query-set changes vs r5: text_corpus_stats gains TWO heavy new "
+        "branches — warc_ingest (the whole documents corpus re-ingested "
+        "from real gzip WARC archives every pass: binaryFile scan + Python "
+        "record/HTTP parse + html extraction; archives written once per "
+        "process outside the timing) and quality_clf (trained logistic "
+        "model scored over every doc) — its time is 5 branches of work, "
+        "not a regression (r5 measured 2 branches). incremental_dedup's "
+        "verify ladder was restructured (static 20->17 shuffles, sorts "
+        "108->82, h_sizes join folded into a bucketed window count); "
+        "same-session A/B at sf0.1 measures the new ladder FASTER "
+        "(4.5 vs 5.1 warm median) — cross-run deltas vs r5's committed "
+        "2.45 are the documented machine noise. Other entries unchanged. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
         "inflate individual entries several-fold - compare totals across "
-        "rounds, per-query only for >2x deltas.",
+        "rounds, per-query only for >2x deltas; bench.py --check re-runs "
+        "the top-5 committed entries and flags >2x disagreement.",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
     }
