@@ -1,0 +1,149 @@
+"""CDC envelope surface (`streaming/cdc.py`): Debezium-shaped envelopes —
+decoded by the engine's own Avro codec with r6 logical types — unwrap to
+flat change rows and snapshot to current state with deletes removed."""
+
+import datetime as dt
+import decimal
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.formats import avro
+from kafka_connector_s3_sink_spark.streaming.cdc import (
+    cdc_op_counts,
+    cdc_snapshot,
+    unwrap_cdc_envelope,
+)
+
+ROW_SCHEMA = {
+    "type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amount",
+         "type": {"type": "bytes", "logicalType": "decimal",
+                  "precision": 10, "scale": 2}},
+        {"name": "updated_at",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+    ],
+}
+ENVELOPE_SCHEMA = json.dumps({
+    "type": "record", "name": "envelope", "fields": [
+        {"name": "before", "type": ["null", ROW_SCHEMA]},
+        {"name": "after", "type": ["null", "row"]},
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": "long"},
+        {"name": "source", "type": {
+            "type": "record", "name": "src", "fields": [
+                {"name": "table", "type": "string"},
+                {"name": "lsn", "type": "long"},
+            ]}},
+    ],
+})
+
+
+def _event(op, rid, amount, ts_us, ts_ms, before=None):
+    img = None if amount is None else {
+        "id": rid,
+        "amount": decimal.Decimal(amount),
+        "updated_at": dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+        + dt.timedelta(microseconds=ts_us),
+    }
+    return {
+        "before": before,
+        "after": None if op == "d" else img,
+        "op": op,
+        "ts_ms": ts_ms,
+        "source": {"table": "accounts", "lsn": ts_ms * 10},
+    }
+
+
+@pytest.fixture(scope="module")
+def changes(spark):
+    schema = avro.parse_schema(ENVELOPE_SCHEMA)
+    img1 = {"id": 1, "amount": decimal.Decimal("10.00"),
+            "updated_at": dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)}
+    events = [
+        _event("c", 1, "10.00", 0, 1000),
+        _event("u", 1, "15.50", 1, 1001),
+        _event("c", 2, "7.25", 2, 1002),
+        # delete carries only the before image
+        {"before": img1, "after": None, "op": "d", "ts_ms": 1003,
+         "source": {"table": "accounts", "lsn": 10030}},
+        _event("r", 3, "99.99", 3, 999),  # snapshot read
+    ]
+    payloads = [Row(value=avro.encode(e, schema, confluent_schema_id=7))
+                for e in events]
+    df = spark.createDataFrame(payloads, "value binary")
+    decoded = avro.decode_avro_column(
+        df, "value", {7: ENVELOPE_SCHEMA}, confluent_framing=True
+    )
+    return unwrap_cdc_envelope(
+        decoded.drop("value"), source_fields=("table", "lsn")
+    )
+
+
+def test_unwrap_flattens_images_and_ops(changes):
+    rows = {(r["id"], r["op"]): r for r in changes.collect()}
+    assert len(rows) == 5
+    cre = rows[(1, "c")]
+    assert cre["amount"] == decimal.Decimal("10.00") and not cre["deleted"]
+    assert cre["source_table"] == "accounts" and cre["source_lsn"] == 10000
+    # typed logical decode survived the envelope: proper datetime
+    assert cre["updated_at"] == dt.datetime(2024, 3, 1)
+    # the delete surfaces its BEFORE image
+    dele = rows[(1, "d")]
+    assert dele["deleted"] and dele["amount"] == decimal.Decimal("10.00")
+    assert rows[(3, "r")]["op"] == "r"
+
+
+def test_snapshot_latest_wins_and_deletes_vanish(changes):
+    snap = {r["id"]: r for r in
+            cdc_snapshot(changes, ["id"], ["cdc_ts_ms"]).collect()}
+    # id 1: create -> update -> delete => gone
+    assert 1 not in snap
+    assert snap[2]["amount"] == decimal.Decimal("7.25")
+    assert snap[3]["amount"] == decimal.Decimal("99.99")
+    assert "deleted" not in snap[2].asDict()
+
+
+def test_snapshot_is_one_hash_aggregation(changes):
+    plan = (
+        cdc_snapshot(changes, ["id"])._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "max_by" in plan and "Window" not in plan
+
+
+def test_op_counts_and_unknown_routing(spark, changes):
+    extra = spark.createDataFrame(
+        [Row(op="x", deleted=False)], "op string, deleted boolean"
+    )
+    counts = {
+        r["op"]: r["n_events"]
+        for r in cdc_op_counts(
+            changes.select("op", "deleted").unionByName(extra)
+        ).collect()
+    }
+    assert counts == {"c": 2, "u": 1, "d": 1, "r": 1, "unknown": 1}
+
+
+def test_null_envelope_rows_survive(spark):
+    """Converter dead letters (null decoded struct) keep their row — null
+    image, null op — instead of being silently dropped."""
+    schema = avro.parse_schema(ENVELOPE_SCHEMA)
+    ok = avro.encode(_event("c", 9, "1.00", 0, 1), schema,
+                     confluent_schema_id=7)
+    df = spark.createDataFrame(
+        [Row(value=ok), Row(value=b"\x00\x00\x00\x00\x07garbage")],
+        "value binary",
+    )
+    decoded = avro.decode_avro_column(
+        df, "value", {7: ENVELOPE_SCHEMA}, confluent_framing=True,
+        on_error="capture",
+    )
+    out = unwrap_cdc_envelope(decoded.drop("value")).collect()
+    assert len(out) == 2
+    dead = [r for r in out if r["op"] is None]
+    assert len(dead) == 1 and dead[0]["id"] is None
+    assert dead[0]["decode_error"] is not None
