@@ -257,16 +257,55 @@ def q_sink_group_topic_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sink_group_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.3: last-value-per-key upsert (deterministic max-offset tiebreak)."""
+    """§2.3: last-value-per-key upsert (deterministic max-offset tiebreak) —
+    two branches on the same (group_key → latest row) grain:
+
+    - ``upsert``: the sink's key-grouped overwrite semantics.
+    - ``cdc`` (r6): the SAME single-shuffle shape applied to a Debezium
+      changelog — events synthesized into change rows (every 7th event a
+      delete), ``streaming/cdc.cdc_snapshot`` materializes current state
+      (latest image per key, deleted keys vanish); the oracle recomputes it
+      with row_number + delete filter.
+    """
+    from kafka_connector_s3_sink_spark.streaming import cdc
+
     recs = kafka_records_from_events(spark, sf_dir)
     latest = grouping.last_value_per_key(recs)
-    return latest.select(
+    upsert_rows = latest.select(
         F.coalesce(F.col("key"), F.lit("null")).alias("group_key"),
         "topic",
         "partition",
         "offset",
         "value",
+        F.lit("upsert").alias("branch"),
     )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "props"
+    )
+    changes = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias(
+            "group_key"
+        ),
+        F.lit("cdc").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("props").alias("value"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        (F.col("event_id") % 7 == 0).alias("deleted"),
+        F.col("event_id").alias("cdc_ts_ms"),
+    )
+    snap = cdc.cdc_snapshot(changes, ["group_key"], ["cdc_ts_ms"])
+    cdc_rows = snap.select(
+        "group_key",
+        "topic",
+        "partition",
+        "offset",
+        "value",
+        F.lit("cdc").alias("branch"),
+    )
+    return upsert_rows.unionByName(cdc_rows)
 
 
 def q_sink_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,11 +1248,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sink_group_key_upsert": f"""
             WITH {KAFKA_CTE}
-            SELECT coalesce(key, 'null') AS group_key, topic, partition, "offset", value
+            SELECT coalesce(key, 'null') AS group_key, topic, partition,
+                "offset", value, 'upsert' AS branch
             FROM kafka
             QUALIFY row_number() OVER (
                 PARTITION BY coalesce(key, 'null') ORDER BY "offset" DESC
             ) = 1
+            UNION ALL
+            SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS group_key,
+                'cdc' AS topic, 0 AS partition,
+                event_id AS "offset", props AS value, 'cdc' AS branch
+            FROM (
+                SELECT user_id, event_id, props
+                FROM events
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id % 50 ORDER BY event_id DESC
+                ) = 1
+            )
+            WHERE event_id % 7 <> 0
         """,
         "sink_chunking": f"""
             WITH {KAFKA_CTE},
