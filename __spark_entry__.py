@@ -571,6 +571,21 @@ AVRO_EVENT_SCHEMA_V2 = """{
     ]
 }"""
 
+# r6: the CDC-shaped logical-type surface (decimal/timestamp/date/uuid) as a
+# third writer schema resolved by the SAME id-dispatch decode pass — the
+# evolution merge nulls these fields on v1/v2 rows and vice versa
+AVRO_EVENT_SCHEMA_V3 = """{
+    "type": "record", "name": "event",
+    "fields": [
+        {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                    "precision": 10, "scale": 2}},
+        {"name": "created_at", "type": {"type": "long",
+                                        "logicalType": "timestamp-micros"}},
+        {"name": "birth_date", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "txn_id", "type": {"type": "string", "logicalType": "uuid"}}
+    ]
+}"""
+
 
 def q_sink_avro_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.2 converter surface: AvroConverter equivalent (pure-Python codec,
@@ -602,6 +617,30 @@ def q_sink_avro_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
             k_field.alias("k"),
         ).alias("payload"),
     )
+    # r6: every third event ALSO ships as a v3 payload exercising the
+    # logical types CDC streams lean on — decimal, timestamp-micros, date,
+    # uuid — typed round-trip proven by the oracle recomputing the expected
+    # values (epoch micros, day counts, decimal-as-double, md5-derived uuid)
+    # straight from events
+    eid = F.col("event_id")
+    h = F.md5(eid.cast("string"))
+    uuid_str = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    v3_src = ev.filter(eid % 3 == 0).select(
+        "event_id",
+        F.struct(
+            (eid % 10000).cast("decimal(10,2)").alias("amount"),
+            (eid * 1000000).alias("created_at"),  # raw micros since epoch
+            (eid % 20000).cast("int").alias("birth_date"),  # raw days
+            uuid_str.alias("txn_id"),
+        ).alias("payload"),
+    )
     encoded = avro.encode_avro_column(
         v1_src, "payload", AVRO_EVENT_SCHEMA_V1, output_column="value",
         confluent_schema_id=1,
@@ -610,11 +649,20 @@ def q_sink_avro_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
             v2_src, "payload", AVRO_EVENT_SCHEMA_V2, output_column="value",
             confluent_schema_id=2,
         )
+    ).unionByName(
+        avro.encode_avro_column(
+            v3_src, "payload", AVRO_EVENT_SCHEMA_V3, output_column="value",
+            confluent_schema_id=3,
+        )
     )
     decoded = avro.decode_avro_column(
         encoded,
         "value",
-        {1: AVRO_EVENT_SCHEMA_V1, 2: AVRO_EVENT_SCHEMA_V2},
+        {
+            1: AVRO_EVENT_SCHEMA_V1,
+            2: AVRO_EVENT_SCHEMA_V2,
+            3: AVRO_EVENT_SCHEMA_V3,
+        },
         "decoded",
         confluent_framing=True,
         schema_id_column="schema_id",
@@ -625,6 +673,12 @@ def q_sink_avro_converter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.etype").alias("event_type"),
         F.col("decoded.k").alias("k"),
         "schema_id",
+        F.col("decoded.amount").cast("double").alias("amount_dbl"),
+        F.unix_micros(F.col("decoded.created_at")).alias("created_us"),
+        F.datediff(F.col("decoded.birth_date"), F.lit("1970-01-01")).alias(
+            "birth_days"
+        ),
+        F.col("decoded.txn_id").alias("txn_uuid"),
     )
 
 
@@ -1464,8 +1518,26 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN event_id % 2 = 0
                      THEN CAST(json_extract(props, '$.k') AS INTEGER)
                      ELSE NULL END AS k,
-                CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS schema_id
+                CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS schema_id,
+                CAST(NULL AS DOUBLE) AS amount_dbl,
+                CAST(NULL AS BIGINT) AS created_us,
+                CAST(NULL AS INTEGER) AS birth_days,
+                CAST(NULL AS VARCHAR) AS txn_uuid
             FROM events
+            UNION ALL
+            SELECT event_id, CAST(NULL AS BIGINT) AS user_id,
+                CAST(NULL AS VARCHAR) AS event_type,
+                CAST(NULL AS INTEGER) AS k,
+                3 AS schema_id,
+                CAST(event_id % 10000 AS DOUBLE) AS amount_dbl,
+                event_id * 1000000 AS created_us,
+                CAST(event_id % 20000 AS INTEGER) AS birth_days,
+                substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+                substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+                substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+                substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+                substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS txn_uuid
+            FROM events WHERE event_id % 3 = 0
         """,
         "sink_json_converter": f"""
             WITH {KAFKA_CTE},
