@@ -96,6 +96,17 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[bytes | None, str | None]]
             pos = nxt
 
 
+def _header_text(raw: bytes) -> str:
+    """Header bytes → str: UTF-8 first (ISO 28500 allows UTF-8 header
+    values — non-ASCII target URIs are common), latin-1 fallback for the
+    HTTP-side headers that predate it. Both are total decodings, so a
+    malformed value degrades, never raises."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
 def _parse_header_block(block: bytes) -> dict[str, str]:
     """CRLF-separated ``Name: value`` lines → dict (names case-folded).
     Tolerates bare-LF line endings (seen in the wild) per WARC readers'
@@ -106,9 +117,7 @@ def _parse_header_block(block: bytes) -> dict[str, str]:
         if not line or b":" not in line:
             continue
         name, _, value = line.partition(b":")
-        headers[name.strip().decode("latin-1").lower()] = value.strip().decode(
-            "latin-1"
-        )
+        headers[_header_text(name.strip()).lower()] = _header_text(value.strip())
     return headers
 
 
@@ -215,7 +224,8 @@ def build_record(
         lines.append(f"WARC-Target-URI: {target_uri}")
     lines.append(f"Content-Type: {content_type}")
     lines.append(f"Content-Length: {len(payload)}")
-    head = ("\r\n".join(lines) + "\r\n\r\n").encode("latin-1")
+    # UTF-8 per ISO 28500 (header values may be UTF-8; ASCII is unchanged)
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
     return head + payload + b"\r\n\r\n"
 
 

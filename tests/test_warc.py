@@ -261,3 +261,43 @@ def test_write_wet_roundtrip(spark, tmp_path):
     got = {r["url"]: r["text"] for r in back.collect()}
     assert got == {f"https://d/{i}": f"extracted text Ω {i}" for i in range(5)}
     assert all(r["mime"] == "text/plain" for r in back.collect())
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=6
+    ),
+    uri_suffix=st.text(
+        alphabet="abc/Ω?&=%", min_size=0, max_size=12
+    ),
+)
+def test_warc_framing_roundtrip_property(payloads, uri_suffix):
+    """Framing is Content-Length-delimited: ANY payload bytes — including
+    embedded CRLFCRLF, gzip magic, 'WARC/' strings, and empty bodies —
+    round-trip through build_record → iter_warc_records AND the incremental
+    streaming parser, byte-identically and in order."""
+    from kafka_connector_s3_sink_spark.sources.warc import (
+        _parse_records_streaming,
+    )
+
+    tricky = [b"\r\n\r\nWARC/1.0\r\n", b"\x1f\x8b\x08", b""]
+    bodies = payloads + tricky
+    uri = "https://ex.com/" + uri_suffix
+    blob = b"".join(
+        build_record("resource", b, target_uri=uri) for b in bodies
+    )
+    batch = [(h, body, e) for h, body, e in iter_warc_records(blob)]
+    assert [e for *_, e in batch] == [None] * len(bodies)
+    assert [b for _, b, _ in batch] == bodies
+    assert all(h["warc-target-uri"] == uri for h, *_ in batch)
+    # incremental parser sees the same records across ARBITRARY chunking
+    for chunk in (1, 7, len(blob) or 1):
+        pieces = [blob[i : i + chunk] for i in range(0, len(blob), chunk)]
+        stream = [(h, b, e) for h, b, e in _parse_records_streaming(iter(pieces))]
+        assert [b for _, b, _ in stream] == bodies
+        assert [e for *_, e in stream] == [None] * len(bodies)
