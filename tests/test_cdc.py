@@ -147,3 +147,74 @@ def test_null_envelope_rows_survive(spark):
     dead = [r for r in out if r["op"] is None]
     assert len(dead) == 1 and dead[0]["id"] is None
     assert dead[0]["decode_error"] is not None
+
+
+def test_cdc_streaming_snapshot_per_epoch(spark, tmp_path):
+    """Changelog stream → foreachBatch cdc_snapshot with per-epoch overwrite:
+    epoch 1 materializes creates, epoch 2's updates+deletes roll the state
+    forward under the running snapshot (read-modify-write per epoch, the
+    same idempotent-overwrite shape as the ingest pipeline)."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    def emit(events):
+        spark.createDataFrame(
+            [Row(v=_json.dumps(e)) for e in events], "v string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    emit([
+        {"id": 1, "amount": "10.00", "op": "c", "ts": 1},
+        {"id": 2, "amount": "7.25", "op": "c", "ts": 2},
+    ])
+
+    def apply_epoch(batch_df, batch_id):
+        changes = batch_df.select(
+            F.from_json("v", "id long, amount string, op string, ts long").alias("e")
+        ).select(
+            F.col("e.id").alias("id"),
+            F.col("e.amount").alias("amount"),
+            F.col("e.op").alias("op"),
+            (F.col("e.op") == "d").alias("deleted"),
+            F.col("e.ts").alias("cdc_ts_ms"),
+        )
+        s = batch_df.sparkSession
+        try:
+            prior = s.read.parquet(state).withColumn(
+                "deleted", F.lit(False)
+            ).withColumn("op", F.lit("r"))
+        except Exception:
+            prior = changes.limit(0)
+        snap = cdc_snapshot(
+            prior.unionByName(changes, allowMissingColumns=True),
+            ["id"], ["cdc_ts_ms"],
+        )
+        snap.write.mode("overwrite").parquet(state + ".next")
+        import shutil
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.move(state + ".next", state)
+
+    def drain():
+        q = (
+            spark.readStream.schema("v string").parquet(str(src))
+            .writeStream.foreachBatch(apply_epoch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    snap1 = {r["id"]: r["amount"] for r in spark.read.parquet(state).collect()}
+    assert snap1 == {1: "10.00", 2: "7.25"}
+
+    emit([
+        {"id": 1, "amount": None, "op": "d", "ts": 3},
+        {"id": 2, "amount": "8.00", "op": "u", "ts": 4},
+        {"id": 3, "amount": "1.00", "op": "c", "ts": 5},
+    ])
+    drain()
+    snap2 = {r["id"]: r["amount"] for r in spark.read.parquet(state).collect()}
+    assert snap2 == {2: "8.00", 3: "1.00"}  # 1 deleted, 2 updated, 3 created
