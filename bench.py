@@ -251,7 +251,11 @@ def main() -> None:
         "108->82, h_sizes join folded into a bucketed window count); "
         "same-session A/B at sf0.1 measures the new ladder FASTER "
         "(4.5 vs 5.1 warm median) — cross-run deltas vs r5's committed "
-        "2.45 are the documented machine noise. Other entries unchanged. "
+        "2.45 are the documented machine noise. sink_avro_converter adds "
+        "the v3 logical-types arm (+1/3 payload volume, decimal/ts/date/"
+        "uuid encode+decode); sink_group_key_upsert adds the cdc_snapshot "
+        "arm (a second changelog-upsert aggregation over events). Other "
+        "entries unchanged. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
