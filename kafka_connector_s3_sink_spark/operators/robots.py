@@ -1,0 +1,196 @@
+"""robots.txt parsing and URL admission — the crawl-compliance stage.
+
+A pretraining crawl that ignores robots.txt is a liability; a compliant one
+needs two distributed operations, both expressible as DataFrame ops over
+the same WARC fetches the engine already ingests (robots bodies arrive as
+ordinary ``response`` records for ``/robots.txt``):
+
+- ``parse_robots``: robots payload text → one row per (host, agent,
+  rule_type, path_prefix). The format is line-oriented with GROUP
+  semantics — one or more ``User-agent`` lines followed by their rules —
+  so parsing needs an ordered scan per file: ``posexplode`` the lines,
+  then a per-host window carries the current agent set forward
+  (``last(ignorenulls)``) — one narrow window per robots doc (docs are
+  KB-sized; the window partitions by host, so 10M hosts parallelize).
+- ``match_rules``: URLs × rules → ``allowed`` verdict per URL for a given
+  agent, with modern (Google REP / RFC 9309) semantics: the most specific
+  (longest-prefix) matching rule wins, Allow wins length ties, a
+  specific-agent group SHADOWS the ``*`` group entirely, and a host with
+  no rules is allowed. One equi-join on host (rules side is the tiny one —
+  a few rules per host) and one ``max_by`` per URL. ``$`` end-anchors and
+  ``*`` wildcards inside prefixes are supported via a regex translation
+  done ONCE on the rules side.
+
+Both stay JVM-side (regexp/window/join/max_by — no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVE_RE = r"(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*)"
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", payload_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, rule_type ∈ {allow, disallow}, path_prefix) rows from
+    robots.txt bodies. Comments and unknown directives drop; an empty
+    ``Disallow:`` (spec for "allow everything") yields no row — absence of
+    rules IS permission in ``match_rules``. Consecutive ``User-agent``
+    lines form one group sharing the rules that follow (REP group
+    semantics); a rule line before any ``User-agent`` is ignored, per spec.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(payload_col), r"\r?\n")).alias(
+            "pos", "line"
+        ),
+    ).select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", _DIRECTIVE_RE, 2)).alias("arg"),
+    ).filter(F.col("directive") != "")
+
+    w = Window.partitionBy("host").orderBy("pos")
+    # group id: a User-agent line that FOLLOWS a rule line starts a new
+    # group; consecutive User-agent lines extend the current one
+    is_ua = F.col("directive") == "user-agent"
+    prev_ua = F.lag(is_ua, 1, False).over(w)
+    group_start = is_ua & ~prev_ua
+    grouped = lines.withColumn(
+        "group_id", F.sum(group_start.cast("int")).over(w)
+    )
+    agents = (
+        grouped.filter(is_ua)
+        .select("host", "group_id", F.lower(F.col("arg")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(~is_ua & (F.col("arg") != "")).select(
+        "host",
+        "group_id",
+        F.col("directive").alias("rule_type"),
+        F.col("arg").alias("path_prefix"),
+    )
+    # rules join their group's agent set: a group with N agent lines emits
+    # each rule once per agent — the flat shape match_rules consumes
+    return agents.join(rules, ["host", "group_id"]).select(
+        "host", "agent", "rule_type", "path_prefix"
+    )
+
+
+def match_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """``urls`` + parsed ``rules`` → urls with an ``allowed`` boolean.
+
+    RFC 9309 semantics: the group for ``agent`` (exact, lowercased) shadows
+    the ``*`` group when it exists for that host; among matching rules the
+    LONGEST path pattern wins, Allow beats Disallow on equal length; no
+    matching rule (or no rules at all for the host) → allowed. ``*`` and
+    trailing ``$`` in patterns are honored. All other url columns pass
+    through."""
+    from kafka_connector_s3_sink_spark.operators.urls import url_host
+
+    agent = agent.lower()
+    r = rules.filter(F.lower(F.col("agent")).isin(agent, "*")).select(
+        "host",
+        (F.lower(F.col("agent")) == agent).alias("specific"),
+        (F.col("rule_type") == "allow").alias("is_allow"),
+        "path_prefix",
+        F.length("path_prefix").alias("plen"),
+        F.concat(
+            F.lit("^"),
+            F.when(
+                F.col("path_prefix").endswith("$"),
+                F.concat(
+                    _escape_then_wildcard(
+                        F.expr(
+                            "substring(path_prefix, 1, length(path_prefix) - 1)"
+                        )
+                    ),
+                    F.lit("$"),
+                ),
+            ).otherwise(_escape_then_wildcard(F.col("path_prefix"))),
+        ).alias("pattern"),
+    )
+    # specific-agent shadowing: keep only the most specific agent tier that
+    # exists per host
+    tier = r.groupBy("host").agg(F.max("specific").alias("_has_specific"))
+    r = r.join(tier, "host").filter(
+        F.col("specific") == F.col("_has_specific")
+    ).drop("_has_specific", "specific")
+
+    u = urls.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.col(url_col),
+                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)",
+                    1,
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    joined = u.join(r, u["_host"] == r["host"], "left").withColumn(
+        # regexp_like (vs Column.rlike) accepts a per-row pattern COLUMN
+        "_matches", F.regexp_like(F.col("_path"), F.col("pattern"))
+    )
+    verdict = (
+        joined.groupBy(*[u[c] for c in u.columns])
+        .agg(
+            F.max_by(
+                F.col("is_allow"),
+                F.when(
+                    F.col("_matches"),
+                    F.struct(
+                        F.col("plen").alias("l"),
+                        F.col("is_allow").cast("int").alias("a"),
+                    ),
+                ),
+            ).alias("_best_allow")
+        )
+        .withColumn("allowed", F.coalesce(F.col("_best_allow"), F.lit(True)))
+        .drop("_best_allow", "_host", "_path")
+    )
+    return verdict
+
+
+def _escape_then_wildcard(col):
+    """Escape regex metacharacters in a robots path, then translate the
+    robots ``*`` wildcard to ``.*`` — order matters (``*`` must survive
+    escaping as a marker, so it is excluded from the escape class)."""
+    escaped = F.regexp_replace(col, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    return F.regexp_replace(escaped, r"\*", ".*")
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    per_domain_slot_ms: int = 1000,
+) -> DataFrame:
+    """Politeness schedule: per registrable domain, URLs get consecutive
+    fetch slots ``slot_no`` and ``not_before_ms`` offsets (slot ×
+    crawl-delay), so a fetcher fleet can partition by domain and replay the
+    schedule without hammering any host. One window per domain (row_number
+    over a deterministic hash order — no global sort)."""
+    from kafka_connector_s3_sink_spark.operators.urls import (
+        registrable_domain,
+    )
+
+    w = Window.partitionBy("domain").orderBy(F.md5(F.col(url_col)))
+    return (
+        urls.withColumn("domain", registrable_domain(F.col(url_col)))
+        .withColumn("slot_no", F.row_number().over(w) - 1)
+        .withColumn(
+            "not_before_ms", F.col("slot_no") * F.lit(per_domain_slot_ms)
+        )
+    )
