@@ -328,3 +328,62 @@ def test_compact_parquet_synthetic_listing(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dest).collect()}
     assert a == b
+
+
+def test_chunk_documents_matches_duckdb(docs):
+    """r6 sliding-window chunking: window starts, counts, and chunk texts
+    reproduce exactly in DuckDB (closed-form starts over the token array)."""
+    got = {
+        (r["doc_id"], r["chunk_no"], r["n_chunks"], r["chunk_text"],
+         r["n_chunk_tokens"])
+        for r in packing.chunk_documents(docs, max_tokens=40, overlap=8).collect()
+    }
+    want = {
+        (d, c, n, t, k)
+        for d, c, n, t, k in duckdb.sql(f"""
+            WITH toks AS (
+                SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM read_parquet('{DOCS}')
+            ), sized AS (
+                SELECT doc_id, w,
+                    CAST(1 + ceil(greatest(len(w) - 40, 0) / 32.0) AS INTEGER)
+                        AS n_chunks
+                FROM toks
+            )
+            SELECT doc_id, chunk_no, n_chunks,
+                array_to_string(w[chunk_no * 32 + 1 : chunk_no * 32 + 40], ' ')
+                    AS chunk_text,
+                len(w[chunk_no * 32 + 1 : chunk_no * 32 + 40])
+                    AS n_chunk_tokens
+            FROM sized, unnest(range(0, n_chunks)) AS t(chunk_no)
+        """).fetchall()
+    }
+    assert got == want
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage + overlap invariants on a synthetic doc: windows tile the
+    token sequence with exactly `overlap` shared tokens, the final window
+    carries the remainder, short docs chunk to themselves."""
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    out = packing.chunk_documents(df, max_tokens=30, overlap=5)
+    rows = sorted(
+        [r for r in out.collect() if r["doc_id"] == 1],
+        key=lambda r: r["chunk_no"],
+    )
+    # 100 tokens, window 30, step 25 -> 1 + ceil(70/25) = 4 windows
+    assert [r["n_chunks"] for r in rows] == [4, 4, 4, 4]
+    assert [r["n_chunk_tokens"] for r in rows] == [30, 30, 30, 25]
+    toks = text.split()
+    for r in rows:
+        start = r["chunk_no"] * 25
+        assert r["chunk_text"].split() == toks[start:start + 30]
+    # consecutive windows share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"].split()[-5:] == b["chunk_text"].split()[:5]
+    short = [r for r in out.collect() if r["doc_id"] == 2]
+    assert len(short) == 1 and short[0]["chunk_text"] == "short doc"
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, max_tokens=10, overlap=10)
