@@ -106,6 +106,59 @@ def language_id(text: Column) -> Column:
     return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("und"))
 
 
+# Per-language function-word profiles (high-frequency closed-class words,
+# public linguistic knowledge). Deliberately DISJOINT-leaning: shared forms
+# ('in', 'a', 'die'…) are kept only under their most distinctive language to
+# sharpen the argmax; real corpora dominate these ratios by an order of
+# magnitude over cross-language noise.
+LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "for", "with", "was", "this"),
+    "de": ("der", "und", "das", "nicht", "ist", "ein", "eine", "mit", "auf", "für"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "los", "las", "una", "está", "por", "como", "pero", "más", "del"),
+}
+
+
+def language_id_multi(text: Column, min_ratio: float = 0.06) -> Column:
+    """Argmax language over the per-language function-word profiles: the
+    language whose profile-word ratio is highest, when that ratio clears
+    ``min_ratio``; ties break alphabetically (deterministic); nothing
+    clears → 'und'. One tokenization feeding |languages| array-filter
+    ratios and a ``greatest``-based argmax — all row-local JVM expressions,
+    the oracle-portable shape (no model file, no UDF)."""
+    toks = tokens_column(F.lower(text))
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    def ratio(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, _isin_factory(words))) / n
+
+    ordered = sorted(LANGUAGE_PROFILES.items())
+    scored = [
+        F.struct(
+            ratio(words).alias("r"),
+            # struct-greatest compares (ratio, priority, code): priority
+            # DESCENDS alphabetically, so equal ratios resolve to the
+            # alphabetically first code — deterministic ties
+            F.lit(len(ordered) - i).alias("prio"),
+            F.lit(code).alias("code"),
+        )
+        for i, (code, words) in enumerate(ordered)
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return F.when(best.getField("r") >= min_ratio, best.getField("code")).otherwise(
+        F.lit("und")
+    )
+
+
+def _isin_factory(words: tuple[str, ...]):
+    """Exact-arity HOF lambda factory (no default-arg captures)."""
+
+    def check(t: Column) -> Column:
+        return t.isin(*words)
+
+    return check
+
+
 def normalized_text(text: Column) -> Column:
     """Lowercase + collapse whitespace — canonical form for fingerprinting."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -937,3 +937,66 @@ def test_registrable_domain_psl(spark):
     assert heur[6] == "ma.us" and got[6] == "school.pvt.k12.ma.us"
     # passthrough: original columns survive
     assert set(registrable_domain_psl(df, rules).columns) == {"url", "tag", "domain"}
+
+
+def test_language_id_multi(spark):
+    """r6 multi-language ID: argmax over per-language function-word
+    profiles picks the right language for en/de/fr/es samples, word salad
+    stays 'und', and the DuckDB twin reproduces the verdicts."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.operators.text import (
+        LANGUAGE_PROFILES,
+        language_id_multi,
+    )
+
+    cases = [
+        ("the report said that the results were ready for the committee "
+         "and that this was the best outcome for all involved", "en"),
+        ("der hund und die katze sind nicht auf der straße denn das wetter "
+         "ist ein problem für alle mit einem garten", "de"),
+        ("le chat est dans la maison et les enfants jouent dans le jardin "
+         "pour que la journée ne soit pas perdue", "fr"),
+        ("el perro está en la casa y los niños juegan como siempre pero "
+         "más tarde del mediodía en el jardín", "es"),
+        ("zxq wvu ttt qqq ppp ooo nnn mmm lll kkk", "und"),
+    ]
+    df = spark.createDataFrame([Row(text=t) for t, _ in cases])
+    got = [
+        r["lang"]
+        for r in df.select(language_id_multi(F.col("text")).alias("lang")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+    # DuckDB twin: identical tokenization + profile ratios + argmax
+    import duckdb
+
+    profiles = sorted(LANGUAGE_PROFILES.items())
+    ratio_sql = ", ".join(
+        "len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) / greatest(len(toks), 1) AS r_{code}"
+        for code, words in profiles
+    )
+    pick = "CASE "
+    # same argmax: highest ratio, alphabetical tiebreak, floor at 0.06
+    best = f"greatest({', '.join('r_' + c for c, _ in profiles)})"
+    for code, _ in profiles:
+        pick += f"WHEN r_{code} = {best} AND r_{code} >= 0.06 THEN '{code}' "
+    pick += "ELSE 'und' END"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?)" for _ in cases) + ") x(text)",
+        [t for t, _ in cases],
+    )
+    twin = [r[0] for r in con.execute(f"""
+        SELECT {pick} FROM (
+            SELECT {ratio_sql} FROM (
+                SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM t
+            )
+        )
+    """).fetchall()]
+    assert twin == got
