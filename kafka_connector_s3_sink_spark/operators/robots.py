@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_DIRECTIVE_RE = r"(?i)^\s*(user-agent|allow|disallow)\s*:\s*([^#]*)"
+_DIRECTIVE_RE = r"(?i)^\s*(user-agent|allow|disallow|crawl-delay)\s*:\s*([^#]*)"
 
 
 def parse_robots(
@@ -98,7 +98,10 @@ def match_rules(
     from kafka_connector_s3_sink_spark.operators.urls import url_host
 
     agent = agent.lower()
-    r = rules.filter(F.lower(F.col("agent")).isin(agent, "*")).select(
+    r = rules.filter(
+        F.lower(F.col("agent")).isin(agent, "*")
+        & F.col("rule_type").isin("allow", "disallow")
+    ).select(
         "host",
         (F.lower(F.col("agent")) == agent).alias("specific"),
         (F.col("rule_type") == "allow").alias("is_allow"),
@@ -172,25 +175,76 @@ def _escape_then_wildcard(col):
     return F.regexp_replace(escaped, r"\*", ".*")
 
 
+def crawl_delays(rules: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, delay_ms) from parsed ``Crawl-delay`` directives, with the
+    same specific-agent-shadows-``*`` resolution as ``match_rules``
+    (``max_by`` on the specificity flag; multiple delay lines in one tier
+    keep the largest — the conservative read). Non-numeric args drop."""
+    agent = agent.lower()
+    d = rules.filter(
+        (F.col("rule_type") == "crawl-delay")
+        & F.lower(F.col("agent")).isin(agent, "*")
+    ).select(
+        "host",
+        (F.lower(F.col("agent")) == agent).cast("int").alias("specific"),
+        (F.col("path_prefix").try_cast("double") * 1000).alias("delay_ms"),
+    ).filter(F.col("delay_ms").isNotNull())
+    return (
+        d.groupBy("host")
+        .agg(
+            F.max_by(
+                F.col("delay_ms"),
+                F.struct(F.col("specific"), F.col("delay_ms")),
+            ).cast("long").alias("delay_ms")
+        )
+    )
+
+
 def crawl_schedule(
     urls: DataFrame,
     url_col: str = "url",
     per_domain_slot_ms: int = 1000,
+    delays: DataFrame | None = None,
 ) -> DataFrame:
     """Politeness schedule: per registrable domain, URLs get consecutive
     fetch slots ``slot_no`` and ``not_before_ms`` offsets (slot ×
     crawl-delay), so a fetcher fleet can partition by domain and replay the
     schedule without hammering any host. One window per domain (row_number
-    over a deterministic hash order — no global sort)."""
+    over a deterministic hash order — no global sort).
+
+    ``delays`` (optional, from ``crawl_delays``: (host, delay_ms)) overrides
+    the default slot width per domain with the LARGEST delay any of the
+    domain's hosts advertises — robots speak per host, politeness budgets
+    per registrable domain, so the conservative max is the safe fold."""
     from kafka_connector_s3_sink_spark.operators.urls import (
         registrable_domain,
     )
 
     w = Window.partitionBy("domain").orderBy(F.md5(F.col(url_col)))
-    return (
+    out = (
         urls.withColumn("domain", registrable_domain(F.col(url_col)))
         .withColumn("slot_no", F.row_number().over(w) - 1)
-        .withColumn(
+    )
+    if delays is None:
+        return out.withColumn(
             "not_before_ms", F.col("slot_no") * F.lit(per_domain_slot_ms)
         )
+    dom_delay = (
+        delays.withColumn(
+            "domain",
+            registrable_domain(F.concat(F.lit("http://"), F.col("host"))),
+        )
+        .groupBy("domain")
+        .agg(F.max("delay_ms").alias("_delay_ms"))
+    )
+    # no broadcast hint: the delay table scales with crawled-domain count
+    # (forced broadcast = OOM at crawl scale); AQE broadcasts when small
+    return (
+        out.join(dom_delay, "domain", "left")
+        .withColumn(
+            "not_before_ms",
+            F.col("slot_no")
+            * F.coalesce(F.col("_delay_ms"), F.lit(per_domain_slot_ms)),
+        )
+        .drop("_delay_ms")
     )

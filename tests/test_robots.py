@@ -128,3 +128,46 @@ def test_crawl_schedule_politeness(spark):
     assert {(r["url"], r["slot_no"]) for r in again} == {
         (r["url"], r["slot_no"]) for r in sched
     }
+
+
+def test_crawl_delay_directive_flows_into_schedule(spark):
+    """Crawl-delay parses per REP tier (specific agent shadows '*'),
+    folds conservatively to the registrable domain, and widens the
+    schedule's slot spacing; hosts without a delay keep the default."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.robots import crawl_delays
+
+    robots = "\n".join([
+        "User-agent: *",
+        "Crawl-delay: 2",
+        "Disallow: /x/",
+        "User-agent: fastbot",
+        "Crawl-delay: 0.5",
+    ])
+    rules = parse_robots(
+        spark.createDataFrame([Row(host="www.site0.com", robots_txt=robots)])
+    )
+    # crawl-delay rows never leak into admission decisions
+    admitted = match_rules(
+        spark.createDataFrame([Row(url="https://www.site0.com/ok")]), rules
+    ).collect()
+    assert admitted[0]["allowed"] is True
+
+    star = {r["host"]: r["delay_ms"] for r in crawl_delays(rules).collect()}
+    fast = {r["host"]: r["delay_ms"]
+            for r in crawl_delays(rules, agent="FastBot").collect()}
+    assert star == {"www.site0.com": 2000}
+    assert fast == {"www.site0.com": 500}
+
+    urls = spark.createDataFrame(
+        [Row(url=f"https://www.site0.com/p/{i}") for i in range(3)]
+        + [Row(url=f"https://other.org/p/{i}") for i in range(3)]
+    )
+    sched = crawl_schedule(urls, per_domain_slot_ms=100,
+                           delays=crawl_delays(rules)).collect()
+    by = {}
+    for r in sched:
+        by.setdefault(r["domain"], []).append(r["not_before_ms"])
+    assert sorted(by["site0.com"]) == [0, 2000, 4000]   # robots delay
+    assert sorted(by["other.org"]) == [0, 100, 200]     # default spacing
