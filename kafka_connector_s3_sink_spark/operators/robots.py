@@ -41,6 +41,10 @@ def parse_robots(
     rules IS permission in ``match_rules``. Consecutive ``User-agent``
     lines form one group sharing the rules that follow (REP group
     semantics); a rule line before any ``User-agent`` is ignored, per spec.
+
+    Expects ONE robots payload per host — dedupe re-fetches upstream
+    (latest by fetch time, e.g. ``streaming.cdc.cdc_snapshot`` keyed on
+    host) or two fetches' lines would interleave in the group window.
     """
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -173,6 +177,43 @@ def _escape_then_wildcard(col):
     escaping as a marker, so it is excluded from the escape class)."""
     escaped = F.regexp_replace(col, r"([.^$+?(){}\[\]|\\])", r"\\$1")
     return F.regexp_replace(escaped, r"\*", ".*")
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", payload_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, url, lastmod) rows from sitemap XML payloads (urlset or
+    sitemapindex — both use ``<loc>``; index rows point at child sitemaps
+    and re-enter this parser after fetch). Regex-grade extraction — the
+    crawl-stage first pass, same trade as ``html_to_text``: one
+    ``regexp_extract_all`` per document for locs, one anchored lookup per
+    loc for its entry's lastmod; no XML parser in the hot path. CDATA and
+    entity-encoded locs are decoded for the four entities sitemaps emit."""
+    entry = F.regexp_extract_all(
+        F.col(payload_col),
+        # one <url>/<sitemap> entry: capture through its closing tag so the
+        # per-entry lastmod stays associated with ITS loc
+        F.lit(r"(?s)<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>"),
+        1,
+    )
+    exploded = df.select(
+        F.col(host_col).alias("host"), F.explode(entry).alias("_entry")
+    )
+    loc = F.regexp_extract(
+        "_entry", r"(?s)<loc\s*>\s*(?:<!\[CDATA\[)?\s*(.*?)\s*(?:\]\]>)?\s*</loc>", 1
+    )
+    lastmod = F.nullif(
+        F.regexp_extract("_entry", r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod>", 1),
+        F.lit(""),
+    )
+    unescaped = loc
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')):
+        unescaped = F.replace(unescaped, F.lit(ent), F.lit(ch))
+    return exploded.select(
+        "host",
+        unescaped.alias("url"),
+        lastmod.alias("lastmod"),
+    ).filter(F.col("url") != "")
 
 
 def crawl_delays(rules: DataFrame, agent: str = "*") -> DataFrame:

@@ -171,3 +171,38 @@ def test_crawl_delay_directive_flows_into_schedule(spark):
         by.setdefault(r["domain"], []).append(r["not_before_ms"])
     assert sorted(by["site0.com"]) == [0, 2000, 4000]   # robots delay
     assert sorted(by["other.org"]) == [0, 100, 200]     # default spacing
+
+
+def test_parse_sitemaps(spark):
+    """urlset + sitemapindex payloads: per-entry loc/lastmod association,
+    CDATA and entity unescaping, whitespace tolerance."""
+    from kafka_connector_s3_sink_spark.operators.robots import parse_sitemaps
+
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://a.example/p?x=1&amp;y=2</loc>
+           <lastmod>2024-03-01</lastmod><priority>0.8</priority></url>
+      <url><loc>
+            https://a.example/q
+          </loc></url>
+      <url><loc><![CDATA[https://a.example/cdata?a=1&b=2]]></loc>
+           <lastmod>2024-04-02T10:00:00Z</lastmod></url>
+    </urlset>"""
+    index = """<sitemapindex>
+      <sitemap><loc>https://b.example/sitemap-1.xml</loc>
+               <lastmod>2024-01-01</lastmod></sitemap>
+      <sitemap><loc>https://b.example/sitemap-2.xml</loc></sitemap>
+    </sitemapindex>"""
+    df = spark.createDataFrame(
+        [Row(host="a.example", sitemap_xml=urlset),
+         Row(host="b.example", sitemap_xml=index)]
+    )
+    got = {(r["host"], r["url"]): r["lastmod"]
+           for r in parse_sitemaps(df).collect()}
+    assert got == {
+        ("a.example", "https://a.example/p?x=1&y=2"): "2024-03-01",
+        ("a.example", "https://a.example/q"): None,
+        ("a.example", "https://a.example/cdata?a=1&b=2"): "2024-04-02T10:00:00Z",
+        ("b.example", "https://b.example/sitemap-1.xml"): "2024-01-01",
+        ("b.example", "https://b.example/sitemap-2.xml"): None,
+    }
