@@ -301,3 +301,29 @@ def test_warc_framing_roundtrip_property(payloads, uri_suffix):
         stream = [(h, b, e) for h, b, e in _parse_records_streaming(iter(pieces))]
         assert [b for _, b, _ in stream] == bodies
         assert [e for *_, e in stream] == [None] * len(bodies)
+
+
+def test_warc_datasource_large_record_and_many_records(warc_registered, spark, tmp_path):
+    """The incremental decoder buffers at most ONE record: a payload larger
+    than the read chunk (1 MiB) spans many chunks and round-trips intact,
+    and a many-record archive streams through with exact counts."""
+    import hashlib
+
+    big = b"".join(
+        hashlib.sha256(str(i).encode()).digest() for i in range(100_000)
+    )  # ~3.2 MB, incompressible-ish
+    records = [build_record("response", build_http_response_payload(big),
+                            target_uri="https://big/1")]
+    records += [
+        build_record("response", build_http_response_payload(b"<p>%d</p>" % i),
+                     target_uri=f"https://many/{i}")
+        for i in range(5000)
+    ]
+    (tmp_path / "big.warc.gz").write_bytes(
+        b"".join(gzip.compress(r, mtime=0) for r in records)
+    )
+    df = spark.read.format("warc").option("path", str(tmp_path)).load()
+    assert df.count() == 5001
+    got_big = df.filter(F.col("target_uri") == "https://big/1").collect()[0]
+    assert bytes(got_big["payload"]) == big
+    assert df.filter(F.col("parse_error").isNotNull()).count() == 0
