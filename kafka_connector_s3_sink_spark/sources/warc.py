@@ -384,6 +384,43 @@ def warc_documents(records: DataFrame) -> DataFrame:
     )
 
 
+def enrich_crawl_documents(
+    docs: DataFrame,
+    quality_weights=None,
+) -> DataFrame:
+    """One-call crawl preprocessing over ``warc_documents`` output: URL
+    hygiene (host, registrable domain, canonical URL), multi-language ID,
+    quality score (static heuristic or the trained classifier when
+    ``quality_weights`` is given), token count, and the exact-dup
+    fingerprint — every column a row-local JVM expression, so the whole
+    enrichment fuses into the scan→parse stage with zero added shuffles.
+    The output is the standard input to the dedup cascade / ingest pipeline
+    and to mixture/politeness planning (group by ``domain``)."""
+    from kafka_connector_s3_sink_spark.operators import text as text_ops
+    from kafka_connector_s3_sink_spark.operators import urls as url_ops
+
+    u = F.col("url")
+    t = F.col("text")
+    if quality_weights is not None:
+        from kafka_connector_s3_sink_spark.operators.quality import (
+            classifier_score,
+        )
+
+        quality = classifier_score(t, quality_weights)
+    else:
+        quality = text_ops.quality_score(t)
+    return docs.select(
+        "*",
+        url_ops.url_host(u).alias("host"),
+        url_ops.registrable_domain(u).alias("domain"),
+        url_ops.strip_tracking(u).alias("canonical_url"),
+        text_ops.language_id_multi(t).alias("lang"),
+        F.when(t.isNotNull(), quality).alias("quality"),
+        F.when(t.isNotNull(), text_ops.token_count(t)).alias("n_tokens"),
+        F.when(t.isNotNull(), text_ops.fingerprint(t)).alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # distributed write (export sink + gate fixture generator)
 

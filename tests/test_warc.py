@@ -327,3 +327,34 @@ def test_warc_datasource_large_record_and_many_records(warc_registered, spark, t
     got_big = df.filter(F.col("target_uri") == "https://big/1").collect()[0]
     assert bytes(got_big["payload"]) == big
     assert df.filter(F.col("parse_error").isNotNull()).count() == 0
+
+
+def test_enrich_crawl_documents(spark, tmp_path):
+    """The one-call enrichment over warc_documents: URL hygiene, language,
+    quality, tokens, fingerprint — all present, correct, and shuffle-free."""
+    from kafka_connector_s3_sink_spark.sources.warc import (
+        enrich_crawl_documents,
+    )
+
+    en = ("the committee published the report and the council voted to "
+          "adopt it for the town this year with the support of the mayor")
+    rec = build_record(
+        "response",
+        build_http_response_payload(
+            f"<html><body><p>{en}</p></body></html>".encode()
+        ),
+        target_uri="https://www.shop.example.co.uk/p?utm_source=x&id=3",
+    )
+    (tmp_path / "t.warc.gz").write_bytes(gzip.compress(rec, mtime=0))
+    out = enrich_crawl_documents(
+        warc_documents(read_warc(spark, str(tmp_path)))
+    )
+    r = out.collect()[0]
+    assert r["host"] == "www.shop.example.co.uk"
+    assert r["domain"] == "example.co.uk"
+    assert r["canonical_url"] == "https://www.shop.example.co.uk/p?id=3"
+    assert r["lang"] == "en"
+    assert r["quality"] > 0.2 and r["n_tokens"] == len(en.split())
+    assert len(r["fingerprint"]) == 32
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # enrichment fuses into the parse stage
