@@ -197,6 +197,25 @@ def html_to_text(html: Column) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+_BOILERPLATE_TAGS = ("nav", "header", "footer", "aside", "form", "noscript")
+
+
+def html_main_content(html: Column) -> Column:
+    """``html_to_text`` with STRUCTURAL boilerplate regions removed first:
+    ``<nav>/<header>/<footer>/<aside>/<form>/<noscript>`` blocks drop
+    wholesale (non-greedy to the first matching close — nested same-tag
+    blocks cut short, the documented regex-grade trade shared with
+    ``html_to_text``'s script/style handling). This is the crawl-stage
+    main-content heuristic: menus, mastheads, and footers dominate the
+    DUPLICATED text across a site's pages, so stripping them before dedup
+    sharpens near-dup precision and mixture statistics. RE2-safe patterns —
+    an external oracle runs the identical chain."""
+    t = html
+    for tag in _BOILERPLATE_TAGS:
+        t = F.regexp_replace(t, rf"(?is)<{tag}\b.*?</{tag}\s*>", " ")
+    return html_to_text(t)
+
+
 def fingerprint(text: Column) -> Column:
     """md5 of the normalized text (exact-dup key)."""
     return F.md5(normalized_text(text))

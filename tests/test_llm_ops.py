@@ -1000,3 +1000,53 @@ def test_language_id_multi(spark):
         )
     """).fetchall()]
     assert twin == got
+
+
+def test_html_main_content(spark):
+    """r6: structural boilerplate regions (nav/header/footer/aside/form/
+    noscript) drop before text extraction; the body copy survives; the
+    DuckDB twin runs the identical chain."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark.operators.text import (
+        _BOILERPLATE_TAGS,
+        html_main_content,
+        html_to_text,
+    )
+
+    html = (
+        '<html><body><nav><a href="/">Home</a> | <a href="/x">X</a></nav>'
+        "<header><h1>Site Title</h1></header>"
+        "<p>the actual article text stays</p>"
+        '<aside>related links</aside><form><input name="q"/>Search</form>'
+        "<noscript>enable js</noscript>"
+        "<footer>© 2024 Site — terms</footer></body></html>"
+    )
+    df = spark.createDataFrame([Row(h=html)])
+    got = df.select(
+        html_main_content(F.col("h")).alias("main"),
+        html_to_text(F.col("h")).alias("full"),
+    ).collect()[0]
+    assert got["main"] == "the actual article text stays"
+    # plain extraction keeps the boilerplate — that's the contrast
+    assert "Home" in got["full"] and "terms" in got["full"]
+
+    import duckdb
+
+    chain = "h"
+    for tag in _BOILERPLATE_TAGS:
+        chain = f"regexp_replace({chain}, '<{tag}\\b.*?</{tag}\\s*>', ' ', 'gis')"
+    chain = f"""trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace({chain},
+                '<script\\b.*?</script\\s*>|<style\\b.*?</style\\s*>', ' ', 'gis'),
+                '<!--.*?-->', ' ', 'gs'),
+                '<[^>]*>', ' ', 'gs'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+    '\\s+', ' ', 'g'))"""
+    twin = duckdb.connect().execute(
+        f"SELECT {chain} FROM (SELECT ? AS h)", [html]
+    ).fetchone()[0]
+    assert twin == got["main"]
