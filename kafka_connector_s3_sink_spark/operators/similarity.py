@@ -802,3 +802,29 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation loop every ANN deployment needs before trusting nprobe /
+    n_planes settings. Both inputs are topk-shaped (query_id, nbr_id, rank);
+    output one row per query: (query_id, n_hits, recall), plus use
+    ``.agg(avg("recall"))`` for the headline number. One equi-join on
+    (query_id, nbr_id) + one aggregation — O(queries × k), never touching
+    the corpus."""
+    a = approx.filter(F.col("rank") <= k).select("query_id", "nbr_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "nbr_id")
+    hits = (
+        e.join(a.withColumn("_hit", F.lit(1)), ["query_id", "nbr_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+        )
+    )
+    return hits

@@ -348,26 +348,32 @@ def read_warc(
     return raw.mapInPandas(decode, WARC_RECORD_SCHEMA)
 
 
-def warc_documents(records: DataFrame) -> DataFrame:
+def warc_documents(records: DataFrame, main_content: bool = False) -> DataFrame:
     """``response``/``conversion`` records → the engine's crawl-document
     shape: ``(url, fetched_at, http_status, mime, text, doc_id)``.
 
     HTML responses run ``text.html_to_text`` (JVM regexp — the payload
-    crosses the Python/Arrow boundary exactly once, in ``read_warc``); WET
-    ``conversion`` payloads ARE extracted text and pass through. ``doc_id``
-    is a content-derived 63-bit key (xxhash of url + payload) — stable across
-    re-reads, collision-checked downstream by the dedup cascade. Non-2xx and
-    non-text responses yield null ``text`` but keep their row: filtering is
-    the pipeline's decision, not the reader's."""
-    from kafka_connector_s3_sink_spark.operators.text import html_to_text
+    crosses the Python/Arrow boundary exactly once, in ``read_warc``), or
+    ``text.html_main_content`` when ``main_content=True`` (structural
+    boilerplate regions stripped first — the near-dup-sharpening posture);
+    WET ``conversion`` payloads ARE extracted text and pass through.
+    ``doc_id`` is a content-derived 63-bit key (xxhash of url + payload) —
+    stable across re-reads, collision-checked downstream by the dedup
+    cascade. Non-2xx and non-text responses yield null ``text`` but keep
+    their row: filtering is the pipeline's decision, not the reader's."""
+    from kafka_connector_s3_sink_spark.operators.text import (
+        html_main_content,
+        html_to_text,
+    )
 
+    extract = html_main_content if main_content else html_to_text
     is_resp = F.col("warc_type") == "response"
     is_conv = F.col("warc_type") == "conversion"
     body_text = F.col("payload").cast("string")
     is_html = F.col("http_content_type").rlike("(?i)^text/html")
     text = (
         F.when(is_conv, body_text)
-        .when(is_resp & is_html, html_to_text(body_text))
+        .when(is_resp & is_html, extract(body_text))
         .otherwise(F.lit(None).cast("string"))
     )
     return (

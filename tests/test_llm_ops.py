@@ -1050,3 +1050,37 @@ def test_html_main_content(spark):
         f"SELECT {chain} FROM (SELECT ? AS h)", [html]
     ).fetchone()[0]
     assert twin == got["main"]
+
+
+def test_topk_recall_evaluation(spark):
+    """recall@k harness: IVF with nprobe=1 on a two-cluster corpus recalls
+    its own cluster perfectly for an easy query; recall vs brute force is
+    measured, not assumed, and the perfect-case pins 1.0."""
+    import random
+
+    from pyspark.sql import Row
+
+    rnd = random.Random(11)
+    # two tight clusters far apart
+    corpus = spark.createDataFrame([
+        Row(vec_id=i,
+            embedding=[c + rnd.uniform(-0.05, 0.05) for c in base])
+        for i, base in enumerate(
+            [[5.0, 0.0, 0.0]] * 20 + [[0.0, 5.0, 0.0]] * 20
+        )
+    ])
+    queries = spark.createDataFrame(
+        [Row(query_id=100, embedding=[5.0, 0.1, 0.0]),
+         Row(query_id=101, embedding=[0.1, 5.0, 0.0])]
+    )
+    exact = similarity.brute_force_topk(corpus, queries, k=5)
+    approx = similarity.ivf_topk(corpus, queries, k=5, n_centroids=2, nprobe=1)
+    rec = {r["query_id"]: r["recall"]
+           for r in similarity.topk_recall(approx, exact, k=5).collect()}
+    assert rec == {100: 1.0, 101: 1.0}
+    # a deliberately wrong approximation scores below 1
+    wrong = exact.withColumn(
+        "nbr_id", (F.col("nbr_id") + 1000)
+    )
+    bad = similarity.topk_recall(wrong, exact, k=5).collect()
+    assert all(r["recall"] == 0.0 for r in bad)
