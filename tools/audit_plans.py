@@ -73,6 +73,24 @@ pathological epoch for a driver OOM (the repo's forced-broadcast rule:
 hint only fixed-cardinality sides). The 10× scale probe (SCALING.md)
 shows classification of a fixed batch stays ~flat as the index grows 10×,
 confirming no index-side cost hides in the fallbacks.""",
+    "text_corpus_stats": """\
+**Six branches, one entry (r6).** This query runs the corpus through six
+independent analyses under one oracle row: top-ngrams, quality rollup,
+html_extract, url_domains, **warc_ingest** (the ENTIRE documents corpus
+re-ingested from real per-member-gzip WARC archives — binaryFile scan +
+Python record/HTTP parse + JVM extraction — every pass; archives build
+once per process), and **quality_clf** (the trained logistic model scored
+over every doc). Its bench time is the sum of six workloads — r5 measured
+two. The single Python boundary is the WARC parse (the documented
+Arrow-batched escape); everything downstream of it is JVM expression.""",
+    "sink_avro_converter": """\
+**Three writer schemas, one decode pass (r6).** v1/v2 exercise schema-id
+dispatch + evolution merge; v3 adds the CDC logical-type surface
+(decimal/timestamp-micros/date/uuid) — every third event encodes and
+decodes through the typed path, oracle-recomputed from events. Encode and
+decode are the two Arrow-batched mapInPandas boundaries (the codec is
+pure Python by design — no avro jar exists in this container); the typed
+struct lands via JVM from_json, so downstream consumers stay in codegen.""",
 }
 
 
