@@ -1084,3 +1084,26 @@ def test_topk_recall_evaluation(spark):
     )
     bad = similarity.topk_recall(wrong, exact, k=5).collect()
     assert all(r["recall"] == 0.0 for r in bad)
+
+
+def test_url_dedup(spark):
+    """r6 URL-level dedup: tracking-param variants collapse to one canonical
+    row; latest-fetch wins with an order column; deterministic without."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(url="https://a.io/p?utm_source=x&id=7", fetched=1, text="old"),
+        Row(url="https://a.io/p?id=7&utm_campaign=y", fetched=2, text="new"),
+        Row(url="https://a.io/q", fetched=1, text="only"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["canonical_url"]: r
+           for r in dedup.url_dedup(df, order_col="fetched").collect()}
+    assert set(out) == {"https://a.io/p?id=7", "https://a.io/q"}
+    dup = out["https://a.io/p?id=7"]
+    assert dup["n_variants"] == 2 and dup["text"] == "new" and dup["fetched"] == 2
+    assert out["https://a.io/q"]["n_variants"] == 1
+    # orderless form is deterministic across runs
+    a = {(r["canonical_url"], r["text"]) for r in dedup.url_dedup(df).collect()}
+    b = {(r["canonical_url"], r["text"]) for r in dedup.url_dedup(df).collect()}
+    assert a == b
