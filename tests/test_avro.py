@@ -547,3 +547,53 @@ def test_decimal_scale_mismatch_raises():
          "precision": 10, "scale": 2}))
     with pytest.raises(avro.AvroError, match="scale"):
         avro.encode(decimal.Decimal("1.234"), schema)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(10**17), max_value=10**17),
+    scale=st.integers(min_value=0, max_value=6),
+    micros=st.integers(min_value=0, max_value=4_102_444_800_000_000),  # ~2100
+    days=st.integers(min_value=-100_000, max_value=100_000),
+)
+def test_fuzz_logical_type_roundtrip(unscaled, scale, micros, days):
+    """Typed encode → binary → decode → JSON-bridge conversion is exact for
+    arbitrary decimals (bytes and fixed), timestamps, and dates."""
+    import datetime as dt
+    import decimal
+
+    value = decimal.Decimal(unscaled).scaleb(-scale)
+    schema = avro.parse_schema(json.dumps({
+        "type": "record", "name": "r", "fields": [
+            {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 20, "scale": scale}},
+            {"name": "df", "type": {"type": "fixed", "name": "f16",
+                                    "size": 16, "logicalType": "decimal",
+                                    "precision": 20, "scale": scale}},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        ],
+    }))
+    ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        microseconds=micros
+    )
+    day = dt.date(1970, 1, 1) + dt.timedelta(days=days)
+    payload = avro.encode({"d": value, "df": value, "ts": ts, "day": day}, schema)
+    decoded = avro.decode(payload, schema)
+    names = avro._registry(schema)
+    bridged = avro._jsonable(decoded, schema, names)
+    assert decimal.Decimal(bridged["d"]) == value
+    assert decimal.Decimal(bridged["df"]) == value
+    # bridge strings parse back to the exact instant/date
+    assert bridged["ts"] == ts.replace(tzinfo=None).isoformat(
+        sep="T", timespec="microseconds") + "Z"
+    assert bridged["day"] == day.isoformat()
+    # raw-value encode produces identical bytes (typed path adds nothing)
+    raw_fixed = unscaled.to_bytes(16, "big", signed=True)
+    nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+    raw = avro.encode({
+        "d": unscaled.to_bytes(nbytes, "big", signed=True),
+        "df": raw_fixed, "ts": micros, "day": days,
+    }, schema)
+    assert raw == payload
