@@ -559,6 +559,73 @@ class _EmptyPartition(Exception):
     """Control-flow: a partition with no payload rows writes no archive."""
 
 
+def compact_warc_store(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_records_per_archive: int = 50_000,
+    file_prefix: str = "compact",
+    main_records_only: bool = True,
+) -> list[str]:
+    """Fold a store of many SMALL archives (the shape a fetcher fleet
+    produces — one archive per fetcher flush) into right-sized ones:
+    re-ingest via ``read_warc``, repartition to
+    ``ceil(records / target_records_per_archive)`` partitions, re-export
+    with ``write_warc`` — same pattern as ``packing.compact_parquet`` for
+    the parquet side. Response records keep their HTTP framing (status and
+    content-type re-emitted); with ``main_records_only`` (default)
+    warcinfo/request/metadata records drop — compaction is a DATA
+    maintenance op, and each output archive gets its own fresh warcinfo.
+    Record ids and gzip members stay content-derived/deterministic, so
+    re-running compaction is idempotent byte-wise per partition."""
+    import math
+
+    records = read_warc(spark, src_dir).filter(F.col("parse_error").isNull())
+    if main_records_only:
+        records = records.filter(
+            F.col("warc_type").isin("response", "conversion")
+        )
+    n = records.count()  # one lightweight job; drives the partition count
+    if n == 0:
+        return []
+    n_out = max(1, math.ceil(n / target_records_per_archive))
+    conversions = records.filter(F.col("warc_type") == "conversion")
+    responses = records.filter(F.col("warc_type") == "response")
+    written: list[str] = []
+    if responses.limit(1).count():
+        written += write_warc(
+            responses.select(
+                "target_uri",
+                "payload",
+                F.coalesce(
+                    "warc_date", F.lit("2024-01-01T00:00:00Z")
+                ).alias("warc_date"),
+                F.coalesce("http_status", F.lit(200)).alias("http_status"),
+                F.coalesce(
+                    "http_content_type", F.lit("text/html; charset=utf-8")
+                ).alias("http_content_type"),
+            ).repartition(n_out),
+            dest_dir,
+            file_prefix=file_prefix,
+            warcinfo="operation: compaction\r\n",
+        )
+    if conversions.limit(1).count():
+        written += write_warc(
+            conversions.select(
+                "target_uri",
+                "payload",
+                F.coalesce(
+                    "warc_date", F.lit("2024-01-01T00:00:00Z")
+                ).alias("warc_date"),
+            ).repartition(n_out),
+            dest_dir,
+            file_prefix=f"{file_prefix}-wet",
+            warcinfo="operation: compaction\r\n",
+            record_type="conversion",
+        )
+    return sorted(written)
+
+
 # ---------------------------------------------------------------------------
 # constant-memory streaming decode + the registrable "warc" Data Source
 

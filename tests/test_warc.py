@@ -358,3 +358,43 @@ def test_enrich_crawl_documents(spark, tmp_path):
     assert len(r["fingerprint"]) == 32
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # enrichment fuses into the parse stage
+
+
+def test_compact_warc_store(spark, tmp_path):
+    """Many tiny archives fold into ceil(n/target) right-sized ones; every
+    response round-trips byte-identically; warcinfo/request records drop
+    and each output archive leads with a fresh warcinfo."""
+    from kafka_connector_s3_sink_spark.sources.warc import compact_warc_store
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    import os
+    os.makedirs(src)
+    for i in range(7):  # 7 archives x 3 records
+        recs = [build_record("warcinfo", b"fetcher: %d\r\n" % i)] + [
+            build_record(
+                "response",
+                build_http_response_payload(b"<p>%d-%d</p>" % (i, j)),
+                target_uri=f"https://c/{i}/{j}",
+            )
+            for j in range(3)
+        ]
+        (tmp_path / "src" / f"f-{i}.warc.gz").write_bytes(
+            b"".join(gzip.compress(r, mtime=0) for r in recs)
+        )
+    written = compact_warc_store(
+        spark, src, dest, target_records_per_archive=8
+    )
+    # 21 responses / 8 per archive -> 3 output archives
+    assert len(written) == 3
+    back = read_warc(spark, dest)
+    resp = back.filter(F.col("warc_type") == "response").collect()
+    assert len(resp) == 21
+    assert {r["target_uri"] for r in resp} == {
+        f"https://c/{i}/{j}" for i in range(7) for j in range(3)
+    }
+    for r in resp:
+        _, i, j = r["target_uri"].rsplit("/", 2)[-3:][0], *r["target_uri"].rsplit("/", 2)[-2:]
+        assert bytes(r["payload"]) == f"<p>{i}-{j}</p>".encode()
+    infos = back.filter(F.col("warc_type") == "warcinfo").collect()
+    assert len(infos) == 3  # fresh warcinfo per output archive, old ones gone
+    assert all(b"compaction" in bytes(i["payload"]) for i in infos)
