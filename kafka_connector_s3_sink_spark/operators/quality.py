@@ -184,8 +184,15 @@ def fit_quality_classifier(
         parts = feats.mapInPandas(
             partial, "xtx array<double>, xtz array<double>"
         ).collect()  # O(n_partitions) tiny rows — the reduce step
-        xtx = sum(np.array(r["xtx"]).reshape(dim, dim) for r in parts)
-        xtz = sum(np.array(r["xtz"]) for r in parts)
+        xtx = sum(
+            (np.array(r["xtx"]).reshape(dim, dim) for r in parts),
+            np.zeros((dim, dim)),
+        )
+        xtz = sum((np.array(r["xtz"]) for r in parts), np.zeros(dim))
+        if not xtx.any():
+            raise ValueError(
+                "fit_quality_classifier needs a non-empty labeled corpus"
+            )
         xtx += reg * np.eye(dim)
         w = np.linalg.solve(xtx, xtz)
     return [float(x) for x in w]

@@ -98,7 +98,15 @@ def match_rules(
     LONGEST path pattern wins, Allow beats Disallow on equal length; no
     matching rule (or no rules at all for the host) → allowed. ``*`` and
     trailing ``$`` in patterns are honored. All other url columns pass
-    through."""
+    through.
+
+    Documented edge: shadowing keys on the specific group's
+    allow/disallow rows — a specific group holding ONLY a (non-standard)
+    Crawl-delay line falls back to the ``*`` group's path rules here,
+    where a strict RFC 9309 reading would apply the specific group's
+    empty rule set (allow all). The strict reading rewards crawlers for
+    being named, which is rarely what an operator intended; fetchers that
+    need it can pre-filter ``rules`` themselves."""
     from kafka_connector_s3_sink_spark.operators.urls import url_host
 
     agent = agent.lower()
