@@ -295,3 +295,31 @@ def test_on_error_route_survives_poison_object(registered, spark, tmp_path):
     assert errs[0]["offset"] is None and "BadGzipFile" in errs[0]["decode_error"]
     with pytest.raises(Exception):
         base().load().collect()  # default: fail fast
+
+
+def test_sql_view_with_route_and_binary_options(registered, spark, tmp_path):
+    """The CREATE TABLE ... USING path honors the r6 options exactly like
+    the reader API: on_error route surfaces decode_error in SQL, and the
+    poison row is filterable with plain SQL predicates."""
+    cfg = EngineConfig(
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+        file_compression=CompressionType.GZIP,
+    )
+    write_batch(records_df(spark, _rows(2)), cfg, str(tmp_path))
+    (tmp_path / "t-9-0.gz").write_bytes(b"junk")
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW routed_view
+            USING sink_objects
+            OPTIONS (
+              path '{tmp_path}', fields 'offset,value', on_error 'route'
+            )"""
+    )
+    bad = spark.sql(
+        "SELECT object_name, partition FROM routed_view "
+        "WHERE decode_error IS NOT NULL"
+    ).collect()
+    assert len(bad) == 1 and bad[0]["partition"] == 9
+    good = spark.sql(
+        "SELECT count(*) AS n FROM routed_view WHERE decode_error IS NULL"
+    ).collect()[0]["n"]
+    assert good == 2

@@ -398,3 +398,18 @@ def test_compact_warc_store(spark, tmp_path):
     infos = back.filter(F.col("warc_type") == "warcinfo").collect()
     assert len(infos) == 3  # fresh warcinfo per output archive, old ones gone
     assert all(b"compaction" in bytes(i["payload"]) for i in infos)
+
+
+def test_warc_sql_view(warc_registered, spark, tmp_path):
+    """The warc format is SQL-reachable: CREATE TEMPORARY VIEW ... USING
+    warc, queried with plain SQL over record columns."""
+    (tmp_path / "t.warc.gz").write_bytes(_archive_bytes())
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW crawl_view
+            USING warc OPTIONS (path '{tmp_path}')"""
+    )
+    rows = spark.sql(
+        "SELECT warc_type, http_status FROM crawl_view "
+        "WHERE warc_type = 'response'"
+    ).collect()
+    assert [(r["warc_type"], r["http_status"]) for r in rows] == [("response", 200)]
