@@ -98,7 +98,8 @@ def match_rules(
     LONGEST path pattern wins, Allow beats Disallow on equal length; no
     matching rule (or no rules at all for the host) → allowed. ``*`` and
     trailing ``$`` in patterns are honored. All other url columns pass
-    through.
+    through, duplicate input rows included (the verdict aggregation keys on
+    a synthetic row id, not the url columns, so it never collapses rows).
 
     Documented edge: shadowing keys on the specific group's
     allow/disallow rows — a specific group holding ONLY a (non-standard)
@@ -110,15 +111,17 @@ def match_rules(
     from kafka_connector_s3_sink_spark.operators.urls import url_host
 
     agent = agent.lower()
+    # rules-side working columns carry the reserved "_r_" prefix (same
+    # convention as the urls-side _host/_path) so an input urls frame that
+    # already has an is_allow/plen/pattern/host column never collides
     r = rules.filter(
         F.lower(F.col("agent")).isin(agent, "*")
         & F.col("rule_type").isin("allow", "disallow")
     ).select(
-        "host",
-        (F.lower(F.col("agent")) == agent).alias("specific"),
-        (F.col("rule_type") == "allow").alias("is_allow"),
-        "path_prefix",
-        F.length("path_prefix").alias("plen"),
+        F.col("host").alias("_r_host"),
+        (F.lower(F.col("agent")) == agent).alias("_r_specific"),
+        (F.col("rule_type") == "allow").alias("_r_is_allow"),
+        F.length("path_prefix").alias("_r_plen"),
         F.concat(
             F.lit("^"),
             F.when(
@@ -132,49 +135,56 @@ def match_rules(
                     F.lit("$"),
                 ),
             ).otherwise(_escape_then_wildcard(F.col("path_prefix"))),
-        ).alias("pattern"),
+        ).alias("_r_pattern"),
     )
     # specific-agent shadowing: keep only the most specific agent tier that
     # exists per host
-    tier = r.groupBy("host").agg(F.max("specific").alias("_has_specific"))
-    r = r.join(tier, "host").filter(
-        F.col("specific") == F.col("_has_specific")
-    ).drop("_has_specific", "specific")
+    tier = r.groupBy("_r_host").agg(F.max("_r_specific").alias("_has_specific"))
+    r = r.join(tier, "_r_host").filter(
+        F.col("_r_specific") == F.col("_has_specific")
+    ).drop("_has_specific", "_r_specific")
 
-    u = urls.withColumn("_host", url_host(F.col(url_col))).withColumn(
-        "_path",
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(
-                    F.col(url_col),
-                    r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)",
-                    1,
+    # a synthetic per-row id keys the verdict aggregation: grouping by the
+    # url columns alone would silently collapse duplicate input rows (and
+    # is what the id exists to prevent — duplicates pass through 1:1)
+    u = (
+        urls.withColumn("_row_id", F.monotonically_increasing_id())
+        .withColumn("_host", url_host(F.col(url_col)))
+        .withColumn(
+            "_path",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.col(url_col),
+                        r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)",
+                        1,
+                    ),
+                    F.lit(""),
                 ),
-                F.lit(""),
+                F.lit("/"),
             ),
-            F.lit("/"),
-        ),
+        )
     )
-    joined = u.join(r, u["_host"] == r["host"], "left").withColumn(
+    joined = u.join(r, u["_host"] == r["_r_host"], "left").withColumn(
         # regexp_like (vs Column.rlike) accepts a per-row pattern COLUMN
-        "_matches", F.regexp_like(F.col("_path"), F.col("pattern"))
+        "_matches", F.regexp_like(F.col("_path"), F.col("_r_pattern"))
     )
     verdict = (
-        joined.groupBy(*[u[c] for c in u.columns])
+        joined.groupBy(F.col("_row_id"), *[u[c] for c in urls.columns])
         .agg(
             F.max_by(
-                F.col("is_allow"),
+                F.col("_r_is_allow"),
                 F.when(
                     F.col("_matches"),
                     F.struct(
-                        F.col("plen").alias("l"),
-                        F.col("is_allow").cast("int").alias("a"),
+                        F.col("_r_plen").alias("l"),
+                        F.col("_r_is_allow").cast("int").alias("a"),
                     ),
                 ),
             ).alias("_best_allow")
         )
         .withColumn("allowed", F.coalesce(F.col("_best_allow"), F.lit(True)))
-        .drop("_best_allow", "_host", "_path")
+        .drop("_best_allow", "_row_id")
     )
     return verdict
 

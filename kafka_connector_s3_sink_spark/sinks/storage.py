@@ -179,6 +179,14 @@ class ObjectStorage:
         fs, _ = self._resolve()
         return fs.open_input_stream(self.full_path(name), compression=None)
 
+    def open_input_file(self, name: str):
+        """RANDOM-ACCESS readable file for object ``name`` (caller closes) —
+        seekable, so footer-directed consumers (parquet metadata validation)
+        read O(footer bytes), not the whole object. On object stores this is
+        ranged GETs under the hood (pyarrow.fs maps seek+read to ranges)."""
+        fs, _ = self._resolve()
+        return fs.open_input_file(self.full_path(name))
+
     def exists(self, name: str) -> bool:
         import pyarrow.fs as pafs
 

@@ -245,8 +245,6 @@ def _validate_parquet_objects(
         return [], []
 
     def validate(batches) -> Iterator:
-        import io as _io
-
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -255,10 +253,12 @@ def _validate_parquet_objects(
             for n in pdf["object_name"]:
                 try:
                     # metadata parse validates magic + footer thrift; touch
-                    # num_rows so a lazily-parsed footer fully materializes
-                    pq.ParquetFile(
-                        _io.BytesIO(storage.read_bytes(n))
-                    ).metadata.num_rows
+                    # num_rows so a lazily-parsed footer fully materializes.
+                    # Seekable handle → pyarrow reads ONLY the footer (tail
+                    # magic + thrift), keeping this O(footer bytes) per
+                    # object even when the store holds multi-GB objects.
+                    with storage.open_input_file(n) as f:
+                        pq.ParquetFile(f).metadata.num_rows
                     errs.append(None)
                 except Exception as e:  # noqa: BLE001 — routed per contract
                     errs.append(f"{type(e).__name__}: {e}")

@@ -96,6 +96,26 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[bytes | None, str | None]]
             pos = nxt
 
 
+def _find_header_end(data, start: int = 0) -> tuple[int, int]:
+    """Position and width of the EARLIEST header terminator at/after
+    ``start``: ``CRLF CRLF`` (width 4) or bare ``LF LF`` (width 2),
+    whichever occurs first — ``(-1, 0)`` if neither is present.
+
+    Earliest-match matters: probing CRLFCRLF exhaustively before falling
+    back to LFLF lets a bare-LF-terminated header whose payload (or a later
+    record) contains ``\\r\\n\\r\\n`` steal the terminator, misparsing
+    Content-Length and losing the member's remainder. The two patterns
+    cannot overlap (LFLF is not a substring of CRLFCRLF), so the earlier
+    position is always the real terminator."""
+    crlf = data.find(b"\r\n\r\n", start)
+    lf = data.find(b"\n\n", start)
+    if crlf == -1 and lf == -1:
+        return -1, 0
+    if lf == -1 or (crlf != -1 and crlf < lf):
+        return crlf, 4
+    return lf, 2
+
+
 def _header_text(raw: bytes) -> str:
     """Header bytes → str: UTF-8 first (ISO 28500 allows UTF-8 header
     values — non-ASCII target URIs are common), latin-1 fallback for the
@@ -142,11 +162,7 @@ def iter_warc_records(
         if not stream[pos : pos + 5] == b"WARC/":
             yield None, None, "missing WARC/ version line"
             return
-        head_end = stream.find(b"\r\n\r\n", pos)
-        sep = 4
-        if head_end == -1:
-            head_end = stream.find(b"\n\n", pos)
-            sep = 2
+        head_end, sep = _find_header_end(stream, pos)
         if head_end == -1:
             yield None, None, "unterminated WARC header block"
             return
@@ -170,11 +186,7 @@ def _split_http_payload(block: bytes) -> tuple[int | None, str | None, bytes]:
     never dropped."""
     if not block.startswith(b"HTTP/"):
         return None, None, block
-    head_end = block.find(b"\r\n\r\n")
-    sep = 4
-    if head_end == -1:
-        head_end = block.find(b"\n\n")
-        sep = 2
+    head_end, sep = _find_header_end(block)
     if head_end == -1:
         return None, None, block
     head = block[:head_end]
@@ -569,8 +581,8 @@ def compact_warc_store(
 ) -> list[str]:
     """Fold a store of many SMALL archives (the shape a fetcher fleet
     produces — one archive per fetcher flush) into right-sized ones:
-    re-ingest via ``read_warc``, repartition to
-    ``ceil(records / target_records_per_archive)`` partitions, re-export
+    re-ingest via ``read_warc``, repartition EACH record type to
+    ``ceil(type_count / target_records_per_archive)`` partitions, re-export
     with ``write_warc`` — same pattern as ``packing.compact_parquet`` for
     the parquet side. Response records keep their HTTP framing (status and
     content-type re-emitted); with ``main_records_only`` (default)
@@ -585,14 +597,22 @@ def compact_warc_store(
         records = records.filter(
             F.col("warc_type").isin("response", "conversion")
         )
-    n = records.count()  # one lightweight job; drives the partition count
-    if n == 0:
+    # one lightweight job; per-TYPE counts drive the partition counts — a
+    # mixed store sized off the combined count would emit up to 2x the
+    # intended archives, each half-filled
+    counts = {
+        row["warc_type"]: row["count"]
+        for row in records.groupBy("warc_type").count().collect()
+    }
+    resp_n = counts.get("response", 0)
+    conv_n = counts.get("conversion", 0)
+    if resp_n == 0 and conv_n == 0:
         return []
-    n_out = max(1, math.ceil(n / target_records_per_archive))
     conversions = records.filter(F.col("warc_type") == "conversion")
     responses = records.filter(F.col("warc_type") == "response")
     written: list[str] = []
-    if responses.limit(1).count():
+    if resp_n:
+        n_out = max(1, math.ceil(resp_n / target_records_per_archive))
         written += write_warc(
             responses.select(
                 "target_uri",
@@ -609,7 +629,8 @@ def compact_warc_store(
             file_prefix=file_prefix,
             warcinfo="operation: compaction\r\n",
         )
-    if conversions.limit(1).count():
+    if conv_n:
+        n_out = max(1, math.ceil(conv_n / target_records_per_archive))
         written += write_warc(
             conversions.select(
                 "target_uri",
@@ -666,11 +687,7 @@ def _parse_records_streaming(
             return None
         if bytes(buf[start : start + 5]) != b"WARC/":
             return (None, None, "missing WARC/ version line"), len(buf)
-        head_end = buf.find(b"\r\n\r\n", start)
-        sep = 4
-        if head_end == -1:
-            head_end = buf.find(b"\n\n", start)
-            sep = 2
+        head_end, sep = _find_header_end(buf, start)
         if head_end == -1:
             return None  # header still incomplete
         headers = _parse_header_block(bytes(buf[start:head_end]))

@@ -206,3 +206,34 @@ def test_parse_sitemaps(spark):
         ("b.example", "https://b.example/sitemap-1.xml"): "2024-01-01",
         ("b.example", "https://b.example/sitemap-2.xml"): None,
     }
+
+
+def test_match_rules_preserves_duplicates_and_colliding_columns(spark, rules):
+    """r7 advice fix: duplicate url rows pass through 1:1 (the verdict
+    aggregation keys on a synthetic row id, not the url columns), and a
+    urls frame that already carries columns named like the rules-side
+    working columns (host/is_allow/plen/pattern) resolves unambiguously."""
+    urls = spark.createDataFrame(
+        [
+            # exact duplicate rows — must both survive
+            Row(url="https://a.example/private/x", host="payload-host",
+                is_allow="user-data", plen=7, pattern="user-pat"),
+            Row(url="https://a.example/private/x", host="payload-host",
+                is_allow="user-data", plen=7, pattern="user-pat"),
+            Row(url="https://a.example/public/x", host="other",
+                is_allow="z", plen=1, pattern="p"),
+        ]
+    )
+    got = match_rules(urls, rules, agent="someBot").collect()
+    assert len(got) == 3  # duplicates preserved
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url["https://a.example/private/x"]) == 2
+    for r in by_url["https://a.example/private/x"]:
+        assert r["allowed"] is False
+        # user columns pass through untouched
+        assert r["host"] == "payload-host"
+        assert r["is_allow"] == "user-data"
+        assert r["plen"] == 7 and r["pattern"] == "user-pat"
+    assert by_url["https://a.example/public/x"][0]["allowed"] is True

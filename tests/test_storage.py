@@ -207,3 +207,35 @@ def test_storage_is_byte_transparent_for_gz_names():
             on_disk = f.read()
         assert on_disk == payload, mode          # no second compression
         assert storage.read_bytes("data.gz") == payload, mode  # no auto-gunzip
+
+
+def test_open_input_file_is_seekable_random_access():
+    """r7 advice fix: `open_input_file` hands back a RANDOM-ACCESS handle —
+    seek + partial read work without touching the rest of the object, which
+    is what lets the parquet audit read O(footer bytes) per object. A
+    pyarrow ParquetFile over the handle parses metadata from the tail."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    root = tempfile.mkdtemp(prefix="store-seek-")
+    storage = ObjectStorage(root)
+    payload = b"A" * 10_000 + b"TAILMARK"
+    storage.write_bytes("blob.bin", payload)
+    with storage.open_input_file("blob.bin") as f:
+        assert f.size() == len(payload)
+        f.seek(len(payload) - 8)
+        assert f.read(8) == b"TAILMARK"   # ranged read off a seek
+        f.seek(0)
+        assert f.read(4) == b"AAAA"
+
+    # and the audit's actual consumer: footer-directed parquet metadata
+    import io
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"x": list(range(100))}), buf)
+    storage.write_bytes("t.parquet", buf.getvalue())
+    with storage.open_input_file("t.parquet") as f:
+        assert pq.ParquetFile(f).metadata.num_rows == 100

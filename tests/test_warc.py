@@ -413,3 +413,79 @@ def test_warc_sql_view(warc_registered, spark, tmp_path):
         "WHERE warc_type = 'response'"
     ).collect()
     assert [(r["warc_type"], r["http_status"]) for r in rows] == [("response", 200)]
+
+
+def test_bare_lf_header_with_crlfcrlf_in_payload():
+    """Earliest-terminator rule (r7 advice fix): a bare-LF-terminated WARC
+    header whose PAYLOAD contains CRLFCRLF must not let the CRLFCRLF steal
+    the terminator — that misparses Content-Length and loses the rest of
+    the member. Covers the batch parser, the streaming parser, and the
+    HTTP splitter."""
+    from kafka_connector_s3_sink_spark.sources.warc import (
+        _parse_records_streaming,
+        _split_http_payload,
+    )
+
+    payload = b"leading\r\n\r\ntrailing bytes"
+    rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: resource\n"
+        b"WARC-Target-URI: https://lf.example/a\n"
+        + b"Content-Length: " + str(len(payload)).encode() + b"\n\n"
+        + payload + b"\r\n\r\n"
+    )
+    follow = build_record("metadata", b"after")
+    # batch parser: both records survive, payload byte-exact
+    got = list(iter_warc_records(rec + follow))
+    assert [e for *_, e in got] == [None, None]
+    assert got[0][0]["warc-target-uri"] == "https://lf.example/a"
+    assert got[0][1] == payload
+    assert got[1][0]["warc-type"] == "metadata"
+    # streaming parser: same result fed in 7-byte pieces
+    pieces = [rec[i : i + 7] for i in range(0, len(rec), 7)] + [follow]
+    got_s = list(_parse_records_streaming(iter(pieces)))
+    assert [e for *_, e in got_s] == [None, None]
+    assert got_s[0][1] == payload
+    # HTTP splitter: bare-LF head, CRLFCRLF inside the body
+    body = b"part1\r\n\r\npart2"
+    status, ctype, got_body = _split_http_payload(
+        b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\n" + body
+    )
+    assert status == 200 and ctype == "text/plain" and got_body == body
+
+
+def test_compact_warc_store_mixed_types_sized_per_subset(spark, tmp_path):
+    """A mixed response+conversion store sizes each output set off ITS OWN
+    record count (r7 advice fix): 10 responses + 2 conversions at
+    target=6 -> 2 response archives + 1 WET archive, not 2+2 half-filled."""
+    from kafka_connector_s3_sink_spark.sources.warc import compact_warc_store
+
+    import os
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    os.makedirs(src)
+    resp = [
+        build_record(
+            "response",
+            build_http_response_payload(b"<p>r%d</p>" % i),
+            target_uri=f"https://m/{i}",
+        )
+        for i in range(10)
+    ]
+    conv = [
+        build_record(
+            "conversion", b"wet %d" % i,
+            target_uri=f"https://m/wet/{i}", content_type="text/plain",
+        )
+        for i in range(2)
+    ]
+    (tmp_path / "src" / "mixed.warc.gz").write_bytes(
+        b"".join(gzip.compress(r, mtime=0) for r in resp + conv)
+    )
+    written = compact_warc_store(spark, src, dest, target_records_per_archive=6)
+    wet = [w for w in written if "compact-wet" in w]
+    warc = [w for w in written if "compact-wet" not in w]
+    assert len(warc) == 2  # ceil(10/6)
+    assert len(wet) == 1   # ceil(2/6)
+    back = read_warc(spark, dest)
+    assert back.filter(F.col("warc_type") == "response").count() == 10
+    assert back.filter(F.col("warc_type") == "conversion").count() == 2
