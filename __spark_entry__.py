@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
-from kafka_connector_s3_sink_spark.operators import multimodal, packing, sampling, similarity, text as text_ops
+from kafka_connector_s3_sink_spark.operators import multimodal, packing, sampling, search, similarity, text as text_ops
 from kafka_connector_s3_sink_spark.formats import avro
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
 from kafka_connector_s3_sink_spark.operators import urls as _urls_mod
@@ -748,23 +748,46 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, exact AND LSH-bucketed paths in one result (merged r5 to
-    free a window slot). Both branches share the output schema
-    (query_id, nbr_id, cosine, rank); `method` tags which plan produced each
-    row. Unlike topk_users the branches are NOT value-identical — LSH is
-    approximate by design — so each oracle branch mirrors its own plan."""
+    """Top-k retrieval, three paths on the shared (method, query_id, nbr_id,
+    score, rank) grain (bm25 merged r7):
+
+    - ``brute``: exact cosine ANN (score = cosine);
+    - ``lsh``: bucketed approximate ANN — NOT value-identical to brute by
+      design, so its oracle mirrors its own plan;
+    - ``bm25``: LEXICAL retrieval (operators/search.bm25_topk) over the
+      documents corpus — queries are the first 4 tokens of docs 0-2, so
+      each query must rank its own source document; the oracle re-runs the
+      identical tokenize → tf/df → Okapi scoring chain in SQL."""
     corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = (
         corpus.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     brute = similarity.brute_force_topk(corpus, qs).select(
-        F.lit("brute").alias("method"), "query_id", "nbr_id", "cosine", "rank"
+        F.lit("brute").alias("method"),
+        "query_id",
+        "nbr_id",
+        F.col("cosine").alias("score"),
+        "rank",
     )
     lsh = similarity.lsh_topk(corpus, qs).select(
-        F.lit("lsh").alias("method"), "query_id", "nbr_id", "cosine", "rank"
+        F.lit("lsh").alias("method"),
+        "query_id",
+        "nbr_id",
+        F.col("cosine").alias("score"),
+        "rank",
     )
-    return brute.unionByName(lsh)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(search.tokens(F.col("text")), 1, 4)).alias(
+            "query_text"
+        ),
+    )
+    bm = search.bm25_topk(docs, queries, k=10).select(
+        F.lit("bm25").alias("method"), "query_id", "nbr_id", "score", "rank"
+    )
+    return brute.unionByName(lsh).unionByName(bm)
 
 
 def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,6 +840,30 @@ def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("overlap_ratio").alias("jaccard"),
     )
     return jac.unionByName(lsh).unionByName(decon)
+
+
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the (method, id1, id2, cosine) grain —
+    two blocking strategies over the same scaled-copy fixture (merged r7):
+
+    - ``label``: caller-supplied block column (the dataset's label) —
+      ``dedup.embedding_cosine_dupes``, the path when a natural blocking
+      key exists;
+    - ``kmeans``: SemDeDup-style LEARNED blocking — ``dedup.semantic_dupes``
+      fits the deterministic k-means quantizer on the corpus and compares
+      same-cell pairs only. Cosine is scale-invariant, so every scaled copy
+      lands in its original's cell and must be found; the oracle re-runs the
+      full fit (seeded-hash sample → lowest-id seeds → one rounded-cosine
+      Lloyd step → argmax assignment) in SQL, so a divergence anywhere in
+      the clustering hash-fails."""
+    corpus = _scaled_embeddings(spark, sf_dir)
+    lab = dedup.embedding_cosine_dupes(corpus, threshold=0.999).select(
+        F.lit("label").alias("method"), "id1", "id2", "cosine"
+    )
+    sem = dedup.semantic_dupes(corpus, threshold=0.999).select(
+        F.lit("kmeans").alias("method"), "id1", "id2", "cosine"
+    )
+    return lab.unionByName(sem)
 
 
 def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -953,12 +1000,58 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(clf_score, 4).alias("metric_a"),
         F.when(clf_score >= 0.5, 1.0).otherwise(0.0).alias("metric_b"),
     )
+    # link_rank branch (r7): synthetic crawl pages exercise every href
+    # resolution shape (absolute — only for doc_id%3≠0, protocol-relative,
+    # root-relative self-link, path-relative self-link for even ids, plus a
+    # mailto: that must drop) → linkgraph.extract_links → host_graph →
+    # 5-iteration damped PageRank over the 7 site hosts. key = host,
+    # n = out-link weight, metric_a = rank (rounded at 1e-6). The oracle
+    # re-runs the ENTIRE chain in SQL — identical href regexes (module
+    # constants), the same resolution CASE ladder, and an unrolled
+    # power-iteration with the same dangling-mass correction — so a
+    # divergence in extraction, resolution, weighting, or any iteration
+    # hash-fails.
+    from kafka_connector_s3_sink_spark.operators import linkgraph
+
+    page_url = F.concat(
+        F.lit("https://site"), (did % 7).cast("string"),
+        F.lit(".com/dir/page"), did.cast("string"), F.lit(".html"),
+    )
+    link_html = F.concat(
+        F.when(
+            did % 3 != 0,
+            F.concat(
+                F.lit('<a href="https://site'),
+                ((did * 3 + 1) % 7).cast("string"),
+                F.lit('.com/x">a</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="//site'), ((did + 2) % 7).cast("string"),
+        F.lit('.com/y">b</a>'),
+        F.lit('<a href="/local/z">c</a>'),
+        F.when(did % 2 == 0, F.lit('<a href="sub/page.html">d</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit('<a href="mailto:x@y">e</a>'),
+    )
+    pages = docs.select(page_url.alias("url"), link_html.alias("html"))
+    hg = linkgraph.host_graph(linkgraph.extract_links(pages))
+    pr = linkgraph.pagerank(hg, iterations=5)
+    outdeg = hg.groupBy("src_host").agg(F.sum("n_links").alias("out_links"))
+    link_rows = pr.join(outdeg, pr.node == outdeg.src_host, "left").select(
+        F.lit("link_rank").alias("branch"),
+        F.col("node").alias("key"),
+        F.coalesce(F.col("out_links"), F.lit(0)).cast("bigint").alias("n"),
+        stable_round(F.col("rank"), 6).alias("metric_a"),
+        F.lit(None).cast("double").alias("metric_b"),
+    )
     return (
         ngrams.unionByName(quality)
         .unionByName(html_rows)
         .unionByName(url_rows)
         .unionByName(warc_rows)
         .unionByName(clf_rows)
+        .unionByName(link_rows)
     )
 
 
@@ -1036,9 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             jaccard_threshold=0.8,
         ),
-        "dedup_embedding_cosine": lambda s, d: dedup.embedding_cosine_dupes(
-            _scaled_embeddings(s, d), threshold=0.999
-        ),
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,  # label + kmeans blocks
         # r4: the incremental path (classify a batch vs the persisted bucketed
         # index) joins the oracle window — slot freed by merging the two
         # (offset, json_line)-grain sink entries under sink_jsonl_render
@@ -1130,6 +1221,259 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
         )
         SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def _link_rank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """DuckDB oracle for the `link_rank` branch of text_corpus_stats: the
+    full linkgraph chain in SQL — synthetic pages built from the same
+    doc_id arithmetic, href extraction with the IDENTICAL regex constants
+    (linkgraph.HREF_DQ_RE/HREF_SQ_RE), the same entity-decode +
+    fragment-strip + resolution CASE ladder, host aggregation via
+    urls._HOST_RE, and an UNROLLED damped power iteration with the same
+    uniform dangling-mass correction. Emitted as a `UNION ALL` tail for the
+    entry's f-string."""
+    from kafka_connector_s3_sink_spark.operators.linkgraph import (
+        ABSOLUTE_RE,
+        HREF_DQ_RE,
+        HREF_SQ_RE,
+        NON_HTTP_RE,
+    )
+    from kafka_connector_s3_sink_spark.operators.urls import _HOST_RE
+
+    dq = HREF_DQ_RE.replace("'", "''")
+    sq = HREF_SQ_RE.replace("'", "''")
+    iters = []
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f"""
+            d{i} AS (
+                SELECT coalesce(sum(rank), 0.0) AS dm FROM {p}
+                WHERE node NOT IN (SELECT src FROM ow)
+            ),
+            c{i} AS (
+                SELECT e.dst_host AS node,
+                    sum(r.rank * CAST(e.cnt AS DOUBLE) / o.ow) AS contrib
+                FROM edges e JOIN {p} r ON e.src_host = r.node
+                JOIN ow o ON e.src_host = o.src
+                GROUP BY 1
+            ),
+            r{i} AS (
+                SELECT nodes.node,
+                    (1.0 - {damping}) / n
+                        + {damping} * (coalesce(c.contrib, 0.0) + dm / n) AS rank
+                FROM nodes CROSS JOIN cnt CROSS JOIN d{i}
+                LEFT JOIN c{i} c ON nodes.node = c.node
+            )"""
+        )
+    last = f"r{iterations}"
+    return f"""
+            UNION ALL
+            SELECT 'link_rank' AS branch, key, n, metric_a, metric_b FROM (
+            WITH pages AS (
+                SELECT 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com/dir/page' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                    CASE WHEN doc_id % 3 <> 0
+                         THEN '<a href="https://site'
+                              || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) || '.com/x">a</a>'
+                         ELSE '' END
+                    || '<a href="//site' || CAST((doc_id + 2) % 7 AS VARCHAR)
+                       || '.com/y">b</a>'
+                    || '<a href="/local/z">c</a>'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN '<a href="sub/page.html">d</a>' ELSE '' END
+                    || '<a href="mailto:x@y">e</a>' AS html
+                FROM documents
+            ),
+            hr AS (
+                SELECT url AS src_url, unnest(list_concat(
+                    regexp_extract_all(html, '{dq}', 1),
+                    regexp_extract_all(html, '{sq}', 1))) AS href
+                FROM pages
+            ),
+            res AS (
+                SELECT src_url,
+                    CASE
+                        WHEN h = '' OR regexp_matches(h, '{NON_HTTP_RE}') THEN NULL
+                        WHEN scheme_host = '' THEN NULL
+                        WHEN regexp_matches(h, '{ABSOLUTE_RE}') THEN h
+                        WHEN h LIKE '//%' THEN scheme || ':' || h
+                        WHEN h LIKE '/%' THEN scheme_host || h
+                        ELSE scheme_host || pdir || h
+                    END AS dst_url
+                FROM (
+                    SELECT src_url,
+                        regexp_replace(replace(replace(replace(replace(href,
+                            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '#.*$', '') AS h,
+                        regexp_extract(src_url,
+                            '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) AS scheme,
+                        regexp_extract(src_url,
+                            '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS scheme_host,
+                        CASE WHEN regexp_replace(regexp_extract(src_url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                                '[^/]*$', '') = ''
+                             THEN '/'
+                             ELSE regexp_replace(regexp_extract(src_url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                                '[^/]*$', '')
+                        END AS pdir
+                    FROM hr)
+            ),
+            edges AS (
+                SELECT src_host, dst_host, count(*) AS cnt FROM (
+                    SELECT lower(nullif(regexp_extract(src_url, '{_HOST_RE}', 1), ''))
+                               AS src_host,
+                           lower(nullif(regexp_extract(dst_url, '{_HOST_RE}', 1), ''))
+                               AS dst_host
+                    FROM res WHERE dst_url IS NOT NULL)
+                WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT src_host AS node FROM edges
+                UNION ALL SELECT dst_host FROM edges)),
+            cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            ow AS (
+                SELECT src_host AS src, sum(CAST(cnt AS DOUBLE)) AS ow
+                FROM edges GROUP BY 1
+            ),
+            r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN cnt),
+            {",".join(iters)}
+            SELECT {last}.node AS key,
+                CAST(coalesce(od.out_links, 0) AS BIGINT) AS n,
+                floor({last}.rank * 1000000.0 + 0.5) / 1000000.0 AS metric_a,
+                CAST(NULL AS DOUBLE) AS metric_b
+            FROM {last} LEFT JOIN (
+                SELECT src_host, sum(cnt) AS out_links FROM edges GROUP BY 1
+            ) od ON {last}.node = od.src_host
+            )
+"""
+
+
+def _bm25_oracle_sql(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB oracle for the `bm25` branch of ann_topk: the identical
+    tokenize → tf/df → Okapi scoring chain as operators/search.bm25_topk —
+    same split regex (search.TOKEN_SPLIT_RE), same set-semantics query
+    terms, same non-negative idf, scores rounded before ranking with the
+    same doc-id tiebreak."""
+    from kafka_connector_s3_sink_spark.operators.search import TOKEN_SPLIT_RE
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '{TOKEN_SPLIT_RE}'),
+                        t -> t <> '') AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM (
+            SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+        ) GROUP BY doc_id, dl, term
+    ),
+    q AS (
+        SELECT doc_id AS query_id,
+            unnest(list_distinct(list_slice(toks, 1, 4))) AS term
+        FROM toks WHERE doc_id < 3
+    ),
+    terms AS (SELECT DISTINCT term FROM q),
+    posting AS (SELECT tf.* FROM tf JOIN terms USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+    scalars AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks),
+    scored AS (
+        SELECT q.query_id, posting.doc_id AS nbr_id,
+            floor(sum(
+                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * tf * ({k1} + 1.0)
+                / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+            ) * 10000.0 + 0.5) / 10000.0 AS score
+        FROM posting
+        JOIN dfreq USING (term)
+        JOIN q USING (term)
+        CROSS JOIN scalars
+        GROUP BY q.query_id, posting.doc_id
+    )
+    SELECT query_id, nbr_id, score,
+        row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, nbr_id ASC
+        ) AS rank
+    FROM scored QUALIFY rank <= {k}
+"""
+
+
+def _semantic_oracle_sql(
+    threshold: float = 0.999, n_centroids: int = 8, fit_sample_cap: int = 256
+) -> str:
+    """DuckDB oracle for the `kmeans` branch of dedup_embedding_cosine:
+    re-runs dedup.semantic_dupes' full chain in SQL — the scaled-copy corpus
+    fixture, the deterministic k-means fit (seeded-hash sample, lowest-id
+    seeds, one rounded-cosine Lloyd step — the same CTE chain as
+    _ivf_oracle_sql), full-corpus argmax assignment, and same-cell pair
+    generation at the cosine threshold."""
+
+    def rcos(a: str, b: str) -> str:
+        return (
+            f"floor((list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f"    * sqrt(list_dot_product({b}, {b})))) * 10000.0 + 0.5) / 10000.0"
+        )
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+            list_transform(embedding::DOUBLE[], x -> x * 1.5) AS vec
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    v AS (SELECT vec_id AS vid, vec FROM corpus),
+    cnt AS (SELECT count(*) AS n FROM v),
+    samp AS (
+        SELECT vid, vec FROM v, cnt
+        WHERE CAST('0x' || substr(md5('ivf:' || CAST(vid AS VARCHAR)), 1, 4) AS INTEGER)
+              < least(65536, floor({fit_sample_cap}.0 / n * 65536))
+    ),
+    seed AS (
+        SELECT vid AS centroid_id, vec AS cvec FROM samp
+        ORDER BY vid LIMIT {n_centroids}
+    ),
+    s1 AS (
+        SELECT vid, vec, centroid_id, {rcos("vec", "cvec")} AS ccos
+        FROM samp CROSS JOIN seed
+    ),
+    a1 AS (
+        SELECT vid, vec, centroid_id FROM s1
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id ASC
+        ) = 1
+    ),
+    ud AS (
+        SELECT centroid_id,
+            unnest(list_transform(range(1, len(vec) + 1),
+                i -> struct_pack(pos := i, val := vec[i]))) AS u
+        FROM a1
+    ),
+    dim AS (
+        SELECT centroid_id, u.pos AS pos, avg(u.val) AS m
+        FROM ud GROUP BY centroid_id, u.pos
+    ),
+    cents AS (
+        SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM dim GROUP BY centroid_id
+    ),
+    s2 AS (
+        SELECT vid, vec, centroid_id, {rcos("vec", "cvec")} AS ccos
+        FROM v CROSS JOIN cents
+    ),
+    a2 AS (
+        SELECT vid, vec, centroid_id FROM s2
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY ccos DESC, centroid_id ASC
+        ) = 1
+    )
+    SELECT a.vid AS id1, b.vid AS id2, {rcos("a.vec", "b.vec")} AS cosine
+    FROM a2 a JOIN a2 b ON a.centroid_id = b.centroid_id AND a.vid < b.vid
+    WHERE {rcos("a.vec", "b.vec")} >= {threshold}
+"""
 
 
 def _ivf_oracle_sql(
@@ -2314,7 +2658,7 @@ def oracle_sql() -> dict[str, str]:
                     )
                 )
             )
-        """,
+        """ + _link_rank_oracle_sql(),
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}
             SELECT md5({NORM}) AS content_hash,
@@ -2509,7 +2853,9 @@ def oracle_sql() -> dict[str, str]:
                 CAST(id = min(r) AS INTEGER) AS is_canonical
             FROM reach GROUP BY id
         """,
-        "dedup_embedding_cosine": """
+        "dedup_embedding_cosine": (
+            """
+            SELECT 'label' AS method, id1, id2, cosine FROM (
             WITH corpus AS (
                 SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings
                 UNION ALL
@@ -2526,9 +2872,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor((list_dot_product(a.vec, b.vec)
                     / (sqrt(list_dot_product(a.vec, a.vec))
                        * sqrt(list_dot_product(b.vec, b.vec)))) * 10000.0 + 0.5) / 10000.0 >= 0.999
-        """,
+            )
+            UNION ALL
+            SELECT 'kmeans' AS method, id1, id2, cosine FROM ("""
+            + _semantic_oracle_sql()
+            + ")"
+        ),
         "ann_topk": """
-            SELECT 'brute' AS method, query_id, nbr_id, cosine, rank FROM (
+            SELECT 'brute' AS method, query_id, nbr_id, cosine AS score, rank FROM (
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
                 FROM embeddings WHERE vec_id < 5
@@ -2551,8 +2902,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= 10
             )
             UNION ALL
-            SELECT 'lsh' AS method, query_id, nbr_id, cosine, rank FROM (
+            SELECT 'lsh' AS method, query_id, nbr_id, cosine AS score, rank FROM (
         """ + _lsh_oracle_sql() + """
+            )
+            UNION ALL
+            SELECT 'bm25' AS method, query_id, nbr_id, score, rank FROM (
+        """ + _bm25_oracle_sql() + """
             )
         """,
         "multimodal_features": """

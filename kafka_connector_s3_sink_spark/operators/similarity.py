@@ -114,11 +114,12 @@ def brute_force_topk(
     )
 
 
-def _partition_local_topk(k: int):
-    """Bounded per-partition top-k over (query_id, cosine desc, nbr_id asc)
+def _partition_local_topk(k: int, score_col: str = "cosine"):
+    """Bounded per-partition top-k over (query_id, score desc, nbr_id asc)
     scored rows. Running best-set stays ≤ |queries|·k rows: each Arrow batch is
     merged with the carry and re-truncated, so memory never scales with the
-    corpus partition size."""
+    corpus partition size. Shared by cosine ANN (score_col='cosine') and
+    lexical BM25 retrieval (score_col='score')."""
 
     def run(batches):
         import pandas as pd
@@ -127,7 +128,7 @@ def _partition_local_topk(k: int):
         for pdf in batches:
             cand = pdf if best is None else pd.concat((best, pdf), ignore_index=True)
             cand = cand.sort_values(
-                ["query_id", "cosine", "nbr_id"],
+                ["query_id", score_col, "nbr_id"],
                 ascending=[True, False, True],
                 kind="mergesort",
             )

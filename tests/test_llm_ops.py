@@ -72,6 +72,38 @@ def test_embedding_cosine_dedup(spark):
     assert pairs == {(1, 2): 1.0}  # orthogonal excluded; cross-block not compared
 
 
+def test_semantic_dupes_kmeans_blocking(spark):
+    """SemDeDup-style learned blocking (r7): k-means cells replace the
+    caller-supplied block column. Cosine is scale-invariant, so a scaled
+    copy lands in its original's cell and MUST be found; orthogonal
+    clusters separate and their cross-pairs are never compared."""
+    # two tight direction clusters + scaled copies (cosine 1.0)
+    rows = [Row(vec_id=i, embedding=[1.0, 0.01 * i, 0.0, 0.0]) for i in range(4)]
+    rows += [Row(vec_id=10 + i, embedding=[0.0, 0.0, 1.0, 0.01 * i]) for i in range(4)]
+    rows += [
+        Row(vec_id=100, embedding=[2.0, 0.0, 0.0, 0.0]),     # dup of vec 0
+        Row(vec_id=110, embedding=[0.0, 0.0, 3.0, 0.0]),     # dup of vec 10
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.semantic_dupes(df, n_centroids=2, threshold=0.999).collect()
+    got = {(r["id1"], r["id2"]): r["cosine"] for r in pairs}
+    assert got[(0, 100)] == 1.0
+    assert got[(10, 110)] == 1.0
+    # no cross-cluster pair can appear (blocked), and nothing below threshold
+    for (a, b), c in got.items():
+        assert c >= 0.999
+        assert ({a >= 10 and a != 100, b >= 10 and b != 100}) in ({True}, {False})
+
+    # a pre-fitted quantizer is reusable (e.g. the ANN index's centroids):
+    # same pairs, no second fit
+    cents = similarity.ivf_centroids(df, n_centroids=2)
+    got2 = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in dedup.semantic_dupes(df, centroids=cents, threshold=0.999).collect()
+    }
+    assert got2 == got
+
+
 def test_brute_force_topk_ranks_planted_neighbor(spark):
     corpus = spark.createDataFrame(
         [
@@ -1107,3 +1139,31 @@ def test_url_dedup(spark):
     a = {(r["canonical_url"], r["text"]) for r in dedup.url_dedup(df).collect()}
     b = {(r["canonical_url"], r["text"]) for r in dedup.url_dedup(df).collect()}
     assert a == b
+
+
+def test_bm25_topk_ranking_and_blocking(spark):
+    """Lexical BM25 retrieval (r7): tf saturation + length normalization +
+    idf produce the textbook ranking; docs sharing no query term never
+    appear (posting-list filter, not a corpus scan)."""
+    from kafka_connector_s3_sink_spark.operators import search
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="apple banana apple"),   # both terms, tf(apple)=2
+        Row(doc_id=2, text="apple"),                # short doc, strong tf norm
+        Row(doc_id=3, text="cherry durian cherry"), # no query term
+        Row(doc_id=4, text="banana cherry"),
+    ])
+    queries = spark.createDataFrame([Row(query_id=7, query_text="Apple BANANA apple")])
+    out = search.bm25_topk(docs, queries, k=10).collect()
+    assert [r["nbr_id"] for r in out] == [1, 2, 4]   # d3 filtered out entirely
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # hand-computed Okapi score for d1 (k1=1.2, b=0.75, N=4, avgdl=2.25,
+    # df(apple)=df(banana)=2): 0.8742 + 0.6100 -> 1.4842; duplicate query
+    # terms count once (set semantics), hence the lowercased-dup query
+    import math
+    idf = math.log(1 + 2.5 / 2.5)
+    d1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.25)) \
+        + idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 2.25))
+    assert abs(out[0]["score"] - round(d1, 4)) < 1e-9
