@@ -1045,6 +1045,20 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("rank"), 6).alias("metric_a"),
         F.lit(None).cast("double").alias("metric_b"),
     )
+    # ppl branch (r7): CCNet-style bigram-LM perplexity, self-trained on the
+    # corpus (quality.bigram_perplexity) — the oracle rebuilds the identical
+    # add-k model (bigram/unigram counts, distinct-token vocabulary) and
+    # scoring sum in SQL, so any divergence in tokenization, counting,
+    # smoothing, or the exp/ln chain hash-fails.
+    from kafka_connector_s3_sink_spark.operators.quality import bigram_perplexity
+
+    ppl_rows = bigram_perplexity(docs).select(
+        F.lit("ppl").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_bigrams").cast("bigint").alias("n"),
+        stable_round(F.col("ppl"), 4).alias("metric_a"),
+        stable_round(F.col("avg_nll"), 6).alias("metric_b"),
+    )
     return (
         ngrams.unionByName(quality)
         .unionByName(html_rows)
@@ -1052,6 +1066,7 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(warc_rows)
         .unionByName(clf_rows)
         .unionByName(link_rows)
+        .unionByName(ppl_rows)
     )
 
 
@@ -1221,6 +1236,45 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
         )
         SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def _ppl_oracle_sql(k: float = 0.1) -> str:
+    """DuckDB oracle for the `ppl` branch of text_corpus_stats: the
+    identical self-trained add-k bigram LM — lowercased whitespace tokens,
+    adjacent-pair counts, (w1) rollup, distinct-token vocabulary — and the
+    same −ln p scoring sum, rounded like the Spark side. Emitted as a
+    `UNION ALL` tail for the entry's f-string."""
+    return f"""
+            UNION ALL
+            SELECT 'ppl' AS branch, CAST(doc_id AS VARCHAR) AS key,
+                CAST(nb AS BIGINT) AS n,
+                floor(exp(s / nb) * 10000.0 + 0.5) / 10000.0 AS metric_a,
+                floor((s / nb) * 1000000.0 + 0.5) / 1000000.0 AS metric_b
+            FROM (
+            WITH tk AS (
+                SELECT doc_id,
+                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END AS toks
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+                    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk
+                )
+            ),
+            bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1),
+            vocab AS (
+                SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+                FROM (SELECT unnest(toks) AS t FROM tk)
+            )
+            SELECT bg.doc_id, count(*) AS nb,
+                sum(-ln((bc.c2 + {k}) / (c1.c1 + {k} * v))) AS s
+            FROM bg JOIN bc USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+            GROUP BY bg.doc_id
+            )
+"""
 
 
 def _link_rank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
@@ -2658,7 +2712,7 @@ def oracle_sql() -> dict[str, str]:
                     )
                 )
             )
-        """ + _link_rank_oracle_sql(),
+        """ + _link_rank_oracle_sql() + _ppl_oracle_sql(),
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}
             SELECT md5({NORM}) AS content_hash,

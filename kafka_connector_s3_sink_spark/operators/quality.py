@@ -216,3 +216,85 @@ def classifier_score(
         lambda acc, x: acc + x,
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model perplexity (CCNet-style quality signal)
+
+
+def _bigram_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent lowercased-token pair. Pure
+    JVM array ops: two slices zipped and exploded; a doc with < 2 tokens
+    emits nothing."""
+    toks = tokens_column(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    zipped = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(zipped).alias("_b"))
+        .select("doc_id", "_b.w1", "_b.w2")
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    k: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model perplexity:
+    (doc_id, n_bigrams, avg_nll, ppl) with
+
+        p(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)      [add-k smoothing]
+        ppl      = exp( mean over the doc's bigrams of −ln p )
+
+    the CCNet recipe (Wenzek et al. 2020, public) with the KenLM n-gram
+    model replaced by a self-contained add-k bigram model — low perplexity
+    under a model trained on reference text means "reads like natural
+    language", the standard pretraining quality filter. ``model_docs``
+    defaults to ``docs`` (self-trained — perplexity under the corpus's own
+    statistics, which still separates boilerplate/gibberish from prose);
+    pass a curated reference corpus for CCNet-style filtering proper.
+
+    Distributed shape: the model is two hash aggregations over exploded
+    bigrams (c2 on (w1,w2), c1 as its (w1) rollup) plus a 1-row vocabulary
+    scalar that rides a broadcast cross join; scoring is an equi-join of
+    the target's bigrams against the count tables — all map-reduce, nothing
+    all-pairs, no UDFs. Skew note for 100 TB: stopword bigrams ("of the")
+    dominate the join key distribution; AQE skew-join handles the reduce
+    side, and the model tables are Zipf-sparse (far below corpus scale).
+    Docs with < 2 tokens emit no bigrams and are absent from the result
+    (no perplexity is defined for them)."""
+    if model_docs is None:
+        model_docs = docs
+    bg_model = _bigram_pairs(model_docs, id_col=id_col, text_col=text_col)
+    bc = bg_model.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = model_docs.select(
+        F.explode(tokens_column(F.lower(F.col(text_col)))).alias("t")
+    ).agg(F.count_distinct("t").cast("double").alias("v"))
+
+    target = _bigram_pairs(docs, id_col=id_col, text_col=text_col)
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + k)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("v"))
+    )
+    per_doc = (
+        target.join(bc, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum(nll).alias("_s"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("_s") / F.col("n_bigrams")).alias("avg_nll"),
+        F.exp(F.col("_s") / F.col("n_bigrams")).alias("ppl"),
+    )

@@ -143,3 +143,57 @@ def test_pinned_weights_reproduce_exactly(spark):
         [Row(text=t, label=y) for t, y in PINNED_CORPUS]
     ).coalesce(1)
     assert tuple(fit_quality_classifier(df)) == PINNED_WEIGHTS_V1
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """CCNet-style add-k bigram perplexity (r7): hand-checked probabilities
+    on a tiny corpus; docs with < 2 tokens have no defined perplexity and
+    are absent; a doc made of the model's most common bigram scores lowest."""
+    import math
+
+    from kafka_connector_s3_sink_spark.operators.quality import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="A b"),          # lowercased -> same bigram
+            Row(doc_id=3, text="z"),            # single token: no bigrams
+        ]
+    )
+    out = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+    assert set(out) == {1, 2}
+    # self-trained model: c2(a,b)=3, c2(b,a)=1, c1(a)=3, c1(b)=1, V=3, k=0.1
+    p_ab = 3.1 / 3.3
+    p_ba = 1.1 / 1.3
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["ppl"] == pytest.approx(1.0 / p_ab)
+    d1_nll = (2 * -math.log(p_ab) + -math.log(p_ba)) / 3
+    assert out[1]["avg_nll"] == pytest.approx(d1_nll)
+    assert out[1]["ppl"] == pytest.approx(math.exp(d1_nll))
+    # the all-common-bigram doc reads as "more natural" than the mixed one
+    assert out[2]["ppl"] < out[1]["ppl"]
+
+
+def test_bigram_perplexity_external_model_and_oov(spark):
+    """Scoring against a separate reference corpus: unseen bigrams fall to
+    the smoothed floor instead of erroring, and gibberish scores worse than
+    in-domain text."""
+    from kafka_connector_s3_sink_spark.operators.quality import bigram_perplexity
+
+    model = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(5)]
+    )
+    targets = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the cat sat"),        # in-domain
+            Row(doc_id=101, text="qq ww ee rr"),        # fully OOV
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_perplexity(targets, model_docs=model).collect()
+    }
+    assert out[100]["ppl"] < out[101]["ppl"]
+    # fully-OOV bigram probability is k/(0 + k*V) = 1/V with V=5
+    import math
+    assert out[101]["avg_nll"] == pytest.approx(math.log(5.0))

@@ -349,3 +349,57 @@ def test_robots_admission_plan_shape(spark):
     # verdict values stay correct at this shape
     got = out.collect()
     assert len(got) == 200 and all(r["allowed"] for r in got)
+
+
+def test_bm25_plan_filters_postings_before_scoring(spark):
+    """r7: bm25_topk must shrink the corpus-sized postings table with a
+    BROADCAST join on the query-term set before any per-query work, keep
+    the only cross join to the 1-row scalar frame, and reduce candidates
+    with the bounded partition-local top-k below the per-query exchange."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators import search
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"term{i % 17} filler{i} common") for i in range(300)]
+    )
+    queries = spark.createDataFrame([Row(query_id=1, query_text="term3 common")])
+    out = search.bm25_topk(docs, queries, k=5)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the broadcast term filter exists, and the bounded local top-k sits
+    # below the final per-query exchange
+    assert "BroadcastHashJoin" in plan
+    exchange_pos = plan.index("Exchange hashpartitioning(query_id")
+    assert "MapInPandas" in plan[exchange_pos:]
+    got = out.collect()
+    assert got and got[0]["rank"] == 1
+
+
+def test_pagerank_iterations_do_not_rescan_extraction(spark, tmp_path):
+    """r7: pagerank materializes the (bounded) edge frame once — the
+    returned plan must contain NO scan of the upstream corpus file, only
+    checkpointed RDD scans; otherwise every iteration re-runs link
+    extraction over the crawl (5x corpus scans at 5 iterations)."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators import linkgraph
+
+    pages = spark.createDataFrame(
+        [
+            Row(
+                url=f"https://h{i % 5}.ex/p/{i}",
+                html=f'<a href="https://h{(i + 1) % 5}.ex/x">l</a>',
+            )
+            for i in range(200)
+        ]
+    )
+    pages.write.parquet(str(tmp_path / "pages"))
+    on_disk = spark.read.parquet(str(tmp_path / "pages"))
+    hg = linkgraph.host_graph(linkgraph.extract_links(on_disk))
+    pr = linkgraph.pagerank(hg, iterations=3)
+    plan = _plan(pr)
+    assert "FileScan parquet" not in plan, "iterations must not re-scan the corpus"
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert len(ranks) == 5 and abs(sum(ranks.values()) - 1.0) < 1e-9
