@@ -266,11 +266,20 @@ def q_sink_group_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       delete), ``streaming/cdc.cdc_snapshot`` materializes current state
       (latest image per key, deleted keys vanish); the oracle recomputes it
       with row_number + delete filter.
+    - ``scd2`` (r7): the full Type-2 DIMENSION HISTORY of the same
+      changelog — ``streaming/cdc.scd2_history`` stitches every version's
+      validity interval with one ``lead`` window (valid_to carried in the
+      entry's new nullable columns; delete events close intervals but emit
+      no row); the oracle replays the identical window in SQL.
     """
     from kafka_connector_s3_sink_spark.streaming import cdc
 
     recs = kafka_records_from_events(spark, sf_dir)
     latest = grouping.last_value_per_key(recs)
+    _no_interval = [
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(None).cast("int").alias("is_current"),
+    ]
     upsert_rows = latest.select(
         F.coalesce(F.col("key"), F.lit("null")).alias("group_key"),
         "topic",
@@ -278,6 +287,7 @@ def q_sink_group_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset",
         "value",
         F.lit("upsert").alias("branch"),
+        *_no_interval,
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "props"
@@ -304,8 +314,20 @@ def q_sink_group_key_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset",
         "value",
         F.lit("cdc").alias("branch"),
+        *_no_interval,
     )
-    return upsert_rows.unionByName(cdc_rows)
+    hist = cdc.scd2_history(changes, ["group_key"], ["cdc_ts_ms"])
+    scd2_rows = hist.select(
+        "group_key",
+        "topic",
+        "partition",
+        "offset",
+        "value",
+        F.lit("scd2").alias("branch"),
+        F.col("valid_to").cast("long"),
+        "is_current",
+    )
+    return upsert_rows.unionByName(cdc_rows).unionByName(scd2_rows)
 
 
 def q_sink_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1701,7 +1723,9 @@ def oracle_sql() -> dict[str, str]:
         "sink_group_key_upsert": f"""
             WITH {KAFKA_CTE}
             SELECT coalesce(key, 'null') AS group_key, topic, partition,
-                "offset", value, 'upsert' AS branch
+                "offset", value, 'upsert' AS branch,
+                CAST(NULL AS BIGINT) AS valid_to,
+                CAST(NULL AS INTEGER) AS is_current
             FROM kafka
             QUALIFY row_number() OVER (
                 PARTITION BY coalesce(key, 'null') ORDER BY "offset" DESC
@@ -1709,7 +1733,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS group_key,
                 'cdc' AS topic, 0 AS partition,
-                event_id AS "offset", props AS value, 'cdc' AS branch
+                event_id AS "offset", props AS value, 'cdc' AS branch,
+                CAST(NULL AS BIGINT) AS valid_to,
+                CAST(NULL AS INTEGER) AS is_current
             FROM (
                 SELECT user_id, event_id, props
                 FROM events
@@ -1718,6 +1744,23 @@ def oracle_sql() -> dict[str, str]:
                 ) = 1
             )
             WHERE event_id % 7 <> 0
+            UNION ALL
+            SELECT group_key, topic, partition, "offset", value,
+                'scd2' AS branch, valid_to, is_current
+            FROM (
+                SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS group_key,
+                    'cdc' AS topic, 0 AS partition,
+                    event_id AS "offset", props AS value,
+                    CAST(lead(event_id) OVER (
+                        PARTITION BY user_id % 50 ORDER BY event_id
+                    ) AS BIGINT) AS valid_to,
+                    CASE WHEN lead(event_id) OVER (
+                        PARTITION BY user_id % 50 ORDER BY event_id
+                    ) IS NULL THEN 1 ELSE 0 END AS is_current,
+                    (event_id % 7 = 0) AS _del
+                FROM events
+            )
+            WHERE NOT _del
         """,
         "sink_chunking": f"""
             WITH {KAFKA_CTE},

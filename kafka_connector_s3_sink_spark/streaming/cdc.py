@@ -125,3 +125,55 @@ def cdc_op_counts(changes: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] = ("cdc_ts_ms",),
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from unwrapped change rows:
+    one output row per ROW VERSION, carrying the interval it was current for.
+
+    Where ``cdc_snapshot`` keeps only the latest image per key, a warehouse
+    dimension usually needs the full history — "what did this row look like
+    on date X". Standard SCD2 columns:
+
+    - ``valid_from``: the first ``order_cols`` value (the change's own
+      position in the changelog);
+    - ``valid_to``: the NEXT change's ``valid_from`` for the same key
+      (exclusive upper bound), null while the version is still open;
+    - ``is_current``: 1 iff no later change exists (open interval).
+
+    Delete events close the preceding version's interval but emit no row
+    themselves — a deleted key has every interval closed and no current row,
+    matching ``cdc_snapshot`` (which drops the key entirely).
+
+    Plan shape: ONE window shuffle on the key (``lead`` over
+    (key, order) — the minimum possible for interval stitching; the
+    changelog is never self-joined). At 100 TB the window is key-partitioned
+    so no single task sees more than one key group's history; skewed keys
+    are bounded by per-key change counts, not corpus size. ``valid_from``
+    exposes the first order column's value (callers wanting composite
+    ordering still get deterministic interval STITCHING from all of
+    ``order_cols``).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    first_order = order_cols[0]
+    versioned = (
+        changes.withColumn("valid_from", F.col(first_order))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return versioned.filter(
+        ~F.coalesce(F.col("deleted"), F.lit(False))
+    ).drop("deleted")

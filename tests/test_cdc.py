@@ -218,3 +218,52 @@ def test_cdc_streaming_snapshot_per_epoch(spark, tmp_path):
     drain()
     snap2 = {r["id"]: r["amount"] for r in spark.read.parquet(state).collect()}
     assert snap2 == {2: "8.00", 3: "1.00"}  # 1 deleted, 2 updated, 3 created
+
+
+def test_scd2_history_intervals(changes):
+    from kafka_connector_s3_sink_spark.streaming.cdc import scd2_history
+
+    hist = scd2_history(changes, ["id"], ["cdc_ts_ms"])
+    rows = sorted(
+        ((r["id"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in hist.collect()),
+    )
+    # id 1: c@1000 -> u@1001 -> d@1003: two closed versions, no current row
+    # id 2: c@1002 open; id 3: r@999 open
+    assert rows == [
+        (1, 1000, 1001, 0),
+        (1, 1001, 1003, 0),
+        (2, 1002, None, 1),
+        (3, 999, None, 1),
+    ]
+    assert "deleted" not in hist.columns
+
+
+def test_scd2_is_one_window_shuffle(changes):
+    from kafka_connector_s3_sink_spark.streaming.cdc import scd2_history
+
+    plan = (
+        scd2_history(changes, ["id"])._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    # exactly one window operator, no join of the changelog against itself
+    assert plan.count("Window") >= 1 and "Join" not in plan
+
+
+def test_scd2_current_matches_snapshot(changes):
+    """The open-interval rows of the history ARE the snapshot (modulo the
+    interval columns) — the two views of the changelog must agree."""
+    from kafka_connector_s3_sink_spark.streaming.cdc import (
+        cdc_snapshot,
+        scd2_history,
+    )
+
+    cur = {
+        r["id"]: r["amount"]
+        for r in scd2_history(changes, ["id"], ["cdc_ts_ms"])
+        .filter(F.col("is_current") == 1)
+        .collect()
+    }
+    snap = {r["id"]: r["amount"]
+            for r in cdc_snapshot(changes, ["id"], ["cdc_ts_ms"]).collect()}
+    assert cur == snap
