@@ -779,7 +779,12 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``bm25``: LEXICAL retrieval (operators/search.bm25_topk) over the
       documents corpus — queries are the first 4 tokens of docs 0-2, so
       each query must rank its own source document; the oracle re-runs the
-      identical tokenize → tf/df → Okapi scoring chain in SQL."""
+      identical tokenize → tf/df → Okapi scoring chain in SQL.
+    - ``pq`` (r7): product-quantization retrieval WITH exact refinement —
+      unit-normalize, fit m=8×k=16 codebooks on the seeded sample, encode
+      the corpus to 8 codes/vector, ADC-rank everything, rescore the top-50
+      candidates with exact cosine (the production ANN shape; the oracle
+      replays fit → encode → LUT → ADC → rescore end-to-end in SQL)."""
     corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = (
         corpus.filter(F.col("vec_id") < 5)
@@ -809,7 +814,16 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = search.bm25_topk(docs, queries, k=10).select(
         F.lit("bm25").alias("method"), "query_id", "nbr_id", "score", "rank"
     )
-    return brute.unionByName(lsh).unionByName(bm)
+    nrm = similarity.normalize_vectors(corpus.select("vec_id", "embedding"))
+    books = similarity.pq_codebooks(nrm, m=8, k=16)
+    enc = similarity.pq_encode(nrm, books)
+    qsn = nrm.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pqr = similarity.pq_topk_rescored(
+        enc, books, nrm, qsn, k=10, k_candidates=50
+    ).select(F.lit("pq").alias("method"), "query_id", "nbr_id", "score", "rank")
+    return brute.unionByName(lsh).unionByName(bm).unionByName(pqr)
 
 
 def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,6 +1438,160 @@ def _link_rank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
                 SELECT src_host, sum(cnt) AS out_links FROM edges GROUP BY 1
             ) od ON {last}.node = od.src_host
             )
+"""
+
+
+def _pq_oracle_sql(
+    m: int = 8,
+    k_codes: int = 16,
+    k_cand: int = 50,
+    k: int = 10,
+    fit_sample_cap: int = 256,
+) -> str:
+    """DuckDB oracle for the `pq` branch of ann_topk: replays
+    similarity.pq_codebooks / pq_encode / pq_topk_rescored end-to-end —
+    unit normalization, seeded-hash fit sample (salt 'pq:'), lowest-id
+    seed subvectors with code ids 0..k−1 in id order, one Lloyd step per
+    subspace (rounded squared-L2 argmin via the dot identity, ties →
+    lowest code; empty codes keep their seed), full-corpus encoding, the
+    per-query ADC lookup-table sum (safe under summation-order differences
+    because every LUT entry is pre-rounded to 1e-4 — see operator
+    docstring), rank ≤ k_cand candidates, exact-cosine rescoring, final
+    rank ≤ k. Mirrors the engine's rounding step-for-step."""
+
+    def rd2(a: str, b: str) -> str:
+        # floor-rounded ‖a−b‖² via the same dot-product identity/order
+        return (
+            f"floor((list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b})) * 10000.0 + 0.5) / 10000.0"
+        )
+
+    def rcos(a: str, b: str) -> str:
+        return (
+            f"floor((list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f"    * sqrt(list_dot_product({b}, {b})))) * 10000.0 + 0.5) / 10000.0"
+        )
+
+    return f"""
+    WITH raw AS (
+        SELECT vec_id AS vid, embedding::DOUBLE[] AS vec0 FROM embeddings
+    ),
+    nz AS (
+        SELECT vid, vec0 FROM raw
+        WHERE len(list_filter(vec0, x -> x <> 0)) > 0
+    ),
+    v AS (
+        SELECT vid,
+            list_transform(vec0,
+                x -> x / sqrt(list_dot_product(vec0, vec0))) AS vec
+        FROM nz
+    ),
+    cnt AS (SELECT count(*) AS n FROM v),
+    samp AS (
+        SELECT vid, vec FROM v, cnt
+        WHERE CAST('0x' || substr(md5('pq:' || CAST(vid AS VARCHAR)), 1, 4) AS INTEGER)
+              < least(65536, floor({fit_sample_cap}.0 / n * 65536))
+    ),
+    dimq AS (
+        SELECT CAST(len(vec) // {m} AS INTEGER) AS d FROM v LIMIT 1
+    ),
+    subs AS (SELECT CAST(unnest(range(0, {m})) AS INTEGER) AS sub),
+    seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INTEGER) AS code,
+            vec
+        FROM (SELECT vid, vec FROM samp ORDER BY vid LIMIT {k_codes})
+    ),
+    seedsub AS (
+        SELECT code, sub,
+            vec[CAST(sub*d+1 AS INTEGER) : CAST((sub+1)*d AS INTEGER)] AS cvec
+        FROM seed, subs, dimq
+    ),
+    sampsub AS (
+        SELECT vid, sub,
+            vec[CAST(sub*d+1 AS INTEGER) : CAST((sub+1)*d AS INTEGER)] AS svec
+        FROM samp, subs, dimq
+    ),
+    a1 AS (
+        SELECT vid, sub, svec, code FROM (
+            SELECT s.vid, s.sub, s.svec, c.code,
+                {rd2("s.svec", "c.cvec")} AS d2
+            FROM sampsub s JOIN seedsub c ON c.sub = s.sub
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY vid, sub ORDER BY d2 ASC, code ASC
+        ) = 1
+    ),
+    ud AS (
+        SELECT sub, code,
+            unnest(list_transform(range(1, len(svec) + 1),
+                i -> struct_pack(pos := i, val := svec[i]))) AS u
+        FROM a1
+    ),
+    dimavg AS (
+        SELECT sub, code, u.pos AS pos, avg(u.val) AS mval
+        FROM ud GROUP BY sub, code, u.pos
+    ),
+    fitted AS (
+        SELECT sub, code, list(mval ORDER BY pos) AS cvec
+        FROM dimavg GROUP BY sub, code
+    ),
+    cents AS (
+        SELECT s.sub, s.code, coalesce(f.cvec, s.cvec) AS cvec
+        FROM seedsub s LEFT JOIN fitted f
+          ON f.sub = s.sub AND f.code = s.code
+    ),
+    vsub AS (
+        SELECT vid, sub,
+            vec[CAST(sub*d+1 AS INTEGER) : CAST((sub+1)*d AS INTEGER)] AS svec
+        FROM v, subs, dimq
+    ),
+    encd AS (
+        SELECT vid, sub, code FROM (
+            SELECT e.vid, e.sub, c.code, {rd2("e.svec", "c.cvec")} AS d2
+            FROM vsub e JOIN cents c ON c.sub = e.sub
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY vid, sub ORDER BY d2 ASC, code ASC
+        ) = 1
+    ),
+    qsub AS (
+        SELECT vid AS query_id, sub,
+            vec[CAST(sub*d+1 AS INTEGER) : CAST((sub+1)*d AS INTEGER)] AS svec
+        FROM v, subs, dimq WHERE vid < 5
+    ),
+    lut AS (
+        SELECT q.query_id, q.sub, c.code, {rd2("q.svec", "c.cvec")} AS d2
+        FROM qsub q JOIN cents c ON c.sub = q.sub
+    ),
+    adc AS (
+        SELECT l.query_id, e.vid AS nbr_id,
+            floor((-(sum(l.d2))) * 10000.0 + 0.5) / 10000.0 AS ascore
+        FROM encd e
+        JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        WHERE e.vid <> l.query_id
+        GROUP BY l.query_id, e.vid
+    ),
+    cand AS (
+        SELECT query_id, nbr_id FROM adc
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY ascore DESC, nbr_id ASC
+        ) <= {k_cand}
+    ),
+    resc AS (
+        SELECT c.query_id, c.nbr_id, {rcos("qv.vec", "cv.vec")} AS score
+        FROM cand c
+        JOIN v cv ON cv.vid = c.nbr_id
+        JOIN v qv ON qv.vid = c.query_id
+    )
+    SELECT query_id, nbr_id, score, rank FROM (
+        SELECT query_id, nbr_id, score,
+            row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, nbr_id ASC
+            ) AS rank
+        FROM resc
+    ) WHERE rank <= {k}
 """
 
 
@@ -3005,6 +3173,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'bm25' AS method, query_id, nbr_id, score, rank FROM (
         """ + _bm25_oracle_sql() + """
+            )
+            UNION ALL
+            SELECT 'pq' AS method, query_id, nbr_id, score, rank FROM (
+        """ + _pq_oracle_sql() + """
             )
         """,
         "multimodal_features": """

@@ -829,3 +829,376 @@ def topk_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         )
     )
     return hits
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory path for 100 TB-scale ANN.
+#
+# IVF (above) prunes WHICH partitions a query scans; PQ shrinks WHAT each
+# scanned row costs: a dim-float vector (dim·4 bytes) becomes m small codes
+# (m bytes at k ≤ 256), and query-time scoring touches only an m-entry
+# lookup table per row (asymmetric distance computation, ADC — Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011; public
+# implementations: faiss IndexPQ, Spark-side rewrites of it). At dim=768,
+# m=96: 3072 → 96 bytes/vector, a 32× cache-footprint cut, which is the
+# difference between an in-memory rescoring corpus and a spilling one.
+#
+# Everything is deterministic and engine-portable (same discipline as the
+# IVF quantizer): seeded-hash fit sample, lowest-id seeds, rounded
+# squared-L2 argmin with lowest-code tiebreak, so the DuckDB oracle replays
+# the fit, the encoding, and the ADC scores exactly.
+# --------------------------------------------------------------------------
+
+
+def _sq_dist(a: Column, b: Column, b_sq: Column | float) -> Column:
+    """Rounded squared L2 via the dot-product identity ‖a−b‖² =
+    a·a − 2·a·b + b·b, using the shared sequential-fold ``dot`` so the float
+    summation order matches DuckDB's ``list_dot_product`` term-for-term
+    (the elementwise (a−b)² fold would sum in a different order and drift
+    at the 4th decimal)."""
+    b_sq_col = F.lit(b_sq) if isinstance(b_sq, float) else b_sq
+    return stable_round(dot(a, a) - 2 * dot(a, b) + b_sq_col, 4)
+
+
+def _slice_cols(vec: Column, m: int, d: int) -> list[Column]:
+    """The m contiguous subvectors of ``vec`` (each length ``d``)."""
+    return [F.slice(vec, s * d + 1, d) for s in range(m)]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_cap: int | None = 256,
+) -> list[list[tuple[int, list[float]]]]:
+    """Fit m per-subspace codebooks of k centroids each, on a bounded
+    seeded-hash sample (same ``fit_sample`` contract as IVF: at 100 TB the
+    fit reads a few thousand rows, never the corpus). Seeds are the k
+    lowest-id sample rows' subvectors (code ids 0..k−1 in id order); one
+    Lloyd step assigns every sample subvector to its min-squared-L2 code
+    (rounded distance, ties → lowest code) and recomputes per-(subspace,
+    code) elementwise means — ALL subspaces in one DataFrame pipeline with
+    ``sub`` as a grouping key, so the fit is two small shuffles total, not
+    m separate jobs.
+
+    Returns plain values (m·k·(dim/m) = k·dim scalars — bounded by config,
+    the same driver-escape class as the IVF centroids). Requires dim
+    divisible by m."""
+    v = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    samp = fit_sample(v, fit_sample_cap, salt="pq")
+    seed_rows = sorted(
+        (r["vid"], list(r["vec"]))
+        for r in samp.orderBy("vid").limit(k).collect()
+    )
+    if not seed_rows:
+        raise ValueError("empty corpus: cannot fit PQ codebooks")
+    dim = len(seed_rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    # seed codebooks: code c (0-based, in vid order) takes sample row c's
+    # subvectors
+    books = [
+        [(c, vec[s * d : (s + 1) * d]) for c, (_, vec) in enumerate(seed_rows)]
+        for s in range(m)
+    ]
+    spark = corpus.sparkSession
+    sub = samp.select(
+        "vid",
+        F.posexplode(F.array(*_slice_cols(F.col("vec"), m, d))).alias(
+            "sub", "svec"
+        ),
+    )
+    cb = spark.createDataFrame(
+        [
+            (s, c, cvec, sum(x * x for x in cvec))
+            for s, book in enumerate(books)
+            for c, cvec in book
+        ],
+        schema="sub INT, code INT, cvec array<double>, c2 DOUBLE",
+    )
+    scored = sub.join(F.broadcast(cb), "sub").withColumn(
+        "d2", _sq_dist(F.col("svec"), F.col("cvec"), F.col("c2"))
+    )
+    assigned = scored.groupBy("vid", "sub").agg(
+        F.min_by(
+            F.struct(F.col("code"), F.col("svec")),
+            F.struct(F.col("d2"), F.col("code")),
+        ).alias("_a")
+    )
+    dims = assigned.select(
+        "sub", F.col("_a.code").alias("code"), F.posexplode("_a.svec").alias("pos", "val")
+    )
+    rows = (
+        dims.groupBy("sub", "code", "pos")
+        .agg(F.avg("val").alias("mval"))
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda st: st["mval"],
+            ).alias("cvec")
+        )
+        .collect()
+    )
+    fitted: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in rows:
+        fitted[r["sub"]][r["code"]] = list(r["cvec"])
+    # a code that captured no sample subvector keeps its seed (possible only
+    # on degenerate corpora smaller than k)
+    return [
+        sorted(
+            (c, fitted[s].get(c, seed_vec)) for c, seed_vec in books[s]
+        )
+        for s in range(m)
+    ]
+
+
+def _argmin_code_expr(
+    svec: Column, book: list[tuple[int, list[float]]]
+) -> Column:
+    """code id of the min-squared-L2 codebook entry for one subvector —
+    a pure row-local expression (sort (d2, code) structs, take the head)."""
+    entries = [
+        F.struct(
+            _sq_dist(
+                svec, double_array_literal(cvec), sum(x * x for x in cvec)
+            ).alias("d2"),
+            F.lit(code).alias("code"),
+        )
+        for code, cvec in book
+    ]
+    return F.element_at(F.array_sort(F.array(*entries)), 1)["code"]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignment: str = "auto",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to its m nearest
+    per-subspace code ids. Two physical strategies, identical values (the
+    ``_assign_centroids`` pattern):
+
+    - ``literal``: zero-shuffle row-local argmin per subspace; plan size
+      O(k·dim) scalars, right below ``LITERAL_ASSIGN_MAX_SCALARS``.
+    - ``broadcast``: subvector explode → broadcast m·k-row codebook join →
+      ``min_by`` per (id, sub) → re-assemble the code array; O(1) plan
+      size — the path when k·dim grows (k=256 × dim=768 = 196k scalars
+      would kill codegen).
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    n_scalars = sum(len(b) * d for b in codebooks)
+    if assignment == "auto":
+        assignment = (
+            "literal" if n_scalars <= LITERAL_ASSIGN_MAX_SCALARS else "broadcast"
+        )
+    v = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    if assignment == "literal":
+        slices = _slice_cols(F.col("_vec"), m, d)
+        return v.select(
+            id_col,
+            F.array(
+                *[_argmin_code_expr(sl, codebooks[s]) for s, sl in enumerate(slices)]
+            ).alias("codes"),
+        )
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (s, c, cvec, sum(x * x for x in cvec))
+            for s, book in enumerate(codebooks)
+            for c, cvec in book
+        ],
+        schema="sub INT, code INT, cvec array<double>, c2 DOUBLE",
+    )
+    sub = v.select(
+        id_col,
+        F.posexplode(F.array(*_slice_cols(F.col("_vec"), m, d))).alias(
+            "sub", "svec"
+        ),
+    )
+    scored = sub.join(F.broadcast(cb), "sub").withColumn(
+        "d2", _sq_dist(F.col("svec"), F.col("cvec"), F.col("c2"))
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias(
+            "code"
+        )
+    )
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda st: st["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ codes.
+
+    Per query, the k·m squared-L2 distances from its subvectors to every
+    codebook entry form a lookup table (a row-local literal expression on
+    the BROADCAST query side — k·dim scalars evaluated once per query row,
+    never per corpus row); the corpus side then pays only m nested
+    ``element_at`` lookups + an m-term sum per row. Same two-phase bounded
+    top-k as ``brute_force_topk`` (partition-local Arrow selection → exact
+    final window), so nothing corpus-sized ever funnels into one task.
+    ``score`` = −ADC distance (higher is better, aligned with the other
+    retrieval branches); ties → lowest nbr_id."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d = len(codebooks[0][0][1])
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    slices = _slice_cols(F.col("_qvec"), m, d)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_dist(
+                        slices[s],
+                        double_array_literal(cvec),
+                        sum(x * x for x in cvec),
+                    )
+                    for _, cvec in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = q.select("query_id", lut.alias("_lut"))
+    c = encoded.select(F.col(id_col).alias("nbr_id"), "codes")
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        for s in range(m)
+    )
+    scored = pairs.select(
+        "query_id",
+        "nbr_id",
+        stable_round(F.lit(-1.0) * adc, 4).alias("score"),
+    )
+    candidates = scored.mapInPandas(
+        _partition_local_topk(k, score_col="score"), schema=scored.schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
+def normalize_vectors(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-normalize a vector column (zero vectors dropped — no direction).
+    Cosine ranking ≡ squared-L2 ranking on the unit sphere, which is what
+    lets the L2-native PQ machinery serve cosine retrieval."""
+    v = F.col(vec_col).cast("array<double>")
+    out = (
+        df.filter(nonzero_vec(v))
+        .withColumn("_vnorm", l2norm(v))  # once per row, not per element
+        .withColumn(vec_col, F.transform(v, lambda x: x / F.col("_vnorm")))
+        .drop("_vnorm")
+    )
+    return out
+
+
+def pq_topk_rescored(
+    encoded: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ retrieval with exact refinement — the production ANN shape:
+
+    1. ADC over the compact codes ranks the WHOLE corpus cheaply (m lookup
+       adds per row) and keeps ``k_candidates`` per query;
+    2. only those candidates' full vectors are fetched (equi-join on id —
+       at 100 TB this reads |queries|·k_candidates vectors, not the corpus)
+       and rescored with exact cosine;
+    3. the final top-k ranks by true cosine.
+
+    Recall@k equals the CANDIDATE-set recall (step 3 is exact), so
+    ``k_candidates`` is the single knob trading scan cost for recall —
+    measured by ``topk_recall`` (tests pin the monotone improvement).
+    Output matches ``brute_force_topk``'s shape with ``score`` = exact
+    cosine."""
+    from pyspark.sql import Window
+
+    cands = pq_topk(
+        encoded,
+        codebooks,
+        queries,
+        k=k_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("query_id", "nbr_id")
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    ).filter(nonzero_vec(F.col("_cvec")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).filter(nonzero_vec(F.col("_qvec")))
+    joined = (
+        cands.join(c, "nbr_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            stable_round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (l2norm(F.col("_qvec")) * l2norm(F.col("_cvec"))),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )

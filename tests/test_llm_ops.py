@@ -1167,3 +1167,90 @@ def test_bm25_topk_ranking_and_blocking(spark):
     d1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.25)) \
         + idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 3 / 2.25))
     assert abs(out[0]["score"] - round(d1, 4)) < 1e-9
+
+
+# ---------------------------------------------------------------- PQ (r7)
+
+
+@pytest.fixture(scope="module")
+def pq_corpus(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return similarity.normalize_vectors(emb.select("vec_id", "embedding"))
+
+
+def test_pq_codebooks_shape_and_determinism(pq_corpus):
+    b1 = similarity.pq_codebooks(pq_corpus, m=4, k=8)
+    b2 = similarity.pq_codebooks(pq_corpus, m=4, k=8)
+    assert b1 == b2  # bit-deterministic fit
+    assert len(b1) == 4 and all(len(book) == 8 for book in b1)
+    # each codebook entry is a dim/m-length subvector with ordinal code ids
+    assert [c for c, _ in b1[0]] == list(range(8))
+    assert all(len(v) == 16 for _, v in b1[0])
+
+
+def test_pq_dim_not_divisible_raises(pq_corpus):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(pq_corpus, m=7, k=4)
+
+
+def test_pq_encode_literal_equals_broadcast(pq_corpus):
+    books = similarity.pq_codebooks(pq_corpus, m=8, k=16)
+    lit = {r["vec_id"]: r["codes"] for r in
+           similarity.pq_encode(pq_corpus, books, assignment="literal").collect()}
+    bc = {r["vec_id"]: r["codes"] for r in
+          similarity.pq_encode(pq_corpus, books, assignment="broadcast").collect()}
+    assert lit == bc and len(lit) == 500
+    # m codes per vector, all within the codebook
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in lit.values())
+
+
+def test_pq_encode_is_zero_shuffle_literal(pq_corpus):
+    books = similarity.pq_codebooks(pq_corpus, m=4, k=8)
+    plan = (
+        similarity.pq_encode(pq_corpus, books, assignment="literal")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # encoding never shuffles the corpus
+
+
+def test_pq_rescoring_recall_monotone_in_candidates(spark, pq_corpus):
+    """Candidate-set size is the recall knob: recall@10 must be monotone
+    non-decreasing in k_candidates, and rescored results must be a subset
+    of exact cosine ranking (score column IS the exact cosine)."""
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs_raw = raw.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(raw, qs_raw, k=10)
+    books = similarity.pq_codebooks(pq_corpus, m=8, k=16)
+    enc = similarity.pq_encode(pq_corpus, books)
+    qs = pq_corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    recalls = []
+    for kc in (20, 100, 500):
+        res = similarity.pq_topk_rescored(
+            enc, books, pq_corpus, qs, k=10, k_candidates=kc)
+        recalls.append(
+            similarity.topk_recall(res, exact, 10)
+            .agg(F.avg("recall")).collect()[0][0])
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    # k_candidates = |corpus| means the rescoring IS exact: perfect recall
+    assert recalls[2] == 1.0
+
+
+def test_pq_adc_ranks_planted_neighbor_first(spark):
+    """A vector and its tiny perturbation must be ADC-nearest neighbors:
+    quantization maps both to (nearly) the same codes."""
+    import random
+
+    rnd = random.Random(7)
+    base = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((1000, [x + 0.001 for x in base[0]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nrm = similarity.normalize_vectors(df)
+    books = similarity.pq_codebooks(nrm, m=4, k=8, fit_sample_cap=None)
+    enc = similarity.pq_encode(nrm, books)
+    qs = nrm.filter(F.col("vec_id") == 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.pq_topk(enc, books, qs, k=3).collect()
+    assert top[0]["nbr_id"] == 0 and top[0]["rank"] == 1
