@@ -1095,6 +1095,32 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("ppl"), 4).alias("metric_a"),
         stable_round(F.col("avg_nll"), 6).alias("metric_b"),
     )
+    # drift branch (r7): PSI/KL corpus-shift monitoring — the "current"
+    # snapshot is a deterministic perturbation of the corpus (every 2nd
+    # doc's text doubled, every 5th doc dropped), so the report shows real
+    # length/word drift; the oracle replays the identical bucket / Laplace
+    # smoothing / ln-sum chain in SQL. key = feature, n = current-snapshot
+    # rows, metric_a = PSI, metric_b = KL(current ‖ baseline).
+    from kafka_connector_s3_sink_spark.operators import drift as drift_ops
+
+    cur = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    drift_rows = drift_ops.drift_report(
+        docs, cur, drift_ops.text_drift_features()
+    ).select(
+        F.lit("drift").alias("branch"),
+        F.col("feature").alias("key"),
+        F.col("n_cur").cast("bigint").alias("n"),
+        F.col("psi").alias("metric_a"),
+        F.col("kl").alias("metric_b"),
+    )
     return (
         ngrams.unionByName(quality)
         .unionByName(html_rows)
@@ -1103,6 +1129,7 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(clf_rows)
         .unionByName(link_rows)
         .unionByName(ppl_rows)
+        .unionByName(drift_rows)
     )
 
 
@@ -1272,6 +1299,79 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
         )
         SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def _drift_oracle_sql(n_buckets: int = 10, alpha: float = 0.5) -> str:
+    """DuckDB oracle for the `drift` branch of text_corpus_stats: replays
+    operators/drift.drift_report over the same perturbed current snapshot —
+    identical equal-width clamped buckets (widths computed by the SAME
+    Python arithmetic and repr-embedded so the doubles match bit-for-bit),
+    Laplace smoothing, and ln-sum PSI/KL. Emitted as a `UNION ALL` tail
+    for the entry's f-string."""
+    from kafka_connector_s3_sink_spark.operators.drift import (
+        text_drift_features,
+    )
+
+    feats = text_drift_features()
+    sql_expr = {
+        "text_chars": "CAST(length(text) AS DOUBLE)",
+        "text_words": (
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
+        ),
+        "digit_ratio": (
+            "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+            " / greatest(length(text), 1)"
+        ),
+    }
+    bucket_selects = []
+    for f in feats:
+        width = (f.hi - f.lo) / n_buckets
+        bucket_selects.append(
+            f"SELECT side, '{f.name}' AS feature,"
+            f" least({n_buckets - 1}, greatest(0,"
+            f" CAST(floor(({sql_expr[f.name]} - {f.lo!r})"
+            f" / {width!r}) AS INTEGER))) AS bucket FROM both_sides"
+        )
+    buckets_sql = " UNION ALL ".join(bucket_selects)
+    denom = float(alpha * n_buckets)
+    return f"""
+            UNION ALL
+            SELECT 'drift' AS branch, feature AS key,
+                CAST(n_cur AS BIGINT) AS n, psi AS metric_a, kl AS metric_b
+            FROM (
+            WITH cur AS (
+                SELECT CASE WHEN doc_id % 2 = 0
+                       THEN text || ' ' || text ELSE text END AS text
+                FROM documents WHERE doc_id % 5 <> 0
+            ),
+            both_sides AS (
+                SELECT 'base' AS side, text FROM documents
+                UNION ALL
+                SELECT 'cur' AS side, text FROM cur
+            ),
+            fb AS ({buckets_sql}),
+            counts AS (
+                SELECT feature, bucket,
+                    sum(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS c_base,
+                    sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS c_cur
+                FROM fb GROUP BY feature, bucket
+            ),
+            totals AS (
+                SELECT feature, sum(c_base) AS n_base, sum(c_cur) AS n_cur
+                FROM counts GROUP BY feature
+            ),
+            pq AS (
+                SELECT c.feature, t.n_base, t.n_cur,
+                    (c.c_base + {alpha!r}) / (t.n_base + {denom!r}) AS q,
+                    (c.c_cur + {alpha!r}) / (t.n_cur + {denom!r}) AS p
+                FROM counts c JOIN totals t ON t.feature = c.feature
+            )
+            SELECT feature, n_cur,
+                floor(sum((p - q) * ln(p / q)) * 10000.0 + 0.5) / 10000.0 AS psi,
+                floor(sum(p * ln(p / q)) * 10000.0 + 0.5) / 10000.0 AS kl
+            FROM pq GROUP BY feature, n_base, n_cur
+            )
+"""
 
 
 def _ppl_oracle_sql(k: float = 0.1) -> str:
@@ -2923,7 +3023,7 @@ def oracle_sql() -> dict[str, str]:
                     )
                 )
             )
-        """ + _link_rank_oracle_sql() + _ppl_oracle_sql(),
+        """ + _link_rank_oracle_sql() + _ppl_oracle_sql() + _drift_oracle_sql(),
         "dedup_exact": f"""
             WITH {EXACT_CORPUS_CTE}
             SELECT md5({NORM}) AS content_hash,
