@@ -1301,6 +1301,27 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
     """
 
 
+def _zval_oracle_expr(bits: int = 8) -> str:
+    """SQL mirror of relational._zorder_sample_key: the identical clamped
+    range buckets (widths computed by the same Python arithmetic and
+    repr-embedded) and bit interleave — addition stands in for OR because
+    the shifted bits are disjoint."""
+    cols = [("o_totalprice", 0.0, 600000.0), ("o_custkey", 0.0, 16384.0)]
+    n = 1 << bits
+    buckets = []
+    for name, lo, hi in cols:
+        width = (hi - lo) / n
+        buckets.append(
+            f"least({n - 1}, greatest(0, CAST(floor((CAST({name} AS DOUBLE)"
+            f" - {lo!r}) / {width!r}) AS BIGINT)))"
+        )
+    terms = []
+    for b in range(bits):
+        for c, bexpr in enumerate(buckets):
+            terms.append(f"((({bexpr} >> {b}) & 1) << {b * len(cols) + c})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _drift_oracle_sql(n_buckets: int = 10, alpha: float = 0.5) -> str:
     """DuckDB oracle for the `drift` branch of text_corpus_stats: replays
     operators/drift.drift_report over the same perturbed current snapshot —
@@ -2298,7 +2319,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
                 reverse(c_mktsegment) AS seg_reversed,
                 upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
-                    AS seg_initcap
+                    AS seg_initcap,
+        """ + _zval_oracle_expr() + """ AS zval
             FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "json_functions": """

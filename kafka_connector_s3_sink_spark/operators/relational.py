@@ -413,6 +413,26 @@ def scalar_string_function_sampler(spark: SparkSession, sf_dir: str) -> DataFram
         F.instr(F.col("c_name"), "#").alias("hash_pos"),
         F.reverse(F.col("c_mktsegment")).alias("seg_reversed"),
         F.initcap(F.lower(F.col("c_mktsegment"))).alias("seg_initcap"),
+        # r7: the Z-order clustering key (operators/layout.zorder_key) as a
+        # value-checked scalar — 8-bit Morton interleave of (o_totalprice,
+        # o_custkey) range buckets with constant bounds; the oracle rebuilds
+        # the identical shift/mask/interleave arithmetic in SQL
+        _zorder_sample_key().alias("zval"),
+    )
+
+
+def _zorder_sample_key():
+    from kafka_connector_s3_sink_spark.operators.layout import (
+        ZColumn,
+        zorder_key,
+    )
+
+    return zorder_key(
+        [
+            ZColumn("o_totalprice", 0.0, 600000.0),
+            ZColumn("o_custkey", 0.0, 16384.0),
+        ],
+        bits=8,
     )
 
 
