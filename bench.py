@@ -240,22 +240,23 @@ def main() -> None:
         "iterations": 4,
         "note": "per-query time is the MEDIAN of 3 warm iterations; "
         "queries_cold is the 1st run (plan build + codegen + broadcast). "
-        "r6 query-set changes vs r5: text_corpus_stats gains TWO heavy new "
-        "branches — warc_ingest (the whole documents corpus re-ingested "
-        "from real gzip WARC archives every pass: binaryFile scan + Python "
-        "record/HTTP parse + html extraction; archives written once per "
-        "process outside the timing) and quality_clf (trained logistic "
-        "model scored over every doc) — its time is 5 branches of work, "
-        "not a regression (r5 measured 2 branches). incremental_dedup's "
-        "verify ladder was restructured (static 20->17 shuffles, sorts "
-        "108->82, h_sizes join folded into a bucketed window count); "
-        "same-session A/B at sf0.1 measures the new ladder FASTER "
-        "(4.5 vs 5.1 warm median) — cross-run deltas vs r5's committed "
-        "2.45 are the documented machine noise. sink_avro_converter adds "
-        "the v3 logical-types arm (+1/3 payload volume, decimal/ts/date/"
-        "uuid encode+decode); sink_group_key_upsert adds the cdc_snapshot "
-        "arm (a second changelog-upsert aggregation over events). Other "
-        "entries unchanged. "
+        "r7 query-set changes vs r6: ann_topk gains the pq branch — the "
+        "ENTIRE product-quantization pipeline per pass (codebook fit on "
+        "the seeded sample ~1.4s warm, arrow encode of the corpus, ADC "
+        "scan, exact rescoring of top-50) — its time is 4 retrieval "
+        "paths of work, not a regression (r6 measured 3). An "
+        "expression-built LUT/encode was 10x slower (multi-MB interpreted "
+        "plans); the committed form computes LUTs driver-side from the "
+        "bounded query batch and encodes via a dim-order numpy kernel "
+        "bit-identical to the JVM fold paths (parity pytest). "
+        "text_corpus_stats gains the drift branch (PSI/KL histograms, two "
+        "corpus scans incl. a doubled-text synthetic snapshot, ~1.3s warm "
+        "isolated) on top of r6's six. sink_group_key_upsert adds the "
+        "scd2 window arm; scalar_string_functions adds the zval Morton "
+        "key (pure bitwise, no measurable cost). Other entries unchanged; "
+        "r6 context: text_corpus_stats carries warc_ingest (full corpus "
+        "re-ingest from gzip WARC each pass) + quality_clf; "
+        "incremental_dedup ladder static 17 shuffles. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "

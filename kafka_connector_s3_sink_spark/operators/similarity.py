@@ -865,6 +865,23 @@ def _slice_cols(vec: Column, m: int, d: int) -> list[Column]:
     return [F.slice(vec, s * d + 1, d) for s in range(m)]
 
 
+def _py_fold_dot(a, b) -> float:
+    """Python-side dot with the SAME left-to-right accumulation as the
+    ``dot`` Column fold (and DuckDB's list_dot_product) — bit-identical
+    doubles wherever the inputs are."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_sq_dist(a, b) -> float:
+    """Python-side rounded squared L2 matching ``_sq_dist`` exactly:
+    the same dot-identity term order and the same floor-rounding."""
+    d2 = _py_fold_dot(a, a) - 2 * _py_fold_dot(a, b) + _py_fold_dot(b, b)
+    return math.floor(d2 * 10000.0 + 0.5) / 10000.0
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -984,27 +1001,79 @@ def pq_encode(
     assignment: str = "auto",
 ) -> DataFrame:
     """(id, codes array<int>) — each vector compressed to its m nearest
-    per-subspace code ids. Two physical strategies, identical values (the
-    ``_assign_centroids`` pattern):
+    per-subspace code ids. Three physical strategies, identical values
+    (pinned by pytest):
 
-    - ``literal``: zero-shuffle row-local argmin per subspace; plan size
-      O(k·dim) scalars, right below ``LITERAL_ASSIGN_MAX_SCALARS``.
+    - ``arrow`` (default): zero-shuffle Arrow-batched numpy kernel — the
+      corpus-scale path. The O(n·k·dim) multiply-adds are exactly where
+      vectorized columnar beats both interpreted HOF folds (measured ~10×
+      on the bench entry — the literal plan's 2.7 MB expression tree is
+      rebuilt per job AND evaluated row-at-a-time) and codegen (dense
+      linear algebra). Accumulation loops run in DIM ORDER so every double
+      is bit-identical to the sequential ``dot`` fold the DataFrame paths
+      and the DuckDB oracle use — same class of deliberate escape as the
+      multimodal/Avro kernels.
+    - ``literal``: pure-JVM zero-shuffle row-local argmin; plan size
+      O(k·dim) scalars — fine below ``LITERAL_ASSIGN_MAX_SCALARS``.
     - ``broadcast``: subvector explode → broadcast m·k-row codebook join →
-      ``min_by`` per (id, sub) → re-assemble the code array; O(1) plan
-      size — the path when k·dim grows (k=256 × dim=768 = 196k scalars
-      would kill codegen).
+      ``min_by`` per (id, sub) → re-assemble; O(1) plan size without a
+      Python boundary (two shuffles).
     """
     m = len(codebooks)
     d = len(codebooks[0][0][1])
-    n_scalars = sum(len(b) * d for b in codebooks)
     if assignment == "auto":
-        assignment = (
-            "literal" if n_scalars <= LITERAL_ASSIGN_MAX_SCALARS else "broadcast"
-        )
+        assignment = "arrow"
     v = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_vec"),
     )
+    if assignment == "arrow":
+        import numpy as np
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        # (m, k, d) codebook tensor + python-fold self-dots, closure-shipped
+        cb = [[list(cvec) for _, cvec in book] for book in codebooks]
+        cc = [
+            [_py_fold_dot(cvec, cvec) for cvec in book] for book in cb
+        ]
+        id_field = v.schema[id_col]
+        out_schema = StructType(
+            [id_field, StructField("codes", ArrayType(IntegerType()))]
+        )
+
+        def run(batches):
+            C = [np.asarray(book, dtype=np.float64) for book in cb]  # (k, d)
+            CC = [np.asarray(c, dtype=np.float64) for c in cc]  # (k,)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(
+                    np.stack(pdf["_vec"].to_numpy()), dtype=np.float64
+                )  # (n, dim)
+                n = X.shape[0]
+                codes = np.empty((n, m), dtype=np.int32)
+                for s in range(m):
+                    S = X[:, s * d : (s + 1) * d]
+                    # dim-order accumulation == the sequential dot fold
+                    ss = np.zeros(n)
+                    sc = np.zeros((n, len(CC[s])))
+                    for i in range(d):
+                        col = S[:, i]
+                        ss = ss + col * col
+                        sc = sc + col[:, None] * C[s][None, :, i]
+                    d2 = (ss[:, None] - 2.0 * sc) + CC[s][None, :]
+                    d2 = np.floor(d2 * 10000.0 + 0.5) / 10000.0
+                    codes[:, s] = np.argmin(d2, axis=1)  # first min = lowest code
+                out = pdf[[id_col]].copy()
+                out["codes"] = [c.tolist() for c in codes]
+                yield out
+
+        return v.mapInPandas(run, schema=out_schema)
     if assignment == "literal":
         slices = _slice_cols(F.col("_vec"), m, d)
         return v.select(
@@ -1059,39 +1128,45 @@ def pq_topk(
     """Approximate top-k by asymmetric distance computation over PQ codes.
 
     Per query, the k·m squared-L2 distances from its subvectors to every
-    codebook entry form a lookup table (a row-local literal expression on
-    the BROADCAST query side — k·dim scalars evaluated once per query row,
-    never per corpus row); the corpus side then pays only m nested
-    ``element_at`` lookups + an m-term sum per row. Same two-phase bounded
-    top-k as ``brute_force_topk`` (partition-local Arrow selection → exact
-    final window), so nothing corpus-sized ever funnels into one task.
-    ``score`` = −ADC distance (higher is better, aligned with the other
-    retrieval branches); ties → lowest nbr_id."""
+    codebook entry form a lookup table. The query batch is COLLECTED and
+    the LUTs computed driver-side in plain Python with the identical
+    sequential-fold arithmetic (queries are a bounded probe batch — the
+    same driver-escape class as the centroid/hyperplane collects; an
+    expression-built LUT was measured 10× slower purely from plan size:
+    k·dim dot folds per query row serialize to multi-MB task binaries and
+    evaluate interpreted). The corpus side then pays only m ``element_at``
+    lookups + an m-term sum per row, pure JVM over the broadcast m·k-double
+    LUT frame. Same two-phase bounded top-k as ``brute_force_topk``
+    (partition-local Arrow selection → exact final window), so nothing
+    corpus-sized ever funnels into one task. ``score`` = −ADC distance
+    (higher is better, aligned with the other retrieval branches); ties →
+    lowest nbr_id."""
     from pyspark.sql import Window
 
     m = len(codebooks)
     d = len(codebooks[0][0][1])
-    q = queries.select(
+    spark = encoded.sparkSession
+    qid_type = dict(
+        (f.name, f.dataType) for f in queries.schema.fields
+    )[query_id_col].simpleString()
+    qrows = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
-    )
-    slices = _slice_cols(F.col("_qvec"), m, d)
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _sq_dist(
-                        slices[s],
-                        double_array_literal(cvec),
-                        sum(x * x for x in cvec),
-                    )
-                    for _, cvec in codebooks[s]
-                ]
-            )
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        qvec = list(r["_qvec"])
+        lut = [
+            [
+                _py_sq_dist(qvec[s * d : (s + 1) * d], cvec)
+                for _, cvec in codebooks[s]
+            ]
             for s in range(m)
         ]
+        lut_rows.append((r["query_id"], lut))
+    q = spark.createDataFrame(
+        lut_rows, schema=f"query_id {qid_type}, _lut array<array<double>>"
     )
-    q = q.select("query_id", lut.alias("_lut"))
     c = encoded.select(F.col(id_col).alias("nbr_id"), "codes")
     pairs = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("nbr_id")

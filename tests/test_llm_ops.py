@@ -1199,7 +1199,10 @@ def test_pq_encode_literal_equals_broadcast(pq_corpus):
            similarity.pq_encode(pq_corpus, books, assignment="literal").collect()}
     bc = {r["vec_id"]: r["codes"] for r in
           similarity.pq_encode(pq_corpus, books, assignment="broadcast").collect()}
-    assert lit == bc and len(lit) == 500
+    ar = {r["vec_id"]: list(r["codes"]) for r in
+          similarity.pq_encode(pq_corpus, books, assignment="arrow").collect()}
+    assert lit == bc == ar  # all three physical paths bit-identical
+    assert len(lit) == 500
     # m codes per vector, all within the codebook
     assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in lit.values())
 
