@@ -826,6 +826,42 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute.unionByName(lsh).unionByName(bm).unionByName(pqr)
 
 
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at two grains on one (branch, content_hash, keep_id,
+    n_dups) ledger:
+
+    - ``doc``: the document-level class ledger over the planted-duplicate
+      corpus (unchanged since r1);
+    - ``para`` (r7): CCNet/C4-style PARAGRAPH-level dedup — every doc gets
+      a shared boilerplate line (and every 3rd a shared footer), and
+      ``dedup.paragraph_dedup_stats`` must assign each distinct normalized
+      paragraph its first (doc_id, para_idx) owner and occurrence count;
+      the oracle replays the split/normalize/first-occurrence window in
+      SQL."""
+    doc_rows = dedup.exact_dedup(
+        dedup.with_exact_duplicates(_docs(spark, sf_dir))
+    ).select(
+        F.lit("doc").alias("branch"), "content_hash", "keep_id", "n_dups"
+    )
+    paradocs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter today"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nAll rights reserved")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    para_rows = dedup.paragraph_dedup_stats(paradocs).select(
+        F.lit("para").alias("branch"),
+        F.col("para_hash").alias("content_hash"),
+        "keep_id",
+        "n_dups",
+    )
+    return doc_rows.unionByName(para_rows)
+
+
 def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate generation on the shared (method, id1, id2, score)
     pair grain — three branches (merged r5):
@@ -1193,9 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline extensions
         "text_analysis": lambda s, d: text_ops.analyze(_pii_docs(s, d)),
         "text_corpus_stats": _q_text_corpus_stats,  # top-ngrams + quality rollup
-        "dedup_exact": lambda s, d: dedup.exact_dedup(
-            dedup.with_exact_duplicates(_docs(s, d))
-        ),
+        "dedup_exact": _q_dedup_exact,  # doc-level + paragraph-level branches
         "dedup_candidate_pairs": _q_dedup_candidate_pairs,  # jaccard + minhash-lsh
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
         # the full cascade: exact pass → LSH candidates → Jaccard verify →
@@ -3047,11 +3081,50 @@ def oracle_sql() -> dict[str, str]:
             )
         """ + _link_rank_oracle_sql() + _ppl_oracle_sql() + _drift_oracle_sql(),
         "dedup_exact": f"""
+            SELECT 'doc' AS branch, content_hash, keep_id, n_dups FROM (
             WITH {EXACT_CORPUS_CTE}
             SELECT md5({NORM}) AS content_hash,
                 min(doc_id) AS keep_id,
                 count(*) AS n_dups
             FROM corpus GROUP BY 1
+            )
+            UNION ALL
+            SELECT 'para' AS branch, para_hash AS content_hash,
+                keep_id, n_dups FROM (
+            WITH pd AS (
+                SELECT doc_id,
+                    text || chr(10) || 'Subscribe to our newsletter today'
+                    || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'All rights reserved' ELSE '' END
+                    AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id, str_split(text, chr(10)) AS parts FROM pd
+            ),
+            paras AS (
+                SELECT doc_id,
+                    unnest(list_transform(range(1, len(parts) + 1),
+                        i -> struct_pack(idx := i - 1, para := parts[i]))) AS u
+                FROM split
+            ),
+            occ AS (
+                SELECT doc_id, CAST(u.idx AS INTEGER) AS para_idx,
+                    md5(trim(regexp_replace(lower(u.para), '\\s+', ' ', 'g')))
+                        AS para_hash
+                FROM paras WHERE trim(u.para) <> ''
+            ),
+            ranked AS (
+                SELECT para_hash, doc_id,
+                    row_number() OVER (
+                        PARTITION BY para_hash ORDER BY doc_id, para_idx
+                    ) AS rn,
+                    count(*) OVER (PARTITION BY para_hash) AS n_dups
+                FROM occ
+            )
+            SELECT para_hash, doc_id AS keep_id, n_dups
+            FROM ranked WHERE rn = 1
+            )
         """,
         "dedup_candidate_pairs": f"""
             SELECT 'jaccard' AS method, id1, id2, jaccard FROM (

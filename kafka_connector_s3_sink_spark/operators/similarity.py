@@ -999,8 +999,9 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignment: str = "auto",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — each vector compressed to its m nearest
+    """(id, *keep_cols, codes array<int>) — each vector compressed to its m nearest
     per-subspace code ids. Three physical strategies, identical values
     (pinned by pytest):
 
@@ -1025,6 +1026,7 @@ def pq_encode(
         assignment = "arrow"
     v = corpus.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.col(vec_col).cast("array<double>").alias("_vec"),
     )
     if assignment == "arrow":
@@ -1041,9 +1043,9 @@ def pq_encode(
         cc = [
             [_py_fold_dot(cvec, cvec) for cvec in book] for book in cb
         ]
-        id_field = v.schema[id_col]
+        keep_fields = [v.schema[c] for c in (id_col, *keep_cols)]
         out_schema = StructType(
-            [id_field, StructField("codes", ArrayType(IntegerType()))]
+            keep_fields + [StructField("codes", ArrayType(IntegerType()))]
         )
 
         def run(batches):
@@ -1069,7 +1071,7 @@ def pq_encode(
                     d2 = (ss[:, None] - 2.0 * sc) + CC[s][None, :]
                     d2 = np.floor(d2 * 10000.0 + 0.5) / 10000.0
                     codes[:, s] = np.argmin(d2, axis=1)  # first min = lowest code
-                out = pdf[[id_col]].copy()
+                out = pdf[[id_col, *keep_cols]].copy()
                 out["codes"] = [c.tolist() for c in codes]
                 yield out
 
@@ -1078,6 +1080,7 @@ def pq_encode(
         slices = _slice_cols(F.col("_vec"), m, d)
         return v.select(
             id_col,
+            *keep_cols,
             F.array(
                 *[_argmin_code_expr(sl, codebooks[s]) for s, sl in enumerate(slices)]
             ).alias("codes"),
@@ -1093,6 +1096,7 @@ def pq_encode(
     )
     sub = v.select(
         id_col,
+        *keep_cols,
         F.posexplode(F.array(*_slice_cols(F.col("_vec"), m, d))).alias(
             "sub", "svec"
         ),
@@ -1100,13 +1104,13 @@ def pq_encode(
     scored = sub.join(F.broadcast(cb), "sub").withColumn(
         "d2", _sq_dist(F.col("svec"), F.col("cvec"), F.col("c2"))
     )
-    best = scored.groupBy(id_col, "sub").agg(
+    best = scored.groupBy(id_col, *keep_cols, "sub").agg(
         F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code"))).alias(
             "code"
         )
     )
     return (
-        best.groupBy(id_col)
+        best.groupBy(id_col, *keep_cols)
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("sub", "code"))),
@@ -1274,6 +1278,166 @@ def pq_topk_rescored(
     )
     return (
         joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    k_codes: int = 16,
+    k: int = 10,
+    k_candidates: int = 50,
+    rescore: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ retrieval — the composition a billion-vector deployment runs
+    (faiss ``IndexIVFPQ``'s shape, Spark-first): the IVF coarse quantizer
+    prunes WHICH cells a query scans, PQ codes shrink WHAT each scanned
+    row costs, exact rescoring restores precision on the candidates.
+
+    1. fit (or accept) the coarse quantizer + PQ codebooks — both on the
+       bounded seeded sample, both deterministic;
+    2. one corpus scan assigns cells AND encodes codes (`pq_encode` with
+       the cell id carried through — nothing scans twice);
+    3. per query, LUTs are computed driver-side for its top-``nprobe``
+       cells only (same rounded-cosine/lowest-id probe rule as
+       ``top_centroids_expr``); the (query, cell, LUT) frame broadcast-joins
+       the encoded corpus ON THE CELL KEY, so rows outside probed cells are
+       never scored — with the corpus materialized cell-partitioned
+       (``write_ivf_index`` layout + codes), that is a partition-pruned
+       scan of ~nprobe/n_centroids of the data at m bytes/vector;
+    4. bounded partition-local top-k → exact window → optional exact-cosine
+       rescore of the ``k_candidates`` survivors (equi-join fetches only
+       candidate vectors).
+
+    Operates on unit-normalized vectors internally (cosine ≡ L2 on the
+    sphere); with ``rescore`` the score column is the exact cosine. Every
+    stage reuses an oracle-checked primitive (ivf probe rule, PQ
+    fit/encode/ADC, rescoring) — the composition itself is pinned by
+    recall/pruning pytests."""
+    from pyspark.sql import Window
+
+    nrm = normalize_vectors(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col
+    )
+    if centroids is None:
+        centroids = ivf_centroids(
+            nrm, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(nrm, m=m, k=k_codes, id_col=id_col, vec_col=vec_col)
+    md = len(codebooks)
+    d = len(codebooks[0][0][1])
+    assigned = assign_corpus(nrm, centroids, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(
+        assigned,
+        codebooks,
+        id_col="nbr_id",
+        vec_col="cvec_v",
+        keep_cols=("centroid_id",),
+    )
+    # driver-side probe selection + LUTs for probed cells only: the same
+    # bounded query-batch collect as pq_topk
+    qn = normalize_vectors(
+        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col
+    )
+    qrows = qn.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).collect()
+    cnorms = {cid: math.sqrt(_py_fold_dot(c, c)) for cid, c in centroids}
+    lut_rows = []
+    for r in qrows:
+        qvec = list(r["_qvec"])
+        qnorm = math.sqrt(_py_fold_dot(qvec, qvec))
+        scored_cells = sorted(
+            (
+                -(math.floor(
+                    _py_fold_dot(qvec, cvec) / (qnorm * cnorms[cid])
+                    * 10000.0 + 0.5
+                ) / 10000.0),
+                cid,
+            )
+            for cid, cvec in centroids
+        )
+        probe_cells = [cid for _, cid in scored_cells[:nprobe]]
+        lut = [
+            [
+                _py_sq_dist(qvec[s * d : (s + 1) * d], cvec)
+                for _, cvec in codebooks[s]
+            ]
+            for s in range(md)
+        ]
+        for cid in probe_cells:
+            lut_rows.append((r["query_id"], cid, lut))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        lut_rows,
+        schema="query_id long, centroid_id int, _lut array<array<double>>",
+    )
+    pairs = enc.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("nbr_id")
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        for s in range(md)
+    )
+    scored = pairs.select(
+        "query_id",
+        "nbr_id",
+        stable_round(F.lit(-1.0) * adc, 4).alias("score"),
+    )
+    candidates = scored.mapInPandas(
+        _partition_local_topk(k_candidates, score_col="score"),
+        schema=scored.schema,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    cand_k = (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_candidates)
+    )
+    if not rescore:
+        return cand_k.filter(F.col("rank") <= k).select(
+            "query_id", "nbr_id", "score", "rank"
+        )
+    c = nrm.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    q2 = qn.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    resc = (
+        cand_k.select("query_id", "nbr_id")
+        .join(c, "nbr_id")
+        .join(F.broadcast(q2), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            stable_round(
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (l2norm(F.col("_qvec")) * l2norm(F.col("_cvec"))),
+                4,
+            ).alias("score"),
+        )
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "score", "rank")
     )

@@ -1257,3 +1257,122 @@ def test_pq_adc_ranks_planted_neighbor_first(spark):
         F.col("vec_id").alias("query_id"), "embedding")
     top = similarity.pq_topk(enc, books, qs, k=3).collect()
     assert top[0]["nbr_id"] == 0 and top[0]["rank"] == 1
+
+
+# --------------------------------------------------- paragraph dedup (r7)
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    rows = [
+        (1, "unique intro one\nSubscribe now\nbody of the first page"),
+        (2, "different intro\nSubscribe now\nanother body entirely"),
+        (3, "third page text\nSubscribe now\nbody of the first page"),
+        (4, "Subscribe   NOW\nonly boilerplate here"),  # normalizes equal
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_ledger_first_occurrence_wins(para_docs):
+    stats = {r["keep_id"]: r for r in
+             dedup.paragraph_dedup_stats(para_docs).collect()
+             if r["n_dups"] > 1}
+    # 'Subscribe now' appears in docs 1,2,3,4 (doc 4 via normalization);
+    # 'body of the first page' in docs 1 and 3 — both owned by doc 1
+    assert set(stats) == {1}
+    counts = sorted(r["n_dups"] for r in
+                    dedup.paragraph_dedup_stats(para_docs).collect()
+                    if r["n_dups"] > 1)
+    assert counts == [2, 4]
+
+
+def test_remove_duplicate_paragraphs_rebuilds_in_order(para_docs):
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.remove_duplicate_paragraphs(para_docs).collect()}
+    # doc 1 keeps everything (it owns the boilerplate's first occurrence)
+    assert out[1] == "unique intro one\nSubscribe now\nbody of the first page"
+    # docs 2-4 lose the boilerplate, keep their own paragraphs in order
+    assert out[2] == "different intro\nanother body entirely"
+    assert out[3] == "third page text"
+    assert out[4] == "only boilerplate here"
+
+
+def test_paragraph_dedup_drops_fully_claimed_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same  LINE")],
+        "doc_id long, text string",
+    )
+    out = dedup.remove_duplicate_paragraphs(docs)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_paragraph_stats_is_one_shuffle(para_docs):
+    plan = (
+        dedup.paragraph_dedup_stats(para_docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+    assert len(set(re.findall(r"Exchange hashpartitioning\(para_hash[^\]]*plan_id=(\d+)", plan))) == 1
+
+
+# --------------------------------------------------------- IVF-PQ (r7)
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark):
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = raw.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(raw, qs, k=10)
+    recalls = []
+    for np_ in (1, 4, 8):
+        res = similarity.ivfpq_topk(
+            raw, qs, n_centroids=8, nprobe=np_, m=8, k_codes=16,
+            k=10, k_candidates=200)
+        recalls.append(
+            similarity.topk_recall(res, exact, 10)
+            .agg(F.avg("recall")).collect()[0][0])
+    assert recalls[0] <= recalls[1] <= recalls[2]
+    # full probing + wide candidates + exact rescoring == exact retrieval
+    assert recalls[2] >= 0.9
+
+
+def test_ivfpq_scores_only_probed_cells(spark):
+    """The ADC join is keyed on centroid_id: with nprobe=1 of 8 cells the
+    scored row count must be a fraction of |queries| x |corpus|."""
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = raw.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    nrm = similarity.normalize_vectors(raw.select("vec_id", "embedding"))
+    cents = similarity.ivf_centroids(nrm, n_centroids=8)
+    assigned = similarity.assign_corpus(nrm, cents)
+    books = similarity.pq_codebooks(nrm, m=8, k=16)
+    enc = similarity.pq_encode(
+        assigned, books, id_col="nbr_id", vec_col="cvec_v",
+        keep_cols=("centroid_id",))
+    sizes = {r["centroid_id"]: r["n"] for r in
+             enc.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == 500 and len(sizes) == 8
+    res = similarity.ivfpq_topk(
+        raw, qs, n_centroids=8, nprobe=1, m=8, k_codes=16,
+        k=10, k_candidates=50, rescore=False,
+        centroids=cents, codebooks=books)
+    rows = res.collect()
+    # every result row's neighbor must live in its query's single probed cell
+    assign_map = {r["nbr_id"]: r["centroid_id"] for r in assigned.collect()}
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], set()).add(assign_map[r["nbr_id"]])
+    assert all(len(cells) == 1 for cells in by_query.values())
+
+
+def test_ivfpq_reuses_prefitted_models(spark):
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = raw.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    nrm = similarity.normalize_vectors(raw.select("vec_id", "embedding"))
+    cents = similarity.ivf_centroids(nrm, n_centroids=8)
+    books = similarity.pq_codebooks(nrm, m=8, k=16)
+    a = similarity.ivfpq_topk(raw, qs, nprobe=2, centroids=cents,
+                              codebooks=books).collect()
+    b = similarity.ivfpq_topk(raw, qs, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same fit -> same result
