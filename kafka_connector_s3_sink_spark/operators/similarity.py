@@ -1441,3 +1441,225 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "score", "rank")
     )
+
+
+# -- persisted IVF-PQ layer ------------------------------------------------
+
+
+def add_pq_to_ivf_index(
+    spark,
+    index_dir: str,
+    m: int = 8,
+    k_codes: int = 16,
+    fit_sample_cap: int | None = 256,
+) -> list[list[tuple[int, list[float]]]]:
+    """Add a PQ code layer to a persisted IVF index (``write_ivf_index``):
+    fit codebooks on the index's unit-normalized vectors (bounded seeded
+    sample), encode EVERY stored batch, and write the codes to
+    ``<index>/_pq_codes`` partitioned by the SAME (centroid_id, batch_id)
+    scheme, with the codebooks in ``_pq_codebooks.json``. The leading
+    underscore keeps the code layer invisible to the main index's parquet
+    discovery — existing IVF probes are untouched. One scan of the index,
+    zero shuffles (the arrow encode is map-only and the partition columns
+    ride through)."""
+    import json
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    idx = spark.read.parquet(index_dir)
+    nrm = idx.select(
+        "vec_id",
+        "centroid_id",
+        "batch_id",
+        F.transform(F.col("vec"), lambda x: x / F.col("norm")).alias("nvec"),
+    )
+    books = pq_codebooks(
+        nrm, m=m, k=k_codes, id_col="vec_id", vec_col="nvec",
+        fit_sample_cap=fit_sample_cap,
+    )
+    enc = pq_encode(
+        nrm, books, id_col="vec_id", vec_col="nvec",
+        keep_cols=("centroid_id", "batch_id"),
+    )
+    (
+        enc.write.mode("overwrite")
+        .partitionBy("centroid_id", "batch_id")
+        .parquet(f"{index_dir}/_pq_codes")
+    )
+    ObjectStorage(index_dir).write_bytes(
+        "_pq_codebooks.json",
+        json.dumps(
+            {"codebooks": [[[c, v] for c, v in book] for book in books]}
+        ).encode(),
+    )
+    return books
+
+
+def read_pq_codebooks(index_dir: str) -> list[list[tuple[int, list[float]]]]:
+    import json
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    data = json.loads(
+        ObjectStorage(index_dir).read_bytes("_pq_codebooks.json")
+    )
+    return [
+        [(int(c), [float(x) for x in v]) for c, v in book]
+        for book in data["codebooks"]
+    ]
+
+
+def append_pq_codes(spark, index_dir: str, batch_id: str) -> int:
+    """Encode ONE ingest batch's partitions under the FROZEN codebooks and
+    dynamically overwrite exactly that batch's code partitions — O(batch),
+    replay-idempotent (the same contract as ``append_to_ivf_index``, which
+    should run first to land the vectors). Returns the row count encoded."""
+    books = read_pq_codebooks(index_dir)
+    batch = spark.read.parquet(index_dir).filter(
+        F.col("batch_id") == batch_id
+    )
+    nrm = batch.select(
+        "vec_id",
+        "centroid_id",
+        "batch_id",
+        F.transform(F.col("vec"), lambda x: x / F.col("norm")).alias("nvec"),
+    )
+    enc = pq_encode(
+        nrm, books, id_col="vec_id", vec_col="nvec",
+        keep_cols=("centroid_id", "batch_id"),
+    )
+    n = enc.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            enc.write.mode("overwrite")
+            .partitionBy("centroid_id", "batch_id")
+            .parquet(f"{index_dir}/_pq_codes")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    k_candidates: int = 50,
+    rescore: bool = True,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ retrieval over the persisted index: probe cells resolve
+    driver-side (same rounded-cosine/lowest-id rule as every probe path),
+    the CODE layer is read partition-pruned to exactly those cells (m
+    bytes/vector touched), ADC ranks, and rescoring fetches only the
+    candidates' full vectors — itself a partition-pruned read of the probed
+    cells with an id pushdown. The disk-resident twin of ``ivfpq_topk``
+    (same LUT arithmetic, same rounding) — parity pinned by pytest."""
+    from pyspark.sql import Window
+
+    cents = read_ivf_centroids(index_dir)
+    books = read_pq_codebooks(index_dir)
+    md = len(books)
+    d = len(books[0][0][1])
+    qn = normalize_vectors(
+        queries.select(F.col(query_id_col), F.col(vec_col)), vec_col
+    )
+    qrows = qn.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).collect()
+    cnorms = {cid: math.sqrt(_py_fold_dot(c, c)) for cid, c in cents}
+    lut_rows = []
+    probe_ids: set[int] = set()
+    for r in qrows:
+        qvec = list(r["_qvec"])
+        qnorm = math.sqrt(_py_fold_dot(qvec, qvec))
+        cells = sorted(
+            (
+                -(math.floor(
+                    _py_fold_dot(qvec, cvec) / (qnorm * cnorms[cid])
+                    * 10000.0 + 0.5
+                ) / 10000.0),
+                cid,
+            )
+            for cid, cvec in cents
+        )[:nprobe]
+        lut = [
+            [
+                _py_sq_dist(qvec[s * d : (s + 1) * d], cvec)
+                for _, cvec in books[s]
+            ]
+            for s in range(md)
+        ]
+        for _, cid in cells:
+            lut_rows.append((r["query_id"], cid, lut))
+            probe_ids.add(cid)
+    probes = spark.createDataFrame(
+        lut_rows,
+        schema="query_id long, centroid_id int, _lut array<array<double>>",
+    )
+    codes = spark.read.parquet(f"{index_dir}/_pq_codes").filter(
+        F.col("centroid_id").isin(sorted(probe_ids))
+    )
+    pairs = codes.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at(F.col("_lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        for s in range(md)
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("nbr_id"),
+        stable_round(F.lit(-1.0) * adc, 4).alias("score"),
+    )
+    candidates = scored.mapInPandas(
+        _partition_local_topk(k_candidates, score_col="score"),
+        schema=scored.schema,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    cand_k = candidates.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_candidates
+    )
+    if not rescore:
+        return cand_k.filter(F.col("rank") <= k).select(
+            "query_id", "nbr_id", "score", "rank"
+        )
+    vecs = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("centroid_id").isin(sorted(probe_ids)))
+        .select(F.col("vec_id").alias("nbr_id"), "vec", "norm")
+    )
+    q2 = qn.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    resc = (
+        cand_k.select("query_id", "nbr_id")
+        .join(vecs, "nbr_id")
+        .join(F.broadcast(q2), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            stable_round(
+                dot(F.col("_qvec"), F.col("vec"))
+                / (l2norm(F.col("_qvec")) * F.col("norm")),
+                4,
+            ).alias("score"),
+        )
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "score", "rank")
+    )

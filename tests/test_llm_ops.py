@@ -1376,3 +1376,55 @@ def test_ivfpq_reuses_prefitted_models(spark):
                               codebooks=books).collect()
     b = similarity.ivfpq_topk(raw, qs, nprobe=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same fit -> same result
+
+
+def test_ivfpq_persisted_index_prunes_and_matches(spark, tmp_path):
+    """Disk-resident IVF-PQ: codes read partition-pruned to probed cells,
+    results identical to the in-memory composition with the same models."""
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    cents = similarity.write_ivf_index(raw, idx, n_centroids=8)
+    books = similarity.add_pq_to_ivf_index(spark, idx, m=8, k_codes=16)
+    assert similarity.read_pq_codebooks(idx) == books
+    qs = raw.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivfpq_topk_indexed(
+        spark, idx, qs, k=10, nprobe=2, k_candidates=50)
+    # partition pruning reaches the codes scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    mem = similarity.ivfpq_topk(
+        raw, qs, n_centroids=8, nprobe=2, m=8, k_codes=16,
+        k=10, k_candidates=50, centroids=cents, codebooks=books)
+    g = sorted((r["query_id"], r["nbr_id"], r["score"], r["rank"])
+               for r in got.collect())
+    e = sorted((r["query_id"], r["nbr_id"], r["score"], r["rank"])
+               for r in mem.collect())
+    assert g == e and len(g) == 50
+
+
+def test_append_pq_codes_is_batch_scoped_and_idempotent(spark, tmp_path):
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = raw.filter(F.col("vec_id") < 400)
+    newb = raw.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id")).alias("vec_id"), "embedding")
+    idx = str(tmp_path / "ivfpq")
+    similarity.write_ivf_index(base, idx, n_centroids=8)
+    similarity.add_pq_to_ivf_index(spark, idx, m=8, k_codes=16)
+    similarity.append_to_ivf_index(newb, idx, batch_id="b1")
+    n1 = similarity.append_pq_codes(spark, idx, "b1")
+    codes = spark.read.parquet(f"{idx}/_pq_codes")
+    assert codes.count() == 500 and n1 == 100
+    # replay the append: same rows, not doubled
+    n2 = similarity.append_pq_codes(spark, idx, "b1")
+    assert n2 == 100 and spark.read.parquet(f"{idx}/_pq_codes").count() == 500
+    # the appended batch's codes match a fresh frozen-codebook encode
+    books = similarity.read_pq_codebooks(idx)
+    nrm = spark.read.parquet(idx).filter(F.col("batch_id") == "b1").select(
+        "vec_id", F.transform(F.col("vec"), lambda x: x / F.col("norm")).alias("nvec"))
+    fresh = {r["vec_id"]: list(r["codes"]) for r in
+             similarity.pq_encode(nrm, books, id_col="vec_id", vec_col="nvec").collect()}
+    stored = {r["vec_id"]: list(r["codes"]) for r in
+              spark.read.parquet(f"{idx}/_pq_codes")  # re-read: the replay
+              .filter(F.col("batch_id") == "b1").collect()}  # rewrote files
+    assert stored == fresh
