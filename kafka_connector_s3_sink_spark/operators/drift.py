@@ -134,3 +134,94 @@ def text_drift_features() -> list[DriftFeature]:
             0.2,
         ),
     ]
+
+
+def feature_histogram(
+    df: DataFrame,
+    features: Sequence[DriftFeature],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(feature, bucket, n) histogram — the persistable sufficient
+    statistic for drift checks. Same one-shuffle shape as
+    ``drift_report``'s counting stage."""
+    buckets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(f.name).alias("feature"),
+                    bucket_index(f.expr, f.lo, f.hi, n_buckets).alias("bucket"),
+                )
+                for f in features
+            ]
+        )
+    ).alias("fb")
+    return (
+        df.select(buckets)
+        .select(F.col("fb.feature").alias("feature"), F.col("fb.bucket").alias("bucket"))
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def persist_baseline(
+    df: DataFrame,
+    path: str,
+    features: Sequence[DriftFeature],
+    n_buckets: int = 10,
+) -> None:
+    """Write the baseline histogram (a |features|·|buckets|-row parquet —
+    METADATA-sized, not corpus-sized). The production drift loop scans the
+    reference corpus exactly once, ever; every later batch compares
+    against this artifact."""
+    feature_histogram(df, features, n_buckets).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def drift_vs_baseline(
+    batch: DataFrame,
+    baseline_path: str,
+    features: Sequence[DriftFeature],
+    n_buckets: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """PSI/KL/TVD of ``batch`` against a persisted baseline histogram:
+    one aggregation over the BATCH only — the baseline corpus is never
+    rescanned. Same metric arithmetic as ``drift_report`` (pinned equal by
+    pytest), so thresholds transfer. This is the per-epoch monitoring
+    shape: under ``foreachBatch``, call with the micro-batch and alert on
+    psi > 0.25."""
+    spark = batch.sparkSession
+    base = spark.read.parquet(baseline_path).select(
+        "feature", "bucket", F.col("n").alias("c_base")
+    )
+    cur = feature_histogram(batch, features, n_buckets).select(
+        "feature", "bucket", F.col("n").alias("c_cur")
+    )
+    counts = base.join(cur, ["feature", "bucket"], "full").select(
+        "feature",
+        "bucket",
+        F.coalesce(F.col("c_base"), F.lit(0)).alias("c_base"),
+        F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("c_base").alias("n_base"), F.sum("c_cur").alias("n_cur")
+    )
+    smooth_denom = F.lit(float(alpha * n_buckets))
+    joined = counts.join(totals, "feature").select(
+        "feature",
+        "n_base",
+        "n_cur",
+        ((F.col("c_base") + F.lit(float(alpha))) / (F.col("n_base") + smooth_denom)).alias("q"),
+        ((F.col("c_cur") + F.lit(float(alpha))) / (F.col("n_cur") + smooth_denom)).alias("p"),
+    )
+    lr = F.log(F.col("p") / F.col("q"))
+    return (
+        joined.groupBy("feature", "n_base", "n_cur")
+        .agg(
+            stable_round(F.sum((F.col("p") - F.col("q")) * lr), 4).alias("psi"),
+            stable_round(F.sum(F.col("p") * lr), 4).alias("kl"),
+            stable_round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2, 4).alias("tvd"),
+        )
+        .orderBy("feature")
+    )

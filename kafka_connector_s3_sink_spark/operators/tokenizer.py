@@ -219,3 +219,28 @@ def token_length_stats(encoded: DataFrame) -> DataFrame:
             (F.sum("n_tokens") / F.sum("n_words")).alias("fertility"),
         )
     )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table (the whole tokenizer — a frozen vocabulary
+    is what makes token counts comparable across ingest batches). Written
+    through the storage client so s3:// works like a local path."""
+    import json
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    storage = ObjectStorage(path.rsplit("/", 1)[0] or ".")
+    storage.write_bytes(
+        path.rsplit("/", 1)[-1],
+        json.dumps({"merges": [[a, b] for a, b in merges]}).encode(),
+    )
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    storage = ObjectStorage(path.rsplit("/", 1)[0] or ".")
+    data = json.loads(storage.read_bytes(path.rsplit("/", 1)[-1]))
+    return [(a, b) for a, b in data["merges"]]

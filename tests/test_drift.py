@@ -75,3 +75,47 @@ def test_report_is_one_corpus_shuffle(docs):
 def test_empty_features_raise(docs):
     with pytest.raises(ValueError):
         drift.drift_report(docs, docs, [])
+
+
+def test_baseline_persistence_matches_live_report(docs, tmp_path):
+    """drift_vs_baseline over the persisted histogram must equal
+    drift_report over the live corpora — the baseline artifact loses
+    nothing the metrics need."""
+    shifted = docs.select(
+        "doc_id", F.concat(F.col("text"), F.col("text")).alias("text")
+    )
+    path = str(tmp_path / "baseline")
+    feats = drift.text_drift_features()
+    drift.persist_baseline(docs, path, feats)
+    live = {r["feature"]: (r["psi"], r["kl"], r["tvd"], r["n_base"], r["n_cur"])
+            for r in drift.drift_report(docs, shifted, feats).collect()}
+    stored = {r["feature"]: (r["psi"], r["kl"], r["tvd"], r["n_base"], r["n_cur"])
+              for r in drift.drift_vs_baseline(shifted, path, feats).collect()}
+    assert stored == live
+
+
+def test_vs_baseline_scans_only_the_batch(docs, tmp_path):
+    """The comparison plan must read the tiny histogram parquet, not
+    re-aggregate a baseline corpus: exactly one corpus-sized histogram
+    aggregation (the batch's)."""
+    path = str(tmp_path / "baseline2")
+    feats = drift.text_drift_features()
+    drift.persist_baseline(docs, path, feats)
+    plan = (
+        drift.drift_vs_baseline(docs, path, feats)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # one scan of the baseline parquet (histogram), one of the batch source
+    assert plan.count("Relation") == 2
+
+
+def test_empty_batch_reads_as_full_shift(docs, tmp_path):
+    path = str(tmp_path / "baseline3")
+    feats = drift.text_drift_features()
+    drift.persist_baseline(docs, path, feats)
+    empty = docs.filter(F.lit(False))
+    rep = {r["feature"]: r for r in
+           drift.drift_vs_baseline(empty, path, feats).collect()}
+    # smoothing keeps the metrics finite; n_cur is 0
+    assert all(r["n_cur"] == 0 for r in rep.values())
+    assert all(r["psi"] is not None for r in rep.values())

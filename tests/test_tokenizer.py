@@ -108,3 +108,18 @@ def test_token_length_stats(tiny_docs):
     s = tok.token_length_stats(enc).collect()[0]
     assert s["n_docs"] == 1 and s["total_tokens"] == s["avg_tokens"]
     assert s["fertility"] > 1.0  # subword tokenization always >= 1 token/word
+
+
+def test_merge_table_round_trips_through_storage(tiny_docs, tmp_path):
+    wf = tok.word_frequencies(tiny_docs)
+    merges = tok.fit_bpe(wf, n_merges=10)
+    path = str(tmp_path / "bpe" / "merges.json")
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tok.save_merges(merges, path)
+    loaded = tok.load_merges(path)
+    assert loaded == merges
+    # a frozen vocabulary encodes identically after reload
+    a = tok.bpe_encode(tiny_docs, merges).collect()[0]["tokens"]
+    b = tok.bpe_encode(tiny_docs, loaded).collect()[0]["tokens"]
+    assert a == b
