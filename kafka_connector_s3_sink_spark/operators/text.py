@@ -370,3 +370,71 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         *(expr.alias(name) for name, expr in rep.items()),
         *(expr.alias(name) for name, expr in pii.items()),
     )
+
+
+def hash_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, embedding array<double>) — deterministic hashing-trick document
+    embeddings (Weinberger et al. 2009 feature hashing; the same trick
+    HashingVectorizer / Spark ML's HashingTF use): each lowercased token
+    hashes to a dimension (first 16 md5 bits mod dim) and a sign (17th
+    hex digit's parity), the document vector is the signed count per
+    dimension, optionally L2-normalized. Sparse random projection of the
+    bag-of-words — cosine approximates token-overlap similarity, with NO
+    model artifact, so the whole embedding column is reproducible from
+    text alone (and by a SQL twin).
+
+    This is the bridge from the text corpus to every embedding operator in
+    the engine (`dedup.embedding_cosine_dupes`, `similarity.*`, SemDeDup,
+    IVF/PQ indexes) without an external encoder. Plan: tokenize → explode →
+    ONE (id, dim-bucket) map-side-combined aggregation → per-doc array
+    assembly riding the same id-keyed exchange (two shuffles total, both
+    key-partitioned; nothing corpus-wide, no UDF)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_column(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    idx = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % dim).alias("idx")
+    sign = (
+        (F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2) * 2 - 1
+    ).alias("sign")
+    sums = (
+        toks.select(id_col, idx, sign)
+        .groupBy(id_col, "idx")
+        .agg(F.sum("sign").cast("double").alias("val"))
+    )
+    entries = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("idx", "val")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    out = entries.select(F.col(id_col), vec.alias("embedding"))
+    if not normalize:
+        return out
+    # norm as its own column: an outer reference inside the transform
+    # lambda would re-run the fold per ELEMENT (the normalize_vectors trap)
+    norm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    return (
+        out.withColumn("_n", norm)
+        .select(
+            id_col,
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("embedding"), lambda x: x / F.col("_n")),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )

@@ -1428,3 +1428,91 @@ def test_append_pq_codes_is_batch_scoped_and_idempotent(spark, tmp_path):
               spark.read.parquet(f"{idx}/_pq_codes")  # re-read: the replay
               .filter(F.col("batch_id") == "b1").collect()}  # rewrote files
     assert stored == fresh
+
+
+# ---------------------------------------------- hash embeddings (r7)
+
+
+def test_hash_embeddings_deterministic_and_normalized(docs_df):
+    a = {r["doc_id"]: list(r["embedding"]) for r in
+         text.hash_embeddings(docs_df).collect()}
+    b = {r["doc_id"]: list(r["embedding"]) for r in
+         text.hash_embeddings(docs_df).collect()}
+    assert a == b and len(a) == 6
+    for v in a.values():
+        assert len(v) == 64
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # unit norm
+    # exact duplicates embed identically; distinct docs do not
+    assert a[1] == a[101] and a[1] != a[3]
+
+
+def test_hash_embeddings_cosine_tracks_token_overlap(docs_df):
+    emb = text.hash_embeddings(docs_df)
+    vecs = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(u, v):
+        return sum(x * y for x, y in zip(u, v))  # unit vectors
+
+    near = cos(vecs[2], vecs[102])    # one word differs
+    far = cos(vecs[2], vecs[3])       # unrelated topics
+    assert near > 0.8 > far
+
+
+def test_hash_embeddings_match_duckdb_twin(spark, docs_df):
+    """The whole featurizer is SQL-expressible — DuckDB rebuilds the same
+    hash/sign/sum/normalize chain and must agree to 1e-12."""
+    import duckdb
+
+    pdf = docs_df.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    twin = con.execute("""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(trim(lower(text)), '\\s+'),
+                t -> t <> '')) AS tok
+            FROM docs
+        ),
+        hashed AS (
+            SELECT doc_id,
+                CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) % 64 AS idx,
+                (CAST('0x' || substr(md5(tok), 5, 1) AS INTEGER) % 2) * 2 - 1
+                    AS sign
+            FROM toks
+        ),
+        sums AS (
+            SELECT doc_id, idx, CAST(sum(sign) AS DOUBLE) AS val
+            FROM hashed GROUP BY doc_id, idx
+        ),
+        ent AS (
+            SELECT doc_id,
+                list(struct_pack(idx := idx, val := val)) AS entries
+            FROM sums GROUP BY doc_id
+        ),
+        vecs AS (
+            SELECT doc_id,
+                list_transform(range(0, 64), i ->
+                    coalesce(list_sum(list_transform(
+                        list_filter(entries, e -> e.idx = i),
+                        e -> e.val)), 0.0)) AS emb
+            FROM ent
+        )
+        SELECT doc_id,
+            list_transform(emb,
+                x -> x / sqrt(list_dot_product(emb, emb))) AS emb
+        FROM vecs
+    """).fetchall()
+    got = {r["doc_id"]: list(r["embedding"]) for r in
+           text.hash_embeddings(docs_df).collect()}
+    for doc_id, emb in twin:
+        assert max(abs(a - b) for a, b in zip(got[doc_id], emb)) < 1e-12
+
+
+def test_hash_embeddings_feed_the_ann_stack(docs_df):
+    """End-to-end bridge: text -> hash embeddings -> brute-force cosine
+    retrieval ranks the planted near-duplicate first."""
+    emb = text.hash_embeddings(docs_df)
+    qs = emb.filter(F.col("doc_id") == 2).select(
+        F.col("doc_id").alias("query_id"), "embedding")
+    top = similarity.brute_force_topk(emb, qs, k=3, id_col="doc_id")
+    assert top.collect()[0]["nbr_id"] == 102
