@@ -94,6 +94,12 @@ class IngestConfig:
     # replay-idempotent per-epoch partition contract as everything else
     embedding_col: Optional[str] = None
     ivf_index_dir: Optional[str] = None
+    # optional continuous drift monitoring: a baseline histogram written by
+    # operators.drift.persist_baseline — each epoch's RAW batch (before the
+    # quality floor, so source-shape changes are visible even when the floor
+    # would hide them) is scored against it and the per-feature PSI/KL/TVD
+    # report lands under <dest>/drift, same per-epoch overwrite contract
+    drift_baseline_path: Optional[str] = None
 
 
 def documents_from_records(
@@ -160,6 +166,19 @@ def process_crawl_batch(
     spark = batch_df.sparkSession
     epoch = _epoch_batch_id(batch_id)
     id_col, text_col = config.id_col, config.text_col
+
+    # stage 0a (optional): drift monitoring against the persisted baseline —
+    # computed on the RAW batch and deferred to the metrics write block so
+    # it shares the epoch's idempotent-overwrite transaction
+    drift_rep = None
+    if config.drift_baseline_path is not None:
+        from kafka_connector_s3_sink_spark.operators import drift as drift_ops
+
+        drift_rep = drift_ops.drift_vs_baseline(
+            batch_df.select(text_col),
+            config.drift_baseline_path,
+            drift_ops.text_drift_features(),
+        )
 
     # stage 0 (optional): quality floor — narrow map, sheds junk before any
     # shuffle-bearing dedup work touches it
@@ -302,6 +321,13 @@ def process_crawl_batch(
                     metrics.write.mode("overwrite")
                     .partitionBy("batch_id")
                     .parquet(f"{config.dest_dir}/metrics")
+                )
+            if drift_rep is not None:
+                (
+                    drift_rep.withColumn("batch_id", F.lit(epoch))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{config.dest_dir}/drift")
                 )
         finally:
             spark.conf.set(

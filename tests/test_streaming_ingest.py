@@ -433,3 +433,32 @@ def test_crawl_to_ingest_end_to_end_via_warc(spark, env, tmp_path):
 
     drain()  # same store, new stream from checkpoint: no new archives
     assert spark.read.parquet(f"{cfg.dest_dir}/documents").count() == n_first
+
+
+def test_ingest_drift_monitoring_per_epoch(spark, env, tmp_path):
+    """r7: drift_baseline_path scores every RAW epoch against the persisted
+    baseline histogram; the per-feature PSI report lands under <dest>/drift
+    with the epoch's batch_id, replay-idempotent like everything else."""
+    import dataclasses
+
+    from kafka_connector_s3_sink_spark.operators import drift
+
+    spark, base, cfg, inbox = env
+    bl = str(tmp_path / "drift_baseline")
+    drift.persist_baseline(base, bl, drift.text_drift_features())
+    cfg = dataclasses.replace(cfg, drift_baseline_path=bl)
+    batch = spark.createDataFrame(
+        [(500, _text("fresh:500")), (501, _text("fresh:501", n_words=60))],
+        ["doc_id", "text"],
+    )
+    ingest.process_crawl_batch(batch, 0, cfg)
+    rep = spark.read.parquet(f"{cfg.dest_dir}/drift")
+    rows = {r["feature"]: r for r in rep.collect()}
+    assert set(rows) == {"text_chars", "text_words", "digit_ratio"}
+    assert all(r["batch_id"] == "epoch-" + "0" * 20 for r in rows.values())
+    assert all(r["n_cur"] == 2 for r in rows.values())
+    # the 60-word doc shifts the word distribution vs the 12-word baseline
+    assert rows["text_words"]["psi"] > 0
+    # replay: same epoch rewrites its own partition, no duplication
+    ingest.process_crawl_batch(batch, 0, cfg)
+    assert spark.read.parquet(f"{cfg.dest_dir}/drift").count() == 3
