@@ -39,6 +39,7 @@ def pack_sequences(
     seed: str = "pack",
     n_shards: int = 32,
     per_doc_overhead: int = 0,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its segments in fixed-``ctx_len`` training packs.
 
@@ -58,6 +59,11 @@ def pack_sequences(
     ``token_count + overhead`` slots in the stream, so pack boundaries and
     fill ratios match what the real tokenized corpus will produce. Default
     0 keeps raw-token semantics (and the oracle contract).
+
+    ``token_count_col`` (r7) replaces the whitespace heuristic with a real
+    per-document token count — e.g. ``n_tokens`` from
+    ``tokenizer.bpe_encode`` — so pack budgets match the trained
+    tokenizer's output exactly. Default ``None`` keeps the heuristic.
     """
     if ctx_len <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")
@@ -66,10 +72,15 @@ def pack_sequences(
             f"per_doc_overhead must be >= 0, got {per_doc_overhead}"
         )
     did = F.col(id_col)
+    count_expr = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
     toks = (
         df.select(
             did,
-            (token_count(F.col(text_col)).cast("long") + per_doc_overhead).alias(
+            (count_expr.cast("long") + per_doc_overhead).alias(
                 "n_tokens"
             ),
             (hash_bucket(did, seed) % n_shards).alias("_shard"),

@@ -123,3 +123,28 @@ def test_merge_table_round_trips_through_storage(tiny_docs, tmp_path):
     a = tok.bpe_encode(tiny_docs, merges).collect()[0]["tokens"]
     b = tok.bpe_encode(tiny_docs, loaded).collect()[0]["tokens"]
     assert a == b
+
+
+def test_bpe_counts_drive_sequence_packing(spark):
+    """tokenizer -> packing integration: pack budgets computed from the
+    REAL bpe token counts, not the whitespace heuristic."""
+    from kafka_connector_s3_sink_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    wf = tok.word_frequencies(docs)
+    merges = tok.fit_bpe(wf, n_merges=3)  # partial merges only
+    enc = tok.bpe_encode(docs, merges)
+    n_tok = enc.collect()[0]["n_tokens"]
+    assert n_tok > 12  # subword count exceeds the 12-word heuristic
+    packed = packing.pack_sequences(
+        enc, ctx_len=64, token_count_col="n_tokens"
+    )
+    rows = packed.collect()
+    # every doc packs its full bpe token budget
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["seg_tokens"]
+    assert per_doc == {i: n_tok for i in range(6)}
