@@ -33,6 +33,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connector_s3_sink_spark.functions.numeric import stable_round
 from kafka_connector_s3_sink_spark.operators.text import (
     mean_word_length,
     punct_ratio,
@@ -297,4 +298,58 @@ def bigram_perplexity(
         "n_bigrams",
         (F.col("_s") / F.col("n_bigrams")).alias("avg_nll"),
         F.exp(F.col("_s") / F.col("n_bigrams")).alias("ppl"),
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC of a scorer against binary labels, computed at scale.
+
+    AUC = P(score⁺ > score⁻) + ½·P(tie), evaluated WITHOUT ranking
+    individual rows: scores are rounded to ``round_digits`` (the exactness
+    contract — AUC of the rounded scores, which is what the Column-chain
+    scorers emit anyway) and aggregated per distinct value (ONE map-side
+    combined shuffle). The cumulative pass then runs over ≤ 10^digits
+    distinct buckets — bounded by config, not data, so the single-task
+    window is the same class of escape as the pack-shard offset window.
+    Per bucket: positives contribute (negatives strictly below + half the
+    tied negatives).
+
+    Output: one row — (auc, n_pos, n_neg). The evaluation loop
+    ``fit_quality_classifier`` needs before its threshold goes into the
+    ingest floor."""
+    from pyspark.sql import Window
+
+    s = stable_round(F.col(score_col), round_digits).alias("s")
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        df.select(s, lab.alias("y"))
+        .groupBy("s")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            F.sum(1 - F.col("y")).alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per_score.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("n_pos")
+            * (
+                F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+                + F.col("n_neg") / 2.0
+            )
+        ).alias("c"),
+    )
+    return contrib.agg(
+        stable_round(
+            F.sum("c") / (F.sum("n_pos") * F.sum("n_neg")), round_digits
+        ).alias("auc"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
     )

@@ -197,3 +197,74 @@ def test_bigram_perplexity_external_model_and_oov(spark):
     # fully-OOV bigram probability is k/(0 + k*V) = 1/V with V=5
     import math
     assert out[101]["avg_nll"] == pytest.approx(math.log(5.0))
+
+
+def test_binary_auc_hand_computed(spark):
+    from kafka_connector_s3_sink_spark.operators.quality import binary_auc
+
+    # scores: perfect separation -> AUC 1; anti-separation -> 0; ties -> 0.5
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label int")
+    assert binary_auc(perfect).collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "score double, label int")
+    assert binary_auc(inverted).collect()[0]["auc"] == 0.0
+    allties = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "score double, label int")
+    assert binary_auc(allties).collect()[0]["auc"] == 0.5
+    # mixed case, hand-computed: pairs (pos, neg): scores pos={.9,.4},
+    # neg={.6,.2}; comparisons: .9>.6, .9>.2, .4<.6, .4>.2 -> 3/4
+    mixed = spark.createDataFrame(
+        [(0.9, 1), (0.4, 1), (0.6, 0), (0.2, 0)], "score double, label int")
+    row = binary_auc(mixed).collect()[0]
+    assert row["auc"] == 0.75 and row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_binary_auc_matches_duckdb_rank_formula(spark):
+    """Exactness on a larger corpus: AUC via DuckDB's Mann-Whitney rank
+    statistic (average ranks handle ties) must equal the bucketed
+    computation."""
+    import duckdb
+    import random
+
+    from kafka_connector_s3_sink_spark.operators.quality import binary_auc
+
+    rnd = random.Random(11)
+    rows = [(round(rnd.uniform(0, 1), 2), rnd.randint(0, 1))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = binary_auc(df).collect()[0]["auc"]
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("t", pd.DataFrame(rows, columns=["score", "label"]))
+    want = con.execute("""
+        WITH ranked AS (
+            SELECT label,
+                avg(CAST(rn AS DOUBLE)) OVER (PARTITION BY score) AS r
+            FROM (SELECT score, label,
+                  row_number() OVER (ORDER BY score) AS rn FROM t)
+        ),
+        agg AS (
+            SELECT sum(CASE WHEN label = 1 THEN r END) AS rpos,
+                sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS np,
+                sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nn
+            FROM ranked
+        )
+        SELECT floor(((rpos - np * (np + 1) / 2.0) / (np * nn)) * 1e6 + 0.5) / 1e6
+        FROM agg
+    """).fetchone()[0]
+    assert got == want
+
+
+def test_binary_auc_evaluates_the_trained_classifier(spark):
+    """Integration: the pinned classifier separates PINNED_CORPUS's labels
+    far better than chance."""
+    from kafka_connector_s3_sink_spark.operators import quality as q
+
+    docs = spark.createDataFrame(q.PINNED_CORPUS, "text string, label int")
+    scored = docs.select(
+        q.classifier_score(F.col("text"), q.PINNED_WEIGHTS_V1).alias("score"),
+        "label",
+    )
+    auc = q.binary_auc(scored).collect()[0]["auc"]
+    assert auc > 0.9
