@@ -1341,6 +1341,13 @@ def ivfpq_topk(
             nrm, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
     assigned = assign_corpus(nrm, centroids, id_col=id_col, vec_col=vec_col)
+    # the PQ fit runs several bounded actions (sample count, seeds, one
+    # Lloyd step) and the encode/score path two more — without a lineage
+    # cut each action re-executes normalize+assign over the corpus
+    # (measured 27.7s -> 3.4s on the 1x probe). localCheckpoint once, same
+    # as the linkgraph iteration frames; the persisted-index variant
+    # (ivfpq_topk_indexed) has no such recomputation by construction.
+    assigned = assigned.localCheckpoint()
     if residual:
         # faiss-IVFPQ residual encoding: quantize (vec − cell centroid) —
         # residual magnitudes are far smaller than vector magnitudes, so the

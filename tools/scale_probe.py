@@ -176,6 +176,66 @@ def main() -> None:
         timed(f"ivf_probe_nprobe2_{label}", probe)
         assigned.unpersist()
 
+        # ---- r7 surface ----
+        from kafka_connector_s3_sink_spark.operators import (
+            dedup as ddp,
+            drift,
+            text as textops,
+        )
+
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        # paragraph dedup: exact_dedup's shape at paragraph grain — must
+        # scale ~linearly (one hash shuffle), never worse
+        timed(
+            f"paragraph_stats_{label}",
+            lambda: noop(ddp.paragraph_dedup_stats(docs)),
+        )
+        # hash embeddings: two key-partitioned shuffles — linear
+        timed(
+            f"hash_embeddings_{label}",
+            lambda: noop(textops.hash_embeddings(docs, dim=64)),
+        )
+        # PQ: fit reads the bounded sample (must stay ~flat); arrow encode
+        # scans the corpus once (linear); IVF-PQ probe reads nprobe/k of
+        # the codes (linear/k)
+        nrm = similarity.normalize_vectors(emb.select("vec_id", "embedding"))
+        t0 = time.time()
+        books = similarity.pq_codebooks(nrm, m=8, k=16)
+        rows.append((f"pq_fit_{label}", time.time() - t0))
+        print(f"  pq_fit_{label}: {rows[-1][1]:.2f}s", flush=True)
+        timed(
+            f"pq_encode_{label}",
+            lambda: noop(similarity.pq_encode(nrm, books)),
+        )
+        timed(
+            f"ivfpq_probe_{label}",
+            lambda: noop(
+                similarity.ivfpq_topk(
+                    emb,
+                    queries,
+                    n_centroids=8,
+                    nprobe=2,
+                    centroids=cents,
+                    codebooks=None,
+                    residual=True,
+                )
+            ),
+        )
+        # drift vs a persisted baseline: the comparison must be O(batch) —
+        # a FIXED batch scored against this scale's baseline stays flat
+        bl = tempfile.mkdtemp(prefix=f"probe_drift_{label}_")
+        feats = drift.text_drift_features()
+        t0 = time.time()
+        drift.persist_baseline(docs, bl, feats)
+        rows.append((f"drift_baseline_build_{label}", time.time() - t0))
+        print(f"  drift_baseline_build_{label}: {rows[-1][1]:.2f}s", flush=True)
+        timed(
+            f"drift_fixed_batch_vs_{label}_baseline",
+            lambda: noop(drift.drift_vs_baseline(fixed_batch, bl, feats)),
+        )
+
     print("\n| op | " + " | ".join(n for n, _ in rows) + " |")
     print("| t(s) | " + " | ".join(f"{t:.1f}" for _, t in rows) + " |")
 
