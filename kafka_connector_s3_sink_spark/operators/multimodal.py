@@ -545,3 +545,229 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.col("meta.content_md5").alias("content_md5"),
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+# -- perceptual dedup -------------------------------------------------------
+#
+# Media near-dup detection: a 64-bit content-robust fingerprint per payload
+# (dHash for images, energy-envelope sign hash for audio), then the same
+# blocked hamming join the text SimHash path uses — candidate pairs come from
+# equality on one of (max_hamming+1) hash slices (pigeonhole: any pair within
+# the radius shares at least one slice), never from an all-pairs comparison.
+# The hash kernels run inside the existing decode boundary (one Arrow pass,
+# payloads never shuffle); the join/bit_count stages are pure JVM.
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("phash_error", T.StringType(), True),
+    ]
+)
+
+
+def _to_signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(payload: bytes) -> int:
+    """64-bit difference hash of an uncompressed 24/32-bit BMP: grayscale →
+    nearest-neighbor resize to 9×8 (same index arithmetic as ``_resize_bmp``,
+    so the hash is invariant under our own resize) → bit (r,c) = 1 iff
+    gray[r,c] > gray[r,c+1]. Robust to resizing and mild brightness shifts
+    (gradient *signs* survive both); a crop or recolor flips many bits."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    h_abs, px = abs(height), bpp // 8
+    stride = (width * px + 3) & ~3
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * h_abs, offset=data_off)
+        .reshape(h_abs, stride)[:, : width * px]
+        .reshape(h_abs, width, px)
+    )
+    # match _decode_bmp's integer luminance ((b+g+r)//3) for determinism
+    gray = arr[:, :, :3].astype(np.int32).sum(axis=2) // 3
+    ri = (np.arange(8) * h_abs) // 8
+    ci = (np.arange(9) * width) // 9
+    g = gray[ri][:, ci]
+    bits = (g[:, :-1] > g[:, 1:]).ravel()  # row-major, bit index = r*8+c
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    return _to_signed64(h)
+
+
+def audio_fingerprint(payload: bytes) -> int:
+    """64-bit energy-envelope hash of a 16-bit PCM WAV: mono mix → 65 equal-
+    time segment energies → bit i = 1 iff energy[i+1] > energy[i]. Time-
+    normalized segmentation makes it robust to resampling (the envelope shape
+    survives a rate change); re-recording or trimming shifts the envelope and
+    flips bits."""
+    import struct
+
+    import numpy as np
+
+    pos, n_channels, sample_rate = 12, None, None
+    frames = b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits16 = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits16 != 16:
+                raise NotImplementedError(f"WAV format={fmt_code} bits={bits16}")
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size & 1)
+    if n_channels is None or not frames:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(
+        frames, dtype="<i2", count=(len(frames) // (2 * n_channels)) * n_channels
+    ).reshape(-1, n_channels)
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = mono.shape[0]
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    bounds = (np.arange(66) * n) // 65
+    energy = np.array(
+        [float(np.square(mono[bounds[i] : bounds[i + 1]]).mean()) for i in range(65)]
+    )
+    h = 0
+    for i in range(64):
+        if energy[i + 1] > energy[i]:
+            h |= 1 << i
+    return _to_signed64(h)
+
+
+def perceptual_hash(payload: bytes, media_type: str) -> int:
+    """Magic-byte dispatch to the per-format fingerprint kernels (the same
+    honest-failure contract as ``real_decoder`` for entropy-coded formats)."""
+    if payload[:2] == b"BM":
+        return image_dhash(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_fingerprint(payload)
+    raise NotImplementedError(
+        "perceptual hashing decodes uncompressed BMP and PCM WAV only; plug a "
+        "codec-backed hasher into perceptual_hashes(hasher=...) for other formats"
+    )
+
+
+def fake_perceptual_hash(payload: bytes, media_type: str) -> int:
+    """Deterministic opaque-payload stand-in (mirrors ``fake_decoder``): 8
+    bytes of md5 as the 'hash' — exact dupes collide, nothing else does."""
+    import hashlib
+
+    return _to_signed64(
+        int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    )
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    hasher: Callable[[bytes, str], int] = perceptual_hash,
+    on_error: str = "capture",
+) -> DataFrame:
+    """(media_id, media_type, phash) via one Arrow pass over the payload
+    partitions — the same no-shuffle decode boundary as ``extract_features``,
+    with the same per-row ``on_error='capture'`` crawl posture (corrupt blob →
+    null phash + error text, batch survives)."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, errors = [], []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                try:
+                    hashes.append(hasher(p, m))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — survival is the point
+                    if not capture:
+                        raise
+                    hashes.append(None)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "phash_error": errors,
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def perceptual_dupes(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup media pairs (id1 < id2, hamming ≤ max_hamming) from a
+    ``perceptual_hashes`` frame, same-media-type only.
+
+    Scale shape: the hash is sliced into ``max_hamming + 1`` disjoint bit
+    blocks; by pigeonhole any pair within the radius agrees on ≥1 block, so
+    candidates come from an equi-join on (media_type, block_id, block_bits) —
+    one explode (×(k+1) rows) + one shuffle on the block key, never all-pairs.
+    Exact hamming via ``bit_count(xor)`` prunes the collisions. Mirrors the
+    text-side ``simhash_dupes`` blocking, widened to 64 bits."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        start = i * width
+        # last block absorbs the remainder bits
+        w = 64 - start if i == n_blocks - 1 else width
+        sliced = F.shiftrightunsigned(F.col("phash"), start)
+        if w < 64:
+            sliced = sliced.bitwiseAND(F.lit((1 << w) - 1))
+        blocks.append(F.struct(F.lit(i).alias("block_id"), sliced.alias("block_bits")))
+    hb = (
+        hashes.filter(F.col("phash").isNotNull())
+        .select(
+            "media_id",
+            "media_type",
+            "phash",
+            F.explode(F.array(*blocks)).alias("_b"),
+        )
+        .select(
+            "media_id",
+            "media_type",
+            "phash",
+            F.col("_b.block_id").alias("block_id"),
+            F.col("_b.block_bits").alias("block_bits"),
+        )
+    )
+    a, b = hb.alias("a"), hb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.media_type") == F.col("b.media_type"))
+            & (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_bits") == F.col("b.block_bits"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.col("a.media_type").alias("media_type"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

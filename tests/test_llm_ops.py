@@ -550,6 +550,115 @@ def test_frame_sample_plan(spark):
     assert frames == [0, 2, 4]  # 5000 bytes → 5 synthetic frames, sampled every 2
 
 
+def test_image_dhash_invariant_under_resize_and_brightness(spark):
+    """dHash contract: exactly stable under our own nearest-neighbor resize
+    (shared index arithmetic) and under a uniform brightness shift (gradient
+    signs survive); a different image is far away in hamming space."""
+    import random
+
+    rng = random.Random(7)
+    # 18×16 image with strong adjacent-pixel gradients
+    rows = [
+        [((c * 13 + r * 7) % 240, (c * 29) % 240, (r * 31) % 240) for c in range(18)]
+        for r in range(16)
+    ]
+    base = _bmp_bytes(18, 16, rows)
+    resized = multimodal._resize_bmp(base, 36, 32)
+    brighter = _bmp_bytes(
+        18, 16, [[(b + 10, g + 10, r_ + 10) for (b, g, r_) in row] for row in rows]
+    )
+    other = _bmp_bytes(
+        18, 16,
+        [[(rng.randrange(256),) * 3 for _ in range(18)] for _ in range(16)],
+    )
+    h0 = multimodal.image_dhash(base)
+    assert multimodal.image_dhash(resized) == h0
+    assert multimodal.image_dhash(brighter) == h0  # (3·10)//3 shifts gray exactly
+    assert bin((h0 ^ multimodal.image_dhash(other)) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_audio_fingerprint_invariant_under_resample(spark):
+    """Energy-envelope hash: time-normalized segmentation keeps the hash
+    within a small hamming radius across a 8k→11k resample; a reversed
+    envelope is far away."""
+    import math
+
+    n = 4000
+    ramp = [int(16000 * (i / n) * math.sin(i * 0.7)) for i in range(n)]
+    wav = _wav_bytes(ramp)
+    resampled = multimodal._resample_wav(wav, 11025)
+    h0 = multimodal.audio_fingerprint(wav)
+    d_resample = bin(
+        (h0 ^ multimodal.audio_fingerprint(resampled)) & ((1 << 64) - 1)
+    ).count("1")
+    assert d_resample <= 6
+    d_other = bin(
+        (h0 ^ multimodal.audio_fingerprint(_wav_bytes(ramp[::-1]))) & ((1 << 64) - 1)
+    ).count("1")
+    assert d_other > 12
+
+
+def test_perceptual_dupes_blocked_join(spark):
+    """End to end: hash via the Arrow boundary (corrupt payload survives in
+    capture mode), then the pigeonhole-blocked hamming join finds the planted
+    image near-dups and the audio resample pair — same-type only, no
+    cartesian anywhere in the plan."""
+    rows = [
+        [((c * 13 + r * 7) % 240, (c * 29) % 240, (r * 31) % 240) for c in range(18)]
+        for r in range(16)
+    ]
+    base = _bmp_bytes(18, 16, rows)
+    import math
+
+    ramp = [int(16000 * (i / 4000) * math.sin(i * 0.7)) for i in range(4000)]
+    wav = _wav_bytes(ramp)
+    payloads = [
+        (1, "image", base),
+        (2, "image", multimodal._resize_bmp(base, 36, 32)),
+        (3, "image", _bmp_bytes(18, 16, [[(255 - b, 255 - g, 255 - r_) for (b, g, r_) in row] for row in rows])),
+        (4, "audio", wav),
+        (5, "audio", multimodal._resample_wav(wav, 11025)),
+        (6, "image", b"\xff\xd8 jpeg-ish"),  # corrupt: no BMP/WAV magic
+    ]
+    media = spark.createDataFrame(
+        [
+            Row(media_id=i, media_type=t, payload=bytearray(p),
+                meta=Row(n_bytes=len(p), content_md5="", mime=""))
+            for i, t, p in payloads
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    hashes = multimodal.perceptual_hashes(media)
+    hrows = {r["media_id"]: r for r in hashes.collect()}
+    assert hrows[6]["phash"] is None and "NotImplementedError" in hrows[6]["phash_error"]
+    assert all(hrows[i]["phash"] is not None for i in (1, 2, 3, 4, 5))
+
+    pairs_df = multimodal.perceptual_dupes(hashes, max_hamming=6)
+    assert "CartesianProduct" not in pairs_df._jdf.queryExecution().executedPlan().toString()
+    pairs = {(r["id1"], r["id2"]): r for r in pairs_df.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)]["hamming"] == 0
+    assert (4, 5) in pairs and pairs[(4, 5)]["media_type"] == "audio"
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # inverted image is far
+    assert not any(
+        {a, b} & {1, 2, 3} and {a, b} & {4, 5} for a, b in pairs
+    )  # never cross-type
+
+
+def test_perceptual_dupes_exact_radius_zero(spark):
+    """max_hamming=0 degenerates to exact-hash dedup: one unsliced 64-bit
+    block, only identical fingerprints pair."""
+    hashes = spark.createDataFrame(
+        [
+            Row(media_id=1, media_type="image", phash=-42, phash_error=None),
+            Row(media_id=2, media_type="image", phash=-42, phash_error=None),
+            Row(media_id=3, media_type="image", phash=-43, phash_error=None),
+        ],
+        multimodal.PHASH_SCHEMA,
+    )
+    pairs = multimodal.perceptual_dupes(hashes, max_hamming=0).collect()
+    assert [(r["id1"], r["id2"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
 def test_connected_components_transitive(spark):
     """A~B and B~C (without a direct A~C pair) must land in ONE cluster, and
     disconnected nodes stay their own canonical singleton."""
