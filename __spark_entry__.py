@@ -1015,6 +1015,38 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hosts").cast("double").alias("metric_a"),
         F.col("n_canonical").cast("double").alias("metric_b"),
     )
+    # domain_cap branch (r7): C4-style corpus balancing over the SAME
+    # synthetic URLs — keep ≤50 docs per registrable domain. The Spark side
+    # runs the SALTED two-phase top-K (the hot-domain scale path,
+    # n_salts=8); the oracle is the plain one-window row_number over the
+    # identical md5 keep order, so the gate proves the two-phase keep set
+    # equals the global-order semantics. n = kept docs, metric_a = sum of
+    # kept doc_ids (exact keep-SET membership, order-independent),
+    # metric_b = pre-cap domain size. Null domains are a capped group.
+    dom = docs.select("doc_id", url_ops.registrable_domain(url).alias("domain"))
+    cap_kept = (
+        sampling.cap_per_domain(dom, "domain", 50, n_salts=8)
+        .filter("kept")
+        .select("doc_id", F.lit(1).alias("_k"))
+    )
+    cap_rows = (
+        dom.join(cap_kept, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count("_k").alias("n"),
+            F.sum(F.when(F.col("_k") == 1, F.col("doc_id")))
+            .cast("double")
+            .alias("metric_a"),
+            F.count(F.lit(1)).cast("double").alias("metric_b"),
+        )
+        .select(
+            F.lit("domain_cap").alias("branch"),
+            F.col("domain").alias("key"),
+            "n",
+            "metric_a",
+            "metric_b",
+        )
+    )
     # warc_ingest branch (r6): the documents corpus is exported as REAL
     # per-member-gzip WARC archives (distributed write_warc, one archive per
     # partition, HTTP-response framing around the SAME synthetic html as
@@ -1161,6 +1193,7 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngrams.unionByName(quality)
         .unionByName(html_rows)
         .unionByName(url_rows)
+        .unionByName(cap_rows)
         .unionByName(warc_rows)
         .unionByName(clf_rows)
         .unionByName(link_rows)
@@ -3022,6 +3055,42 @@ def oracle_sql() -> dict[str, str]:
                                     '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
                                     '&utm_campaign=x#frag'
                                 END AS url
+                            FROM documents
+                        )
+                    )
+                )
+            ) GROUP BY domain
+            UNION ALL
+            SELECT 'domain_cap' AS branch, domain AS key,
+                CAST(count(*) FILTER (rk <= 50) AS BIGINT) AS n,
+                CAST(sum(doc_id) FILTER (rk <= 50) AS DOUBLE) AS metric_a,
+                CAST(count(*) AS DOUBLE) AS metric_b
+            FROM (
+                SELECT doc_id, domain, row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY md5('domain_cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rk
+                FROM (
+                    SELECT doc_id,
+                        nullif(CASE WHEN three <> '' THEN three ELSE two END, '') AS domain
+                    FROM (
+                        SELECT doc_id,
+                            coalesce(regexp_extract(host, '{_URL_THREE_RE}', 1), '') AS three,
+                            coalesce(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), '') AS two
+                        FROM (
+                            SELECT doc_id,
+                                lower(nullif(regexp_extract(
+                                    CASE WHEN doc_id % 11 = 0
+                                    THEN '/relative/path/' || CAST(doc_id AS VARCHAR)
+                                    ELSE 'https://' ||
+                                        CASE WHEN doc_id % 3 = 0 THEN 'user:pw@' ELSE '' END ||
+                                        CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'sub.' END ||
+                                        'site' || CAST(doc_id % 7 AS VARCHAR) ||
+                                        CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END ||
+                                        '/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+                                        '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+                                        '&utm_campaign=x#frag'
+                                    END, '{_URL_HOST_RE}', 1), '')) AS host
                             FROM documents
                         )
                     )

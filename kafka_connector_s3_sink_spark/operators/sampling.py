@@ -157,3 +157,52 @@ def deterministic_shuffle(
     (sequence packing, epoch serving) see a reproducible pseudo-random
     document order governed only by ``seed``."""
     return df.orderBy(shuffle_key(F.col(id_col), seed).asc(), F.col(id_col).asc())
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    max_per_domain: int,
+    id_col: str = "doc_id",
+    priority_col: str | None = None,
+    n_salts: int | None = None,
+) -> DataFrame:
+    """C4-style corpus balancing: keep at most ``max_per_domain`` documents
+    per domain, deterministically. Adds ``domain_rank`` (1-based keep order)
+    and ``kept`` to the input frame; filter on ``kept`` to apply the cap.
+
+    Keep order is ``priority_col`` DESC when given (cap keeps the
+    highest-quality pages), else the md5 shuffle key — either way the keep
+    SET is a pure function of the data, so re-runs and backfills select the
+    same documents on any cluster. Null domains (unparseable URLs) form
+    their own capped group rather than escaping the quota.
+
+    Scale: the plain path is ONE window shuffle on the domain key. A hot
+    domain (a billion-page site) funnels into a single task there, so
+    ``n_salts`` enables the two-phase top-K: rank within (domain, salt)
+    first — salt derived from the id hash, so placement is deterministic —
+    discard beyond K per salt, then rank the surviving ≤ K·n_salts rows per
+    domain. The second window's per-domain input is bounded by K·n_salts
+    regardless of domain size; the keep set is identical to the plain path
+    because per-salt rank-≤-K survival preserves every row the global
+    order could keep. (The salted variant pre-discards rows that provably
+    cannot be kept, so unlike the plain path its output omits most
+    ``kept=false`` rows — filter on ``kept`` either way.)"""
+    order_key = (
+        [F.col(priority_col).desc()] if priority_col is not None else []
+    ) + [shuffle_key(F.col(id_col), "domain_cap").asc(), F.col(id_col).asc()]
+    if n_salts is None:
+        w = Window.partitionBy(domain_col).orderBy(*order_key)
+        ranked = df.withColumn("domain_rank", F.row_number().over(w))
+    else:
+        salt = hash_bucket(F.col(id_col), "domain_cap_salt") % n_salts
+        w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order_key)
+        w2 = Window.partitionBy(domain_col).orderBy(*order_key)
+        ranked = (
+            df.withColumn("_salt", salt)
+            .withColumn("_salt_rank", F.row_number().over(w1))
+            .filter(F.col("_salt_rank") <= max_per_domain)
+            .withColumn("domain_rank", F.row_number().over(w2))
+            .drop("_salt", "_salt_rank")
+        )
+    return ranked.withColumn("kept", F.col("domain_rank") <= max_per_domain)

@@ -132,6 +132,87 @@ def test_deterministic_shuffle_matches_duckdb(docs):
     assert got == want
 
 
+def test_cap_per_domain_salted_matches_plain(docs):
+    """The two-phase (salted) top-K keeps the IDENTICAL document set as the
+    one-window plain path — per-salt survival can never discard a row the
+    global order would keep — and null domains are capped like any group."""
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("site"), (F.col("doc_id") % 3).cast("string"), F.lit(".com"))
+        ),
+    )
+    plain = sampling.cap_per_domain(d, "domain", 5)
+    salted = sampling.cap_per_domain(d, "domain", 5, n_salts=4)
+    kept_plain = {r["doc_id"] for r in plain.filter("kept").collect()}
+    kept_salted = {r["doc_id"] for r in salted.filter("kept").collect()}
+    assert kept_plain == kept_salted
+    per_domain = (
+        plain.filter("kept").groupBy("domain").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in per_domain)
+    assert any(r["domain"] is None for r in per_domain)  # nulls capped too
+    # determinism under a different physical layout
+    kept_again = {
+        r["doc_id"]
+        for r in sampling.cap_per_domain(d.repartition(7), "domain", 5)
+        .filter("kept").collect()
+    }
+    assert kept_again == kept_plain
+
+
+def test_cap_per_domain_priority_order(spark):
+    """With a priority column the cap keeps the highest-priority rows."""
+    rows = [(i, "d.com", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "score"])
+    kept = {
+        r["doc_id"]
+        for r in sampling.cap_per_domain(
+            df, "domain", 3, priority_col="score"
+        ).filter("kept").collect()
+    }
+    assert kept == {7, 8, 9}
+    salted = {
+        r["doc_id"]
+        for r in sampling.cap_per_domain(
+            df, "domain", 3, priority_col="score", n_salts=3
+        ).filter("kept").collect()
+    }
+    assert salted == {7, 8, 9}
+
+
+def test_cap_per_domain_matches_duckdb(docs):
+    """Keep-set parity with DuckDB's row_number over the same md5 order —
+    the operator's exact keep semantics are portable SQL."""
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn(
+        "domain",
+        F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"), F.lit(".org")),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.cap_per_domain(d, "domain", 7).filter("kept").collect()
+    )
+    want = sorted(
+        int(x)
+        for (x,) in duckdb.sql(
+            f"""
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY 's' || CAST(doc_id % 4 AS VARCHAR) || '.org'
+                    ORDER BY md5('domain_cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rk
+                FROM '{DOCS}'
+            ) WHERE rk <= 7
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
 CTX = 512
 PACK_ORACLE = f"""
 WITH t AS (
