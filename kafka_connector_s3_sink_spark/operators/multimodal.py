@@ -771,3 +771,39 @@ def perceptual_dupes(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def media_dedup(
+    media: DataFrame,
+    max_hamming: int = 6,
+    hasher: Callable[[bytes, str], int] = perceptual_hash,
+) -> DataFrame:
+    """End-to-end perceptual media dedup: fingerprint → blocked hamming pairs
+    → transitive clusters (``dedup.connected_components`` — A~B, B~C puts all
+    three in one cluster even when A≁C) → one canonical keeper per cluster.
+
+    Returns (media_id, media_type, phash, phash_error, cluster_id,
+    is_canonical); filter ``is_canonical = 1`` for the deduplicated corpus.
+    Undecodable payloads keep a null cluster_id and is_canonical = 1 — a
+    corrupt blob is never silently dropped by dedup (route on phash_error
+    instead, same posture as the decode path)."""
+    from kafka_connector_s3_sink_spark.operators.dedup import connected_components
+
+    hashes = perceptual_hashes(media, hasher=hasher)
+    hashable = hashes.filter(F.col("phash").isNotNull())
+    clusters = connected_components(
+        hashable.select("media_id"),
+        perceptual_dupes(hashes, max_hamming=max_hamming).select("id1", "id2"),
+        id_col="media_id",
+    )
+    joined = hashes.join(clusters, "media_id", "left")
+    return joined.select(
+        "media_id",
+        "media_type",
+        "phash",
+        "phash_error",
+        "cluster_id",
+        F.when(F.col("phash").isNull(), F.lit(1))
+        .otherwise(F.col("is_canonical"))
+        .alias("is_canonical"),
+    )

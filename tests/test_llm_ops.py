@@ -644,6 +644,39 @@ def test_perceptual_dupes_blocked_join(spark):
     )  # never cross-type
 
 
+def test_media_dedup_end_to_end(spark):
+    """hashes → pairs → transitive clusters → one canonical per cluster;
+    corrupt payloads survive as their own canonical rows (phash_error set,
+    never silently dropped)."""
+    rows = [
+        [((c * 13 + r * 7) % 240, (c * 29) % 240, (r * 31) % 240) for c in range(18)]
+        for r in range(16)
+    ]
+    base = _bmp_bytes(18, 16, rows)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, media_type="image", payload=bytearray(base),
+                meta=Row(n_bytes=1, content_md5="", mime="")),
+            Row(media_id=2, media_type="image",
+                payload=bytearray(multimodal._resize_bmp(base, 36, 32)),
+                meta=Row(n_bytes=1, content_md5="", mime="")),
+            Row(media_id=3, media_type="image",
+                payload=bytearray(multimodal._resize_bmp(base, 54, 48)),
+                meta=Row(n_bytes=1, content_md5="", mime="")),
+            Row(media_id=4, media_type="image", payload=bytearray(b"opaque"),
+                meta=Row(n_bytes=1, content_md5="", mime="")),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in multimodal.media_dedup(media, max_hamming=6).collect()}
+    assert len(out) == 4
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"] == 1
+    assert out[1]["is_canonical"] == 1
+    assert out[2]["is_canonical"] == 0 and out[3]["is_canonical"] == 0
+    assert out[4]["phash"] is None and out[4]["is_canonical"] == 1
+    assert out[4]["phash_error"] is not None
+
+
 def test_perceptual_dupes_exact_radius_zero(spark):
     """max_hamming=0 degenerates to exact-hash dedup: one unsliced 64-bit
     block, only identical fingerprints pair."""
