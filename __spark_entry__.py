@@ -859,7 +859,24 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_id",
         "n_dups",
     )
-    return doc_rows.unionByName(para_rows)
+    # span (r7): exact-substring grain (Lee et al.) over the SAME planted
+    # corpus — merged token intervals covered by a 4-gram repeating
+    # corpus-wide. content_hash = 'start:end' positions, keep_id = owning
+    # doc, n_dups = gram hits merged into the span; the oracle replays
+    # rolling-md5 grams → repeated-hash filter → gaps-and-islands in SQL,
+    # so a one-token off-by-one in gram slicing or island merging
+    # hash-mismatches.
+    span_rows = dedup.duplicate_spans(paradocs, span_tokens=4).select(
+        F.lit("span").alias("branch"),
+        F.concat(
+            F.col("span_start").cast("string"),
+            F.lit(":"),
+            F.col("span_end").cast("string"),
+        ).alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_grams").alias("n_dups"),
+    )
+    return doc_rows.unionByName(para_rows).unionByName(span_rows)
 
 
 def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3193,6 +3210,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT para_hash, doc_id AS keep_id, n_dups
             FROM ranked WHERE rn = 1
+            )
+            UNION ALL
+            SELECT 'span' AS branch,
+                CAST(span_start AS VARCHAR) || ':' || CAST(span_end AS VARCHAR)
+                    AS content_hash,
+                doc_id AS keep_id, n_grams AS n_dups
+            FROM (
+            WITH pd2 AS (
+                SELECT doc_id,
+                    text || chr(10) || 'Subscribe to our newsletter today'
+                    || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'All rights reserved' ELSE '' END
+                    AS text
+                FROM documents
+            ),
+            sp_toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM pd2
+            ),
+            sp_grams AS (
+                SELECT doc_id, i AS start,
+                    md5(lower(array_to_string(w[i+1:i+4], ' '))) AS h
+                FROM sp_toks, unnest(range(0, greatest(len(w) - 4, -1) + 1)) AS t(i)
+                WHERE len(w) >= 4
+            ),
+            sp_rep AS (SELECT h FROM sp_grams GROUP BY h HAVING count(*) >= 2),
+            sp_hits AS (
+                SELECT doc_id, start, start + 4 AS fin FROM sp_grams
+                WHERE h IN (SELECT h FROM sp_rep)
+            ),
+            sp_brk AS (
+                SELECT doc_id, start, fin,
+                    CASE WHEN start > coalesce(max(fin) OVER (
+                        PARTITION BY doc_id ORDER BY start, fin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS is_new
+                FROM sp_hits
+            ),
+            sp_isl AS (
+                SELECT doc_id, start, fin,
+                    sum(is_new) OVER (
+                        PARTITION BY doc_id ORDER BY start, fin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS island
+                FROM sp_brk
+            )
+            SELECT doc_id, min(start) AS span_start, max(fin) AS span_end,
+                count(*) AS n_grams
+            FROM sp_isl GROUP BY doc_id, island
             )
         """,
         "dedup_candidate_pairs": f"""

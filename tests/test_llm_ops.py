@@ -550,6 +550,101 @@ def test_frame_sample_plan(spark):
     assert frames == [0, 2, 4]  # 5000 bytes → 5 synthetic frames, sampled every 2
 
 
+def test_duplicate_spans_finds_and_merges(spark):
+    """A license header planted mid-document in 3 docs is found as ONE merged
+    span per doc (overlapping 4-gram hits coalesce); unique text yields no
+    spans; a doc shorter than the gram width yields no grams at all."""
+    header = "licensed under the apache license version two zero"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {header} gamma delta unique one"),
+            (2, f"epsilon {header} zeta eta theta other words"),
+            (3, f"{header} completely different tail content here now"),
+            (4, "entirely unique text with no repeats at all present"),
+            (5, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in dedup.duplicate_spans(docs, span_tokens=4).collect()
+    }
+    # doc 1: header occupies token positions 2..9 → grams 2..6 merge to [2,10)
+    assert spans[1] == (2, 10, 5)
+    assert spans[2] == (1, 9, 5)
+    assert spans[3] == (0, 8, 5)
+    assert 4 not in spans and 5 not in spans
+
+    cleaned = {
+        r["doc_id"]: r["text_clean"]
+        for r in dedup.strip_duplicate_spans(docs, span_tokens=4).collect()
+    }
+    assert cleaned[1] == "alpha beta gamma delta unique one"
+    assert cleaned[2] == "epsilon zeta eta theta other words"
+    assert cleaned[3] == "completely different tail content here now"
+    assert cleaned[4] == docs.filter("doc_id=4").collect()[0]["text"]
+
+
+def test_duplicate_spans_matches_duckdb(spark):
+    """Span ledger parity with a DuckDB replay of the full chain (rolling
+    md5 grams → repeated-hash filter → gaps-and-islands merge) over the
+    real documents fixture with a planted boilerplate sentence."""
+    import duckdb
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    booster = " Subscribe to our newsletter for daily updates today"
+    docs = spark.read.parquet(docs_path).select(
+        "doc_id", F.concat(F.col("text"), F.lit(booster)).alias("text")
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in dedup.duplicate_spans(docs, span_tokens=6).collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d))
+        for a, b, c, d in duckdb.sql(
+            f"""
+            WITH toks AS (
+                SELECT doc_id,
+                    regexp_split_to_array(trim(text || '{booster}'), '\\s+') AS w
+                FROM '{docs_path}'
+            ),
+            grams AS (
+                SELECT doc_id, i AS start,
+                    md5(lower(array_to_string(w[i+1:i+6], ' '))) AS h
+                FROM toks, unnest(range(0, greatest(len(w) - 6, -1) + 1)) AS t(i)
+                WHERE len(w) >= 6
+            ),
+            rep AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+            hits AS (
+                SELECT doc_id, start, start + 6 AS fin FROM grams
+                WHERE h IN (SELECT h FROM rep)
+            ),
+            brk AS (
+                SELECT doc_id, start, fin,
+                    CASE WHEN start > coalesce(max(fin) OVER (
+                        PARTITION BY doc_id ORDER BY start, fin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS is_new
+                FROM hits
+            ),
+            isl AS (
+                SELECT doc_id, start, fin,
+                    sum(is_new) OVER (
+                        PARTITION BY doc_id ORDER BY start, fin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS island
+                FROM brk
+            )
+            SELECT doc_id, min(start), max(fin), count(*)
+            FROM isl GROUP BY doc_id, island
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the planted boilerplate must actually fire
+
+
 def test_image_dhash_invariant_under_resize_and_brightness(spark):
     """dHash contract: exactly stable under our own nearest-neighbor resize
     (shared index arithmetic) and under a uniform brightness shift (gradient
