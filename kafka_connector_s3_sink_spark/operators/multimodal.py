@@ -16,7 +16,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -714,6 +714,26 @@ def perceptual_hashes(
     )
 
 
+def _phash_block_exprs(max_hamming: int) -> list[Column]:
+    """The pigeonhole slicing shared by the in-memory pair join and the
+    persisted index: ``max_hamming + 1`` disjoint bit blocks of the 64-bit
+    fingerprint (last block absorbs the remainder) — any pair within the
+    radius agrees on at least one block."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        start = i * width
+        w = 64 - start if i == n_blocks - 1 else width
+        sliced = F.shiftrightunsigned(F.col("phash"), start)
+        if w < 64:
+            sliced = sliced.bitwiseAND(F.lit((1 << w) - 1))
+        blocks.append(F.struct(F.lit(i).alias("block_id"), sliced.alias("block_bits")))
+    return blocks
+
+
 def perceptual_dupes(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup media pairs (id1 < id2, hamming ≤ max_hamming) from a
     ``perceptual_hashes`` frame, same-media-type only.
@@ -724,19 +744,7 @@ def perceptual_dupes(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     one explode (×(k+1) rows) + one shuffle on the block key, never all-pairs.
     Exact hamming via ``bit_count(xor)`` prunes the collisions. Mirrors the
     text-side ``simhash_dupes`` blocking, widened to 64 bits."""
-    if not 0 <= max_hamming <= 31:
-        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
-    n_blocks = max_hamming + 1
-    width = 64 // n_blocks
-    blocks = []
-    for i in range(n_blocks):
-        start = i * width
-        # last block absorbs the remainder bits
-        w = 64 - start if i == n_blocks - 1 else width
-        sliced = F.shiftrightunsigned(F.col("phash"), start)
-        if w < 64:
-            sliced = sliced.bitwiseAND(F.lit((1 << w) - 1))
-        blocks.append(F.struct(F.lit(i).alias("block_id"), sliced.alias("block_bits")))
+    blocks = _phash_block_exprs(max_hamming)
     hb = (
         hashes.filter(F.col("phash").isNotNull())
         .select(
@@ -806,4 +814,184 @@ def media_dedup(
         F.when(F.col("phash").isNull(), F.lit(1))
         .otherwise(F.col("is_canonical"))
         .alias("is_canonical"),
+    )
+
+
+# -- persisted incremental media-dedup index --------------------------------
+#
+# The 100 TB posture: a media corpus's fingerprints live in ONE bucketed
+# block table; each new crawl batch is hashed, exploded into the same
+# pigeonhole blocks, and classified with an equi-join against the index —
+# O(|batch| + collisions), history is never rescanned. Mirrors the text-side
+# `operators/incremental.py` architecture (bucketed table, batch_id
+# partition idempotence, broadcast-batch join with no Exchange below the
+# index scan).
+
+
+def _media_index_table(prefix: str, database: str | None) -> str:
+    name = f"{prefix}_phash_blocks"
+    return f"{database}.{name}" if database else name
+
+
+def _media_index_rows(
+    media: DataFrame,
+    max_hamming: int,
+    hasher: Callable[[bytes, str], int],
+) -> DataFrame:
+    hashes = perceptual_hashes(media, hasher=hasher).filter(
+        F.col("phash").isNotNull()
+    )
+    return hashes.select(
+        "media_id",
+        "media_type",
+        "phash",
+        F.explode(F.array(*_phash_block_exprs(max_hamming))).alias("_b"),
+    ).select(
+        "media_id",
+        "media_type",
+        "phash",
+        F.col("_b.block_id").alias("block_id"),
+        F.col("_b.block_bits").alias("block_bits"),
+    )
+
+
+def build_media_index(
+    media: DataFrame,
+    prefix: str,
+    location: str,
+    max_hamming: int = 6,
+    num_buckets: int = 8,
+    batch_id: str = "base",
+    database: str | None = None,
+    hasher: Callable[[bytes, str], int] = perceptual_hash,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the perceptual-hash block index for an accepted media
+    corpus. ``max_hamming`` and ``num_buckets`` are LIFETIME parameters of
+    the index (the block slicing and bucket spec can't change without a
+    rewrite) — size them for the end-state corpus."""
+    rows = _media_index_rows(media, max_hamming, hasher).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    (
+        rows.write.mode(mode)
+        .option("path", f"{location}/{prefix}_phash_blocks")
+        .partitionBy("batch_id")
+        .bucketBy(num_buckets, "block_bits")
+        .sortBy("block_bits")
+        .saveAsTable(_media_index_table(prefix, database))
+    )
+
+
+def append_media_to_index(
+    media: DataFrame,
+    prefix: str,
+    location: str,
+    batch_id: str,
+    max_hamming: int = 6,
+    num_buckets: int = 8,
+    database: str | None = None,
+    hasher: Callable[[bytes, str], int] = perceptual_hash,
+) -> None:
+    """Append a batch's accepted media to the index — IDEMPOTENT per
+    ``batch_id`` (partition-pruned presence probe, same contract as
+    ``incremental.append_to_index``): replaying a batch after a failure
+    cannot double-insert."""
+    spark = media.sparkSession
+    table = _media_index_table(prefix, database)
+    present = (
+        spark.table(table).filter(F.col("batch_id") == batch_id).limit(1).count()
+        > 0
+    )
+    if present:
+        return
+    rows = _media_index_rows(media, max_hamming, hasher).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    (
+        rows.write.mode("append")
+        .option("path", f"{location}/{prefix}_phash_blocks")
+        .partitionBy("batch_id")
+        .bucketBy(num_buckets, "block_bits")
+        .sortBy("block_bits")
+        .saveAsTable(table)
+    )
+
+
+def drop_media_index(spark, prefix: str, database: str | None = None) -> None:
+    """Drop the catalog table (files at ``location`` are external and removed
+    by the caller) — mirrors ``incremental.drop_dedup_index``."""
+    spark.sql(f"DROP TABLE IF EXISTS {_media_index_table(prefix, database)}")
+
+
+def incremental_media_dedup(
+    batch: DataFrame,
+    prefix: str,
+    max_hamming: int = 6,
+    database: str | None = None,
+    hasher: Callable[[bytes, str], int] = perceptual_hash,
+) -> DataFrame:
+    """Classify a new media batch against the persisted index WITHOUT
+    rescanning history: (media_id, media_type, phash, phash_error,
+    is_duplicate, match_id, best_hamming) — match_id is the closest index
+    member within the radius (ties to the lowest id, deterministic).
+
+    ``max_hamming`` must equal the index's build-time value (the block
+    slicing is a lifetime parameter). The batch side is explicitly
+    broadcast: AQE's late SMJ→BHJ conversion would still shuffle-write the
+    multi-TB index first (r5b lesson), so the bounded side is pinned and
+    the index scan stays Exchange-free. Undecodable payloads classify as
+    non-duplicates with ``phash_error`` set."""
+    spark = batch.sparkSession
+    index = spark.table(_media_index_table(prefix, database))
+    hashes = perceptual_hashes(batch, hasher=hasher)
+    bb = (
+        hashes.filter(F.col("phash").isNotNull())
+        .select(
+            F.col("media_id").alias("b_id"),
+            F.col("media_type").alias("b_type"),
+            F.col("phash").alias("b_phash"),
+            F.explode(F.array(*_phash_block_exprs(max_hamming))).alias("_b"),
+        )
+        .select(
+            "b_id",
+            "b_type",
+            "b_phash",
+            F.col("_b.block_id").alias("block_id"),
+            F.col("_b.block_bits").alias("block_bits"),
+        )
+    )
+    matches = (
+        index.join(
+            F.broadcast(bb),
+            ["block_id", "block_bits"],
+        )
+        .filter(F.col("media_type") == F.col("b_type"))
+        .select(
+            "b_id",
+            F.col("media_id").alias("hist_id"),
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("b_phash"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .groupBy("b_id")
+        .agg(
+            F.min(F.struct("hamming", "hist_id")).alias("_best"),
+        )
+        .select(
+            F.col("b_id").alias("media_id"),
+            F.col("_best.hist_id").alias("match_id"),
+            F.col("_best.hamming").alias("best_hamming"),
+        )
+    )
+    return hashes.join(matches, "media_id", "left").select(
+        "media_id",
+        "media_type",
+        "phash",
+        "phash_error",
+        F.col("match_id").isNotNull().alias("is_duplicate"),
+        "match_id",
+        "best_hamming",
     )

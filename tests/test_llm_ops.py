@@ -772,6 +772,100 @@ def test_media_dedup_end_to_end(spark):
     assert out[4]["phash_error"] is not None
 
 
+def test_incremental_media_dedup_index(spark, tmp_path):
+    """The persisted phash-block index: build from a base corpus, classify a
+    new batch O(batch)-style — resized image and resampled audio match
+    history, fresh and corrupt payloads keep; append is idempotent per
+    batch_id; the multi-TB index side is never shuffled (a broadcast Join
+    sits between the index FileScan and any hash Exchange)."""
+    rows = [
+        [((c * 13 + r * 7) % 240, (c * 29) % 240, (r * 31) % 240) for c in range(18)]
+        for r in range(16)
+    ]
+    base_img = _bmp_bytes(18, 16, rows)
+    other_img = _bmp_bytes(
+        18, 16, [[(255 - b, 255 - g, 255 - r_) for (b, g, r_) in row] for row in rows]
+    )
+    import math
+
+    ramp = [int(16000 * (i / 4000) * math.sin(i * 0.7)) for i in range(4000)]
+    base_wav = _wav_bytes(ramp)
+
+    def media_df(items):
+        return spark.createDataFrame(
+            [
+                Row(media_id=i, media_type=t, payload=bytearray(p),
+                    meta=Row(n_bytes=len(p), content_md5="", mime=""))
+                for i, t, p in items
+            ],
+            multimodal.MEDIA_SCHEMA,
+        )
+
+    corpus = media_df(
+        [(1, "image", base_img), (2, "image", other_img), (3, "audio", base_wav)]
+    )
+    loc = str(tmp_path / "midx")
+    multimodal.build_media_index(corpus, "mediaidx", loc, max_hamming=6, num_buckets=4)
+    try:
+        batch = media_df(
+            [
+                (101, "image", multimodal._resize_bmp(base_img, 36, 32)),  # dup of 1
+                (102, "image", _bmp_bytes(18, 16, [[(r_ % 256,) * 3 for r_ in range(40, 58)]] * 16)),  # fresh
+                (103, "audio", multimodal._resample_wav(base_wav, 11025)),  # dup of 3
+                (104, "image", b"not a bmp"),  # corrupt
+            ]
+        )
+        res = multimodal.incremental_media_dedup(batch, "mediaidx", max_hamming=6)
+        out = {r["media_id"]: r for r in res.collect()}
+        assert out[101]["is_duplicate"] and out[101]["match_id"] == 1
+        assert not out[102]["is_duplicate"]
+        assert out[103]["is_duplicate"] and out[103]["match_id"] == 3
+        assert not out[104]["is_duplicate"] and out[104]["phash_error"] is not None
+
+        # plan contract (r5b): walking UP from the index FileScan, a Join
+        # appears before any hash Exchange — history never reshuffles
+        final = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final
+        lines = final.splitlines()
+        scan_line = next(i for i, l in enumerate(lines) if "phash_blocks" in l)
+
+        def indent(l):
+            return len(l) - len(l.lstrip(" :+-*(0123456789)"))
+
+        cur = indent(lines[scan_line])
+        for i in range(scan_line - 1, -1, -1):
+            if indent(lines[i]) >= cur:
+                continue
+            cur = indent(lines[i])
+            body = lines[i].strip(" :+-")
+            if "Join" in body:
+                break
+            assert "Exchange hashpartitioning" not in body, lines[i]
+
+        # idempotent append: same batch_id twice inserts once
+        fresh_only = media_df(
+            [(102, "image", _bmp_bytes(18, 16, [[(r_ % 256,) * 3 for r_ in range(40, 58)]] * 16))]
+        )
+        multimodal.append_media_to_index(
+            fresh_only, "mediaidx", loc, batch_id="b1", max_hamming=6, num_buckets=4
+        )
+        n1 = spark.table("mediaidx_phash_blocks").count()
+        multimodal.append_media_to_index(
+            fresh_only, "mediaidx", loc, batch_id="b1", max_hamming=6, num_buckets=4
+        )
+        assert spark.table("mediaidx_phash_blocks").count() == n1
+        # and the appended member is now found
+        re_res = multimodal.incremental_media_dedup(
+            media_df([(201, "image", _bmp_bytes(18, 16, [[(r_ % 256,) * 3 for r_ in range(40, 58)]] * 16))]),
+            "mediaidx",
+            max_hamming=6,
+        )
+        rr = {r["media_id"]: r for r in re_res.collect()}
+        assert rr[201]["is_duplicate"] and rr[201]["match_id"] == 102
+    finally:
+        multimodal.drop_media_index(spark, "mediaidx")
+
+
 def test_perceptual_dupes_exact_radius_zero(spark):
     """max_hamming=0 degenerates to exact-hash dedup: one unsliced 64-bit
     block, only identical fingerprints pair."""
