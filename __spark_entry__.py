@@ -931,6 +931,56 @@ def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.unionByName(lsh).unionByName(decon)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters on the (branch, doc_id, cluster_id,
+    is_canonical) grain — two modalities (merged r7):
+
+    - ``text``: the full cascade (exact pass → LSH candidates → Jaccard
+      verify → connected components) over a corpus planted with BOTH exact
+      (+100k) and tail-trimmed near (+200k) copies so every stage does real
+      work;
+    - ``media``: perceptual media dedup (``multimodal.dedup_media_hashes``,
+      the clustering half of ``media_dedup``) over a synthetic fingerprint
+      plant: phash = (doc_id % 37) * 2654435761 XOR a 2-bit perturbation
+      (bits {0,1} for doc_id%5==0, bits {5,6} for doc_id%7==0). Cross-group
+      hamming is ≥ 11-4 = 7 > the radius 6, within-group perturbed pairs sit
+      at hamming 2–4, so the pigeonhole block join must find REAL non-zero
+      hamming matches, same-media-type only (even ids = image, odd = audio).
+      The oracle replays the radius join + recursive closure in SQL — the
+      payload→fingerprint kernels (image_dhash / audio_fingerprint) are
+      pinned by round-trip pytests instead (tests/test_llm_ops.py), since a
+      BMP dHash is not SQL-expressible."""
+    text_rows = dedup.dedup_cascade(
+        dedup.with_near_duplicates(
+            dedup.with_exact_duplicates(_docs(spark, sf_dir)), id_offset=200_000
+        ),
+        jaccard_threshold=0.8,
+    ).select(F.lit("text").alias("branch"), "doc_id", "cluster_id", "is_canonical")
+    did = F.col("doc_id")
+    hashes = _docs(spark, sf_dir).select(
+        did.alias("media_id"),
+        F.when(did % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias(
+            "media_type"
+        ),
+        ((did % 37) * F.lit(2654435761))
+        .cast("long")
+        .bitwiseXOR(
+            F.when(did % 5 == 0, F.lit(3))
+            .when(did % 7 == 0, F.lit(96))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        .alias("phash"),
+    )
+    media_rows = multimodal.dedup_media_hashes(hashes, max_hamming=6).select(
+        F.lit("media").alias("branch"),
+        F.col("media_id").alias("doc_id"),
+        "cluster_id",
+        "is_canonical",
+    )
+    return text_rows.unionByName(media_rows)
+
+
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs on the (method, id1, id2, cosine) grain —
     two blocking strategies over the same scaled-copy fixture (merged r7):
@@ -1282,15 +1332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,  # doc-level + paragraph-level branches
         "dedup_candidate_pairs": _q_dedup_candidate_pairs,  # jaccard + minhash-lsh
         "dedup_simhash": lambda s, d: dedup.simhash_dupes(_corpus(s, d), max_hamming=3),
-        # the full cascade: exact pass → LSH candidates → Jaccard verify →
-        # clusters, over a corpus planted with BOTH exact (+100k) and
-        # tail-trimmed near (+200k/+300k) copies so every stage does real work
-        "dedup_clusters": lambda s, d: dedup.dedup_cascade(
-            dedup.with_near_duplicates(
-                dedup.with_exact_duplicates(_docs(s, d)), id_offset=200_000
-            ),
-            jaccard_threshold=0.8,
-        ),
+        # the full text cascade (exact → LSH → Jaccard verify → clusters)
+        # + r7 media branch: perceptual-hash blocked hamming clustering
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,  # label + kmeans blocks
         # r4: the incremental path (classify a batch vs the persisted bucketed
         # index) joins the oracle window — slot freed by merging the two
@@ -3442,11 +3486,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, doc_id FROM surv
                 UNION
                 SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            ),
+            mh AS (
+                SELECT doc_id AS media_id,
+                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                        AS media_type,
+                    xor(CAST(doc_id % 37 AS BIGINT) * 2654435761,
+                        CAST(CASE WHEN doc_id % 5 = 0 THEN 3
+                                  WHEN doc_id % 7 = 0 THEN 96
+                                  ELSE 0 END AS BIGINT)) AS phash
+                FROM documents
+            ),
+            mpairs AS (
+                SELECT a.media_id AS id1, b.media_id AS id2
+                FROM mh a JOIN mh b
+                  ON a.media_type = b.media_type AND a.media_id < b.media_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            ),
+            medges AS (
+                SELECT id1 AS src, id2 AS dst FROM mpairs
+                UNION ALL
+                SELECT id2 AS src, id1 AS dst FROM mpairs
+            ),
+            mreach(id, r) AS (
+                SELECT media_id, media_id FROM mh
+                UNION
+                SELECT mreach.id, e.dst FROM mreach JOIN medges e ON e.src = mreach.r
             )
-            SELECT id AS doc_id,
+            SELECT 'text' AS branch, id AS doc_id,
                 min(r) AS cluster_id,
                 CAST(id = min(r) AS INTEGER) AS is_canonical
             FROM reach GROUP BY id
+            UNION ALL
+            SELECT 'media' AS branch, id AS doc_id,
+                min(r) AS cluster_id,
+                CAST(id = min(r) AS INTEGER) AS is_canonical
+            FROM mreach GROUP BY id
         """,
         "dedup_embedding_cosine": (
             """

@@ -795,9 +795,22 @@ def media_dedup(
     Undecodable payloads keep a null cluster_id and is_canonical = 1 — a
     corrupt blob is never silently dropped by dedup (route on phash_error
     instead, same posture as the decode path)."""
+    return dedup_media_hashes(
+        perceptual_hashes(media, hasher=hasher), max_hamming=max_hamming
+    )
+
+
+def dedup_media_hashes(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """The clustering half of ``media_dedup``, taking a precomputed
+    ``(media_id, media_type, phash[, phash_error])`` frame: blocked hamming
+    pairs → transitive clusters → canonical keeper. Public so fingerprints
+    produced elsewhere (a persisted index scan, an external hasher, an
+    oracle-checkable synthetic plant) reuse the identical dedup semantics
+    without re-decoding payloads."""
     from kafka_connector_s3_sink_spark.operators.dedup import connected_components
 
-    hashes = perceptual_hashes(media, hasher=hasher)
+    if "phash_error" not in hashes.columns:
+        hashes = hashes.withColumn("phash_error", F.lit(None).cast("string"))
     hashable = hashes.filter(F.col("phash").isNotNull())
     clusters = connected_components(
         hashable.select("media_id"),

@@ -772,6 +772,31 @@ def test_media_dedup_end_to_end(spark):
     assert out[4]["phash_error"] is not None
 
 
+def test_dedup_media_hashes_precomputed(spark):
+    """The public clustering half over a precomputed fingerprint frame (no
+    phash_error column → defaulted): non-zero hamming pairs cluster, the
+    same-media-type restriction holds even at hamming 0, singletons stay
+    canonical."""
+    hashes = spark.createDataFrame(
+        [
+            (1, "image", 0b1000),       # pairs with 2 at hamming 2
+            (2, "image", 0b1011),
+            (3, "audio", 0b1000),       # same bits as 1, wrong type → singleton
+            (4, "image", 0xFFFF),       # hamming ≥ 13 from everything → singleton
+        ],
+        "media_id bigint, media_type string, phash bigint",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.dedup_media_hashes(hashes, max_hamming=6).collect()
+    }
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert (out[1]["is_canonical"], out[2]["is_canonical"]) == (1, 0)
+    assert out[3]["cluster_id"] == 3 and out[3]["is_canonical"] == 1
+    assert out[4]["cluster_id"] == 4 and out[4]["is_canonical"] == 1
+    assert all(r["phash_error"] is None for r in out.values())
+
+
 def test_incremental_media_dedup_index(spark, tmp_path):
     """The persisted phash-block index: build from a base corpus, classify a
     new batch O(batch)-style — resized image and resampled audio match
