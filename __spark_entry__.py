@@ -1756,7 +1756,7 @@ def _pq_oracle_sql(
     samp AS (
         SELECT vid, vec FROM v, cnt
         WHERE CAST('0x' || substr(md5('pq:' || CAST(vid AS VARCHAR)), 1, 4) AS INTEGER)
-              < least(65536, floor({fit_sample_cap}.0 / n * 65536))
+              < greatest(1, least(65536, floor({fit_sample_cap}.0 / n * 65536)))
     ),
     dimq AS (
         SELECT CAST(len(vec) // {m} AS INTEGER) AS d FROM v LIMIT 1
@@ -1939,7 +1939,7 @@ def _semantic_oracle_sql(
     samp AS (
         SELECT vid, vec FROM v, cnt
         WHERE CAST('0x' || substr(md5('ivf:' || CAST(vid AS VARCHAR)), 1, 4) AS INTEGER)
-              < least(65536, floor({fit_sample_cap}.0 / n * 65536))
+              < greatest(1, least(65536, floor({fit_sample_cap}.0 / n * 65536)))
     ),
     seed AS (
         SELECT vid AS centroid_id, vec AS cvec FROM samp
@@ -1998,7 +1998,7 @@ def _ivf_oracle_sql(
     samp AS (
         SELECT vid, vec FROM v, cnt
         WHERE CAST('0x' || substr(md5('ivf:' || CAST(vid AS VARCHAR)), 1, 4) AS INTEGER)
-              < least(65536, floor({fit_sample_cap}.0 / n * 65536))
+              < greatest(1, least(65536, floor({fit_sample_cap}.0 / n * 65536)))
     ),
     seed AS (
         SELECT vid AS centroid_id, vec AS cvec FROM samp

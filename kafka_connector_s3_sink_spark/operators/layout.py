@@ -57,6 +57,14 @@ def zorder_key(cols: Sequence[ZColumn], bits: int = 8) -> Column:
     terms, no UDF, fully codegen-able."""
     if not cols:
         raise ValueError("cols must be non-empty")
+    if bits * len(cols) > 63:
+        # bit b of column c lands at position b*ncols + c; past bit 62 the
+        # interleave shifts into the long's sign bit, flipping z-keys
+        # negative and corrupting the range-partitioned clustering order.
+        raise ValueError(
+            f"bits * len(cols) = {bits * len(cols)} exceeds 63: the z-key "
+            "must fit a signed 64-bit long (lower bits or use fewer cols)"
+        )
     buckets = [range_bucket(F.col(z.col), z.lo, z.hi, bits) for z in cols]
     z = F.lit(0).cast("long")
     for b in range(bits):

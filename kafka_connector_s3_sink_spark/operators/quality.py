@@ -346,9 +346,15 @@ def binary_auc(
             )
         ).alias("c"),
     )
+    # guard the denominator: a slice with only one class present (plausible
+    # for a per-epoch monitoring batch) has no defined ranking statistic —
+    # emit auc = NULL explicitly rather than a silent divide-by-zero null,
+    # and let callers branch on n_pos/n_neg which are always populated.
+    denom = F.sum("n_pos") * F.sum("n_neg")
     return contrib.agg(
-        stable_round(
-            F.sum("c") / (F.sum("n_pos") * F.sum("n_neg")), round_digits
+        F.when(
+            denom > 0,
+            stable_round(F.sum("c") / denom, round_digits),
         ).alias("auc"),
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),

@@ -51,6 +51,16 @@ def nonzero_vec(a: Column) -> Column:
     return F.exists(a, lambda x: x != F.lit(0.0))
 
 
+def not_self(qid: Column, nid: Column) -> Column:
+    """Self-match exclusion that tolerates differently-typed id columns.
+
+    Comparing a string query_id against a long corpus id directly would make
+    ANSI mode cast the string to bigint and throw on non-numeric ids; the
+    string-side comparison is total, and for same-typed ids it is equivalent
+    to the direct inequality (string rendering of a long is injective)."""
+    return qid.cast("string") != nid.cast("string")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,7 +107,7 @@ def brute_force_topk(
     )
     # norms precomputed per row below the join — the interpreted fold would
     # otherwise run per (query × corpus) pair
-    scored = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("nbr_id"))
+    scored = F.broadcast(q).crossJoin(c).filter(not_self(F.col("query_id"), F.col("nbr_id")))
     scored = scored.select(
         "query_id",
         "nbr_id",
@@ -188,7 +198,12 @@ def fit_sample(
     count = v.count()
     if count == 0:
         return v
-    threshold = min(65536, math.floor(cap / count * 65536))
+    # clamp to >=1 so a huge corpus (count > cap*65536, ~16.7M at the
+    # default cap=256) still samples ~1/65536 of rows instead of zero —
+    # an empty fit sample would make the downstream codebook/centroid fit
+    # raise "empty corpus" on a non-empty one. Mirrored by greatest(1, ...)
+    # in the DuckDB oracle replays.
+    threshold = max(1, min(65536, math.floor(cap / count * 65536)))
     h16 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
@@ -486,7 +501,7 @@ def ivf_topk(
     scored = (
         F.broadcast(q_assigned)
         .join(c_assigned, "centroid_id")
-        .filter(F.col("query_id") != F.col("nbr_id"))
+        .filter(not_self(F.col("query_id"), F.col("nbr_id")))
         .select(
             "query_id",
             "nbr_id",
@@ -729,7 +744,7 @@ def ivf_topk_indexed(
     scored = (
         F.broadcast(q_assigned)
         .join(idx, "centroid_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
+        .filter(not_self(F.col("query_id"), F.col("vec_id")))
         .select(
             "query_id",
             F.col("vec_id").alias("nbr_id"),
@@ -787,7 +802,7 @@ def lsh_topk(
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
-        .filter(F.col("query_id") != F.col("nbr_id"))
+        .filter(not_self(F.col("query_id"), F.col("nbr_id")))
         .select(
             "query_id",
             "nbr_id",
@@ -1173,7 +1188,7 @@ def pq_topk(
     )
     c = encoded.select(F.col(id_col).alias("nbr_id"), "codes")
     pairs = F.broadcast(q).crossJoin(c).filter(
-        F.col("query_id") != F.col("nbr_id")
+        not_self(F.col("query_id"), F.col("nbr_id"))
     )
     adc = sum(
         F.element_at(
@@ -1378,6 +1393,9 @@ def ivfpq_topk(
     qn = normalize_vectors(
         queries.select(F.col(query_id_col), F.col(vec_col)), vec_col
     )
+    qid_type = dict(
+        (f.name, f.dataType) for f in queries.schema.fields
+    )[query_id_col].simpleString()
     qrows = qn.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
@@ -1415,10 +1433,11 @@ def ivfpq_topk(
     spark = corpus.sparkSession
     probes = spark.createDataFrame(
         lut_rows,
-        schema="query_id long, centroid_id int, _lut array<array<double>>",
+        schema=f"query_id {qid_type}, centroid_id int,"
+        " _lut array<array<double>>",
     )
     pairs = enc.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("query_id") != F.col("nbr_id")
+        not_self(F.col("query_id"), F.col("nbr_id"))
     )
     adc = sum(
         F.element_at(
@@ -1646,6 +1665,9 @@ def ivfpq_topk_indexed(
     qn = normalize_vectors(
         queries.select(F.col(query_id_col), F.col(vec_col)), vec_col
     )
+    qid_type = dict(
+        (f.name, f.dataType) for f in queries.schema.fields
+    )[query_id_col].simpleString()
     qrows = qn.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
@@ -1684,13 +1706,14 @@ def ivfpq_topk_indexed(
             probe_ids.add(cid)
     probes = spark.createDataFrame(
         lut_rows,
-        schema="query_id long, centroid_id int, _lut array<array<double>>",
+        schema=f"query_id {qid_type}, centroid_id int,"
+        " _lut array<array<double>>",
     )
     codes = spark.read.parquet(f"{index_dir}/_pq_codes").filter(
         F.col("centroid_id").isin(sorted(probe_ids))
     )
     pairs = codes.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("query_id") != F.col("vec_id")
+        not_self(F.col("query_id"), F.col("vec_id"))
     )
     adc = sum(
         F.element_at(

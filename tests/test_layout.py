@@ -94,3 +94,14 @@ def test_everything_pruned_returns_empty_with_schema(spark, clustered):
     out = layout.read_pruned(spark, path, zms, {"user_id": (1e9, 2e9)})
     assert out.count() == 0
     assert set(out.columns) == set(ev.columns)
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    # bits*ncols must fit the 63 value bits of a signed long: 8 bits x 8
+    # cols = 64 would shift the top bit into the sign, flipping z-keys
+    # negative and breaking the range clustering (ADVICE r7).
+    cols = [ZColumn(f"c{i}", 0.0, 1.0) for i in range(8)]
+    with pytest.raises(ValueError, match="exceeds 63"):
+        layout.zorder_key(cols, bits=8)
+    # 7 cols x 9 bits = 63 is the maximal legal width
+    layout.zorder_key(cols[:7], bits=9)

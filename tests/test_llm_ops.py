@@ -1917,3 +1917,48 @@ def test_ivfpq_persisted_residual_matches_in_memory(spark, tmp_path):
         idx, batch_id="b9")
     n = similarity.append_pq_codes(spark, idx, "b9")
     assert n == 3
+
+
+def test_ivfpq_accepts_string_query_ids(spark, tmp_path):
+    """Every *_topk entry point takes non-long query ids via query_id_col;
+    the IVF-PQ probe frames must derive the id type from the input schema
+    like pq_topk does, not hardcode long (ADVICE r7)."""
+    raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # rename ids in BOTH runs so neither collides with corpus ids: the
+    # self-exclusion filter then behaves identically and results map 1:1
+    qs_long = raw.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding")
+    qs_str = qs_long.withColumn(
+        "query_id",
+        F.concat(F.lit("q"), (F.col("query_id") - 1_000_000).cast("string")))
+    kw = dict(n_centroids=8, nprobe=2, m=8, k_codes=16, k=5,
+              k_candidates=30)
+    got = similarity.ivfpq_topk(raw, qs_str, **kw).collect()
+    ref = similarity.ivfpq_topk(raw, qs_long, **kw).collect()
+    assert sorted((r["query_id"], r["nbr_id"], r["rank"]) for r in got) == \
+        sorted((f"q{r['query_id'] - 1_000_000}", r["nbr_id"], r["rank"])
+               for r in ref)
+    idx = str(tmp_path / "ivfpq_str")
+    similarity.write_ivf_index(raw, idx, n_centroids=8)
+    similarity.add_pq_to_ivf_index(spark, idx, m=8, k_codes=16)
+    goti = similarity.ivfpq_topk_indexed(
+        spark, idx, qs_str, k=5, nprobe=2, k_candidates=30).collect()
+    refi = similarity.ivfpq_topk_indexed(
+        spark, idx, qs_long, k=5, nprobe=2, k_candidates=30).collect()
+    assert sorted((r["query_id"], r["nbr_id"], r["rank"]) for r in goti) == \
+        sorted((f"q{r['query_id'] - 1_000_000}", r["nbr_id"], r["rank"])
+               for r in refi)
+
+
+def test_fit_sample_threshold_clamps_to_one(spark):
+    """When count > cap*65536 the un-clamped threshold floors to 0 and the
+    fit sample goes empty on a non-empty corpus (ADVICE r7). The clamp
+    keeps >=1 hash bucket in play: cap=0 over any corpus still behaves as
+    the 1/65536 thinning, and tiny corpora keep their full sample."""
+    v = spark.range(0, 200_000).select(F.col("id").alias("vid"))
+    s = similarity.fit_sample(v, 0)  # cap/count*65536 floors to 0
+    # threshold clamps to 1 -> expected 200000/65536 ~ 3 rows, not 0 rows
+    # by construction; determinism makes the exact count stable
+    n = s.count()
+    assert 0 < n < 50
+    assert s.count() == n

@@ -268,3 +268,19 @@ def test_binary_auc_evaluates_the_trained_classifier(spark):
     )
     auc = q.binary_auc(scored).collect()[0]["auc"]
     assert auc > 0.9
+
+
+def test_binary_auc_single_class_is_null_not_crash(spark):
+    """A monitoring slice with one class present has no defined AUC: the
+    guarded denominator emits auc=NULL with the class counts intact
+    (ADVICE r7), instead of an undiagnosable divide-by-zero null row."""
+    from kafka_connector_s3_sink_spark.operators.quality import binary_auc
+
+    allpos = spark.createDataFrame(
+        [(0.9, 1), (0.3, 1)], "score double, label int")
+    row = binary_auc(allpos).collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 2 and row["n_neg"] == 0
+    allneg = spark.createDataFrame(
+        [(0.9, 0), (0.3, 0)], "score double, label int")
+    row = binary_auc(allneg).collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 0 and row["n_neg"] == 2
