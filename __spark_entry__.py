@@ -1473,10 +1473,8 @@ def _drift_oracle_sql(n_buckets: int = 10, alpha: float = 0.5) -> str:
     Laplace smoothing, and ln-sum PSI/KL. Emitted as a `UNION ALL` tail
     for the entry's f-string."""
     from kafka_connector_s3_sink_spark.operators.drift import (
-        text_drift_features,
+        TEXT_DRIFT_FEATURE_SPECS,
     )
-
-    feats = text_drift_features()
     sql_expr = {
         "text_chars": "CAST(length(text) AS DOUBLE)",
         "text_words": (
@@ -1488,12 +1486,12 @@ def _drift_oracle_sql(n_buckets: int = 10, alpha: float = 0.5) -> str:
         ),
     }
     bucket_selects = []
-    for f in feats:
-        width = (f.hi - f.lo) / n_buckets
+    for name, lo, hi in TEXT_DRIFT_FEATURE_SPECS:
+        width = (hi - lo) / n_buckets
         bucket_selects.append(
-            f"SELECT side, '{f.name}' AS feature,"
+            f"SELECT side, '{name}' AS feature,"
             f" least({n_buckets - 1}, greatest(0,"
-            f" CAST(floor(({sql_expr[f.name]} - {f.lo!r})"
+            f" CAST(floor(({sql_expr[name]} - {lo!r})"
             f" / {width!r}) AS INTEGER))) AS bucket FROM both_sides"
         )
     buckets_sql = " UNION ALL ".join(bucket_selects)

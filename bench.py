@@ -62,6 +62,38 @@ BENCH_QUERIES = [
     "pipeline_pack_split",
 ]
 
+# Per-branch decomposition of the merged entries (r8, VERDICT r7 item 1):
+# each merged entry unions its branches under a literal discriminator column,
+# so filtering on one literal value lets Catalyst constant-fold the other
+# union children to empty relations and prune them — the filtered noop write
+# executes ONLY that branch's plan. The entry DataFrame is constructed once
+# OUTSIDE the timed region (plan construction runs eager driver-side work —
+# PageRank's per-iteration localCheckpoints, memoized quantizer fits — that
+# belongs to no single branch; it is reported separately as branch_build_sec).
+# tests/test_registry.py pins these tag values against the live entries so a
+# renamed branch can't silently time an empty filter.
+BRANCH_TAGS = {
+    "sink_group_key_upsert": ("branch", ["upsert", "cdc", "scd2"]),
+    "dedup_exact": ("branch", ["doc", "para", "span"]),
+    "dedup_candidate_pairs": ("method", ["jaccard", "lsh", "decontam"]),
+    "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
+    "text_corpus_stats": (
+        "branch",
+        [
+            "top_ngrams",
+            "quality_filter",
+            "html_extract",
+            "url_domains",
+            "domain_cap",
+            "warc_ingest",
+            "quality_clf",
+            "link_rank",
+            "ppl",
+            "drift",
+        ],
+    ),
+}
+
 
 def check_mode() -> int:
     """``bench.py --check``: re-run the 5 most expensive committed entries
@@ -115,6 +147,46 @@ def check_mode() -> int:
         )
         if ratio > 2.0:
             disagreements.append(name)
+    # also re-validate the top committed BRANCHES of the decomposed entries
+    # (r8): the branch numbers are the per-operator regression signal, so
+    # they deserve the same self-validation as the entry totals.
+    from pyspark.sql import functions as F
+
+    flat = sorted(
+        (
+            (t, entry, br)
+            for entry, brs in committed.get("queries_branches", {}).items()
+            if entry in qs and entry in BRANCH_TAGS
+            for br, t in brs.items()
+        ),
+        reverse=True,
+    )[:5]
+    by_entry: dict[str, list] = {}
+    for t, entry, br in flat:
+        by_entry.setdefault(entry, []).append((br, t))
+    for entry, brs in by_entry.items():
+        tag = BRANCH_TAGS[entry][0]
+        df = qs[entry](spark, SF_DIR)
+        for br, committed_t in brs:
+            run = lambda: df.filter(F.col(tag) == br).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            run()
+            warm = []
+            for _ in range(3):
+                t1 = time.time()
+                run()
+                warm.append(time.time() - t1)
+            now = sorted(warm)[1]
+            ratio = max(now, committed_t) / max(min(now, committed_t), 1e-9)
+            flag = "DISAGREES" if ratio > 2.0 else "ok"
+            print(
+                f"{flag:9s} {entry}[{br}]: committed {committed_t:.2f}s, "
+                f"re-measured {now:.2f}s ({ratio:.2f}x)"
+            )
+            if ratio > 2.0:
+                disagreements.append(f"{entry}[{br}]")
+        entrymod.release_caches()
     if disagreements:
         print(
             f"WARNING: {len(disagreements)} entries disagree >2x with the "
@@ -185,6 +257,35 @@ def main() -> None:
             .mode("overwrite")
             .save(),
         )
+
+    # per-branch decomposition (r8): the merged entries' headline numbers hide
+    # which branch moved round-over-round; time each tagged branch of the
+    # decomposed entries separately (same cold + 3-warm-median protocol over
+    # the ONE-time-constructed frame — see BRANCH_TAGS comment).
+    from pyspark.sql import functions as F
+
+    branches: dict[str, dict[str, float]] = {}
+    branch_build: dict[str, float] = {}
+    for name, (tag, vals) in BRANCH_TAGS.items():
+        tb = time.time()
+        df = qs[name](spark, SF_DIR)
+        branch_build[name] = round(time.time() - tb, 3)
+        branches[name] = {}
+        for v in vals:
+            run = (
+                lambda v=v: df.filter(F.col(tag) == v)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            run()  # cold: codegen + first materialization of shared persists
+            warm = []
+            for _ in range(3):
+                t1 = time.time()
+                run()
+                warm.append(time.time() - t1)
+            branches[name][v] = round(sorted(warm)[1], 3)
+        entrymod.release_caches()
 
     # end-to-end sink writes (exact object names) to local objects
     from kafka_connector_s3_sink_spark.config import FormatType, OutputField
@@ -265,6 +366,16 @@ def main() -> None:
         "the top-5 committed entries and flags >2x disagreement.",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "queries_branches": branches,
+        "branch_build_sec": branch_build,
+        "branch_note": "per-branch times are the same 3-warm-median protocol "
+        "over the entry's ONE constructed DataFrame filtered to the branch "
+        "tag (Catalyst prunes the other union children); branch_build_sec is "
+        "the one-time plan-construction cost (eager driver-side work: "
+        "PageRank iterations, memoized fits) that belongs to no branch, so "
+        "branch times sum to roughly the entry's execution minus shared "
+        "construction. Compare branch-to-branch across rounds to attribute "
+        "a merged entry's delta.",
     }
     line = json.dumps(result)
     # The driver tail-captures stdout; a truncated tail once ate the r3 warm

@@ -111,28 +111,34 @@ def drift_report(
     )
 
 
+# (name, lo, hi) for the stock text features — plain data, importable
+# without an active SparkContext (the DuckDB oracle interpolates the bounds
+# into SQL; building Column objects there would needlessly require a JVM).
+TEXT_DRIFT_FEATURE_SPECS: tuple[tuple[str, float, float], ...] = (
+    ("text_chars", 0.0, 2000.0),
+    ("text_words", 0.0, 400.0),
+    ("digit_ratio", 0.0, 0.2),
+)
+
+
 def text_drift_features() -> list[DriftFeature]:
     """The stock text-corpus monitoring features over a ``text`` column:
     raw length, whitespace word count, and digit density — the cheap
     signals that move first when a crawl source changes shape. All JVM
-    expressions, mirrored 1:1 by the oracle SQL."""
+    expressions, mirrored 1:1 by the oracle SQL; bounds come from
+    TEXT_DRIFT_FEATURE_SPECS so Spark and oracle stay in sync."""
     text = F.col("text")
     n_chars = F.length(text)
+    bounds = {name: (lo, hi) for name, lo, hi in TEXT_DRIFT_FEATURE_SPECS}
+    exprs = {
+        "text_chars": n_chars.cast("double"),
+        "text_words": F.size(F.split(F.trim(text), r"\s+")).cast("double"),
+        "digit_ratio": F.length(F.regexp_replace(text, r"[^0-9]", ""))
+        / F.greatest(n_chars, F.lit(1)),
+    }
     return [
-        DriftFeature("text_chars", n_chars.cast("double"), 0.0, 2000.0),
-        DriftFeature(
-            "text_words",
-            F.size(F.split(F.trim(text), r"\s+")).cast("double"),
-            0.0,
-            400.0,
-        ),
-        DriftFeature(
-            "digit_ratio",
-            F.length(F.regexp_replace(text, r"[^0-9]", ""))
-            / F.greatest(n_chars, F.lit(1)),
-            0.0,
-            0.2,
-        ),
+        DriftFeature(name, exprs[name], *bounds[name])
+        for name, _, _ in TEXT_DRIFT_FEATURE_SPECS
     ]
 
 

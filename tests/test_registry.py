@@ -24,3 +24,20 @@ def test_every_query_has_an_oracle_or_documented_exemption():
     assert not missing, f"queries without oracle SQL: {missing}"
     orphans = [k for k in oracles if k not in qs]
     assert not orphans, f"oracle SQL for unregistered queries: {orphans}"
+
+
+def test_bench_branch_tags_match_live_entries(spark):
+    """bench.py's per-branch decomposition filters each merged entry on a
+    hardcoded (tag_col, values) map; a renamed or added branch would make
+    the bench silently time an empty filter (or miss the new branch), so pin
+    the map against the live entries' actual discriminator values."""
+    import bench
+
+    qs = entrymod.queries()
+    for name, (tag, vals) in bench.BRANCH_TAGS.items():
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        live = {r[0] for r in df.select(tag).distinct().collect()}
+        assert live == set(vals), (
+            f"{name}: BRANCH_TAGS has {sorted(vals)} but the entry emits "
+            f"{sorted(live)}"
+        )
