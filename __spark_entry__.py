@@ -891,6 +891,13 @@ def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc, score = n-gram overlap ratio against the eval doc. Fixture: the
       benchmark is tail-trimmed copies of every 20th document (true leaks,
       ratio 1.0) plus synthetic md5-token decoys (must match nothing).
+    - ``decontam_near`` (r8): NEAR-dup decontamination
+      (``dedup.near_decontamination_matches``) — MinHash-banded candidates
+      verified by SYMMETRIC n-gram Jaccard, catching paraphrased leaks the
+      exact containment pass under-flags. Fixture: every 20th ≡ 9 document
+      with the first word replaced AND the last word dropped (a paraphrase —
+      head/tail shingles destroyed, body intact) plus md5-token decoys on
+      ≡ 19; score = symmetric jaccard.
     """
     jac = dedup.ngram_jaccard_dupes(
         _corpus(spark, sf_dir), threshold=0.7, max_df_ratio=0.2
@@ -928,7 +935,38 @@ def _q_dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bench_id").alias("id2"),
         F.col("overlap_ratio").alias("jaccard"),
     )
-    return jac.unionByName(lsh).unionByName(decon)
+    near_bench = (
+        docs.filter(did % 20 == 9)
+        .select(
+            (did + 970_000).alias("doc_id"),
+            F.regexp_replace(
+                F.regexp_replace("text", r"\s+\S+\s*$", ""),
+                r"^\s*\S+",
+                "paraphrased",
+            ).alias("text"),
+        )
+        .unionByName(
+            docs.filter(did % 20 == 19).select(
+                (did + 980_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.md5(F.concat(did.cast("string"), F.lit(f";{i}")))
+                        for i in range(5)
+                    ],
+                ).alias("text"),
+            )
+        )
+    )
+    near = dedup.near_decontamination_matches(
+        docs, near_bench, jaccard_threshold=0.5
+    ).select(
+        F.lit("decontam_near").alias("method"),
+        F.col("corpus_id").alias("id1"),
+        F.col("bench_id").alias("id2"),
+        "jaccard",
+    )
+    return jac.unionByName(lsh).unionByName(decon).unionByName(near)
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3395,6 +3433,73 @@ def oracle_sql() -> dict[str, str]:
                 floor((n_overlap / n_sh) * 10000.0 + 0.5) / 10000.0 AS jaccard
             FROM inter JOIN b_sizes USING (bench_id)
             WHERE floor((n_overlap / n_sh) * 10000.0 + 0.5) / 10000.0 >= 0.5
+            )
+            UNION ALL
+            SELECT 'decontam_near' AS method, id1, id2, jaccard FROM (
+            WITH nbench AS (
+                SELECT doc_id + 970000 AS doc_id,
+                       regexp_replace(
+                           regexp_replace(text, '\\s+\\S+\\s*$', ''),
+                           '^\\s*\\S+', 'paraphrased') AS text
+                FROM documents WHERE doc_id % 20 = 9
+                UNION ALL
+                SELECT doc_id + 980000 AS doc_id,
+                       array_to_string(list_transform(range(0, 5),
+                           i -> md5(CAST(doc_id AS VARCHAR) || ';' || CAST(i AS VARCHAR))), ' ') AS text
+                FROM documents WHERE doc_id % 20 = 19
+            ),
+            nc_toks AS (SELECT doc_id, {TOKS} AS w FROM documents),
+            nc_sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM nc_toks),
+            nb_toks AS (SELECT doc_id, {TOKS} AS w FROM nbench),
+            nb_sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM nb_toks),
+            nc_bands AS (
+                SELECT doc_id, b AS band_id,
+                    md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+                FROM (
+                    SELECT doc_id,
+                        list_transform(range(0, 16), j ->
+                            list_min(list_transform(s, x ->
+                                md5(CAST(j AS VARCHAR) || ':' || x)))
+                        ) AS sg
+                    FROM nc_sh
+                ), (SELECT unnest(range(0, 4)) AS b)
+            ),
+            nb_bands AS (
+                SELECT doc_id, b AS band_id,
+                    md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+                FROM (
+                    SELECT doc_id,
+                        list_transform(range(0, 16), j ->
+                            list_min(list_transform(s, x ->
+                                md5(CAST(j AS VARCHAR) || ':' || x)))
+                        ) AS sg
+                    FROM nb_sh
+                ), (SELECT unnest(range(0, 4)) AS b)
+            ),
+            ncands AS (
+                SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+                FROM nc_bands c JOIN nb_bands b
+                  ON c.band_id = b.band_id AND c.band_hash = b.band_hash
+            ),
+            nc_ex AS (
+                SELECT doc_id AS corpus_id, unnest(s) AS shingle FROM nc_sh
+                WHERE doc_id IN (SELECT corpus_id FROM ncands)
+            ),
+            nb_ex AS (SELECT doc_id AS bench_id, unnest(s) AS shingle FROM nb_sh),
+            nc_sizes AS (SELECT corpus_id, count(*) AS n_c FROM nc_ex GROUP BY 1),
+            nb_sizes AS (SELECT bench_id, count(*) AS n_b FROM nb_ex GROUP BY 1),
+            ninter AS (
+                SELECT corpus_id, bench_id, count(*) AS n_inter
+                FROM nc_ex JOIN nb_ex USING (shingle)
+                GROUP BY 1, 2
+            )
+            SELECT corpus_id AS id1, bench_id AS id2,
+                floor((n_inter / (n_c + n_b - n_inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM ninter
+            JOIN ncands USING (corpus_id, bench_id)
+            JOIN nc_sizes USING (corpus_id)
+            JOIN nb_sizes USING (bench_id)
+            WHERE floor((n_inter / (n_c + n_b - n_inter)) * 10000.0 + 0.5) / 10000.0 >= 0.5
             )
         """,
         "dedup_simhash": f"""

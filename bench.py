@@ -75,7 +75,10 @@ BENCH_QUERIES = [
 BRANCH_TAGS = {
     "sink_group_key_upsert": ("branch", ["upsert", "cdc", "scd2"]),
     "dedup_exact": ("branch", ["doc", "para", "span"]),
-    "dedup_candidate_pairs": ("method", ["jaccard", "lsh", "decontam"]),
+    "dedup_candidate_pairs": (
+        "method",
+        ["jaccard", "lsh", "decontam", "decontam_near"],
+    ),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
     "text_corpus_stats": (
         "branch",

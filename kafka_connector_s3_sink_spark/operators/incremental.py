@@ -52,6 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_connector_s3_sink_spark.operators import dedup
 from kafka_connector_s3_sink_spark.operators.dedup import (
     minhash_bands,
     shingle_rows,
@@ -539,6 +540,70 @@ def decontaminate_against_index(
             ),
         )
         .filter(F.col("overlap_ratio") >= min_overlap_ratio)
+    )
+
+
+def near_decontaminate_against_index(
+    benchmark: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    database: str | None = None,
+) -> DataFrame:
+    """NEAR-dup decontamination of the accepted corpus against a new eval
+    set, off the persisted fingerprint index: ``<prefix>_bands`` already
+    holds every accepted document's LSH bands and ``<prefix>_shingles`` its
+    n-gram set, so only the benchmark is fingerprinted here. Same
+    candidates→verify semantics as ``dedup.near_decontamination_matches``
+    (symmetric Jaccard over band candidates), same broadcast contract as
+    ``decontaminate_against_index``: the benchmark's band and shingle sides
+    are broadcast EXPLICITLY so neither multi-TB index table grows an
+    Exchange below its scan — the band join feeds O(candidates) ids into a
+    semi-join that prunes the shingle scan before the verify aggregation.
+
+    Index fingerprint params (num_hashes, band_size, k) must match the
+    values the index was built with — band hashes are not comparable across
+    parameterizations."""
+    spark = benchmark.sparkSession
+    b_bands = dedup._materialize(
+        minhash_bands(benchmark, id_col, text_col, num_hashes, band_size, k)
+        .select(F.col("doc_id").alias("bench_id"), "band_id", "band_hash")
+    )
+    idx_bands = spark.table(_qualified(prefix, "bands", database))
+    cands = dedup._materialize(
+        idx_bands.join(F.broadcast(b_bands), ["band_id", "band_hash"])
+        .select(F.col("doc_id").alias("hist_id"), "bench_id")
+        .distinct()
+    )
+    b_sh = dedup._materialize(
+        shingle_rows(benchmark, id_col, text_col, k).select(
+            F.col("doc_id").alias("bench_id"), "shingle"
+        )
+    )
+    b_sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    idx_sh = spark.table(_qualified(prefix, "shingles", database))
+    flagged = idx_sh.select(
+        F.col("doc_id").alias("hist_id"), "shingle"
+    ).join(F.broadcast(cands.select("hist_id").distinct()), "hist_id")
+    h_sizes = flagged.groupBy("hist_id").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        flagged.join(F.broadcast(b_sh), "shingle")
+        .groupBy("hist_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cands, ["hist_id", "bench_id"])
+    )
+    jac = stable_round(
+        F.col("n_inter") / (F.col("n_c") + F.col("n_b") - F.col("n_inter")), 4
+    )
+    return (
+        inter.join(b_sizes, "bench_id")
+        .join(h_sizes, "hist_id")
+        .select("hist_id", "bench_id", "n_inter", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 

@@ -95,31 +95,74 @@ def mixture_sample(
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: str = "mix",
+    epoch_col: str | None = None,
 ) -> DataFrame:
-    """Deterministic dataset-mixing filter: keep each source's rows at its own
-    rate — the training-mixture knob ("2× wiki, 0.1× crawl") applied as one
-    narrow md5-threshold filter. Sources not listed are dropped (an explicit
-    mixture IS the whitelist). Zero shuffles, scan-pushable, and — like every
-    sampler here — a pure function of (id, seed): re-runs, appends, and
-    repartitioning select the identical row set, so epoch N+1 of an
-    incremental rebuild serves the same mixture as epoch N.
+    """Deterministic dataset-mixing filter: serve each source's rows at its
+    own rate — the training-mixture knob ("2.3× wiki, 0.1× crawl") applied as
+    one narrow md5-threshold filter. Sources not listed are dropped (an
+    explicit mixture IS the whitelist). Zero shuffles, scan-pushable, and —
+    like every sampler here — a pure function of (id, seed): re-runs,
+    appends, and repartitioning select the identical row set, so epoch N+1 of
+    an incremental rebuild serves the same mixture as epoch N.
 
-    Rates above 1.0 are rejected: up-sampling means REPEATING rows, which is
-    the data loader's job (or ``explode(sequence(...))`` upstream of packing)
-    — silently capping at 1.0 would misreport the mixture."""
+    Rates ≤ 1 down-sample: keep iff ``hash_bucket(id) < rate·65536``.
+
+    Rates > 1 UP-sample by deterministic replication (the C4/Pile practice of
+    over-weighting scarce high-quality sources): rate 2.3 serves ``floor`` = 2
+    full copies of every row plus a 0.3 hash-Bernoulli third copy. Replicated
+    rows need distinct identity downstream (packing, shuffling), so the
+    caller must name an ``epoch_col``; output rows carry copy index
+    0..⌈rate⌉-1 there. The fractional epoch reuses the SAME bucket threshold
+    as the ≤ 1 path, which buys two invariants for free: (a) restricting a
+    2.3× mixture to its last epoch yields exactly the 0.3× mixture's rows,
+    and (b) growing a rate only ever ADDS (row, epoch) pairs — nesting, never
+    reshuffling. Replication is a narrow per-source ``explode(sequence)`` —
+    still zero shuffles, and the blow-up is the mixture weight itself (there
+    is no free lunch: 2.3× wiki IS 2.3× the bytes downstream).
+
+    With ``epoch_col=None`` (the default) rates above 1.0 are rejected so the
+    pre-r8 fixed-schema contract — and its exact row-set — is unchanged."""
     for name, rate in rates.items():
-        if not 0.0 <= rate <= 1.0:
+        if rate < 0.0:
             raise ValueError(
-                f"mixture rate for {name!r} must be in [0, 1], got {rate}"
+                f"mixture rate for {name!r} must be >= 0, got {rate}"
             )
-    bucket = hash_bucket(F.col(id_col), seed)
-    expr: Column | None = None
-    for name, rate in rates.items():
-        cond = (F.col(source_col) == name) & (bucket < int(rate * HASH_SPACE))
-        expr = cond if expr is None else expr | cond
-    if expr is None:
+        if rate > 1.0 and epoch_col is None:
+            raise ValueError(
+                f"mixture rate for {name!r} is {rate} > 1 (up-sampling): "
+                "replicated rows need distinct identity — pass epoch_col"
+            )
+    if not rates:
         raise ValueError("mixture rates must name at least one source")
-    return df.filter(expr)
+    bucket = hash_bucket(F.col(id_col), seed)
+    src = F.col(source_col)
+    if epoch_col is None:
+        expr: Column | None = None
+        for name, rate in rates.items():
+            cond = (src == name) & (bucket < int(rate * HASH_SPACE))
+            expr = cond if expr is None else expr | cond
+        return df.filter(expr)
+    # replication path: explode each row into its source's ceil(rate) copy
+    # slots, then keep slot e iff e < floor(rate) (a full epoch) or e is the
+    # fractional epoch and the shared bucket clears the fractional threshold
+    n_slots: Column = F.lit(0)
+    keep: Column | None = None
+    for name, rate in rates.items():
+        n_full = int(rate)
+        frac = rate - n_full
+        n_slots = F.when(src == name, F.lit(max(n_full + (frac > 0), 1))).otherwise(
+            n_slots
+        )
+        cond = (src == name) & (
+            (F.col(epoch_col) < n_full)
+            | ((F.col(epoch_col) == n_full) & (bucket < int(frac * HASH_SPACE)))
+        )
+        keep = cond if keep is None else keep | cond
+    return (
+        df.filter(src.isin(*rates))  # drop unlisted sources before exploding
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), n_slots - 1)))
+        .filter(keep)
+    )
 
 
 def stratified_sample(

@@ -414,3 +414,66 @@ def test_decontaminate_against_index(spark, tmp_path_factory):
             assert "Exchange hashpartitioning" not in body, lines[i]
     finally:
         drop_dedup_index(spark, "decon", database="decon_db")
+
+
+def test_near_decontaminate_against_index(spark, tmp_path_factory):
+    """Index-backed NEAR decontamination: a paraphrased eval doc is caught
+    from the persisted band+shingle tables (symmetric Jaccard over band
+    candidates), and neither index table's scan shuffles — the bounded
+    benchmark side broadcasts into both joins."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.incremental import (
+        build_dedup_index,
+        drop_dedup_index,
+        near_decontaminate_against_index,
+    )
+
+    loc = str(tmp_path_factory.mktemp("ndecon_idx"))
+    doc1 = " ".join(f"tok{i}" for i in range(30))
+    para = " ".join("changed" if i == 15 else f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=doc1),
+            Row(doc_id=2, text="totally unrelated content about other things"),
+        ]
+    )
+    build_dedup_index(corpus, "ndecon", loc, num_buckets=4, database="nd_db")
+    try:
+        bench = spark.createDataFrame(
+            [
+                Row(doc_id=201, text=para),
+                Row(doc_id=202, text=" ".join(f"dk{i}" for i in range(30))),
+            ]
+        )
+        res = near_decontaminate_against_index(
+            bench, "ndecon", database="nd_db", jaccard_threshold=0.4
+        )
+        rows = {
+            (r["hist_id"], r["bench_id"]): (r["n_inter"], r["jaccard"])
+            for r in res.collect()
+        }
+        assert rows == {(1, 201): (25, 0.8065)}
+        # plan contract: walking UP from each index FileScan, a (broadcast)
+        # Join appears before any hash Exchange — the multi-TB index sides
+        # never shuffle
+        final = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final
+        lines = final.splitlines()
+
+        def indent(l):
+            return len(l) - len(l.lstrip(" :+-*(0123456789)"))
+
+        for tbl in ("ndecon_bands", "ndecon_shingles"):
+            scan_line = next(i for i, l in enumerate(lines) if tbl in l)
+            cur = indent(lines[scan_line])
+            for i in range(scan_line - 1, -1, -1):
+                if indent(lines[i]) >= cur:
+                    continue
+                cur = indent(lines[i])
+                body = lines[i].strip(" :+-")
+                if "Join" in body:
+                    break
+                assert "Exchange hashpartitioning" not in body, lines[i]
+    finally:
+        drop_dedup_index(spark, "ndecon", database="nd_db")

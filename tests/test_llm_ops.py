@@ -1099,6 +1099,57 @@ def test_decontamination_matches(spark):
     assert left == {(1, 101)}
 
 
+def test_near_decontamination_matches_paraphrase(spark):
+    """The MinHash route catches a PARAPHRASED leak: one mid-document word
+    substitution kills only the 3 shingles crossing it, the band join still
+    collides, and symmetric Jaccard lands at inter/union — while decoys never
+    band with anything. Exact copies score 1.0 and a high threshold prunes
+    the paraphrase but keeps the copy."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.dedup import (
+        near_decontamination_matches,
+    )
+
+    doc1 = " ".join(f"tok{i}" for i in range(30))
+    doc2 = " ".join(f"alt{i}" for i in range(30))
+    para = " ".join(
+        "changed" if i == 15 else f"tok{i}" for i in range(30)
+    )  # shingles starting at 13,14,15 differ -> 25 of 28 shared
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=doc1),
+            Row(doc_id=2, text=doc2),
+            Row(doc_id=3, text="totally unrelated content about other things"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [
+            Row(doc_id=201, text=para),
+            Row(doc_id=202, text=doc2),  # verbatim leak
+            Row(doc_id=203, text=" ".join(f"dk{i}" for i in range(30))),
+        ]
+    )
+    got = {
+        (r["corpus_id"], r["bench_id"]): (r["n_inter"], r["jaccard"])
+        for r in near_decontamination_matches(
+            corpus, bench, jaccard_threshold=0.4
+        ).collect()
+    }
+    # 25 shared / (28 + 28 - 25) union = 0.8065
+    assert got[(1, 201)] == (25, 0.8065)
+    assert got[(2, 202)] == (28, 1.0)
+    assert not any(b == 203 for (_, b) in got)
+    # symmetric-jaccard threshold prunes the paraphrase, keeps the copy
+    left = {
+        (r["corpus_id"], r["bench_id"])
+        for r in near_decontamination_matches(
+            corpus, bench, jaccard_threshold=0.9
+        ).collect()
+    }
+    assert left == {(2, 202)}
+
+
 def test_html_to_text(spark):
     from pyspark.sql import Row
     from pyspark.sql import functions as F

@@ -96,10 +96,72 @@ def test_mixture_sample_matches_duckdb(docs):
     }
     assert kept_sources <= {"src1", "src2"}
 
-    with pytest.raises(ValueError, match="must be in"):
+    with pytest.raises(ValueError, match="pass epoch_col"):
         sampling.mixture_sample(docs, {"src1": 1.5})
     with pytest.raises(ValueError, match="at least one"):
         sampling.mixture_sample(docs, {})
+
+
+def test_mixture_upsample_matches_duckdb(docs):
+    """Rates > 1 replicate deterministically: 2.3× serves 2 full copies +
+    a 0.3 hash-Bernoulli third, each tagged with its epoch index. The
+    DuckDB twin cross-joins each row against its source's epoch slots."""
+    rates = {"src1": 2.3, "src2": 0.4}
+    out = sampling.mixture_sample(
+        docs, rates, seed="mx", epoch_col="epoch"
+    )
+    got = sorted(
+        (r["doc_id"], r["epoch"]) for r in out.collect()
+    )
+    want = sorted(
+        (int(d), int(e))
+        for d, e in duckdb.connect().execute(
+            f"""
+            WITH b AS (
+                SELECT doc_id, source,
+                    CAST('0x' || substr(md5('mx:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                         AS INTEGER) AS bucket
+                FROM read_parquet('{DOCS}')
+            )
+            SELECT doc_id, e FROM b, (SELECT unnest(range(0, 3)) AS e)
+            WHERE (source = 'src1' AND (e < 2 OR (e = 2 AND bucket < {int(0.3 * 65536)})))
+               OR (source = 'src2' AND e = 0 AND bucket < {int(0.4 * 65536)})
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    ids = [d for d, _ in got]
+    # every src1 row appears >= 2 times; src2 at most once
+    n_src1 = {r["doc_id"] for r in docs.filter(F.col("source") == "src1").collect()}
+    for d in n_src1:
+        assert ids.count(d) in (2, 3)
+    # invariant (a): the fractional epoch IS the 0.3x mixture of that source
+    frac_ids = {d for d, e in got if e == 2}
+    plain_03 = {
+        r["doc_id"]
+        for r in sampling.mixture_sample(docs, {"src1": 0.3}, seed="mx").collect()
+    }
+    assert frac_ids == plain_03
+    # invariant (b): growing a rate only adds (row, epoch) pairs
+    grown = {
+        (r["doc_id"], r["epoch"])
+        for r in sampling.mixture_sample(
+            docs, {"src1": 2.6, "src2": 0.4}, seed="mx", epoch_col="epoch"
+        ).collect()
+    }
+    assert set(got) <= grown
+    # rerun-stable
+    again = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert again == got
+    # integer rate: exact copies, no fractional epoch
+    two = [
+        (r["doc_id"], r["epoch"])
+        for r in sampling.mixture_sample(
+            docs, {"src1": 2.0}, seed="mx", epoch_col="epoch"
+        ).collect()
+    ]
+    assert sorted({e for _, e in two}) == [0, 1]
+    assert len(two) == 2 * len(n_src1)
 
 
 def test_stratified_sample_exact_quota(docs):
