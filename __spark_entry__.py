@@ -162,19 +162,67 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data layout pipeline: sequence packing (concat-and-chunk into
-    ctx_len=512 context windows via the two-level distributed prefix sum,
-    packing.pack_sequences) joined with the deterministic hash train/val/test
-    split (sampling.hash_split). One row per (document, pack) segment, tagged
-    with the document's stable split label — the exact layout a trainer's
-    data loader consumes. Both layouts derive from md5 expressions, so the
-    oracle reproduces them bit-for-bit."""
+    """Training-data layout pipeline on the (document, pack)-segment grain —
+    two branches (r8):
+
+    - ``pack``: sequence packing (concat-and-chunk into ctx_len=512 context
+      windows via the two-level distributed prefix sum,
+      packing.pack_sequences) joined with the deterministic hash
+      train/val/test split (sampling.hash_split) — the exact layout a
+      trainer's data loader consumes; ``mix_epoch`` NULL.
+    - ``mix_pack``: the UP-sampled mixture composed with packing — a 3-source
+      mixture (src0 ×2.3, src1 ×1.0, src2 ×0.4) replicated via
+      ``mixture_sample(epoch_col=...)``, each copy given a distinct packing
+      identity (rep_id = doc_id·4 + epoch) so replicas land in independent
+      stream positions, then packed and re-joined to the ORIGINAL document's
+      split label — upsampled copies must never straddle the train/val
+      boundary (epoch replication happens inside a split, or eval leaks).
+
+    Every layout derives from md5 expressions, so the oracle reproduces both
+    branches bit-for-bit."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     packed = packing.pack_sequences(docs, ctx_len=512)
     split = sampling.hash_split(docs.select("doc_id"))
-    return packed.join(split, "doc_id").select(
-        "doc_id", "n_tokens", "pack_id", "pack_pos", "doc_offset", "seg_tokens", "split"
+    pack = packed.join(split, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "pack_id",
+        "pack_pos",
+        "doc_offset",
+        "seg_tokens",
+        "split",
+        F.lit("pack").alias("branch"),
+        F.lit(None).cast("int").alias("mix_epoch"),
     )
+    mixed = sampling.mixture_sample(
+        docs,
+        {"src0": 2.3, "src1": 1.0, "src2": 0.4},
+        epoch_col="mix_epoch",
+    )
+    rep = mixed.select(
+        (F.col("doc_id") * 4 + F.col("mix_epoch")).alias("rep_id"), "text"
+    )
+    mix = (
+        packing.pack_sequences(rep, ctx_len=512, id_col="rep_id")
+        .withColumn("mix_epoch", (F.col("rep_id") % 4).cast("int"))
+        .withColumn(
+            "doc_id",
+            ((F.col("rep_id") - F.col("rep_id") % 4) / 4).cast("long"),
+        )
+        .join(split, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pack_id",
+            "pack_pos",
+            "doc_offset",
+            "seg_tokens",
+            "split",
+            F.lit("mix_pack").alias("branch"),
+            "mix_epoch",
+        )
+    )
+    return pack.unionByName(mix)
 
 
 _IVF_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
@@ -2103,26 +2151,50 @@ def _ivf_oracle_sql(
 """
 
 
-def _pack_split_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
+def _pack_split_oracle_sql(
+    ctx: int = 512, n_shards: int = 32, mix: bool = False
+) -> str:
     """DuckDB twin of pack_sequences (two-level prefix sum over md5 shard/order
     keys, concat-and-chunk segmentation) joined with hash_split's 90/5/5
     bucket thresholds — the same expressions as the engine, so the layout must
-    match bit-for-bit."""
+    match bit-for-bit. ``mix=True`` packs the UP-sampled 3-source mixture
+    instead: rows replicated per epoch slot under mixture_sample's shared
+    bucket threshold, packed by the replica id (pid = doc_id·4 + epoch), then
+    labeled with the ORIGINAL doc's split."""
     bucket = (
-        "CAST('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+        "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
         " AS INTEGER)"
     )
+    if mix:
+        src = f"""src AS (
+        SELECT doc_id * 4 + e AS pid, doc_id, text
+        FROM (
+            SELECT doc_id, text, source,
+                {bucket.format(seed="mix", id="doc_id")} AS mbucket
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ), (SELECT unnest(range(0, 3)) AS e)
+        WHERE (source = 'src0' AND (e < 2 OR (e = 2 AND mbucket < {int(0.3 * 65536)})))
+           OR (source = 'src1' AND e = 0)
+           OR (source = 'src2' AND e = 0 AND mbucket < {int(0.4 * 65536)})
+    )"""
+        branch = "'mix_pack'"
+        epoch = "CAST(pid % 4 AS INTEGER)"
+    else:
+        src = "src AS (SELECT doc_id AS pid, doc_id, text FROM documents)"
+        branch = "'pack'"
+        epoch = "CAST(NULL AS INTEGER)"
     return f"""
-    WITH t AS (
-        SELECT doc_id,
+    WITH {src},
+    t AS (
+        SELECT pid, doc_id,
             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-            {bucket.format(seed="pack")} % {n_shards} AS shard,
-            md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
-        FROM documents WHERE trim(text) <> ''
+            {bucket.format(seed="pack", id="pid")} % {n_shards} AS shard,
+            md5('pack:' || CAST(pid AS VARCHAR)) AS ord
+        FROM src WHERE trim(text) <> ''
     ),
     loc AS (
         SELECT *, sum(n_tokens) OVER (
-            PARTITION BY shard ORDER BY ord, doc_id
+            PARTITION BY shard ORDER BY ord, pid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS cum FROM t
     ),
@@ -2133,11 +2205,11 @@ def _pack_split_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
         ), 0) AS off FROM tot
     ),
     placed AS (
-        SELECT doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS strt
+        SELECT pid, doc_id, n_tokens, CAST(off + cum - n_tokens AS BIGINT) AS strt
         FROM loc JOIN off USING (shard)
     ),
     seg AS (
-        SELECT doc_id, n_tokens, strt,
+        SELECT pid, doc_id, n_tokens, strt,
             unnest(range(strt // {ctx}, (strt + n_tokens - 1) // {ctx} + 1)) AS pack_id
         FROM placed
     )
@@ -2146,10 +2218,12 @@ def _pack_split_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
         greatest(strt, pack_id * {ctx}) - strt AS doc_offset,
         least(strt + n_tokens, (pack_id + 1) * {ctx}) - greatest(strt, pack_id * {ctx}) AS seg_tokens,
         CASE
-            WHEN {bucket.format(seed="split")} < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'train'
-            WHEN {bucket.format(seed="split")} < CAST(floor(0.95 * 65536) AS INTEGER) THEN 'val'
+            WHEN {bucket.format(seed="split", id="doc_id")} < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'train'
+            WHEN {bucket.format(seed="split", id="doc_id")} < CAST(floor(0.95 * 65536) AS INTEGER) THEN 'val'
             ELSE 'test'
-        END AS split
+        END AS split,
+        {branch} AS branch,
+        {epoch} AS mix_epoch
     FROM seg
 """
 
@@ -2160,7 +2234,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT *, 1 AS nprobe FROM ({_ivf_oracle_sql(nprobe=1)})\n"
             f"UNION ALL\nSELECT *, 2 AS nprobe FROM ({_ivf_oracle_sql(nprobe=2)})"
         ),
-        "pipeline_pack_split": _pack_split_oracle_sql(),
+        "pipeline_pack_split": (
+            f"SELECT * FROM ({_pack_split_oracle_sql()})\n"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(mix=True)})"
+        ),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},
             line AS (

@@ -79,6 +79,7 @@ BRANCH_TAGS = {
         "method",
         ["jaccard", "lsh", "decontam", "decontam_near"],
     ),
+    "pipeline_pack_split": ("branch", ["pack", "mix_pack"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
     "text_corpus_stats": (
         "branch",
