@@ -1302,17 +1302,20 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("rank"), 6).alias("metric_a"),
         F.lit(None).cast("double").alias("metric_b"),
     )
-    # ppl branch (r7): CCNet-style bigram-LM perplexity, self-trained on the
-    # corpus (quality.bigram_perplexity) — the oracle rebuilds the identical
-    # add-k model (bigram/unigram counts, distinct-token vocabulary) and
-    # scoring sum in SQL, so any divergence in tokenization, counting,
-    # smoothing, or the exp/ln chain hash-fails.
-    from kafka_connector_s3_sink_spark.operators.quality import bigram_perplexity
+    # ppl branch (r7, upgraded r8): CCNet-style INTERPOLATED trigram-LM
+    # perplexity, self-trained on the corpus (quality.trigram_perplexity,
+    # λ = 0.1/0.3/0.6 over add-k unigram/bigram/trigram levels) — the oracle
+    # rebuilds the identical three-level model (trigram counts + context
+    # rollup, bigram counts + rollup, unigram counts, (V, N) scalars) and
+    # the interpolated −ln scoring sum in SQL, so any divergence in
+    # tokenization, counting, smoothing, interpolation order, or the exp/ln
+    # chain hash-fails.
+    from kafka_connector_s3_sink_spark.operators.quality import trigram_perplexity
 
-    ppl_rows = bigram_perplexity(docs).select(
+    ppl_rows = trigram_perplexity(docs).select(
         F.lit("ppl").alias("branch"),
         F.col("doc_id").cast("string").alias("key"),
-        F.col("n_bigrams").cast("bigint").alias("n"),
+        F.col("n_trigrams").cast("bigint").alias("n"),
         stable_round(F.col("ppl"), 4).alias("metric_a"),
         stable_round(F.col("avg_nll"), 6).alias("metric_b"),
     )
@@ -1622,18 +1625,23 @@ def _drift_oracle_sql(n_buckets: int = 10, alpha: float = 0.5) -> str:
 """
 
 
-def _ppl_oracle_sql(k: float = 0.1) -> str:
+def _ppl_oracle_sql(
+    k: float = 0.1, lambdas: tuple[float, float, float] = (0.1, 0.3, 0.6)
+) -> str:
     """DuckDB oracle for the `ppl` branch of text_corpus_stats: the
-    identical self-trained add-k bigram LM — lowercased whitespace tokens,
-    adjacent-pair counts, (w1) rollup, distinct-token vocabulary — and the
-    same −ln p scoring sum, rounded like the Spark side. Emitted as a
+    identical self-trained interpolated trigram LM — lowercased whitespace
+    tokens, trigram counts + (w1,w2) context rollup, bigram counts + (u1)
+    rollup, unigram counts, distinct-token vocabulary and token total — and
+    the same λ-weighted −ln scoring sum in the same addition order
+    (uni + bi + tri), rounded like the Spark side. Emitted as a
     `UNION ALL` tail for the entry's f-string."""
+    l1, l2, l3 = lambdas
     return f"""
             UNION ALL
             SELECT 'ppl' AS branch, CAST(doc_id AS VARCHAR) AS key,
-                CAST(nb AS BIGINT) AS n,
-                floor(exp(s / nb) * 10000.0 + 0.5) / 10000.0 AS metric_a,
-                floor((s / nb) * 1000000.0 + 0.5) / 1000000.0 AS metric_b
+                CAST(nt AS BIGINT) AS n,
+                floor(exp(s / nt) * 10000.0 + 0.5) / 10000.0 AS metric_a,
+                floor((s / nt) * 1000000.0 + 0.5) / 1000000.0 AS metric_b
             FROM (
             WITH tk AS (
                 SELECT doc_id,
@@ -1642,21 +1650,44 @@ def _ppl_oracle_sql(k: float = 0.1) -> str:
                     END AS toks
                 FROM documents
             ),
+            tg AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+                FROM (
+                    SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk
+                )
+            ),
             bg AS (
-                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+                SELECT doc_id, toks[i] AS u1, toks[i + 1] AS u2 FROM (
                     SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk
                 )
             ),
-            bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-            c1 AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1),
-            vocab AS (
-                SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+            c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+            cctx AS (SELECT w1, w2, sum(c3) AS cctx FROM c3 GROUP BY 1, 2),
+            cb AS (SELECT u1, u2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            cb1 AS (SELECT u1, sum(cb) AS cb1 FROM cb GROUP BY 1),
+            cu AS (
+                SELECT t, count(*) AS cu
+                FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1
+            ),
+            sc AS (
+                SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v,
+                       CAST(count(*) AS DOUBLE) AS ntok
                 FROM (SELECT unnest(toks) AS t FROM tk)
             )
-            SELECT bg.doc_id, count(*) AS nb,
-                sum(-ln((bc.c2 + {k}) / (c1.c1 + {k} * v))) AS s
-            FROM bg JOIN bc USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
-            GROUP BY bg.doc_id
+            SELECT tg.doc_id, count(*) AS nt,
+                sum(-ln(
+                    {l1} * ((cu.cu + {k}) / (ntok + {k} * v))
+                  + {l2} * ((cb.cb + {k}) / (cb1.cb1 + {k} * v))
+                  + {l3} * ((c3.c3 + {k}) / (cctx.cctx + {k} * v))
+                )) AS s
+            FROM tg
+            JOIN c3 USING (w1, w2, w3)
+            JOIN cctx USING (w1, w2)
+            JOIN cb ON tg.w2 = cb.u1 AND tg.w3 = cb.u2
+            JOIN cb1 ON tg.w2 = cb1.u1
+            JOIN cu ON tg.w3 = cu.t
+            CROSS JOIN sc
+            GROUP BY tg.doc_id
             )
 """
 

@@ -199,6 +199,81 @@ def test_bigram_perplexity_external_model_and_oov(spark):
     assert out[101]["avg_nll"] == pytest.approx(math.log(5.0))
 
 
+def test_trigram_perplexity_hand_computed(spark):
+    """Interpolated trigram LM (r8): hand-checked λ-weighted probability on
+    a tiny corpus; docs with < 3 tokens emit no trigrams; lambdas must sum
+    to 1."""
+    import math
+
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        trigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),
+            Row(doc_id=2, text="a b"),  # 2 tokens: no trigrams
+        ]
+    )
+    out = {r["doc_id"]: r for r in trigram_perplexity(docs).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_trigrams"] == 3
+    # model (self-trained over BOTH docs, k=0.1, V=2, N=7, λ=0.1/0.3/0.6):
+    # trigrams: (a,b,a)x2, (b,a,b)x1; contexts: (a,b)=2, (b,a)=1
+    # bigrams:  (a,b)x3 (doc 2 contributes one), (b,a)x2; rollups: a·=3, b·=2
+    # unigrams: a=4, b=3
+    k, V, N = 0.1, 2.0, 7.0
+    def p(cu, cb, cb1, c3, cctx):
+        return (
+            0.1 * ((cu + k) / (N + k * V))
+            + 0.3 * ((cb + k) / (cb1 + k * V))
+            + 0.6 * ((c3 + k) / (cctx + k * V))
+        )
+    p_aba = p(4, 2, 2, 2, 2)  # w3=a, (w2,w3)=(b,a), (w1,w2)=(a,b)
+    p_bab = p(3, 3, 3, 1, 1)  # w3=b, (w2,w3)=(a,b), (w1,w2)=(b,a)
+    nll = (2 * -math.log(p_aba) + -math.log(p_bab)) / 3
+    assert out[1]["avg_nll"] == pytest.approx(nll)
+    assert out[1]["ppl"] == pytest.approx(math.exp(nll))
+    with pytest.raises(ValueError, match="sum to 1"):
+        trigram_perplexity(docs, lambdas=(0.5, 0.5, 0.5))
+
+
+def test_trigram_separation_widens_vs_bigram(spark):
+    """The filter-grade claim: under a model trained on reference prose, the
+    trigram level rewards matching 3-token continuations, so the
+    gibberish/prose perplexity ratio is strictly larger than the bigram
+    model's on the same fixture."""
+    import statistics
+
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        bigram_perplexity,
+        trigram_perplexity,
+    )
+
+    prose = [
+        Row(
+            doc_id=i,
+            text="the cat sat on the mat and the dog sat on the rug "
+            "while the cat ran to the mat",
+        )
+        for i in range(5)
+    ]
+    gib = [
+        Row(doc_id=100 + i, text=" ".join(f"zx{i}q{j}" for j in range(20)))
+        for i in range(3)
+    ]
+    model = spark.createDataFrame(prose)
+    both = spark.createDataFrame(prose + gib)
+
+    def sep(fn):
+        ppl = {r["doc_id"]: r["ppl"] for r in fn(both, model).collect()}
+        lo = statistics.mean(v for d, v in ppl.items() if d < 100)
+        hi = statistics.mean(v for d, v in ppl.items() if d >= 100)
+        return hi / lo
+
+    assert sep(trigram_perplexity) > sep(bigram_perplexity) > 1.0
+
+
 def test_binary_auc_hand_computed(spark):
     from kafka_connector_s3_sink_spark.operators.quality import binary_auc
 
