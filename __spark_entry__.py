@@ -1031,11 +1031,12 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       (bits {0,1} for doc_id%5==0, bits {5,6} for doc_id%7==0). Cross-group
       hamming is ≥ 11-4 = 7 > the radius 6, within-group perturbed pairs sit
       at hamming 2–4, so the pigeonhole block join must find REAL non-zero
-      hamming matches, same-media-type only (even ids = image, odd = audio).
-      The oracle replays the radius join + recursive closure in SQL — the
-      payload→fingerprint kernels (image_dhash / audio_fingerprint) are
-      pinned by round-trip pytests instead (tests/test_llm_ops.py), since a
-      BMP dHash is not SQL-expressible."""
+      hamming matches, same-media-type only (doc_id mod 3 → image / audio /
+      video, r8). The oracle replays the radius join + recursive closure in
+      SQL — the payload→fingerprint kernels (image_dhash /
+      audio_fingerprint / video_fingerprint) are pinned by round-trip
+      pytests instead (tests/test_llm_ops.py), since a BMP dHash is not
+      SQL-expressible."""
     text_rows = dedup.dedup_cascade(
         dedup.with_near_duplicates(
             dedup.with_exact_duplicates(_docs(spark, sf_dir)), id_offset=200_000
@@ -1045,9 +1046,10 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = F.col("doc_id")
     hashes = _docs(spark, sf_dir).select(
         did.alias("media_id"),
-        F.when(did % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias(
-            "media_type"
-        ),
+        F.when(did % 3 == 0, F.lit("image"))
+        .when(did % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
         ((did % 37) * F.lit(2654435761))
         .cast("long")
         .bitwiseXOR(
@@ -3715,8 +3717,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             mh AS (
                 SELECT doc_id AS media_id,
-                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
-                        AS media_type,
+                    CASE WHEN doc_id % 3 = 0 THEN 'image'
+                         WHEN doc_id % 3 = 1 THEN 'audio'
+                         ELSE 'video' END AS media_type,
                     xor(CAST(doc_id % 37 AS BIGINT) * 2654435761,
                         CAST(CASE WHEN doc_id % 5 = 0 THEN 3
                                   WHEN doc_id % 7 = 0 THEN 96

@@ -652,6 +652,59 @@ def audio_fingerprint(payload: bytes) -> int:
     return _to_signed64(h)
 
 
+def video_fingerprint(payload: bytes) -> int:
+    """64-bit spatio-temporal fingerprint of an uncompressed YUV4MPEG2
+    stream: frames → 8 equal-TIME segments (the same time-normalized
+    segmentation as the audio envelope, so the hash survives frame-rate
+    doubling and mild trims) → per segment a 3×3 block-mean luma grid
+    averaged over the segment's frames (block MEANS, not point samples, so
+    the hash survives resizing) → 8 gradient-sign bits per segment (6
+    horizontal + 2 vertical down the center column — a coarse per-segment
+    dHash) → bit index = segment·8 + comparison. A re-encoded / resized /
+    retimed copy of the same footage lands within a small hamming radius;
+    different footage flips many bits. Same honest-failure contract as the
+    image/audio kernels for entropy-coded containers (H.264 etc. raise in
+    ``_y4m_frames``)."""
+    import numpy as np
+
+    grids = []
+    for _fno, w, h, y in _y4m_frames(payload):
+        luma = np.frombuffer(y, dtype=np.uint8)
+        if luma.size != w * h:
+            raise NotImplementedError("truncated y4m frame")
+        g = luma.reshape(h, w).astype(np.float64)
+        rb = (np.arange(4) * h) // 3
+        cb = (np.arange(4) * w) // 3
+        grid = np.empty((3, 3))
+        for r in range(3):
+            for c in range(3):
+                grid[r, c] = float(
+                    g[
+                        rb[r] : max(rb[r + 1], rb[r] + 1),
+                        cb[c] : max(cb[c + 1], cb[c] + 1),
+                    ].mean()
+                )
+        grids.append(grid)
+    if not grids:
+        raise NotImplementedError("y4m stream has no frames")
+    n = len(grids)
+    h64, bit = 0, 0
+    for s in range(8):
+        lo = min((s * n) // 8, n - 1)
+        hi = max(((s + 1) * n) // 8, lo + 1)
+        seg = np.mean(grids[lo:hi], axis=0)
+        for a, b in (
+            ((0, 0), (0, 1)), ((0, 1), (0, 2)),
+            ((1, 0), (1, 1)), ((1, 1), (1, 2)),
+            ((2, 0), (2, 1)), ((2, 1), (2, 2)),
+            ((0, 1), (1, 1)), ((1, 1), (2, 1)),
+        ):
+            if seg[a] > seg[b]:
+                h64 |= 1 << bit
+            bit += 1
+    return _to_signed64(h64)
+
+
 def perceptual_hash(payload: bytes, media_type: str) -> int:
     """Magic-byte dispatch to the per-format fingerprint kernels (the same
     honest-failure contract as ``real_decoder`` for entropy-coded formats)."""
@@ -659,9 +712,12 @@ def perceptual_hash(payload: bytes, media_type: str) -> int:
         return image_dhash(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return audio_fingerprint(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return video_fingerprint(payload)
     raise NotImplementedError(
-        "perceptual hashing decodes uncompressed BMP and PCM WAV only; plug a "
-        "codec-backed hasher into perceptual_hashes(hasher=...) for other formats"
+        "perceptual hashing decodes uncompressed BMP, PCM WAV, and y4m video "
+        "only; plug a codec-backed hasher into perceptual_hashes(hasher=...) "
+        "for other formats"
     )
 
 

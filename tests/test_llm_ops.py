@@ -693,6 +693,51 @@ def test_audio_fingerprint_invariant_under_resample(spark):
     assert d_other > 12
 
 
+def test_video_fingerprint_invariants(spark):
+    """Spatio-temporal y4m hash: exactly stable under frame-rate doubling
+    (time-normalized segments see identical content), within a small hamming
+    radius under a 2x nearest-neighbor upscale (block means barely move),
+    and far from temporally-reversed or unrelated footage."""
+    import numpy as np
+
+    w, h = 12, 9
+
+    def frame(t):
+        # spatial gradient that drifts with time: distinct per-segment grids
+        r = np.arange(h).reshape(-1, 1)
+        c = np.arange(w).reshape(1, -1)
+        return (
+            ((c * 17 + r * 11 + t * 23) % 200 + (c > t % w) * 40) % 256
+        ).astype(np.uint8).tobytes()
+
+    frames = [frame(t) for t in range(16)]
+    base = _y4m_bytes(w, h, frames)
+    h0 = multimodal.video_fingerprint(base)
+
+    doubled = _y4m_bytes(w, h, [f for f in frames for _ in range(2)])
+    assert multimodal.video_fingerprint(doubled) == h0
+
+    up = [
+        np.repeat(
+            np.repeat(np.frombuffer(f, np.uint8).reshape(h, w), 2, 0), 2, 1
+        ).tobytes()
+        for f in frames
+    ]
+    d_resize = bin(
+        (h0 ^ multimodal.video_fingerprint(_y4m_bytes(w * 2, h * 2, up)))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert d_resize <= 6
+
+    d_rev = bin(
+        (h0 ^ multimodal.video_fingerprint(_y4m_bytes(w, h, frames[::-1])))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert d_rev > 10
+    # dispatch: perceptual_hash routes the y4m magic to this kernel
+    assert multimodal.perceptual_hash(base, "video") == h0
+
+
 def test_perceptual_dupes_blocked_join(spark):
     """End to end: hash via the Arrow boundary (corrupt payload survives in
     capture mode), then the pigeonhole-blocked hamming join finds the planted
@@ -707,6 +752,17 @@ def test_perceptual_dupes_blocked_join(spark):
 
     ramp = [int(16000 * (i / 4000) * math.sin(i * 0.7)) for i in range(4000)]
     wav = _wav_bytes(ramp)
+    import numpy as np
+
+    def vframe(t):
+        r_ix = np.arange(9).reshape(-1, 1)
+        c_ix = np.arange(12).reshape(1, -1)
+        return (
+            ((c_ix * 17 + r_ix * 11 + t * 23) % 200 + (c_ix > t % 12) * 40) % 256
+        ).astype(np.uint8).tobytes()
+
+    vframes = [vframe(t) for t in range(16)]
+    vid = _y4m_bytes(12, 9, vframes)
     payloads = [
         (1, "image", base),
         (2, "image", multimodal._resize_bmp(base, 36, 32)),
@@ -714,6 +770,9 @@ def test_perceptual_dupes_blocked_join(spark):
         (4, "audio", wav),
         (5, "audio", multimodal._resample_wav(wav, 11025)),
         (6, "image", b"\xff\xd8 jpeg-ish"),  # corrupt: no BMP/WAV magic
+        (7, "video", vid),
+        (8, "video", _y4m_bytes(12, 9, [f for f in vframes for _ in range(2)])),
+        (9, "video", _y4m_bytes(12, 9, vframes[::-1])),
     ]
     media = spark.createDataFrame(
         [
@@ -726,17 +785,19 @@ def test_perceptual_dupes_blocked_join(spark):
     hashes = multimodal.perceptual_hashes(media)
     hrows = {r["media_id"]: r for r in hashes.collect()}
     assert hrows[6]["phash"] is None and "NotImplementedError" in hrows[6]["phash_error"]
-    assert all(hrows[i]["phash"] is not None for i in (1, 2, 3, 4, 5))
+    assert all(hrows[i]["phash"] is not None for i in (1, 2, 3, 4, 5, 7, 8, 9))
 
     pairs_df = multimodal.perceptual_dupes(hashes, max_hamming=6)
     assert "CartesianProduct" not in pairs_df._jdf.queryExecution().executedPlan().toString()
     pairs = {(r["id1"], r["id2"]): r for r in pairs_df.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)]["hamming"] == 0
     assert (4, 5) in pairs and pairs[(4, 5)]["media_type"] == "audio"
+    assert (7, 8) in pairs and pairs[(7, 8)]["media_type"] == "video"
+    assert pairs[(7, 8)]["hamming"] == 0  # retimed copy, identical signature
     assert (1, 3) not in pairs and (2, 3) not in pairs  # inverted image is far
-    assert not any(
-        {a, b} & {1, 2, 3} and {a, b} & {4, 5} for a, b in pairs
-    )  # never cross-type
+    assert (7, 9) not in pairs and (8, 9) not in pairs  # reversed video is far
+    for a, b in pairs:  # never cross-type
+        assert any({a, b} <= g for g in ({1, 2, 3}, {4, 5}, {7, 8, 9}))
 
 
 def test_media_dedup_end_to_end(spark):
