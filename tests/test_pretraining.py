@@ -1,0 +1,220 @@
+"""End-to-end pretraining preset: synthetic WARC → enrich →
+``pretraining_pipeline`` → packed shards, with every stage's row accounting
+asserted against a hand-planted fixture (one planted casualty per stage)."""
+
+import gzip
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.pretraining import (
+    PretrainingConfig,
+    pretraining_pipeline,
+)
+from kafka_connector_s3_sink_spark.sources.warc import (
+    build_http_response_payload,
+    build_record,
+    enrich_crawl_documents,
+    read_warc,
+    warc_documents,
+)
+
+
+def _bucket(seed, i):
+    return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16)
+
+
+def _prose(tag, n=45):
+    """Stopword-laced unique-token prose: clears the static quality floor,
+    shares no 3-gram shingle with any other tag's doc."""
+    stops = ["the", "and", "of", "to", "is"]
+    return " ".join(
+        w for i in range(n) for w in (stops[i % 5], f"{tag}{i}")
+    )
+
+
+# a 54-token license header: long enough to carry span_tokens=50 windows
+HEADER = _prose("license", 27)
+PARA = "the shared boilerplate paragraph that appears in three documents verbatim today"
+
+# url -> (pinned doc_id, text); one planted casualty per stage. Prose docs
+# stay short enough that no CROSS-doc shared run reaches 50 tokens (the
+# A/C near-dup pair shares 22-token runs at most), so span surgery touches
+# only the planted header.
+A = _prose("aa", 22)
+C = A.replace("aa10", "changed")  # near-dup of A: one mid word
+K = _prose("kk", 40)
+L = _prose("ll", 40)
+DOCS = {
+    "https://wiki.org/a": (1, A),
+    "https://b.com/b": (2, A),                      # exact copy -> paragraph stage
+    "https://c.com/c": (3, C),                      # near dup   -> cascade
+    "https://wiki.org/d": (4, PARA + "\n" + _prose("dd", 15)),
+    "https://e.com/e": (5, PARA + "\n" + _prose("ee", 15)),
+    "https://f.com/f": (6, PARA),                   # only dup para -> paragraph stage
+    "https://g.com/g": (7, "@@!! ##$$ %%^^ &&**"),  # gibberish -> quality floor
+    "https://k.com/k": (8, K),                      # -> exact decontam
+    "https://l.com/l": (9, L),                      # -> near decontam
+    "https://capped.com/p1": (10, _prose("ma", 22)),
+    "https://capped.com/p2": (11, _prose("mb", 22)),
+    "https://capped.com/p3": (12, _prose("mc", 6)),  # lowest quality -> cap
+    "https://h.com/h": (13, HEADER + " " + _prose("hh", 15)),
+    "https://i.com/i": (14, HEADER + " " + _prose("ii", 15)),
+    "https://j.com/j": (15, HEADER),                # only dup span -> span surgery
+}
+URL_404 = "https://z.com/missing"
+
+
+@pytest.fixture(scope="module")
+def enriched(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("warc_corpus")
+    records = [build_record("warcinfo", b"software: test\r\n")]
+    for url, (_i, text) in DOCS.items():
+        records.append(
+            build_record(
+                "conversion",
+                text.encode(),
+                target_uri=url,
+                content_type="text/plain",
+            )
+        )
+    records.append(
+        build_record(
+            "response",
+            build_http_response_payload(
+                b"gone", status=404, content_type="application/octet-stream"
+            ),
+            target_uri=URL_404,
+        )
+    )
+    (tmp / "corpus.warc.gz").write_bytes(
+        b"".join(gzip.compress(r, mtime=0) for r in records)
+    )
+    docs = enrich_crawl_documents(warc_documents(read_warc(spark, str(tmp))))
+    # pin doc_ids so stage ownership (min-id canonical elections, paragraph
+    # first-occurrence) is deterministic instead of xxhash-ordered
+    id_map = F.create_map(
+        *[
+            F.lit(x)
+            for url, (i, _t) in list(DOCS.items()) + [(URL_404, (16, ""))]
+            for x in (url, i)
+        ]
+    )
+    return docs.withColumn("doc_id", id_map[F.col("url")].cast("long"))
+
+
+@pytest.fixture(scope="module")
+def result(spark, enriched):
+    bench = spark.createDataFrame(
+        [
+            # tail-trimmed copy of K: exact containment 1.0
+            Row(doc_id=901, text=K.rsplit(" ", 1)[0]),
+            # first word replaced in L: only the near pass is guaranteed
+            Row(doc_id=902, text="paraphrased " + L.split(" ", 1)[1]),
+        ]
+    )
+    wiki = F.col("domain") == "wiki.org"
+    cfg = PretrainingConfig(
+        quality_floor=0.3,
+        span_tokens=50,
+        domain_cap=2,
+        n_salts=4,
+        mixture={"wiki": 2.5, "web": 1.0},
+        ctx_len=64,
+    )
+    return pretraining_pipeline(
+        enriched.withColumn(
+            "source", F.when(wiki, F.lit("wiki")).otherwise(F.lit("web"))
+        ),
+        benchmark=bench,
+        config=cfg,
+    )
+
+
+def test_stage_accounting(result):
+    counts = dict(result.accounting())
+    assert list(counts) == [
+        "input", "nonempty", "quality_floor", "paragraph_dedup",
+        "span_surgery", "near_dedup", "decontam", "domain_cap",
+        "mixture", "packed",
+    ]
+    assert counts["input"] == 16          # 15 conversions + the 404 response
+    assert counts["nonempty"] == 15       # 404 has null text
+    assert counts["quality_floor"] == 14  # gibberish under the floor
+    assert counts["paragraph_dedup"] == 12  # exact copy B + para-only F
+    assert counts["span_surgery"] == 11   # header-only J stripped empty
+    assert counts["near_dedup"] == 10     # near-dup C folds into A's cluster
+    assert counts["decontam"] == 8        # K (exact pass) + L (near pass)
+    assert counts["domain_cap"] == 7      # lowest-quality capped.com page
+    # wiki docs (A=1, D=4) serve 2 copies + a 0.5-Bernoulli third under the
+    # shared bucket; web survivors serve once
+    wiki_extra = sum(
+        _bucket("pretrain:mix", i) < 32768 for i in (1, 4)
+    )
+    assert counts["mixture"] == 2 * 2 + wiki_extra + 5
+    assert counts["packed"] >= counts["mixture"]
+
+
+def test_stage_membership(result):
+    """The right DOCUMENTS survive, not just the right counts."""
+    ids = lambda name: {
+        r["doc_id"] for r in result.stages[name].select("doc_id").collect()
+    }
+    assert 7 not in ids("quality_floor")
+    assert ids("paragraph_dedup") == ids("quality_floor") - {2, 6}
+    assert ids("span_surgery") == ids("paragraph_dedup") - {15}
+    assert ids("near_dedup") == ids("span_surgery") - {3}
+    assert ids("decontam") == ids("near_dedup") - {8, 9}
+    assert ids("domain_cap") == ids("decontam") - {12}  # mc is shortest
+    assert ids("domain_cap") == {1, 4, 5, 10, 11, 13, 14}
+
+
+def test_surgery_rewrote_content(result):
+    """Span surgery removed the license header from H; paragraph dedup left
+    the boilerplate paragraph only in its first-occurrence doc (D)."""
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in result.stages["span_surgery"].select("doc_id", "text").collect()
+    }
+    assert HEADER not in texts[13] and HEADER not in texts[14]
+    assert texts[13].startswith("hh0") or "hh0" in texts[13]
+    assert PARA in texts[4] and PARA not in texts[5]
+
+
+def test_packed_layout_and_split_stability(result):
+    rows = result.packed.collect()
+    assert len(rows) > 0
+    reps = {(r["doc_id"], r["mix_epoch"]) for r in rows}
+    # every mixture replica packs somewhere, none invented
+    mix = {
+        (r["doc_id"], r["mix_epoch"])
+        for r in result.stages["mixture"].select("doc_id", "mix_epoch").collect()
+    }
+    assert reps == mix
+    assert result.epoch_slots == 3  # ceil(2.5)
+    # wiki docs carry epochs {0, 1} (+2 if the fractional bucket hit)
+    for d in (1, 4):
+        eps = {e for (i, e) in reps if i == d}
+        want = {0, 1} | ({2} if _bucket("pretrain:mix", d) < 32768 else set())
+        assert eps == want
+    # split labels replay the md5 thresholds, replicas never straddle splits
+    for r in rows:
+        b = _bucket("pretrain:split", r["doc_id"])
+        want = (
+            "train" if b < int(0.9 * 65536)
+            else "val" if b < int(0.95 * 65536) else "test"
+        )
+        assert r["split"] == want
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_doc.values())
+    # pack budgets respect ctx_len and H's count excludes the stripped header
+    assert all(r["seg_tokens"] <= 64 for r in rows)
+    h_tokens = {r["n_tokens"] for r in rows if r["doc_id"] == 13}
+    # 15 stopword+unique tail pairs minus one: H's and I's tails both open
+    # with 'the', so the duplicated 50-gram reaches one token past the
+    # 54-token header and surgery removes 55 tokens
+    assert h_tokens == {29}
