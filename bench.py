@@ -345,29 +345,30 @@ def main() -> None:
         "iterations": 4,
         "note": "per-query time is the MEDIAN of 3 warm iterations; "
         "queries_cold is the 1st run (plan build + codegen + broadcast). "
-        "r7 query-set changes vs r6: ann_topk gains the pq branch — the "
-        "ENTIRE product-quantization pipeline per pass (codebook fit on "
-        "the seeded sample ~1.4s warm, arrow encode of the corpus, ADC "
-        "scan, exact rescoring of top-50) — its time is 4 retrieval "
-        "paths of work, not a regression (r6 measured 3). An "
-        "expression-built LUT/encode was 10x slower (multi-MB interpreted "
-        "plans); the committed form computes LUTs driver-side from the "
-        "bounded query batch and encodes via a dim-order numpy kernel "
-        "bit-identical to the JVM fold paths (parity pytest). "
-        "text_corpus_stats gains the drift branch (PSI/KL histograms, two "
-        "corpus scans incl. a doubled-text synthetic snapshot, ~1.3s warm "
-        "isolated) on top of r6's six. sink_group_key_upsert adds the "
-        "scd2 window arm; scalar_string_functions adds the zval Morton "
-        "key (pure bitwise, no measurable cost). Other entries unchanged; "
-        "r6 context: text_corpus_stats carries warc_ingest (full corpus "
-        "re-ingest from gzip WARC each pass) + quality_clf; "
-        "incremental_dedup ladder static 17 shuffles. "
+        "r8 query-set changes vs r7: dedup_candidate_pairs gains the "
+        "decontam_near branch (banded MinHash vs eval set + symmetric "
+        "Jaccard verify); pipeline_pack_split gains the mix_pack branch "
+        "(upsampled 3-source mixture packed under replica identity); "
+        "text_corpus_stats' ppl branch upgrades bigram to interpolated "
+        "trigram (one more corpus aggregation + rollup); dedup_clusters' "
+        "media branch grows video (Y4M) rows inside the same decode "
+        "boundary. Per-branch attribution: see queries_branches (new in "
+        "r8) — compare branch-to-branch across rounds. VERDICT r7 item 2 "
+        "resolved: the two same-direction driver deltas "
+        "(sink_write_parquet 1.02->1.80s, text_analysis 1.12->1.67s, no "
+        "code change) were re-measured in an isolated quiet-machine ABAB "
+        "probe (r6 checkout vs r8 HEAD, fresh process per run, sf0.1): "
+        "sink_write_parquet r6 {1.167,1.045} vs HEAD {1.135,1.306} "
+        "(overlapping), text_analysis r6 {1.555,1.628} vs HEAD "
+        "{1.752,1.859} (<=1.14x) — both within the 1.2x noise criterion; "
+        "verdict NOISE, no root cause to chase. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
         "inflate individual entries several-fold - compare totals across "
         "rounds, per-query only for >2x deltas; bench.py --check re-runs "
-        "the top-5 committed entries and flags >2x disagreement.",
+        "the top-5 committed entries AND their top branches and flags "
+        ">2x disagreement.",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
         "queries_branches": branches,

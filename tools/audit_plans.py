@@ -72,7 +72,20 @@ forced broadcast trades AQE's graceful partitioned-join degradation on a
 pathological epoch for a driver OOM (the repo's forced-broadcast rule:
 hint only fixed-cardinality sides). The 10× scale probe (SCALING.md)
 shows classification of a fixed batch stays ~flat as the index grows 10×,
-confirming no index-side cost hides in the fallbacks.""",
+confirming no index-side cost hides in the fallbacks.
+
+**FINAL (r8) — static target retired.** The r4 "<15 static Exchanges" goal
+is formally closed as WON'T-TRIM: every remaining static Exchange above
+the 6 intrinsic ones is an AQE sort-merge fallback whose only removal is a
+forced broadcast of an epoch-scaled side — prohibited by the repo's
+broadcast rule because it converts a pathological epoch from a slow
+partitioned join into a driver OOM. The operator's held contracts are
+therefore the EXECUTED metrics, which the audit re-checks every round:
+(a) executed shuffles = the intrinsic set (8 incl. the gate harness's
+variant arms at this SF), (b) the index side never exchanges
+(`SelectedBucketsCount` on every index scan), and (c) fixed-batch
+classification stays flat as the index grows (the 10× probe). A future
+regression is a change in THOSE numbers, not in the static count.""",
     "text_corpus_stats": """\
 **Six branches, one entry (r6).** This query runs the corpus through six
 independent analyses under one oracle row: top-ngrams, quality rollup,
