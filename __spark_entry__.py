@@ -1347,6 +1347,29 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi").alias("metric_a"),
         F.col("kl").alias("metric_b"),
     )
+    # dsir branch (r8): Data Selection via Importance Resampling (Xie et
+    # al. 2023) — hashed-n-gram importance weights of the crawl side
+    # (doc_id % 7 != 0) against a curated-proxy target (doc_id % 7 == 0),
+    # Gumbel top-40 selection. The oracle replays the ENTIRE chain in SQL —
+    # gram explosion, md5 bucket hash, both bag-of-buckets fits, Laplace
+    # smoothing, the ln-ratio sum, the md5-derived Gumbel draw, and the
+    # top-k cut — so any divergence in feature hashing, smoothing, or the
+    # selection boundary hash-fails. n = hashed grams, metric_a =
+    # log-weight, metric_b = the Gumbel selection score.
+    from kafka_connector_s3_sink_spark.operators import selection as sel_ops
+
+    dsir_rows = sel_ops.dsir_resample(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        k=40,
+        n_buckets=1024,
+    ).select(
+        F.lit("dsir").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_grams").cast("bigint").alias("n"),
+        stable_round(F.col("log_weight"), 6).alias("metric_a"),
+        stable_round(F.col("select_score"), 6).alias("metric_b"),
+    )
     return (
         ngrams.unionByName(quality)
         .unionByName(html_rows)
@@ -1357,6 +1380,7 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(link_rows)
         .unionByName(ppl_rows)
         .unionByName(drift_rows)
+        .unionByName(dsir_rows)
     )
 
 
@@ -1623,6 +1647,87 @@ def _drift_oracle_sql(n_buckets: int = 10, alpha: float = 0.5) -> str:
                 floor(sum((p - q) * ln(p / q)) * 10000.0 + 0.5) / 10000.0 AS psi,
                 floor(sum(p * ln(p / q)) * 10000.0 + 0.5) / 10000.0 AS kl
             FROM pq GROUP BY feature, n_base, n_cur
+            )
+"""
+
+
+def _dsir_oracle_sql(
+    n_buckets: int = 1024, smoothing: float = 1.0, k: int = 40
+) -> str:
+    """DuckDB oracle for the `dsir` branch of text_corpus_stats: the full
+    importance-resampling chain in SQL — lowercased whitespace unigrams +
+    bigrams, the md5 bucket hash (first 6 hex chars mod m, the
+    sampling.hash_bucket idiom), both Laplace-smoothed bag-of-buckets fits
+    (target = doc_id % 7 == 0, raw = the rest), the per-doc ln-ratio sum,
+    the md5-derived Gumbel draw (first 4 hex chars, (h+0.5)/65536), and
+    the Gumbel top-k cut with the same (score DESC, doc_id) order. Emitted
+    as a `UNION ALL` tail for the entry's f-string."""
+    a = float(smoothing)
+    m = float(n_buckets)
+    return f"""
+            UNION ALL
+            SELECT 'dsir' AS branch, key, n, metric_a, metric_b FROM (
+            WITH tk AS (
+                SELECT doc_id,
+                    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END AS toks
+                FROM documents
+            ),
+            gr AS (
+                SELECT doc_id, toks[i] AS gram
+                FROM (
+                    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                    FROM tk
+                )
+                UNION ALL
+                SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+                FROM (
+                    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM tk
+                )
+            ),
+            hb AS (
+                SELECT doc_id,
+                    CAST('0x' || substr(md5('dsir:' || gram), 1, 6) AS BIGINT)
+                        % {n_buckets} AS bucket
+                FROM gr
+            ),
+            p AS (
+                SELECT bucket, count(*) AS cp FROM hb
+                WHERE doc_id % 7 = 0 GROUP BY 1
+            ),
+            q AS (
+                SELECT bucket, count(*) AS cq FROM hb
+                WHERE doc_id % 7 <> 0 GROUP BY 1
+            ),
+            tot AS (
+                SELECT (SELECT CAST(sum(cp) AS DOUBLE) FROM p) AS tp,
+                       (SELECT CAST(sum(cq) AS DOUBLE) FROM q) AS tq
+            ),
+            w AS (
+                SELECT h.doc_id, count(*) AS ng,
+                    sum(ln((coalesce(cp, 0) + {a}) / (tp + {a} * {m}))
+                      - ln((coalesce(cq, 0) + {a}) / (tq + {a} * {m}))) AS lw
+                FROM hb h
+                LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket)
+                CROSS JOIN tot
+                WHERE h.doc_id % 7 <> 0
+                GROUP BY 1
+            ),
+            sc AS (
+                SELECT doc_id, ng, lw,
+                    lw - ln(-ln((CAST('0x' || substr(
+                        md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)), 1, 4
+                    ) AS BIGINT) + 0.5) / 65536.0)) AS score
+                FROM w
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS key, CAST(ng AS BIGINT) AS n,
+                floor(lw * 1000000.0 + 0.5) / 1000000.0 AS metric_a,
+                floor(score * 1000000.0 + 0.5) / 1000000.0 AS metric_b
+            FROM sc
+            ORDER BY score DESC, doc_id
+            LIMIT {k}
             )
 """
 
@@ -3370,7 +3475,8 @@ def oracle_sql() -> dict[str, str]:
                     )
                 )
             )
-        """ + _link_rank_oracle_sql() + _ppl_oracle_sql() + _drift_oracle_sql(),
+        """ + _link_rank_oracle_sql() + _ppl_oracle_sql() + _drift_oracle_sql()
+        + _dsir_oracle_sql(),
         "dedup_exact": f"""
             SELECT 'doc' AS branch, content_hash, keep_id, n_dups FROM (
             WITH {EXACT_CORPUS_CTE}

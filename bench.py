@@ -94,6 +94,7 @@ BRANCH_TAGS = {
             "link_rank",
             "ppl",
             "drift",
+            "dsir",
         ],
     ),
 }

@@ -1,0 +1,202 @@
+"""DSIR-style data selection via importance resampling.
+
+The published recipe (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling", public): represent every document by hashed
+n-gram features, fit two bag-of-buckets distributions — ``p`` over a small
+curated TARGET corpus and ``q`` over the RAW crawl — and score each raw
+document by its importance log-weight
+
+    log w(x) = sum over x's hashed grams b of [ ln p(b) − ln q(b) ]
+
+then sample without replacement proportionally to ``w`` via the Gumbel
+top-k trick: draw one Gumbel per document, keep the k largest
+``log w + Gumbel``. Documents that "read like" the target distribution are
+up-weighted; generic crawl text is down-weighted.
+
+Distributed shape (the 100 TB argument):
+
+* Feature extraction is row-local: lowercased whitespace unigrams +
+  bigrams (the paper's features), hashed into ``n_buckets`` with the
+  repo-wide md5 idiom (``sampling.hash_bucket``) — pure column
+  expressions, no UDF, identical math in DuckDB so every stage is
+  oracle-checkable.
+* Each distribution fit is ONE exploded aggregation that collapses to at
+  most ``n_buckets`` rows (map-side partial agg does the heavy lifting;
+  the shuffle moves <= n_buckets rows per task). The fitted tables are
+  broadcast — they never grow with the corpus.
+* Scoring joins the raw side's exploded grams against the two broadcast
+  bucket tables and re-aggregates by document — one doc-keyed shuffle
+  whose width partial aggregation reduces to ~one row per document.
+  Nothing is all-pairs; nothing collects to the driver.
+* Selection is ``ORDER BY score DESC LIMIT k`` — Spark plans
+  TakeOrderedAndProject (per-partition top-k then a k-row merge), not a
+  global sort.
+
+Smoothing: add-``smoothing`` (Laplace) over the bucket space, so unseen
+buckets get mass ``α / (N + α·m)`` on both sides — a raw gram absent from
+both corpora contributes ln(q_total_adj/p_total_adj), never ±inf.
+
+Determinism: the Gumbel noise derives from ``md5(seed ':' doc_id)``
+(``sampling.hash_bucket``), so re-runs select the identical document set
+on any cluster layout — the same resumability contract as every sampler
+in ``operators/sampling.py``.
+
+Reference scope note: the reference connector (Aiven S3 sink) has no
+data-selection surface; this module is part of the training-data layer
+this engine adds on top (SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_connector_s3_sink_spark.operators.sampling import (
+    HASH_SPACE,
+    hash_bucket,
+)
+from kafka_connector_s3_sink_spark.operators.text import tokens_column
+
+N_BUCKETS = 4096
+
+
+def hashed_gram_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(doc_id, bucket) — one row per unigram AND per adjacent bigram of the
+    lowercased whitespace tokenization, hashed into ``[0, n_buckets)`` via
+    the repo md5 idiom (first 6 hex chars → int, mod m; DuckDB twin:
+    ``CAST('0x' || substr(md5(...), 1, 6) AS BIGINT) % m``). Row-local and
+    UDF-free; a document with zero tokens emits nothing."""
+    toks = tokens_column(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    width = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, width),
+        F.slice(toks, 2, width),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(toks, bigrams)
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), F.col("gram")))
+    bucket = (
+        F.conv(F.substring(digest, 1, 6), 16, 10).cast("long") % n_buckets
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .select("doc_id", bucket.alias("bucket"))
+    )
+
+
+def bucket_counts(
+    grams: DataFrame,
+) -> DataFrame:
+    """(bucket, c) over a hashed-gram frame — the fitted bag-of-buckets
+    model, <= n_buckets rows however large the corpus (map-side partial
+    aggregation collapses each task to bucket granularity before the
+    shuffle)."""
+    return grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight): the DSIR importance log-weight of every
+    raw document under the hashed-gram models fitted on ``target`` (p) and
+    ``raw`` itself (q).
+
+    Plan: two bucket-level fits (tiny, broadcast), two one-row totals
+    scalars (broadcast cross join — the ``bigram_perplexity`` idiom), one
+    left join of raw's exploded grams against each broadcast table, one
+    doc-keyed aggregation. Documents with zero tokens emit no grams and
+    are absent from the result (no weight is defined for them), matching
+    the perplexity contract."""
+    if smoothing <= 0.0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    tgt_grams = hashed_gram_buckets(
+        target, id_col=id_col, text_col=text_col, n_buckets=n_buckets, seed=seed
+    )
+    raw_grams = hashed_gram_buckets(
+        raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets, seed=seed
+    )
+    p = bucket_counts(tgt_grams).withColumnRenamed("c", "cp")
+    q = bucket_counts(raw_grams).withColumnRenamed("c", "cq")
+    totals = (
+        p.agg(F.sum("cp").cast("double").alias("tp"))
+        .crossJoin(q.agg(F.sum("cq").cast("double").alias("tq")))
+    )
+    a = float(smoothing)
+    m = float(n_buckets)
+    term = F.log(
+        (F.coalesce(F.col("cp"), F.lit(0)).cast("double") + a)
+        / (F.col("tp") + a * m)
+    ) - F.log(
+        (F.coalesce(F.col("cq"), F.lit(0)).cast("double") + a)
+        / (F.col("tq") + a * m)
+    )
+    return (
+        raw_grams.join(F.broadcast(p), "bucket", "left")
+        .join(F.broadcast(q), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(term).alias("log_weight"),
+        )
+    )
+
+
+def gumbel_key(id_col, seed: str = "dsir-gumbel"):
+    """Deterministic standard-Gumbel draw per id: u = (h + 0.5) / 65536 with
+    h the md5 hash bucket (never exactly 0 or 1), g = −ln(−ln u). The same
+    expression evaluates in DuckDB, so Gumbel-top-k selection is
+    oracle-replayable."""
+    u = (hash_bucket(id_col, seed).cast("double") + F.lit(0.5)) / float(
+        HASH_SPACE
+    )
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+    gumbel_seed: str = "dsir-gumbel",
+) -> DataFrame:
+    """The k raw documents selected by Gumbel top-k importance resampling:
+    all raw columns plus (n_grams, log_weight, select_score), where
+    select_score = log_weight + Gumbel(doc_id). ORDER BY + LIMIT plans
+    TakeOrderedAndProject — per-partition top-k, k-row merge, no global
+    sort. Deterministic under the seeds: re-runs select the same set."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    w = dsir_log_weights(
+        raw,
+        target,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        smoothing=smoothing,
+        seed=seed,
+    )
+    score = F.col("log_weight") + gumbel_key(F.col(id_col), gumbel_seed)
+    return (
+        raw.join(w, raw[id_col] == w["doc_id"])
+        .drop(w["doc_id"])
+        .withColumn("select_score", score)
+        .orderBy(F.col("select_score").desc(), F.col(id_col))
+        .limit(k)
+    )
