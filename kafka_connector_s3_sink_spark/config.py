@@ -33,14 +33,24 @@ class ConfigValidationError(ValueError):
     """Raised when configuration violates a reference-semantics rule."""
 
 
-def _enum_from_prop(enum_cls, name: str, raw: Optional[str], default: str):
+def _enum_from_prop(
+    enum_cls, name: str, raw: Optional[str], default: str, allowed=None
+):
     """Enum lookup with the reference's exact unsupported-value message
-    (S3SinkConfigTest.java:688-710 compression, :772-782 format type)."""
+    (S3SinkConfigTest.java:688-710 compression, :772-782 format type).
+    ``allowed`` restricts the property surface to a subset of the enum —
+    engine-extension members (FormatType.AVRO) stay constructible via the
+    Python API but are rejected by the reference-parity property path with
+    the reference's own message (which lists only its four formats)."""
     value = default if raw is None else raw
+    members = list(enum_cls) if allowed is None else list(allowed)
     try:
-        return enum_cls(value)
+        member = enum_cls(value)
+        if member not in members:
+            raise ValueError(value)
+        return member
     except ValueError:
-        supported = ", ".join(f"'{m.value}'" for m in enum_cls)
+        supported = ", ".join(f"'{m.value}'" for m in members)
         raise ConfigValidationError(
             f"Invalid value {value} for configuration {name}: "
             f"supported values are: {supported}"
@@ -65,6 +75,12 @@ class FormatType(str, Enum):
     JSON = "json"
     JSONL = "jsonl"
     PARQUET = "parquet"
+    # Engine extension (beyond the reference's four formats): Avro Object
+    # Container Files on the same grouped-object write path, reusing the
+    # pure-Python codec in formats/avro.py. Constructible via the Python
+    # API only — the reference-parity property path rejects it with the
+    # reference's own message (S3SinkConfigTest.java:772-782).
+    AVRO = "avro"
 
 
 class CompressionType(str, Enum):
@@ -421,7 +437,15 @@ class EngineConfig:
                 default="gzip",
             ),
             format_type=_enum_from_prop(
-                FormatType, *pick_named("format.output.type"), default="csv"
+                FormatType,
+                *pick_named("format.output.type"),
+                default="csv",
+                allowed=(
+                    FormatType.CSV,
+                    FormatType.JSON,
+                    FormatType.JSONL,
+                    FormatType.PARQUET,
+                ),
             ),
             output_fields=output_fields,
             value_encoding=FieldEncoding(
@@ -458,8 +482,9 @@ class EngineConfig:
 
     @property
     def filename_extension(self) -> str:
-        # parquet objects never get a compression suffix (compression is internal)
-        if self.format_type is FormatType.PARQUET:
+        # parquet/avro objects never get a compression suffix (compression is
+        # internal to the container)
+        if self.format_type in (FormatType.PARQUET, FormatType.AVRO):
             return ""
         return self.file_compression.extension
 

@@ -807,3 +807,260 @@ def envelope_avro_schema(
             },
         ],
     }
+
+
+# ---------------------------------------------------------------------------
+# Object Container Files (OCF) — the `.avro` file format, Avro 1.12 spec
+# "Object Container Files" chapter: magic `Obj\x01`, a file-metadata Avro map
+# (avro.schema / avro.codec), a 16-byte sync marker, then data blocks of
+# (record count, compressed byte size, compressed records, sync marker).
+# This is the OUTPUT format family's fifth member (alongside CSV/JSONL/JSON/
+# parquet): the reference family's commons supports an Avro output format on
+# the same grouped-object write path; here it reuses this module's pure-Python
+# codec, so no avro/fastavro/spark-avro dependency is needed.
+
+OCF_MAGIC = b"Obj\x01"
+
+# OCF codec registry (spec: null + deflate required; snappy + zstandard
+# optional). deflate is a RAW DEFLATE stream (zlib wbits=-15 — the zlib/gzip
+# wrappers are absent per spec); snappy is raw-format snappy followed by a
+# 4-byte big-endian CRC32 of the UNCOMPRESSED data; zstandard is a plain
+# zstd frame. snappy/zstd ride pyarrow's codecs like formats/compression.py.
+_OCF_CODECS = ("null", "deflate", "snappy", "zstandard")
+
+
+def _ocf_compress(data: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        import zlib
+
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return c.compress(data) + c.flush()
+    if codec == "snappy":
+        import zlib
+
+        import pyarrow as pa
+
+        body = pa.Codec("snappy").compress(data, asbytes=True)
+        return body + _struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return pa.Codec("zstd").compress(data, asbytes=True)
+    raise AvroError(f"unsupported OCF codec {codec!r} (have {_OCF_CODECS})")
+
+
+def _ocf_decompress(data: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        import zlib
+
+        return zlib.decompress(data, -15)
+    if codec == "snappy":
+        import zlib
+
+        import pyarrow as pa
+
+        body, crc = data[:-4], data[-4:]
+        from kafka_connector_s3_sink_spark.formats.compression import (
+            _snappy_uvarint,
+        )
+
+        out = pa.Codec("snappy").decompress(
+            body, decompressed_size=_snappy_uvarint(body), asbytes=True
+        )
+        if _struct.pack(">I", zlib.crc32(out) & 0xFFFFFFFF) != crc:
+            raise AvroError("snappy block CRC mismatch")
+        return out
+    if codec == "zstandard":
+        import pyarrow as pa
+
+        return pa.CompressedInputStream(pa.BufferReader(data), "zstd").read()
+    raise AvroError(f"unsupported OCF codec {codec!r} (have {_OCF_CODECS})")
+
+
+class OCFWriter:
+    """Streaming OCF writer over any binary sink: header on construction,
+    records buffered into blocks of ``block_records`` (bounded memory — the
+    analog of the text writer's compression buffer), one block flushed per
+    boundary, final partial block on ``close``.
+
+    ``sync_marker`` is the caller's 16 bytes; the sink writer derives it from
+    the object NAME (md5), so an at-least-once replay rewrites a
+    byte-identical object — the same idempotence contract as every other
+    format (README.md:101-133 name determinism)."""
+
+    def __init__(
+        self,
+        out,
+        schema: Any,
+        codec: str = "null",
+        sync_marker: bytes | None = None,
+        block_records: int = 1000,
+    ) -> None:
+        if codec not in _OCF_CODECS:
+            raise AvroError(f"unsupported OCF codec {codec!r} (have {_OCF_CODECS})")
+        if sync_marker is None:
+            import hashlib
+
+            sync_marker = hashlib.md5(json.dumps(schema).encode()).digest()
+        if len(sync_marker) != 16:
+            raise AvroError(f"sync marker must be 16 bytes, got {len(sync_marker)}")
+        if block_records <= 0:
+            raise AvroError(f"block_records must be > 0, got {block_records}")
+        self._out = out
+        self._schema = parse_schema(schema) if isinstance(schema, str) else schema
+        self._names = _registry(self._schema)
+        self._codec = codec
+        self._sync = sync_marker
+        self._block_records = block_records
+        self._buf = io.BytesIO()
+        self._count = 0
+        self.total_records = 0
+        header = io.BytesIO()
+        header.write(OCF_MAGIC)
+        meta = {
+            "avro.schema": json.dumps(self._schema, separators=(",", ":")).encode(),
+            "avro.codec": codec.encode(),
+        }
+        _write_long(header, len(meta))
+        for k, v in sorted(meta.items()):  # sorted → deterministic bytes
+            _write_long(header, len(k))
+            header.write(k.encode())
+            _write_long(header, len(v))
+            header.write(v)
+        _write_long(header, 0)
+        header.write(self._sync)
+        out.write(header.getvalue())
+
+    def append(self, datum: Any) -> None:
+        _encode(datum, self._schema, self._buf, self._names)
+        self._count += 1
+        self.total_records += 1
+        if self._count >= self._block_records:
+            self._flush_block()
+
+    def _flush_block(self) -> None:
+        if self._count == 0:
+            return
+        body = _ocf_compress(self._buf.getvalue(), self._codec)
+        blk = io.BytesIO()
+        _write_long(blk, self._count)
+        _write_long(blk, len(body))
+        blk.write(body)
+        blk.write(self._sync)
+        self._out.write(blk.getvalue())
+        self._buf = io.BytesIO()
+        self._count = 0
+
+    def close(self) -> None:
+        """Flush the final partial block. Does NOT close the underlying sink —
+        the object-storage context manager owns commit/abort."""
+        self._flush_block()
+
+
+def read_ocf(data: bytes) -> tuple[Any, list]:
+    """Parse one OCF object: returns (writer schema, records). Verifies the
+    magic, every block's sync marker, and block-level decode integrity —
+    the structural validation the delivery audit leans on (a truncated or
+    bit-flipped object fails here, never silently yields short rows)."""
+    buf = io.BytesIO(data)
+    if _read_exact(buf, 4) != OCF_MAGIC:
+        raise AvroError("bad OCF magic")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:  # block-size form of map runs
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
+            klen = _read_long(buf)
+            k = _read_exact(buf, klen).decode()
+            vlen = _read_long(buf)
+            meta[k] = _read_exact(buf, vlen)
+    codec = meta.get("avro.codec", b"null").decode()
+    schema = parse_schema(meta["avro.schema"].decode())
+    names = _registry(schema)
+    sync = _read_exact(buf, 16)
+    records: list = []
+    while True:
+        first = buf.read(1)
+        if not first:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        count = _read_long(buf)
+        size = _read_long(buf)
+        body = _ocf_decompress(_read_exact(buf, size), codec)
+        if _read_exact(buf, 16) != sync:
+            raise AvroError("OCF block sync marker mismatch")
+        block = io.BytesIO(body)
+        for _ in range(count):
+            records.append(_decode(schema, block, names))
+        if block.read(1):
+            raise AvroError("trailing bytes in OCF block")
+    return schema, records
+
+
+def avro_schema_for_spark(struct_type, name: str = "connector_records") -> dict:
+    """Derive the OCF writer schema from a Spark ``StructType`` — the sink's
+    prepared envelope columns in their configured order. Nullability maps to
+    a ["null", T] union; the mapping covers exactly the envelope's type
+    universe (string/binary/int/long/double/float/boolean/timestamp/
+    array/struct) and refuses anything else loudly."""
+    from pyspark.sql import types as T
+
+    def conv(dt, path: str):
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.IntegerType):
+            return "int"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            item = conv(dt.elementType, f"{path}_item")
+            if dt.containsNull and not isinstance(item, list):
+                item = ["null", item]
+            return {"type": "array", "items": item}
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": ["null", conv(f.dataType, f"{path}_{f.name}")]
+                        if f.nullable
+                        else conv(f.dataType, f"{path}_{f.name}"),
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise AvroError(f"no Avro mapping for Spark type {dt} at {path}")
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": ["null", conv(f.dataType, f.name)]
+                if f.nullable
+                else conv(f.dataType, f.name),
+            }
+            for f in struct_type.fields
+        ],
+    }

@@ -313,6 +313,104 @@ def _parquet_envelope_schema(config: EngineConfig) -> T.StructType:
     )
 
 
+def _avro_envelope_schema(
+    config: EngineConfig, binary_payloads: bool
+) -> T.StructType:
+    """Declared read-back schema for Avro OCF objects: key/value binary or
+    string per ``binary_payloads`` (mirroring the record frame the sink
+    consumed — the OCF writer schema preserves the Spark types verbatim),
+    offset/timestamp long, headers array<struct<key string, value binary>>."""
+    payload_t: T.DataType = T.BinaryType() if binary_payloads else T.StringType()
+    types: dict[str, T.DataType] = {
+        "key": payload_t,
+        "value": payload_t,
+        "offset": T.LongType(),
+        "timestamp": T.LongType(),
+        "headers": T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), True),
+                    T.StructField("value", T.BinaryType(), True),
+                ]
+            )
+        ),
+    }
+    return T.StructType(
+        [
+            T.StructField("object_name", T.StringType(), False),
+            T.StructField("line_no", T.LongType(), False),
+        ]
+        + [
+            T.StructField(f.value, types[f.value], True)
+            for f in config.output_fields
+        ]
+        + [T.StructField("decode_error", T.StringType(), True)]
+    )
+
+
+def _read_avro_objects(
+    spark: SparkSession,
+    dest_dir: str,
+    config: EngineConfig,
+    parse_names: bool,
+    binary_payloads: bool,
+    on_error: str,
+) -> DataFrame:
+    """Re-ingest Avro OCF objects: binaryFile scan → Arrow-batched OCF decode
+    in executor tasks (``formats.avro.read_ocf`` — pure Python, no avro jar),
+    one output row per record with ``line_no`` its position in the object.
+    ``on_error="route"`` converts a corrupt object (bad magic, sync-marker
+    mismatch, truncated block, CRC failure) into one ``decode_error`` row —
+    OCF sync markers make corruption detection structural, so a poison object
+    can never silently yield short rows."""
+    if on_error not in ("fail", "route"):
+        raise ValueError(f"on_error must be 'fail' or 'route', got {on_error!r}")
+    field_names = [f.value for f in config.output_fields]
+    out_schema = _avro_envelope_schema(config, binary_payloads)
+
+    def decode(batches) -> Iterator:
+        import pandas as pd
+
+        from kafka_connector_s3_sink_spark.formats.avro import read_ocf
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for name, content in zip(pdf["object_name"], pdf["content"]):
+                try:
+                    _, records = read_ocf(bytes(content))
+                except Exception as e:  # noqa: BLE001 — routed per policy
+                    if on_error == "fail":
+                        raise
+                    out["object_name"].append(name)
+                    out["line_no"].append(-1)
+                    for fn in field_names:
+                        out[fn].append(None)
+                    out["decode_error"].append(f"{type(e).__name__}: {e}")
+                    continue
+                for i, rec in enumerate(records):
+                    out["object_name"].append(name)
+                    out["line_no"].append(i)
+                    for fn in field_names:
+                        out[fn].append(rec.get(fn))
+                    out["decode_error"].append(None)
+            yield pd.DataFrame(out)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(dest_dir)
+        .select(_relative_name(dest_dir), "content")
+    )
+    rows = raw.mapInPandas(decode, out_schema)
+    out_cols: list[Column] = [F.col("object_name"), F.col("line_no")]
+    if parse_names:
+        out_cols += _name_columns(config)
+    out_cols += [F.col(fn) for fn in field_names]
+    if on_error == "route":
+        out_cols += [F.col("decode_error")]
+    return rows.select(*out_cols)
+
+
 def _name_columns(config: EngineConfig) -> list[Column]:
     """Grouping variables recovered from the object name via the template's
     regex inverse — empty match (a foreign file in the directory) → null."""
@@ -468,6 +566,10 @@ def read_sink_objects(
             bad_df.select(*bad_cols, *null_fields, F.col("decode_error"))
         )
 
+    if config.format_type is FormatType.AVRO:
+        return _read_avro_objects(
+            spark, dest_dir, config, parse_names, binary_payloads, on_error
+        )
     lines = sink_object_lines(spark, dest_dir, config, on_error=on_error)
     if config.format_type is FormatType.CSV:
         fields = _csv_fields(config)
