@@ -249,3 +249,80 @@ def cap_per_domain(
             .drop("_salt", "_salt_rank")
         )
     return ranked.withColumn("kept", F.col("domain_rank") <= max_per_domain)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows with
+    the largest exponential-race keys ``ln(u) / w`` (Efraimidis & Spirakis
+    2006 — equivalent to their ``u^(1/w)`` ordering, taken in log space so
+    large weights can't underflow), with ``u`` the md5-uniform draw of the
+    row id. Inclusion probability is proportional to ``weight_col`` in the
+    without-replacement sense; the draw is a pure function of (id, seed),
+    so re-runs select the identical set on any partitioning.
+
+    The corpus-engineering use: down-select to a quality-weighted subset
+    ("keep 10M docs, preferring high classifier scores") without the
+    hard-threshold cliff a filter introduces.
+
+    Plan: one narrow key expression + ORDER BY/LIMIT — Spark plans
+    TakeOrderedAndProject (per-partition top-k, k-row merge), no global
+    sort, nothing driver-side. Rows with weight <= 0 are excluded (their
+    selection key is undefined — matching the E-S contract)."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    u = (hash_bucket(F.col(id_col), seed).cast("double") + F.lit(0.5)) / float(
+        HASH_SPACE
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    scale: float = 1.0,
+    max_rate: float | None = None,
+) -> dict[str, float]:
+    """Temperature-based multilingual mixture rates (the XLM-R recipe,
+    Conneau et al. 2020, public): resample group g with probability
+    ``q_g ∝ p_g^alpha`` where ``p_g`` is its corpus share — alpha < 1 flattens
+    the distribution, up-weighting low-resource languages. Returns the
+    per-group rate map for ``mixture_sample`` such that the EXPECTED total
+    equals ``scale × corpus size``: ``rate_g = scale · q_g / p_g``
+    (so high-resource groups down-sample and low-resource groups replicate;
+    pass the result with an ``epoch_col`` when any rate exceeds 1, or cap
+    with ``max_rate`` to bound the replication blow-up).
+
+    The aggregation is one tiny groupBy (|groups| rows to the driver — a
+    language/source legend, never data); the heavy lifting stays in
+    ``mixture_sample``'s narrow filter."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty corpus: no groups to weight")
+    p = {g: n / total for g, n in counts.items()}
+    q_raw = {g: pg**alpha for g, pg in p.items()}
+    z = sum(q_raw.values())
+    rates = {g: scale * (q_raw[g] / z) / p[g] for g in p}
+    if max_rate is not None:
+        rates = {g: min(r, max_rate) for g, r in rates.items()}
+    return rates

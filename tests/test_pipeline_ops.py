@@ -530,3 +530,88 @@ def test_chunk_documents_invariants(spark):
     assert len(short) == 1 and short[0]["chunk_text"] == "short doc"
     with pytest.raises(ValueError):
         packing.chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_weighted_sample_matches_python_and_duckdb(spark):
+    import hashlib
+    import math
+
+    rows = [(i, 10.0 if i % 5 == 0 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sampling.weighted_sample(df, k=40, weight_col="w").collect()
+    assert len(got) == 40
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:4], 16) + 0.5) / 65536.0
+        return math.log(u) / w
+
+    want = sorted(rows, key=lambda r: key(*r), reverse=True)[:40]
+    assert sorted(r.doc_id for r in got) == sorted(i for i, _ in want)
+    for r in got:
+        assert r.sample_key == pytest.approx(key(r.doc_id, r.w), rel=1e-12)
+    # heavier rows (20% of the corpus at 10x weight) dominate the sample
+    heavy = sum(1 for r in got if r.w == 10.0)
+    assert heavy > 25
+    # rerun-stable
+    again = sampling.weighted_sample(df, k=40, weight_col="w").collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
+    # duckdb twin of the full chain
+    duck = duckdb.sql(
+        """
+        SELECT doc_id FROM (
+            SELECT doc_id, w,
+              ln((CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS BIGINT) + 0.5) / 65536.0) / w AS k
+            FROM (SELECT unnest(range(0, 200)) AS doc_id,
+                  CASE WHEN unnest(range(0, 200)) % 5 = 0 THEN 10.0 ELSE 1.0 END AS w)
+            ORDER BY k DESC, doc_id LIMIT 40
+        )
+        """
+    ).fetchall()
+    assert sorted(r.doc_id for r in got) == sorted(d for (d,) in duck)
+    # zero/negative weights are excluded, k validated
+    df2 = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], ["doc_id", "w"])
+    assert [r.doc_id for r in sampling.weighted_sample(df2, 3, "w").collect()] == [3]
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(df, 0, "w")
+
+
+def test_temperature_mixture_rates(spark):
+    # 80/15/5 split over three languages
+    rows = (
+        [(i, "en") for i in range(80)]
+        + [(i + 100, "fr") for i in range(15)]
+        + [(i + 200, "sw") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    rates = sampling.temperature_mixture_rates(df, alpha=0.3)
+    # alpha < 1 flattens: scarce languages up-weight, dominant down-weight
+    assert rates["sw"] > rates["fr"] > rates["en"]
+    assert rates["en"] < 1.0 < rates["sw"]
+    # expected total preserved: sum over groups n_g * rate_g == scale * N
+    n = {"en": 80, "fr": 15, "sw": 5}
+    assert sum(n[g] * r for g, r in rates.items()) == pytest.approx(100.0)
+    # hand-check against the closed form q_g ∝ p_g^alpha, rate = q/p
+    p = {g: c / 100 for g, c in n.items()}
+    z = sum(pg**0.3 for pg in p.values())
+    for g in n:
+        assert rates[g] == pytest.approx((p[g] ** 0.3 / z) / p[g], rel=1e-12)
+    # alpha=1 is the identity mixture
+    flat = sampling.temperature_mixture_rates(df, alpha=1.0)
+    for g in n:
+        assert flat[g] == pytest.approx(1.0)
+    # cap bounds the replication blow-up
+    capped = sampling.temperature_mixture_rates(df, alpha=0.3, max_rate=2.0)
+    assert capped["sw"] == 2.0
+    # composes with mixture_sample's replication path end-to-end
+    mixed = sampling.mixture_sample(
+        df, capped, source_col="lang", epoch_col="ep"
+    )
+    by_lang = {
+        r.lang: r.n for r in
+        mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["sw"] > 5  # replicated
+    assert by_lang["en"] < 80  # down-sampled
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture_rates(df, alpha=0.0)
