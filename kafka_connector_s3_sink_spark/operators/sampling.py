@@ -326,3 +326,70 @@ def temperature_mixture_rates(
     if max_rate is not None:
         rates = {g: min(r, max_rate) for g, r in rates.items()}
     return rates
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-duplicate CLUSTER id
+    instead of the document id, so every member of a duplicate cluster lands
+    in the SAME split. Plain per-doc ``hash_split`` lets two near-copies
+    straddle train/val — the classic silent eval-contamination bug a dedup
+    pass that keeps one-per-cluster doesn't fix when the kept doc and an
+    un-clustered late arrival differ.
+
+    ``clusters`` is (doc_id, cluster_id) — ``dedup.connected_components``
+    output (or any blocking). Docs absent from ``clusters`` are singletons:
+    their own id is the cluster key, so the assignment degenerates to
+    ``hash_split`` exactly — running this with an empty cluster table IS
+    ``hash_split`` (pinned by test).
+
+    One left equi-join on the id (AQE broadcasts the cluster table when it
+    is small — it holds only docs that have near-dups); the split expression
+    itself stays the same zero-shuffle md5-threshold column."""
+    c = clusters.select(
+        F.col(id_col).alias("_csid"), F.col(cluster_col).alias("_ckey")
+    )
+    joined = df.join(c, df[id_col] == c["_csid"], "left").drop("_csid")
+    key = F.coalesce(F.col("_ckey").cast("string"), F.col(id_col).cast("string"))
+    out = hash_split(
+        joined.withColumn("_skey", key), weights, id_col="_skey", seed=seed
+    )
+    return out.drop("_skey", "_ckey")
+
+
+def split_leakage_report(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    left_col: str = "doc_id_a",
+    right_col: str = "doc_id_b",
+) -> DataFrame:
+    """Audit a split against near-duplicate evidence: one row per candidate
+    pair whose two documents landed in DIFFERENT splits — the pairs that
+    leak training content into evaluation. Empty result = leakage-free
+    (which ``cluster_safe_split`` guarantees by construction for the pairs
+    its cluster table covers; this report is the independent check, and the
+    tool that quantifies the damage for a split you inherited).
+
+    Two equi-joins of the pair list against the (id → split) projection —
+    pair lists are the candidate generator's output (band/block-bounded),
+    never all-pairs of the corpus."""
+    s = split_df.select(
+        F.col(id_col).alias("_id"), F.col(split_col).alias("_split")
+    )
+    return (
+        pairs.join(s, pairs[left_col] == s["_id"])
+        .withColumnRenamed("_split", "split_a")
+        .drop("_id")
+        .join(s, pairs[right_col] == s["_id"])
+        .withColumnRenamed("_split", "split_b")
+        .drop("_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

@@ -200,3 +200,79 @@ def dsir_resample(
         .orderBy(F.col("select_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def persist_dsir_model(
+    target: DataFrame,
+    raw: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    smoothing: float = 1.0,
+    seed: str = "dsir",
+) -> None:
+    """Fit the DSIR model ONCE and persist it: two <=``n_buckets``-row count
+    tables (``p`` from the curated target, ``q`` from a reference crawl
+    snapshot) plus a one-row params table (totals + the hash/smoothing
+    configuration, so scoring can never silently drift from the fit). The
+    incremental pattern every index in this repo follows: the expensive
+    corpus pass happens once offline; every crawl batch afterwards scores
+    in O(batch) against the tiny persisted tables."""
+    if smoothing <= 0.0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    spark = target.sparkSession
+    p = bucket_counts(
+        hashed_gram_buckets(target, id_col, text_col, n_buckets, seed)
+    ).withColumnRenamed("c", "cp")
+    q = bucket_counts(
+        hashed_gram_buckets(raw, id_col, text_col, n_buckets, seed)
+    ).withColumnRenamed("c", "cq")
+    p.coalesce(1).write.mode("overwrite").parquet(f"{path}/p")
+    q.coalesce(1).write.mode("overwrite").parquet(f"{path}/q")
+    tp = spark.read.parquet(f"{path}/p").agg(F.sum("cp")).collect()[0][0]
+    tq = spark.read.parquet(f"{path}/q").agg(F.sum("cq")).collect()[0][0]
+    spark.createDataFrame(
+        [(float(tp), float(tq), n_buckets, float(smoothing), seed)],
+        "tp double, tq double, n_buckets int, smoothing double, seed string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight) for a crawl batch against the PERSISTED
+    model — O(batch): the batch's grams broadcast-join the two tiny count
+    tables; the reference corpus that fit the model is never rescanned.
+    Hash seed, bucket count, and smoothing come from the persisted params,
+    so a batch scored today and a batch scored after 100 more crawl epochs
+    sit on the same scale. Identical math to ``dsir_log_weights`` (pinned
+    by test: persist + score == the in-memory chain bit-for-bit)."""
+    spark = batch.sparkSession
+    params = spark.read.parquet(f"{path}/params").collect()[0]
+    p = spark.read.parquet(f"{path}/p")
+    q = spark.read.parquet(f"{path}/q")
+    grams = hashed_gram_buckets(
+        batch, id_col, text_col, params.n_buckets, params.seed
+    )
+    a = params.smoothing
+    m = float(params.n_buckets)
+    term = F.log(
+        (F.coalesce(F.col("cp"), F.lit(0)).cast("double") + a)
+        / (F.lit(params.tp) + a * m)
+    ) - F.log(
+        (F.coalesce(F.col("cq"), F.lit(0)).cast("double") + a)
+        / (F.lit(params.tq) + a * m)
+    )
+    return (
+        grams.join(F.broadcast(p), "bucket", "left")
+        .join(F.broadcast(q), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(term).alias("log_weight"),
+        )
+    )

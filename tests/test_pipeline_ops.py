@@ -615,3 +615,46 @@ def test_temperature_mixture_rates(spark):
     assert by_lang["en"] < 80  # down-sampled
     with pytest.raises(ValueError):
         sampling.temperature_mixture_rates(df, alpha=0.0)
+
+
+def test_cluster_safe_split_and_leakage_report(spark):
+    import hashlib
+
+    def bucket(key):
+        return int(hashlib.md5(f"split:{key}".encode()).hexdigest()[:4], 16)
+
+    # find two ids that plain hash_split separates (train vs not-train)
+    thr = int(0.5 * 65536)
+    a = next(i for i in range(1000) if bucket(str(i)) < thr)
+    b = next(i for i in range(1000) if bucket(str(i)) >= thr)
+    extra = [i for i in range(1000, 1020)]
+    rows = [(a,), (b,)] + [(i,) for i in extra]
+    df = spark.createDataFrame(rows, ["doc_id"])
+    weights = {"train": 0.5, "val": 0.5}
+    pairs = spark.createDataFrame([(a, b)], ["doc_id_a", "doc_id_b"])
+    clusters = spark.createDataFrame(
+        [(a, min(a, b)), (b, min(a, b))], ["doc_id", "cluster_id"]
+    )
+
+    # plain per-doc split leaks the (a, b) near-dup pair across splits
+    plain = sampling.hash_split(df, weights)
+    leaks = sampling.split_leakage_report(plain, pairs).collect()
+    assert len(leaks) == 1 and {leaks[0].split_a, leaks[0].split_b} == {
+        "train", "val"
+    }
+
+    # cluster-keyed split puts the whole cluster in one split; report empty
+    safe = sampling.cluster_safe_split(df, clusters, weights)
+    by_id = {r.doc_id: r.split for r in safe.collect()}
+    assert by_id[a] == by_id[b]
+    assert sampling.split_leakage_report(safe, pairs).count() == 0
+
+    # singletons degrade to hash_split EXACTLY (empty cluster table)
+    empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+    degen = {
+        r.doc_id: r.split
+        for r in sampling.cluster_safe_split(df, empty, weights).collect()
+    }
+    assert degen == {r.doc_id: r.split for r in plain.collect()}
+    # schema: no helper columns leak into the output
+    assert set(safe.columns) == {"doc_id", "split"}

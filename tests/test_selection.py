@@ -210,3 +210,42 @@ def test_duckdb_twin_full_chain(spark):
     duck_scores = {r[0]: r[3] for r in duck}
     for r in spark_sel:
         assert r.select_score == pytest.approx(duck_scores[r.doc_id], abs=1e-9)
+
+
+def test_persisted_model_matches_inmemory_and_is_o_batch(spark, tmp_path):
+    """persist + dsir_score_batch == dsir_log_weights bit-for-bit; the
+    scoring plan reads only the tiny model tables (no scan of the raw
+    corpus path), and params round-trip pins seed/buckets/smoothing."""
+    from kafka_connector_s3_sink_spark.operators.selection import (
+        dsir_score_batch,
+        persist_dsir_model,
+    )
+
+    raw = spark.createDataFrame(RAW, ["doc_id", "text"])
+    tgt = spark.createDataFrame(TARGET, ["doc_id", "text"])
+    path = str(tmp_path / "dsirmodel")
+    persist_dsir_model(tgt, raw, path, n_buckets=64, smoothing=0.5)
+
+    batch = spark.createDataFrame(RAW[:3], ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_score_batch(batch, path).collect()
+    }
+    # ground truth: the in-memory chain over the FULL raw corpus (the same
+    # q the model persisted), restricted to the batch's docs
+    want = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_log_weights(
+            raw, tgt, n_buckets=64, smoothing=0.5
+        ).collect()
+        if r.doc_id in got
+    }
+    assert set(got) == {0, 1, 2} == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+    # scoring reads ONLY the persisted model files — the raw corpus that fit
+    # q is never rescanned (the O(batch) contract)
+    files = dsir_score_batch(batch, path).inputFiles()
+    assert files and all("dsirmodel" in f for f in files)
+    assert any("/p/" in f for f in files) and any("/q/" in f for f in files)
