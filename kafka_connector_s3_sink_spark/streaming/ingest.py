@@ -4,7 +4,11 @@ for. Each micro-batch of crawled documents runs:
 
 0. **Quality floor** (optional, ``min_quality``): drop documents below the
    heuristic ``text.quality_score`` — a narrow map stage ahead of every
-   shuffle. Per-epoch audit counts land under ``<dest>/metrics``.
+   shuffle. Per-epoch audit counts land under ``<dest>/metrics``. An
+   optional DSIR stage follows (``dsir_model_path`` +
+   ``dsir_min_log_weight``): the batch scores O(batch) against the
+   persisted target/raw distributions (``selection.persist_dsir_model``)
+   and only target-like documents proceed.
 1. **Intra-batch cascade** (``dedup.dedup_cascade``): exact pass → LSH
    candidates → Jaccard verify → connected components; only cluster
    canonicals survive to the next stage.
@@ -100,6 +104,14 @@ class IngestConfig:
     # would hide them) is scored against it and the per-feature PSI/KL/TVD
     # report lands under <dest>/drift, same per-epoch overwrite contract
     drift_baseline_path: Optional[str] = None
+    # optional crawl-time DSIR selection: a model written by
+    # operators.selection.persist_dsir_model — each epoch is scored O(batch)
+    # against the persisted target/raw distributions and documents below
+    # dsir_min_log_weight are shed right after the quality floor (both set
+    # or neither). Docs that emit no grams (empty text) have no weight and
+    # are shed too — they carry no signal either way.
+    dsir_model_path: Optional[str] = None
+    dsir_min_log_weight: Optional[float] = None
 
 
 def documents_from_records(
@@ -195,9 +207,34 @@ def process_crawl_batch(
         else:
             floor = quality_score(F.col(text_col))
         batch_df = batch_df.filter(floor >= config.min_quality)
+
+    # stage 0b (optional): DSIR selection against the persisted model —
+    # O(batch) broadcast scoring, keep docs reading target-like enough
+    if (config.dsir_model_path is None) != (config.dsir_min_log_weight is None):
+        raise ValueError(
+            "dsir_model_path and dsir_min_log_weight must be set together"
+        )
+    if config.dsir_model_path is not None:
+        from kafka_connector_s3_sink_spark.operators import selection
+
+        passing = (
+            selection.dsir_score_batch(
+                batch_df, config.dsir_model_path, id_col=id_col,
+                text_col=text_col,
+            )
+            .filter(F.col("log_weight") >= config.dsir_min_log_weight)
+            .select(F.col("doc_id").alias(id_col))
+        )
+        batch_df = batch_df.join(passing, id_col, "left_semi")
     n_qualified = (
         batch_df.count()
-        if (config.write_metrics and config.min_quality is not None)
+        if (
+            config.write_metrics
+            and (
+                config.min_quality is not None
+                or config.dsir_model_path is not None
+            )
+        )
         else n_input
     )
 

@@ -462,3 +462,55 @@ def test_ingest_drift_monitoring_per_epoch(spark, env, tmp_path):
     # replay: same epoch rewrites its own partition, no duplication
     ingest.process_crawl_batch(batch, 0, cfg)
     assert spark.read.parquet(f"{cfg.dest_dir}/drift").count() == 3
+
+
+def test_ingest_dsir_selection_stage(spark, env, tmp_path):
+    """r8: dsir_model_path + dsir_min_log_weight shed off-target documents
+    right after the quality floor — scored O(batch) against the PERSISTED
+    distributions (selection.persist_dsir_model), metrics trace the cut."""
+    import dataclasses
+
+    from kafka_connector_s3_sink_spark.operators import selection
+
+    # target reads like "base" docs; raw reference adds off-target spam
+    target = spark.createDataFrame(
+        [(900 + i, _text(f"base:{i}")) for i in range(10)], ["doc_id", "text"]
+    )
+    spam = "buy cheap now " * 10
+    raw_ref = target.unionByName(
+        spark.createDataFrame([(800, spam)], ["doc_id", "text"])
+    )
+    model = str(tmp_path / "dsir_model")
+    selection.persist_dsir_model(target, raw_ref, model, n_buckets=256)
+
+    _, _, cfg, _ = env[0], env[1], env[2], env[3]
+    cfg = dataclasses.replace(
+        env[2], dsir_model_path=model, dsir_min_log_weight=0.0
+    )
+    # fresh doc: its salad grams are unseen in BOTH distributions, so each
+    # contributes the small positive ln((tq+am)/(tp+am)) — comfortably above
+    # the 0.0 floor; the spam doc's grams are frequent in q and absent from
+    # p — strongly negative. (A base:* doc would be shed later by the dedup
+    # index instead, muddying the attribution.)
+    ingest.process_crawl_batch(
+        spark.createDataFrame(
+            [(500, _text("fresh:500")), (501, spam + "extra")],
+            ["doc_id", "text"],
+        ),
+        0,
+        cfg,
+    )
+    out = spark.read.parquet(f"{cfg.dest_dir}/documents")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 501 not in kept  # spam scored below the target threshold
+    m = spark.read.parquet(f"{cfg.dest_dir}/metrics").collect()[0]
+    assert m["n_input"] == 2 and m["n_qualified"] == 1
+
+    # both-or-neither validation
+    import pytest as _pytest
+
+    bad = dataclasses.replace(env[2], dsir_model_path=model)
+    with _pytest.raises(ValueError, match="set together"):
+        ingest.process_crawl_batch(
+            spark.createDataFrame([(1, "x")], ["doc_id", "text"]), 0, bad
+        )
