@@ -75,12 +75,15 @@ class FormatType(str, Enum):
     JSON = "json"
     JSONL = "jsonl"
     PARQUET = "parquet"
-    # Engine extension (beyond the reference's four formats): Avro Object
-    # Container Files on the same grouped-object write path, reusing the
-    # pure-Python codec in formats/avro.py. Constructible via the Python
-    # API only — the reference-parity property path rejects it with the
-    # reference's own message (S3SinkConfigTest.java:772-782).
+    # Engine extensions (beyond the reference's four formats), constructible
+    # via the Python API only — the reference-parity property path rejects
+    # them with the reference's own message (S3SinkConfigTest.java:772-782):
+    # AVRO = Object Container Files on the grouped-object write path,
+    # reusing the pure-Python codec in formats/avro.py; ORC = the columnar
+    # sibling of the parquet path (pyarrow.orc per group, Spark-native
+    # read-back).
     AVRO = "avro"
+    ORC = "orc"
 
 
 class CompressionType(str, Enum):
@@ -482,9 +485,13 @@ class EngineConfig:
 
     @property
     def filename_extension(self) -> str:
-        # parquet/avro objects never get a compression suffix (compression is
-        # internal to the container)
-        if self.format_type in (FormatType.PARQUET, FormatType.AVRO):
+        # parquet/avro/orc objects never get a compression suffix
+        # (compression is internal to the container)
+        if self.format_type in (
+            FormatType.PARQUET,
+            FormatType.AVRO,
+            FormatType.ORC,
+        ):
             return ""
         return self.file_compression.extension
 

@@ -169,7 +169,7 @@ def write_batch(
         )
 
     fmt = config.format_type
-    if fmt in (FormatType.PARQUET, FormatType.AVRO):
+    if fmt in (FormatType.PARQUET, FormatType.AVRO, FormatType.ORC):
         cols = [F.col("_file")] + [
             F.col(f.value).alias(f.value) for f in config.output_fields
         ]
@@ -324,11 +324,12 @@ def _text_partition_writer(storage: ObjectStorage, config: EngineConfig, fault=N
 def _parquet_partition_writer(
     storage: ObjectStorage, config: EngineConfig, schema, fault=None
 ):
-    """Per-partition parquet writer: buffers one group's rows into an Arrow
-    table and writes a single parquet object with the reference's envelope
-    column order (README.md:357-405). Parquet needs the whole row group anyway,
-    so per-group buffering matches the format's own memory model; the
-    ``file.max.records`` chunking bounds it.
+    """Per-partition columnar writer (parquet, and — r8 engine extension —
+    ORC via ``pyarrow.orc``): buffers one group's rows into an Arrow table
+    and writes a single object with the reference's envelope column order
+    (README.md:357-405). A columnar container needs the whole row group
+    anyway, so per-group buffering matches the format's own memory model;
+    the ``file.max.records`` chunking bounds it.
 
     ``schema`` is the prepared DataFrame's Spark schema (``_file``, envelope
     fields, ``_ord``); the Arrow schema is derived from it explicitly so
@@ -338,12 +339,23 @@ def _parquet_partition_writer(
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    compression = {
-        CompressionType.NONE: "none",
-        CompressionType.GZIP: "gzip",
-        CompressionType.SNAPPY: "snappy",
-        CompressionType.ZSTD: "zstd",
-    }[config.file_compression]
+    is_orc = config.format_type is FormatType.ORC
+    if is_orc:
+        # ORC's codec registry (pyarrow.orc): gzip maps to zlib — the same
+        # DEFLATE family, matching the avro writer's gzip→deflate mapping
+        compression = {
+            CompressionType.NONE: "uncompressed",
+            CompressionType.GZIP: "zlib",
+            CompressionType.SNAPPY: "snappy",
+            CompressionType.ZSTD: "zstd",
+        }[config.file_compression]
+    else:
+        compression = {
+            CompressionType.NONE: "none",
+            CompressionType.GZIP: "gzip",
+            CompressionType.SNAPPY: "snappy",
+            CompressionType.ZSTD: "zstd",
+        }[config.file_compression]
     field_names = [f.value for f in config.output_fields]
     envelope_schema = StructType([schema[n] for n in field_names])
     arrow_schema = to_arrow_schema(envelope_schema)
@@ -356,6 +368,9 @@ def _parquet_partition_writer(
     def write(rows: Iterator) -> Iterator[tuple[str, int]]:
         import pyarrow as pa
         import pyarrow.parquet as pq
+
+        if is_orc:
+            import pyarrow.orc as pa_orc
         from pyspark.sql import Row as SparkRow
 
         def to_py(v):
@@ -379,7 +394,10 @@ def _parquet_partition_writer(
             ]
             table = pa.Table.from_arrays(arrays, schema=arrow_schema)
             with storage.open_output(current) as out:
-                pq.write_table(table, out, compression=compression)
+                if is_orc:
+                    pa_orc.write_table(table, out, compression=compression)
+                else:
+                    pq.write_table(table, out, compression=compression)
                 if fault is not None:
                     fault(current)  # raises inside the context → abort, no object
             return (current, len(buffer[0]))

@@ -228,15 +228,16 @@ def _json_fields(config: EngineConfig, binary_payloads: bool) -> list[Column]:
 
 
 def _validate_parquet_objects(
-    spark: SparkSession, dest_dir: str
+    spark: SparkSession, dest_dir: str, fmt: str = "parquet"
 ) -> tuple[list[str], list[tuple[str, str]]]:
     """Partition the store's objects into (healthy, [(name, error)]) by
-    reading each object's parquet FOOTER in executor tasks (pyarrow through
-    the picklable ``ObjectStorage`` client — executors have no py4j
-    gateway). Footer metadata is the integrity gate the native scan itself
-    trusts: a truncated/overwritten tail or bad magic fails here, one task
-    per batch of objects, O(footer bytes) per object. Driver cost is
-    O(objects) names — the same order as the listing that planned them."""
+    reading each object's FOOTER (parquet thrift or — ``fmt="orc"`` — the
+    ORC tail metadata) in executor tasks (pyarrow through the picklable
+    ``ObjectStorage`` client — executors have no py4j gateway). Footer
+    metadata is the integrity gate the native scan itself trusts: a
+    truncated/overwritten tail or bad magic fails here, one task per batch
+    of objects, O(footer bytes) per object. Driver cost is O(objects)
+    names — the same order as the listing that planned them."""
     from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
 
     storage = ObjectStorage(dest_dir)
@@ -246,19 +247,23 @@ def _validate_parquet_objects(
 
     def validate(batches) -> Iterator:
         import pandas as pd
+        import pyarrow.orc as pa_orc
         import pyarrow.parquet as pq
 
         for pdf in batches:
             errs = []
             for n in pdf["object_name"]:
                 try:
-                    # metadata parse validates magic + footer thrift; touch
-                    # num_rows so a lazily-parsed footer fully materializes.
+                    # metadata parse validates magic + footer; touch the row
+                    # count so a lazily-parsed footer fully materializes.
                     # Seekable handle → pyarrow reads ONLY the footer (tail
-                    # magic + thrift), keeping this O(footer bytes) per
+                    # magic + metadata), keeping this O(footer bytes) per
                     # object even when the store holds multi-GB objects.
                     with storage.open_input_file(n) as f:
-                        pq.ParquetFile(f).metadata.num_rows
+                        if fmt == "orc":
+                            pa_orc.ORCFile(f).nrows
+                        else:
+                            pq.ParquetFile(f).metadata.num_rows
                     errs.append(None)
                 except Exception as e:  # noqa: BLE001 — routed per contract
                     errs.append(f"{type(e).__name__}: {e}")
@@ -515,11 +520,12 @@ def read_sink_objects(
     surface as one ``decode_error`` row each and the scan reads only the
     healthy set.
     """
-    if config.format_type is FormatType.PARQUET:
+    if config.format_type in (FormatType.PARQUET, FormatType.ORC):
         if on_error not in ("fail", "route"):
             raise ValueError(
                 f"on_error must be 'fail' or 'route', got {on_error!r}"
             )
+        fmt_name = config.format_type.value
         reader = spark.read.option("recursiveFileLookup", "true")
         if config.parquet_schema_rotation or config.parquet_value_schema:
             # schema-rotated sinks write objects with DIFFERENT value structs
@@ -530,11 +536,10 @@ def read_sink_objects(
         bad: list[tuple[str, str]] = []
         source: str | list[str] = dest_dir
         if on_error == "route":
-            good, bad = _validate_parquet_objects(spark, dest_dir)
+            good, bad = _validate_parquet_objects(spark, dest_dir, fmt_name)
             source = [f"{dest_dir.rstrip('/')}/{n}" for n in good]
         df = (
-            (reader.parquet(*source) if isinstance(source, list) else
-             reader.parquet(source))
+            reader.format(fmt_name).load(source)  # str or healthy-name list
             .withColumn("path", F.col("_metadata.file_path"))
             .withColumn("object_name", _relative_name(dest_dir))
             .drop("path")
