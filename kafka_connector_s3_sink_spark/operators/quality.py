@@ -470,3 +470,64 @@ def binary_auc(
         F.sum("n_pos").cast("long").alias("n_pos"),
         F.sum("n_neg").cast("long").alias("n_neg"),
     )
+
+
+def precision_recall_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact precision/recall/F1 at every distinct score threshold —
+    (threshold, n_predicted_pos, tp, precision, recall, f1), one row per
+    distinct rounded score, where row t reports the classifier "keep iff
+    score >= t". The operating-point picker that turns a trained quality
+    classifier into an ingest floor: scan the curve, choose the threshold
+    whose precision/recall trade-off fits the corpus budget (the companion
+    to ``binary_auc``'s single ranking number).
+
+    Same scale shape as ``binary_auc``: scores round to ``round_digits``
+    and aggregate per distinct value (one map-side combined shuffle), then
+    the cumulative pass runs a window over ≤ 10^digits buckets — bounded
+    by config, not data. Cumulation is FROM THE TOP (descending scores):
+    tp(t) = Σ positives with score >= t."""
+    from pyspark.sql import Window
+
+    s = stable_round(F.col(score_col), round_digits).alias("threshold")
+    lab = F.col(label_col).cast("int")
+    per_score = (
+        df.select(s, lab.alias("y"))
+        .groupBy("threshold")
+        .agg(
+            F.sum("y").alias("pos_here"),
+            F.count(F.lit(1)).alias("n_here"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total_pos = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = per_score.select(
+        "threshold",
+        F.sum("n_here").over(w).alias("n_predicted_pos"),
+        F.sum("pos_here").over(w).alias("tp"),
+        F.sum("pos_here").over(total_pos).alias("_all_pos"),
+    )
+    precision = F.col("tp") / F.col("n_predicted_pos")
+    recall = F.when(
+        F.col("_all_pos") > 0, F.col("tp") / F.col("_all_pos")
+    )  # no positives at all → recall undefined (NULL), like auc
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return curve.select(
+        "threshold",
+        "n_predicted_pos",
+        "tp",
+        stable_round(precision, round_digits).alias("precision"),
+        stable_round(recall, round_digits).alias("recall"),
+        stable_round(f1, round_digits).alias("f1"),
+    ).orderBy(F.col("threshold").desc())

@@ -359,3 +359,42 @@ def test_binary_auc_single_class_is_null_not_crash(spark):
         [(0.9, 0), (0.3, 0)], "score double, label int")
     row = binary_auc(allneg).collect()[0]
     assert row["auc"] is None and row["n_pos"] == 0 and row["n_neg"] == 2
+
+
+def test_precision_recall_curve_hand_computed_and_sklearn_free(spark):
+    """Exact P/R/F1 at every distinct threshold vs a plain-Python oracle;
+    ties collapse to one row; one-class edge cases mirror binary_auc."""
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        precision_recall_curve,
+    )
+
+    rows = [
+        (0.9, 1), (0.8, 0), (0.8, 1), (0.55, 1), (0.4, 0), (0.2, 0), (0.2, 1),
+    ]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    got = {r.threshold: r for r in precision_recall_curve(df).collect()}
+    # python oracle
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0])  # t -> [n, pos]
+    for s, y in rows:
+        agg[s][0] += 1
+        agg[s][1] += y
+    all_pos = sum(y for _, y in rows)
+    n_cum = tp = 0
+    for t in sorted(agg, reverse=True):
+        n_cum += agg[t][0]
+        tp += agg[t][1]
+        r = got[t]
+        assert (r.n_predicted_pos, r.tp) == (n_cum, tp)
+        prec, rec = tp / n_cum, tp / all_pos
+        assert r.precision == pytest.approx(prec, abs=1e-6)
+        assert r.recall == pytest.approx(rec, abs=1e-6)
+        assert r.f1 == pytest.approx(2 * prec * rec / (prec + rec), abs=1e-6)
+    assert len(got) == len(agg)  # tie at 0.8 and 0.2 collapse
+    # lowest threshold keeps everything: recall 1.0
+    assert got[min(got)].recall == pytest.approx(1.0)
+    # no positives at all: recall NULL, precision 0
+    none = spark.createDataFrame([(0.5, 0), (0.1, 0)], ["score", "label"])
+    r0 = precision_recall_curve(none).collect()[0]
+    assert r0.recall is None and r0.precision == 0.0
