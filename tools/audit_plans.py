@@ -87,15 +87,22 @@ variant arms at this SF), (b) the index side never exchanges
 classification stays flat as the index grows (the 10× probe). A future
 regression is a change in THOSE numbers, not in the static count.""",
     "text_corpus_stats": """\
-**Six branches, one entry (r6).** This query runs the corpus through six
-independent analyses under one oracle row: top-ngrams, quality rollup,
-html_extract, url_domains, **warc_ingest** (the ENTIRE documents corpus
-re-ingested from real per-member-gzip WARC archives — binaryFile scan +
-Python record/HTTP parse + JVM extraction — every pass; archives build
-once per process), and **quality_clf** (the trained logistic model scored
-over every doc). Its bench time is the sum of six workloads — r5 measured
-two. The single Python boundary is the WARC parse (the documented
-Arrow-batched escape); everything downstream of it is JVM expression.""",
+**Eleven branches, one entry (r6→r8).** This query runs the corpus
+through eleven independent analyses under one oracle row: top-ngrams,
+quality rollup, html_extract, url_domains, domain_cap, **warc_ingest**
+(the ENTIRE documents corpus re-ingested from real per-member-gzip WARC
+archives — binaryFile scan + Python record/HTTP parse + JVM extraction —
+every pass; archives build once per process), **quality_clf** (the
+trained logistic model scored over every doc), link_rank (PageRank over
+the synthetic link graph), ppl (the interpolated trigram LM — two corpus
+aggregations + Zipf-sparse joins), drift (PSI/KL vs a perturbed
+snapshot), and **dsir** (r8: hashed-gram importance weights against a
+curated-proxy target + Gumbel top-k — two bucket fits that collapse to
+≤m rows and broadcast, one doc-keyed aggregation, TakeOrdered). Its
+bench time is the sum of eleven workloads — compare per BRANCH via
+BENCH_LAST.json's queries_branches, not the entry total. The single
+Python boundary is the WARC parse (the documented Arrow-batched escape);
+everything downstream of it is JVM expression.""",
     "sink_avro_converter": """\
 **Three writer schemas, one decode pass (r6).** v1/v2 exercise schema-id
 dispatch + evolution merge; v3 adds the CDC logical-type surface
