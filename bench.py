@@ -293,19 +293,32 @@ def main() -> None:
         entrymod.release_caches()
 
     # end-to-end sink writes (exact object names) to local objects
-    from kafka_connector_s3_sink_spark.config import FormatType, OutputField
+    from kafka_connector_s3_sink_spark.config import (
+        CompressionType,
+        FormatType,
+        OutputField,
+    )
 
     records = kafka_records_from_events(spark, SF_DIR)
+    envelope_fields = (
+        OutputField.KEY,
+        OutputField.OFFSET,
+        OutputField.TIMESTAMP,
+        OutputField.VALUE,
+    )
     sink_cases = {
         "sink_write_csv_gzip": EngineConfig(),
         "sink_write_parquet": EngineConfig(
-            format_type=FormatType.PARQUET,
-            output_fields=(
-                OutputField.KEY,
-                OutputField.OFFSET,
-                OutputField.TIMESTAMP,
-                OutputField.VALUE,
-            ),
+            format_type=FormatType.PARQUET, output_fields=envelope_fields
+        ),
+        # r8 format-family extensions, same grouped-object path
+        "sink_write_avro_zstd": EngineConfig(
+            format_type=FormatType.AVRO,
+            file_compression=CompressionType.ZSTD,
+            output_fields=envelope_fields,
+        ),
+        "sink_write_orc": EngineConfig(
+            format_type=FormatType.ORC, output_fields=envelope_fields
         ),
     }
     for name, cfg in sink_cases.items():
@@ -353,7 +366,11 @@ def main() -> None:
         "text_corpus_stats' ppl branch upgrades bigram to interpolated "
         "trigram (one more corpus aggregation + rollup); dedup_clusters' "
         "media branch grows video (Y4M) rows inside the same decode "
-        "boundary. Per-branch attribution: see queries_branches (new in "
+        "boundary; text_corpus_stats gains the dsir branch (importance "
+        "weights + Gumbel top-40, ~2 corpus gram passes); NEW entries "
+        "sink_write_avro_zstd + sink_write_orc time the r8 format-family "
+        "extensions on the same grouped-object path (41 entries total). "
+        "Per-branch attribution: see queries_branches (new in "
         "r8) — compare branch-to-branch across rounds. VERDICT r7 item 2 "
         "resolved: the two same-direction driver deltas "
         "(sink_write_parquet 1.02->1.80s, text_analysis 1.12->1.67s, no "
