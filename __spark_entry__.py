@@ -498,7 +498,8 @@ _INCR_CACHE_REGISTRY: list = []
 
 
 def release_caches() -> None:
-    """Drop the deferred persist()s of the last q_incremental_dedup call.
+    """Drop the deferred persist()s of the last q_incremental_dedup call
+    (and, r8, text_corpus_stats' dsir gram cache — same contract).
 
     The classification ladder persists intermediates that must stay cached
     until the RESULT DataFrame is materialized (the query fn returns lazily),
@@ -1363,6 +1364,9 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 7 == 0),
         k=40,
         n_buckets=1024,
+        # deferred release: the gram cache must outlive this lazy return;
+        # bench/gate call release_caches() between entries
+        unpersist_registry=_INCR_CACHE_REGISTRY,
     ).select(
         F.lit("dsir").alias("branch"),
         F.col("doc_id").cast("string").alias("key"),

@@ -108,6 +108,7 @@ def dsir_log_weights(
     n_buckets: int = N_BUCKETS,
     smoothing: float = 1.0,
     seed: str = "dsir",
+    unpersist_registry: list | None = None,
 ) -> DataFrame:
     """(doc_id, n_grams, log_weight): the DSIR importance log-weight of every
     raw document under the hashed-gram models fitted on ``target`` (p) and
@@ -135,6 +136,11 @@ def dsir_log_weights(
     raw_grams = hashed_gram_buckets(
         raw, id_col=id_col, text_col=text_col, n_buckets=n_buckets, seed=seed
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if unpersist_registry is not None:
+        # deferred-release contract (incremental.incremental_dedup's idiom):
+        # the cache must outlive this lazy return; the caller unpersists
+        # after materializing (bench/gate call release_caches between entries)
+        unpersist_registry.append(raw_grams)
     p = bucket_counts(tgt_grams).withColumnRenamed("c", "cp")
     q = bucket_counts(raw_grams).withColumnRenamed("c", "cq")
     totals = (
@@ -183,6 +189,7 @@ def dsir_resample(
     smoothing: float = 1.0,
     seed: str = "dsir",
     gumbel_seed: str = "dsir-gumbel",
+    unpersist_registry: list | None = None,
 ) -> DataFrame:
     """The k raw documents selected by Gumbel top-k importance resampling:
     all raw columns plus (n_grams, log_weight, select_score), where
@@ -199,6 +206,7 @@ def dsir_resample(
         n_buckets=n_buckets,
         smoothing=smoothing,
         seed=seed,
+        unpersist_registry=unpersist_registry,
     )
     score = F.col("log_weight") + gumbel_key(F.col(id_col), gumbel_seed)
     return (
