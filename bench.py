@@ -367,7 +367,8 @@ def main() -> None:
         "trigram (one more corpus aggregation + rollup); dedup_clusters' "
         "media branch grows video (Y4M) rows inside the same decode "
         "boundary; text_corpus_stats gains the dsir branch (importance "
-        "weights + Gumbel top-40, ~2 corpus gram passes); NEW entries "
+        "weights + Gumbel top-40; the shared gram frame is persisted - "
+        "dedup._materialize pattern - so warm passes reuse it); NEW entries "
         "sink_write_avro_zstd + sink_write_orc time the r8 format-family "
         "extensions on the same grouped-object path (41 entries total). "
         "Per-branch attribution: see queries_branches (new in "
