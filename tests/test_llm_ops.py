@@ -2074,3 +2074,42 @@ def test_fit_sample_threshold_clamps_to_one(spark):
     n = s.count()
     assert 0 < n < 50
     assert s.count() == n
+
+
+def test_semantic_decontamination_matches(spark):
+    """r8: the embedding rung of the decontam ladder — a scaled copy of a
+    benchmark vector (cosine 1.0) and a lightly perturbed one are flagged;
+    an orthogonal/antipodal vector is not; every returned pair satisfies
+    the exact cosine threshold (the LSH bands only propose)."""
+    from kafka_connector_s3_sink_spark.operators.dedup import (
+        semantic_decontamination_matches,
+    )
+
+    dim = 8
+    base = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]  # large magnitudes:
+    # a small perturbation can't flip any hyperplane sign crossing
+    near = [x + 0.01 for x in base]
+    ortho = [-x for x in base]  # cosine -1: buckets all differ (sign flip)
+    other = [5.0, 5.0, -5.0, 5.0, -5.0, -5.0, 5.0, 5.0]
+    corpus = spark.createDataFrame(
+        [(1, [2.0 * x for x in base]), (2, near), (3, ortho), (4, other)],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame([(100, base)], ["vec_id", "embedding"])
+    got = {
+        (r.corpus_id, r.bench_id): r.cosine
+        for r in semantic_decontamination_matches(
+            corpus, bench, dim=dim, cosine_threshold=0.95
+        ).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] == pytest.approx(1.0)
+    assert (2, 100) in got and got[(2, 100)] > 0.99
+    assert (3, 100) not in got and (4, 100) not in got
+    # invariants: proposals that fail the exact cosine are filtered
+    loose = semantic_decontamination_matches(
+        corpus, bench, dim=dim, cosine_threshold=0.0
+    ).collect()
+    for r in loose:
+        assert r.cosine >= 0.0
+    with pytest.raises(ValueError):
+        semantic_decontamination_matches(corpus, bench, dim=dim, n_bands=0)
