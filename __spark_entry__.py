@@ -1091,7 +1091,26 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = dedup.semantic_dupes(corpus, threshold=0.999).select(
         F.lit("kmeans").alias("method"), "id1", "id2", "cosine"
     )
-    return lab.unionByName(sem)
+    # decontam branch (r8): SEMANTIC benchmark decontamination — the corpus
+    # (incl. its scaled copies) screened against an eval-proxy benchmark
+    # (every 17th original vector) via banded random-hyperplane LSH
+    # candidates + exact cosine verify. The oracle inlines the identical
+    # md5-derived planes per band and replays signature → band OR-join →
+    # cosine threshold, so a divergence in plane math, banding, or the
+    # verify hash-fails. Deterministic hits: the 30 identity pairs (the
+    # benchmark vectors themselves are in the corpus) + the scaled copies
+    # of benchmark members (vec_id % 340 == 0, cosine exactly 1).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 17 == 0)
+    dec = dedup.semantic_decontamination_matches(
+        corpus, bench, cosine_threshold=0.999
+    ).select(
+        F.lit("decontam").alias("method"),
+        F.col("corpus_id").alias("id1"),
+        F.col("bench_id").alias("id2"),
+        "cosine",
+    )
+    return lab.unionByName(sem).unionByName(dec)
 
 
 def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1579,84 @@ def _lsh_oracle_sql(n_planes: int = 8, dim: int = 64, k: int = 10) -> str:
             FROM scored
         )
         SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _semantic_decontam_oracle_sql(
+    n_bands: int = 4,
+    band_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.999,
+) -> str:
+    """DuckDB oracle for the `decontam` branch of dedup_embedding_cosine:
+    the banded hyperplane signatures (per-band plane sets inlined as
+    literal DOUBLE[] arrays — the same md5-derived values as
+    dedup.semantic_decontamination_matches uses via
+    similarity._hyperplanes(seed=1000+band)), the OR-of-bands candidate
+    join, and the exact rounded-cosine verify at the same threshold."""
+    from kafka_connector_s3_sink_spark.operators.similarity import _hyperplanes
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ",".join(repr(c) for c in plane) + "]::DOUBLE[]"
+
+    def bucket(seed: int) -> str:
+        return " || ".join(
+            f"(CASE WHEN list_dot_product(vec, {arr(p)}) >= 0"
+            " THEN '1' ELSE '0' END)"
+            for p in _hyperplanes(dim, band_planes, seed=seed)
+        )
+
+    csig = "\n            UNION ALL\n".join(
+        f"""            SELECT corpus_id, {band} AS band,
+                {bucket(1000 + band)} AS bucket
+            FROM c"""
+        for band in range(n_bands)
+    )
+    bsig = "\n            UNION ALL\n".join(
+        f"""            SELECT bench_id, {band} AS band,
+                {bucket(1000 + band).replace("vec", "bvec")} AS bucket
+            FROM bch"""
+        for band in range(n_bands)
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                list_transform(embedding::DOUBLE[], x -> x * 1.5) AS vec
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        c AS (
+            SELECT vec_id AS corpus_id, vec FROM corpus
+            WHERE list_dot_product(vec, vec) > 0
+        ),
+        bch AS (
+            SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bvec
+            FROM embeddings
+            WHERE vec_id % 17 = 0 AND
+                list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        ),
+        csig AS (
+{csig}
+        ),
+        bsig AS (
+{bsig}
+        ),
+        cand AS (
+            SELECT DISTINCT corpus_id, bench_id
+            FROM csig JOIN bsig USING (band, bucket)
+        ),
+        verified AS (
+            SELECT cand.corpus_id AS id1, cand.bench_id AS id2,
+                floor((list_dot_product(c.vec, bch.bvec)
+                    / (sqrt(list_dot_product(c.vec, c.vec))
+                       * sqrt(list_dot_product(bch.bvec, bch.bvec))))
+                    * 10000.0 + 0.5) / 10000.0 AS cosine
+            FROM cand
+            JOIN c USING (corpus_id)
+            JOIN bch USING (bench_id)
+        )
+        SELECT id1, id2, cosine FROM verified WHERE cosine >= {threshold}
     """
 
 
@@ -3885,6 +3982,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'kmeans' AS method, id1, id2, cosine FROM ("""
             + _semantic_oracle_sql()
+            + """)
+            UNION ALL
+            SELECT 'decontam' AS method, id1, id2, cosine FROM ("""
+            + _semantic_decontam_oracle_sql()
             + ")"
         ),
         "ann_topk": """

@@ -80,6 +80,7 @@ BRANCH_TAGS = {
         ["jaccard", "lsh", "decontam", "decontam_near"],
     ),
     "pipeline_pack_split": ("branch", ["pack", "mix_pack"]),
+    "dedup_embedding_cosine": ("method", ["label", "kmeans", "decontam"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
     "text_corpus_stats": (
         "branch",
