@@ -133,6 +133,26 @@ def main() -> None:
                 dedup.near_decontamination_matches(docs, benchmark)
             ),
         )
+        # semantic decontam: corpus embeddings (synthesized from doc ids —
+        # the shape matters, not the values) vs a FIXED benchmark set
+        emb = docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.col("doc_id") % (7 + i) - (3 + i) / 2.0).cast("double")
+                    for i in range(16)
+                ]
+            ).alias("embedding"),
+        )
+        bench_emb = emb.filter(F.col("vec_id") % 13 == 0).limit(100)
+        timed(
+            f"semantic_decontam_{label}",
+            lambda: noop(
+                dedup.semantic_decontamination_matches(
+                    emb, bench_emb, dim=16, cosine_threshold=0.999
+                )
+            ),
+        )
         timed(
             f"trigram_ppl_{label}",
             lambda: noop(quality.trigram_perplexity(docs)),
