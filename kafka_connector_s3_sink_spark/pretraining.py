@@ -62,6 +62,11 @@ class PretrainingConfig:
     span_tokens: int = 50
     decontam_overlap: float = 0.5
     near_decontam_jaccard: float = 0.5
+    # semantic decontam rung (active only when pretraining_pipeline is
+    # given ``benchmark_embeddings``): docs must carry ``embedding_col``
+    semantic_decontam_cosine: float = 0.95
+    embedding_col: str = "embedding"
+    embedding_dim: int = 64
     domain_cap: int | None = None
     n_salts: int = 16
     mixture: Mapping[str, float] | None = None
@@ -105,6 +110,7 @@ def pretraining_pipeline(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     config: PretrainingConfig | None = None,
+    benchmark_embeddings: DataFrame | None = None,
 ) -> PretrainingResult:
     """Run the full corpus build (module docstring) over ``docs``.
 
@@ -112,8 +118,12 @@ def pretraining_pipeline(
     quality floor (derived via ``text.quality_score`` when absent and a
     floor is configured), a ``domain`` column (or ``url`` to derive it from)
     gates the per-domain cap, and ``config.source_col`` gates the mixture.
-    ``benchmark`` is the eval-suite frame (``doc_id``, ``text``) for both
-    decontamination passes. Returns a :class:`PretrainingResult`.
+    ``benchmark`` is the eval-suite frame (``doc_id``, ``text``) for the
+    exact and banded-near lexical decontamination passes;
+    ``benchmark_embeddings`` (``doc_id`` + ``config.embedding_col``) adds
+    the SEMANTIC rung — docs must then carry ``config.embedding_col`` too,
+    and a translated/deeply-paraphrased leak that shares no n-grams with
+    its eval twin is still cut. Returns a :class:`PretrainingResult`.
     """
     cfg = config or PretrainingConfig()
     res = PretrainingResult()
@@ -150,16 +160,44 @@ def pretraining_pipeline(
     cur = cur.join(canon, "doc_id", "left_semi")
     res.stages["near_dedup"] = cur
 
-    if benchmark is not None:
-        exact_flags = dedup.decontamination_matches(
-            cur, benchmark, min_overlap_ratio=cfg.decontam_overlap
-        ).select("corpus_id")
-        near_flags = dedup.near_decontamination_matches(
-            cur, benchmark, jaccard_threshold=cfg.near_decontam_jaccard
-        ).select("corpus_id")
-        flagged = exact_flags.unionByName(near_flags).distinct()
+    if benchmark is not None or benchmark_embeddings is not None:
+        flag_sets = []
+        if benchmark is not None:
+            flag_sets.append(
+                dedup.decontamination_matches(
+                    cur, benchmark, min_overlap_ratio=cfg.decontam_overlap
+                ).select("corpus_id")
+            )
+            flag_sets.append(
+                dedup.near_decontamination_matches(
+                    cur, benchmark, jaccard_threshold=cfg.near_decontam_jaccard
+                ).select("corpus_id")
+            )
+        if benchmark_embeddings is not None:
+            if cfg.embedding_col not in cur.columns:
+                raise ValueError(
+                    "benchmark_embeddings supplied but docs carry no "
+                    f"{cfg.embedding_col!r} column"
+                )
+            flag_sets.append(
+                dedup.semantic_decontamination_matches(
+                    cur.select(
+                        F.col("doc_id").alias("vec_id"),
+                        F.col(cfg.embedding_col).alias("embedding"),
+                    ),
+                    benchmark_embeddings.select(
+                        F.col("doc_id").alias("vec_id"),
+                        F.col(cfg.embedding_col).alias("embedding"),
+                    ),
+                    dim=cfg.embedding_dim,
+                    cosine_threshold=cfg.semantic_decontam_cosine,
+                ).select("corpus_id")
+            )
+        flagged = flag_sets[0]
+        for fs in flag_sets[1:]:
+            flagged = flagged.unionByName(fs)
         cur = cur.join(
-            flagged.withColumnRenamed("corpus_id", "doc_id"),
+            flagged.distinct().withColumnRenamed("corpus_id", "doc_id"),
             "doc_id",
             "left_anti",
         )

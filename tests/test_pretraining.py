@@ -218,3 +218,46 @@ def test_packed_layout_and_split_stability(result):
     # with 'the', so the duplicated 50-gram reaches one token past the
     # 54-token header and surgery removes 55 tokens
     assert h_tokens == {29}
+
+
+def test_semantic_decontam_rung(spark):
+    """r8: benchmark_embeddings adds the third decontam rung — a doc whose
+    TEXT shares no n-grams with the eval suite but whose embedding is a
+    scaled copy of a benchmark embedding is cut at the decontam stage;
+    lexically AND semantically clean docs survive; missing embedding col
+    raises."""
+    from kafka_connector_s3_sink_spark.pretraining import (
+        PretrainingConfig,
+        pretraining_pipeline,
+    )
+
+    base = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]
+    far = [5.0, 5.0, -5.0, 5.0, -5.0, -5.0, 5.0, 5.0]
+    docs = spark.createDataFrame(
+        [
+            # semantically leaked: unique prose, embedding = 2x benchmark
+            (1, _prose("leak", 40), [2.0 * x for x in base]),
+            (2, _prose("clean-a", 40), far),
+            (3, _prose("clean-b", 40), [-x for x in base]),
+        ],
+        ["doc_id", "text", "embedding"],
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, base)], ["doc_id", "embedding"]
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None,
+        embedding_dim=8, ctx_len=64,
+    )
+    res = pretraining_pipeline(
+        docs, config=cfg, benchmark_embeddings=bench_emb
+    )
+    kept = {r.doc_id for r in res.stages["decontam"].select("doc_id").collect()}
+    assert kept == {2, 3}
+    # docs without the embedding column: loud error, not a silent skip
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="embedding"):
+        pretraining_pipeline(
+            docs.drop("embedding"), config=cfg, benchmark_embeddings=bench_emb
+        )
