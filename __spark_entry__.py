@@ -173,10 +173,13 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``mix_pack``: the UP-sampled mixture composed with packing — a 3-source
       mixture (src0 ×2.3, src1 ×1.0, src2 ×0.4) replicated via
       ``mixture_sample(epoch_col=...)``, each copy given a distinct packing
-      identity (rep_id = doc_id·4 + epoch) so replicas land in independent
-      stream positions, then packed and re-joined to the ORIGINAL document's
-      split label — upsampled copies must never straddle the train/val
-      boundary (epoch replication happens inside a split, or eval leaks).
+      identity (the composite string rep_id = '<epoch>:<doc_id>' — exact for
+      any id type/width, unlike an integer doc_id·slots+epoch encode, which
+      overflows 64-bit for 63-bit xxhash ids) so replicas land in
+      independent stream positions, then packed and re-joined to the
+      ORIGINAL document's split label — upsampled copies must never straddle
+      the train/val boundary (epoch replication happens inside a split, or
+      eval leaks).
 
     Every layout derives from md5 expressions, so the oracle reproduces both
     branches bit-for-bit."""
@@ -200,14 +203,21 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_col="mix_epoch",
     )
     rep = mixed.select(
-        (F.col("doc_id") * 4 + F.col("mix_epoch")).alias("rep_id"), "text"
+        F.concat_ws(
+            ":",
+            F.col("mix_epoch").cast("string"),
+            F.col("doc_id").cast("string"),
+        ).alias("rep_id"),
+        "text",
     )
     mix = (
         packing.pack_sequences(rep, ctx_len=512, id_col="rep_id")
-        .withColumn("mix_epoch", (F.col("rep_id") % 4).cast("int"))
+        .withColumn(
+            "mix_epoch", F.substring_index(F.col("rep_id"), ":", 1).cast("int")
+        )
         .withColumn(
             "doc_id",
-            ((F.col("rep_id") - F.col("rep_id") % 4) / 4).cast("long"),
+            F.expr("substring(rep_id, instr(rep_id, ':') + 1)").cast("long"),
         )
         .join(split, "doc_id")
         .select(
@@ -1760,9 +1770,10 @@ def _dsir_oracle_sql(
     bigrams, the md5 bucket hash (first 6 hex chars mod m, the
     sampling.hash_bucket idiom), both Laplace-smoothed bag-of-buckets fits
     (target = doc_id % 7 == 0, raw = the rest), the per-doc ln-ratio sum,
-    the md5-derived Gumbel draw (first 4 hex chars, (h+0.5)/65536), and
-    the Gumbel top-k cut with the same (score DESC, doc_id) order. Emitted
-    as a `UNION ALL` tail for the entry's f-string."""
+    the md5-derived Gumbel draw (first 13 hex chars, (h+0.5)/2^52 — the
+    52-bit continuous draw of sampling.hash_unit), and the Gumbel top-k
+    cut with the same (score DESC, doc_id) order. Emitted as a
+    `UNION ALL` tail for the entry's f-string."""
     a = float(smoothing)
     m = float(n_buckets)
     return f"""
@@ -1819,8 +1830,8 @@ def _dsir_oracle_sql(
             sc AS (
                 SELECT doc_id, ng, lw,
                     lw - ln(-ln((CAST('0x' || substr(
-                        md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)), 1, 4
-                    ) AS BIGINT) + 0.5) / 65536.0)) AS score
+                        md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)), 1, 13
+                    ) AS BIGINT) + 0.5) / 4503599627370496.0)) AS score
                 FROM w
             )
             SELECT CAST(doc_id AS VARCHAR) AS key, CAST(ng AS BIGINT) AS n,
@@ -2398,15 +2409,16 @@ def _pack_split_oracle_sql(
     bucket thresholds — the same expressions as the engine, so the layout must
     match bit-for-bit. ``mix=True`` packs the UP-sampled 3-source mixture
     instead: rows replicated per epoch slot under mixture_sample's shared
-    bucket threshold, packed by the replica id (pid = doc_id·4 + epoch), then
-    labeled with the ORIGINAL doc's split."""
+    bucket threshold, packed by the composite replica id
+    (pid = '<epoch>:<doc_id>'), then labeled with the ORIGINAL doc's split."""
     bucket = (
         "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
         " AS INTEGER)"
     )
     if mix:
         src = f"""src AS (
-        SELECT doc_id * 4 + e AS pid, doc_id, text
+        SELECT CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS pid,
+               doc_id, text
         FROM (
             SELECT doc_id, text, source,
                 {bucket.format(seed="mix", id="doc_id")} AS mbucket
@@ -2417,7 +2429,7 @@ def _pack_split_oracle_sql(
            OR (source = 'src2' AND e = 0 AND mbucket < {int(0.4 * 65536)})
     )"""
         branch = "'mix_pack'"
-        epoch = "CAST(pid % 4 AS INTEGER)"
+        epoch = "CAST(split_part(pid, ':', 1) AS INTEGER)"
     else:
         src = "src AS (SELECT doc_id AS pid, doc_id, text FROM documents)"
         branch = "'pack'"

@@ -520,9 +520,14 @@ def precision_recall_curve(
     recall = F.when(
         F.col("_all_pos") > 0, F.col("tp") / F.col("_all_pos")
     )  # no positives at all → recall undefined (NULL), like auc
+    # undefined recall (zero positives in the slice) must propagate to f1 as
+    # NULL — the module contract binary_auc set: one-class slices have no
+    # defined score, and 0.0 would read as "measured terrible" instead of
+    # "not measurable". f1 is 0.0 only when recall IS defined but p+r == 0.
     f1 = F.when(
-        precision + recall > 0, 2 * precision * recall / (precision + recall)
-    ).otherwise(F.lit(0.0))
+        recall.isNotNull() & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    ).otherwise(F.when(recall.isNotNull(), F.lit(0.0)))
     return curve.select(
         "threshold",
         "n_predicted_pos",

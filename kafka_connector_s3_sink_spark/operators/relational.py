@@ -620,7 +620,7 @@ def events_after_signup(spark: SparkSession, sf_dir: str, days: int = 7) -> Data
     cond = (
         (ev.user_id == signups.s_user)
         & (ev.ts >= signups.signup_ts)
-        & (ev.ts < signups.signup_ts + F.expr("INTERVAL 7 DAYS"))
+        & (ev.ts < signups.signup_ts + F.expr(f"INTERVAL {int(days)} DAYS"))
     )
     return (
         ev.join(signups, cond)

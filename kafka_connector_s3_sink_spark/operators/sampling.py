@@ -34,6 +34,23 @@ def hash_bucket(id_col: Column, seed: str) -> Column:
     return F.conv(F.substring(digest, 1, 4), 16, 10).cast("int")
 
 
+UNIT_SPACE = 1 << 52  # first 13 md5 hex chars → uniform in [0, 2^52)
+
+
+def hash_unit(id_col: Column, seed: str) -> Column:
+    """Uniform double in (0, 1) from the first 13 md5 hex chars (52 bits —
+    still exactly representable as a double, and still one CAST in the
+    DuckDB twin: ``(CAST('0x' || substr(md5(...), 1, 13) AS BIGINT) + 0.5)
+    / 4503599627370496.0``). Use this for CONTINUOUS selection keys
+    (exponential race, Gumbel): the 16-bit ``hash_bucket`` is fine for
+    threshold filters but quantizes a continuous draw to 65536 values, so
+    equal-weight rows tie and the deterministic tie-break systematically
+    favors low-sorting ids."""
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    v = F.conv(F.substring(digest, 1, 13), 16, 10).cast("double")
+    return (v + F.lit(0.5)) / float(UNIT_SPACE)
+
+
 def shuffle_key(id_col: Column, seed: str) -> Column:
     """Full md5 digest — a deterministic global shuffle order for training-data
     serving. ``orderBy(shuffle_key(...))`` plans a range-partitioned sort
@@ -276,10 +293,9 @@ def weighted_sample(
     selection key is undefined — matching the E-S contract)."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    u = (hash_bucket(F.col(id_col), seed).cast("double") + F.lit(0.5)) / float(
-        HASH_SPACE
+    key = F.log(hash_unit(F.col(id_col), seed)) / F.col(weight_col).cast(
+        "double"
     )
-    key = F.log(u) / F.col(weight_col).cast("double")
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("sample_key", key)

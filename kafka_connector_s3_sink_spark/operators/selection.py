@@ -51,8 +51,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kafka_connector_s3_sink_spark.operators.sampling import (
-    HASH_SPACE,
     hash_bucket,
+    hash_unit,
 )
 from kafka_connector_s3_sink_spark.operators.text import tokens_column
 
@@ -169,14 +169,13 @@ def dsir_log_weights(
 
 
 def gumbel_key(id_col, seed: str = "dsir-gumbel"):
-    """Deterministic standard-Gumbel draw per id: u = (h + 0.5) / 65536 with
-    h the md5 hash bucket (never exactly 0 or 1), g = −ln(−ln u). The same
-    expression evaluates in DuckDB, so Gumbel-top-k selection is
-    oracle-replayable."""
-    u = (hash_bucket(id_col, seed).cast("double") + F.lit(0.5)) / float(
-        HASH_SPACE
-    )
-    return -F.log(-F.log(u))
+    """Deterministic standard-Gumbel draw per id: u = (h + 0.5) / 2^52 with
+    h the first 13 md5 hex chars (``sampling.hash_unit`` — 52-bit draw so a
+    large corpus doesn't collapse to 65536 distinct Gumbel values and tie
+    systematically on the id tie-break), g = −ln(−ln u), never exactly 0
+    or 1. The same expression evaluates in DuckDB, so Gumbel-top-k
+    selection is oracle-replayable."""
+    return -F.log(-F.log(hash_unit(id_col, seed)))
 
 
 def dsir_resample(
@@ -208,6 +207,32 @@ def dsir_resample(
         seed=seed,
         unpersist_registry=unpersist_registry,
     )
+    score = F.col("log_weight") + gumbel_key(F.col(id_col), gumbel_seed)
+    return (
+        raw.join(w, raw[id_col] == w["doc_id"])
+        .drop(w["doc_id"])
+        .withColumn("select_score", score)
+        .orderBy(F.col("select_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_resample_with_model(
+    raw: DataFrame,
+    path: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gumbel_seed: str = "dsir-gumbel",
+) -> DataFrame:
+    """``dsir_resample`` against a PERSISTED model (``persist_dsir_model``):
+    score O(batch) via ``dsir_score_batch`` (the curated target is never
+    rescanned), then the same Gumbel top-k cut — TakeOrderedAndProject,
+    deterministic under the seed. The composition the pretraining preset
+    uses when the fit already happened offline."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    w = dsir_score_batch(raw, path, id_col=id_col, text_col=text_col)
     score = F.col("log_weight") + gumbel_key(F.col(id_col), gumbel_seed)
     return (
         raw.join(w, raw[id_col] == w["doc_id"])

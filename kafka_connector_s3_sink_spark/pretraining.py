@@ -15,38 +15,54 @@ order a production pretraining build runs them:
                                     keep canonicals)
     → benchmark decontamination    (exact containment AND banded near-dup,
                                     when a benchmark frame is supplied)
+    → DSIR selection               (Gumbel top-k importance resampling
+                                    toward a curated target, when a target
+                                    frame or persisted model is supplied)
     → per-domain cap               (C4 balancing, salted two-phase top-K)
     → mixture                      (per-source serve rates, up-sampling by
                                     deterministic epoch replication)
-    → split + sequence packing     (stable hash split joined onto packs)
+    → split + sequence packing     (leakage-safe cluster split joined onto
+                                    packs)
 
 Every stage is the already-scale-audited operator — the preset adds NO new
 shuffle shapes, it only fixes the composition order (quality before dedup so
 the cascade never fingerprints rejected docs; decontam after dedup so flags
-hit canonical survivors; the cap after decontam so quota slots are not
-wasted on contaminated pages; split labels derived from the ORIGINAL doc_id
-so replicas of one document can never straddle the train/val boundary).
+hit canonical survivors; selection after decontam so quota never goes to
+contaminated pages, per the Xie et al. 2023 ordering; the cap after
+selection so per-domain slots rank the already-target-shaped survivors;
+split labels derived from the ORIGINAL doc_id's candidate-pair cluster so
+(a) replicas of one document and (b) band-colliding near-dup pairs whose
+Jaccard fell below the cascade threshold — both members survive dedup —
+can never straddle the train/val boundary).
 
 Determinism contract: every stage is a pure function of (id, seed) — re-runs
 and incremental rebuilds reproduce the identical corpus, mixture, split, and
 pack layout.
 
-Scale note on accounting: ``PretrainingResult.accounting()`` runs one count
-job per stage over lazy lineage — cheap at test scale, wasteful at 100 TB
-(each count replays the stages above it). Production runs should either
-persist/checkpoint the handful of stage frames they audit or read stage
-row counts from the Spark UI's stage metrics instead.
+Accounting: ``PretrainingResult.accounting()`` runs one count job per stage
+over lazy lineage — at scale, construct the pipeline with
+``PretrainingConfig(persist_stages=True)`` so each stage materializes ONCE
+(stage N's count reuses stage N-1's cache) and call
+``PretrainingResult.unpersist()`` when done. The default (no persistence)
+keeps the preset purely lazy for callers that only consume ``packed``.
 """
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_connector_s3_sink_spark.operators import dedup, packing, sampling
+from kafka_connector_s3_sink_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    selection,
+    tokenizer,
+)
 from kafka_connector_s3_sink_spark.operators import text as text_ops
 from kafka_connector_s3_sink_spark.operators import urls as url_ops
 
@@ -67,12 +83,24 @@ class PretrainingConfig:
     semantic_decontam_cosine: float = 0.95
     embedding_col: str = "embedding"
     embedding_dim: int = 64
+    # DSIR selection rung (active only when pretraining_pipeline is given
+    # ``target_docs`` or ``dsir_model_path``): keep the dsir_top_k docs
+    # with the largest log-importance + Gumbel score
+    dsir_top_k: int | None = None
     domain_cap: int | None = None
     n_salts: int = 16
     mixture: Mapping[str, float] | None = None
     source_col: str = "source"
     splits: Mapping[str, float] | None = None  # default 0.9/0.05/0.05
     ctx_len: int = 2048
+    # tokenizer-true packing: a frozen BPE merge list (tokenizer.fit_bpe
+    # output) switches pack budgets from the whitespace heuristic to real
+    # BPE token counts; per_doc_overhead models framing tokens (EOS etc.)
+    bpe_merges: Sequence[tuple[str, str]] | None = None
+    per_doc_overhead: int = 0
+    # persist every recorded stage frame (MEMORY_AND_DISK) so accounting()
+    # costs one pass per stage instead of replaying the lineage above it
+    persist_stages: bool = False
     seed: str = "pretrain"
 
 
@@ -85,17 +113,28 @@ class PretrainingResult:
     layout: one row per (document replica, pack) segment with the original
     ``doc_id``, its ``mix_epoch`` replica index, the pack geometry from
     ``packing.pack_sequences``, and the document's stable ``split`` label.
-    ``epoch_slots`` is the replica-id stride (``rep_id = doc_id·slots +
-    epoch``) so external consumers can decode pack ordering keys."""
+    ``epoch_slots`` is the mixture's replica-slot count (max epochs any
+    source serves); packing identities are the composite string
+    ``'<mix_epoch>:<doc_id>'`` — exact for any id type and width, unlike an
+    integer ``doc_id·slots + epoch`` encode, which overflows 64-bit for
+    63-bit xxhash ids and decodes inexactly through double division."""
 
     stages: dict[str, DataFrame] = field(default_factory=dict)
     packed: DataFrame | None = None
     epoch_slots: int = 1
 
     def accounting(self) -> list[tuple[str, int]]:
-        """(stage, row count) in pipeline order — one count job per stage
-        (see the module docstring's scale note)."""
+        """(stage, row count) in pipeline order — one count job per stage.
+        With ``persist_stages=True`` each stage materializes exactly once
+        (counts run in pipeline order, so every count reuses the previous
+        stage's cache); without it each count replays the lineage above."""
         return [(name, df.count()) for name, df in self.stages.items()]
+
+    def unpersist(self) -> None:
+        """Release every stage cache created by ``persist_stages=True``
+        (no-op for unpersisted frames)."""
+        for df in self.stages.values():
+            df.unpersist()
 
 
 def _slots(rates: Mapping[str, float]) -> int:
@@ -111,6 +150,8 @@ def pretraining_pipeline(
     benchmark: DataFrame | None = None,
     config: PretrainingConfig | None = None,
     benchmark_embeddings: DataFrame | None = None,
+    target_docs: DataFrame | None = None,
+    dsir_model_path: str | None = None,
 ) -> PretrainingResult:
     """Run the full corpus build (module docstring) over ``docs``.
 
@@ -123,14 +164,26 @@ def pretraining_pipeline(
     ``benchmark_embeddings`` (``doc_id`` + ``config.embedding_col``) adds
     the SEMANTIC rung — docs must then carry ``config.embedding_col`` too,
     and a translated/deeply-paraphrased leak that shares no n-grams with
-    its eval twin is still cut. Returns a :class:`PretrainingResult`.
+    its eval twin is still cut. ``target_docs`` (a curated ``doc_id``,
+    ``text`` frame) or ``dsir_model_path`` (a ``selection.
+    persist_dsir_model`` directory) plus ``config.dsir_top_k`` adds the
+    DSIR selection stage. Returns a :class:`PretrainingResult`.
     """
     cfg = config or PretrainingConfig()
     res = PretrainingResult()
-    res.stages["input"] = docs
 
-    cur = docs.filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-    res.stages["nonempty"] = cur
+    def record(name: str, df: DataFrame) -> DataFrame:
+        if cfg.persist_stages:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        res.stages[name] = df
+        return df
+
+    record("input", docs)
+
+    cur = record(
+        "nonempty",
+        docs.filter(F.col("text").isNotNull() & (F.trim("text") != "")),
+    )
 
     if cfg.quality_floor is not None:
         q = (
@@ -138,27 +191,24 @@ def pretraining_pipeline(
             if "quality" in cur.columns
             else text_ops.quality_score(F.col("text"))
         )
-        cur = cur.filter(q >= cfg.quality_floor)
-        res.stages["quality_floor"] = cur
+        cur = record("quality_floor", cur.filter(q >= cfg.quality_floor))
 
     rebuilt = dedup.remove_duplicate_paragraphs(cur)
-    cur = rebuilt.filter(F.trim("text") != "")
-    res.stages["paragraph_dedup"] = cur
+    cur = record("paragraph_dedup", rebuilt.filter(F.trim("text") != ""))
 
     stripped = dedup.strip_duplicate_spans(cur, span_tokens=cfg.span_tokens)
-    cur = (
+    cur = record(
+        "span_surgery",
         stripped.withColumn("text", F.col("text_clean"))
         .drop("text_clean")
-        .filter(F.trim("text") != "")
+        .filter(F.trim("text") != ""),
     )
-    res.stages["span_surgery"] = cur
 
-    clusters = dedup.dedup_cascade(
+    arts = dedup.dedup_cascade_artifacts(
         cur, jaccard_threshold=cfg.jaccard_threshold
     )
-    canon = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
-    cur = cur.join(canon, "doc_id", "left_semi")
-    res.stages["near_dedup"] = cur
+    canon = arts.clusters.filter(F.col("is_canonical") == 1).select("doc_id")
+    cur = record("near_dedup", cur.join(canon, "doc_id", "left_semi"))
 
     if benchmark is not None or benchmark_embeddings is not None:
         flag_sets = []
@@ -196,12 +246,46 @@ def pretraining_pipeline(
         flagged = flag_sets[0]
         for fs in flag_sets[1:]:
             flagged = flagged.unionByName(fs)
-        cur = cur.join(
-            flagged.distinct().withColumnRenamed("corpus_id", "doc_id"),
-            "doc_id",
-            "left_anti",
+        cur = record(
+            "decontam",
+            cur.join(
+                flagged.distinct().withColumnRenamed("corpus_id", "doc_id"),
+                "doc_id",
+                "left_anti",
+            ),
         )
-        res.stages["decontam"] = cur
+
+    if target_docs is not None or dsir_model_path is not None:
+        if cfg.dsir_top_k is None:
+            raise ValueError(
+                "DSIR selection needs config.dsir_top_k alongside "
+                "target_docs / dsir_model_path"
+            )
+        if target_docs is not None and dsir_model_path is not None:
+            raise ValueError(
+                "pass target_docs (in-memory fit) XOR dsir_model_path "
+                "(persisted fit), not both"
+            )
+        gumbel_seed = f"{cfg.seed}:dsir-gumbel"
+        if target_docs is not None:
+            selected = selection.dsir_resample(
+                cur,
+                target_docs,
+                k=cfg.dsir_top_k,
+                seed=f"{cfg.seed}:dsir",
+                gumbel_seed=gumbel_seed,
+            )
+        else:
+            selected = selection.dsir_resample_with_model(
+                cur, dsir_model_path, k=cfg.dsir_top_k, gumbel_seed=gumbel_seed
+            )
+        record("selection", selected)
+        cur = selected.drop("n_grams", "log_weight", "select_score")
+    elif cfg.dsir_top_k is not None:
+        raise ValueError(
+            "config.dsir_top_k set but neither target_docs nor "
+            "dsir_model_path supplied"
+        )
 
     if cfg.domain_cap is not None:
         if "domain" not in cur.columns:
@@ -213,7 +297,8 @@ def pretraining_pipeline(
             cur = cur.withColumn(
                 "domain", url_ops.registrable_domain(F.col("url"))
             )
-        cur = (
+        cur = record(
+            "domain_cap",
             sampling.cap_per_domain(
                 cur,
                 "domain",
@@ -222,9 +307,8 @@ def pretraining_pipeline(
                 n_salts=cfg.n_salts,
             )
             .filter("kept")
-            .drop("domain_rank", "kept")
+            .drop("domain_rank", "kept"),
         )
-        res.stages["domain_cap"] = cur
 
     if cfg.mixture is not None:
         if cfg.source_col not in cur.columns:
@@ -232,33 +316,61 @@ def pretraining_pipeline(
                 f"mixture configured but docs carry no {cfg.source_col!r} column"
             )
         res.epoch_slots = _slots(cfg.mixture)
-        cur = sampling.mixture_sample(
-            cur,
-            cfg.mixture,
-            source_col=cfg.source_col,
-            seed=f"{cfg.seed}:mix",
-            epoch_col="mix_epoch",
+        cur = record(
+            "mixture",
+            sampling.mixture_sample(
+                cur,
+                cfg.mixture,
+                source_col=cfg.source_col,
+                seed=f"{cfg.seed}:mix",
+                epoch_col="mix_epoch",
+            ),
         )
-        res.stages["mixture"] = cur
     else:
         cur = cur.withColumn("mix_epoch", F.lit(0).cast("int"))
 
-    split = sampling.hash_split(
+    # leakage-safe split: block on the cascade's CANDIDATE-pair components,
+    # so a band-colliding pair whose Jaccard fell below the threshold (both
+    # docs survive dedup) still lands in one split; docs with no candidate
+    # pair are singletons and the assignment degenerates to hash_split
+    split = sampling.cluster_safe_split(
         cur.select("doc_id").distinct(),
+        arts.candidate_clusters.select("doc_id", "cluster_id"),
         cfg.splits,
         seed=f"{cfg.seed}:split",
     )
-    slots = res.epoch_slots
-    rep = cur.select(
-        (F.col("doc_id") * slots + F.col("mix_epoch")).alias("rep_id"), "text"
-    )
+
+    # packing identity: composite string '<mix_epoch>:<doc_id>' — exact for
+    # any doc_id type/width (see PretrainingResult docstring); the epoch
+    # prefix gives each replica an independent stream position
+    doc_id_type = docs.schema["doc_id"].dataType
+    rep_id = F.concat_ws(
+        ":", F.col("mix_epoch").cast("string"), F.col("doc_id").cast("string")
+    ).alias("rep_id")
+    token_count_col = None
+    if cfg.bpe_merges is not None:
+        cur = tokenizer.bpe_encode(cur, list(cfg.bpe_merges))
+        rep = cur.select(rep_id, F.col("n_tokens").alias("bpe_tokens"))
+        token_count_col = "bpe_tokens"
+    else:
+        rep = cur.select(rep_id, "text")
     packed = (
         packing.pack_sequences(
-            rep, ctx_len=cfg.ctx_len, id_col="rep_id", seed=f"{cfg.seed}:pack"
+            rep,
+            ctx_len=cfg.ctx_len,
+            id_col="rep_id",
+            seed=f"{cfg.seed}:pack",
+            per_doc_overhead=cfg.per_doc_overhead,
+            token_count_col=token_count_col,
         )
-        .withColumn("mix_epoch", (F.col("rep_id") % slots).cast("int"))
         .withColumn(
-            "doc_id", ((F.col("rep_id") - F.col("rep_id") % slots) / slots).cast("long")
+            "mix_epoch", F.substring_index(F.col("rep_id"), ":", 1).cast("int")
+        )
+        .withColumn(
+            "doc_id",
+            F.expr("substring(rep_id, instr(rep_id, ':') + 1)").cast(
+                doc_id_type
+            ),
         )
         .join(split, "doc_id")
         .select(
@@ -272,6 +384,6 @@ def pretraining_pipeline(
             "split",
         )
     )
-    res.stages["packed"] = packed
-    res.packed = packed
+    record("packed", packed)
+    res.packed = res.stages["packed"]
     return res

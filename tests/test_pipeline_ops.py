@@ -542,7 +542,7 @@ def test_weighted_sample_matches_python_and_duckdb(spark):
     assert len(got) == 40
 
     def key(i, w):
-        u = (int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:4], 16) + 0.5) / 65536.0
+        u = (int(hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:13], 16) + 0.5) / 4503599627370496.0
         return math.log(u) / w
 
     want = sorted(rows, key=lambda r: key(*r), reverse=True)[:40]
@@ -560,8 +560,8 @@ def test_weighted_sample_matches_python_and_duckdb(spark):
         """
         SELECT doc_id FROM (
             SELECT doc_id, w,
-              ln((CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 4)
-                   AS BIGINT) + 0.5) / 65536.0) / w AS k
+              ln((CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                   AS BIGINT) + 0.5) / 4503599627370496.0) / w AS k
             FROM (SELECT unnest(range(0, 200)) AS doc_id,
                   CASE WHEN unnest(range(0, 200)) % 5 = 0 THEN 10.0 ELSE 1.0 END AS w)
             ORDER BY k DESC, doc_id LIMIT 40

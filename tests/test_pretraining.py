@@ -261,3 +261,210 @@ def test_semantic_decontam_rung(spark):
         pretraining_pipeline(
             docs.drop("embedding"), config=cfg, benchmark_embeddings=bench_emb
         )
+
+
+# -- r9: selection stage, leakage-safe split, persist_stages, BPE packing,
+# -- and the composite replica-id encode (wide/string doc_ids) -------------
+
+
+def test_candidate_pair_lands_same_split(spark):
+    """A band-colliding pair whose Jaccard (0.69) is below the cascade
+    threshold: BOTH docs survive dedup — under plain hash_split they could
+    straddle train/val; the preset's candidate-cluster split blocking must
+    put them in one split, proven by an empty split_leakage_report.
+    Singleton docs keep plain hash_split labels exactly."""
+    from kafka_connector_s3_sink_spark.operators.sampling import (
+        split_leakage_report,
+    )
+
+    common = _prose("pre", 16)
+    a = common + " " + _prose("xx", 4)
+    b = common + " " + _prose("yy", 4)
+    docs = spark.createDataFrame(
+        [(100, a), (200, b), (300, _prose("solo", 40))], ["doc_id", "text"]
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None, ctx_len=64
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    kept = {r.doc_id for r in res.stages["near_dedup"].select("doc_id").collect()}
+    assert kept == {100, 200, 300}  # candidates, but verify rejected the pair
+    splits = {r["doc_id"]: r["split"] for r in res.packed.collect()}
+    assert splits[100] == splits[200]
+    # the pair's shared label hashes the CLUSTER key (min id = 100)
+    b100 = _bucket("pretrain:split", 100)
+    want = (
+        "train" if b100 < int(0.9 * 65536)
+        else "val" if b100 < int(0.95 * 65536) else "test"
+    )
+    assert splits[100] == want
+    # the singleton degenerates to hash_split on its own id
+    b300 = _bucket("pretrain:split", 300)
+    want300 = (
+        "train" if b300 < int(0.9 * 65536)
+        else "val" if b300 < int(0.95 * 65536) else "test"
+    )
+    assert splits[300] == want300
+    # independent audit: no candidate pair straddles splits
+    pairs = spark.createDataFrame([(100, 200)], ["id1", "id2"])
+    rep = split_leakage_report(
+        res.packed.select("doc_id", "split").distinct(),
+        pairs,
+        left_col="id1",
+        right_col="id2",
+    )
+    assert rep.count() == 0
+
+
+def test_dsir_selection_stage(spark, tmp_path):
+    """Planted off-target doc: shares no vocabulary with the curated target
+    → most-negative DSIR log-weight → cut by the selection stage between
+    decontam and the cap. The persisted-model path (same seeds) selects the
+    identical set; misconfigurations fail loudly."""
+    from kafka_connector_s3_sink_spark.operators import selection
+
+    on_target = {i: _prose(f"alpha{i}", 40) for i in (1, 2, 3)}
+    junk = " ".join(f"junk{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in on_target.items()] + [(4, junk)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(900 + i, t) for i, t in on_target.items()], ["doc_id", "text"]
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None,
+        dsir_top_k=3, ctx_len=64,
+    )
+    res = pretraining_pipeline(docs, config=cfg, target_docs=target)
+    sel = {r.doc_id for r in res.stages["selection"].select("doc_id").collect()}
+    assert sel == {1, 2, 3}
+    assert list(res.stages) == [
+        "input", "nonempty", "paragraph_dedup", "span_surgery",
+        "near_dedup", "selection", "packed",
+    ]
+    assert {r["doc_id"] for r in res.packed.collect()} == {1, 2, 3}
+    # persisted-model path: same hash/gumbel seeds -> identical selection
+    path = str(tmp_path / "dsir_model")
+    selection.persist_dsir_model(target, docs, path, seed="pretrain:dsir")
+    res2 = pretraining_pipeline(docs, config=cfg, dsir_model_path=path)
+    sel2 = {
+        r.doc_id for r in res2.stages["selection"].select("doc_id").collect()
+    }
+    assert sel2 == sel
+    # loud misconfiguration, not silent skips
+    with pytest.raises(ValueError, match="dsir_top_k"):
+        pretraining_pipeline(
+            docs,
+            config=PretrainingConfig(
+                quality_floor=None, domain_cap=None, mixture=None
+            ),
+            target_docs=target,
+        )
+    with pytest.raises(ValueError, match="XOR"):
+        pretraining_pipeline(
+            docs, config=cfg, target_docs=target, dsir_model_path=path
+        )
+    with pytest.raises(ValueError, match="neither"):
+        pretraining_pipeline(docs, config=cfg)
+
+
+def test_persist_stages_accounting_is_single_pass(spark, tmp_path):
+    """persist_stages=True: accounting() materializes each stage once (each
+    count reuses the previous stage's cache). Pin: after the first
+    accounting() the SOURCE FILES are deleted — a second accounting() must
+    still succeed (pure cache, zero lineage replay back to the scan) and
+    return identical counts."""
+    import shutil
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, _prose(f"p{i}", 30)) for i in range(8)], ["doc_id", "text"]
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None,
+        ctx_len=64, persist_stages=True,
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    first = res.accounting()
+    shutil.rmtree(src)
+    second = res.accounting()
+    assert second == first and dict(first)["input"] == 8
+    res.unpersist()
+
+
+def test_bpe_pack_budgets_follow_tokenizer_counts(spark):
+    """bpe_merges switches pack budgets from the whitespace heuristic to
+    real BPE token counts: packed n_tokens equals tokenizer.bpe_encode's
+    n_tokens per doc (which differs from the whitespace count)."""
+    from kafka_connector_s3_sink_spark.operators import tokenizer
+
+    texts = {
+        1: "banana bandana banana cabana",
+        2: "banana banana banana banana banana banana",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    merges = tokenizer.fit_bpe(tokenizer.word_frequencies(docs), n_merges=6)
+    expected = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tokenizer.bpe_encode(docs, merges).collect()
+    }
+    ws = {i: len(t.split()) for i, t in texts.items()}
+    assert expected != ws  # the fixture genuinely distinguishes the paths
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None,
+        ctx_len=16, bpe_merges=tuple(merges),
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    got = {r["doc_id"]: r["n_tokens"] for r in res.packed.collect()}
+    assert got == expected
+    # whitespace default really is different on this fixture
+    res_ws = pretraining_pipeline(
+        docs,
+        config=PretrainingConfig(
+            quality_floor=None, domain_cap=None, mixture=None, ctx_len=16
+        ),
+    )
+    assert {
+        r["doc_id"]: r["n_tokens"] for r in res_ws.packed.collect()
+    } == ws
+
+
+def test_wide_and_string_doc_ids_roundtrip_packing(spark):
+    """The composite '<epoch>:<doc_id>' replica id: 63-bit xxhash-scale ids
+    (where an integer doc_id·slots+epoch encode overflows and a double
+    division decode is inexact) and string ids (even containing ':')
+    round-trip exactly through mixture replication + packing."""
+    big = (1 << 62) + 987654321012345
+    docs = spark.createDataFrame(
+        [
+            (big, _prose("wa", 30), "web"),
+            (big + 7, _prose("wb", 30), "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None,
+        mixture={"web": 2.5}, ctx_len=32,
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    reps = {(r["doc_id"], r["mix_epoch"]) for r in res.packed.collect()}
+    mix = {
+        (r["doc_id"], r["mix_epoch"])
+        for r in res.stages["mixture"].select("doc_id", "mix_epoch").collect()
+    }
+    assert reps == mix and {i for i, _ in reps} == {big, big + 7}
+    assert {e for _, e in reps} >= {0, 1}  # upsampled replicas decoded intact
+    # string ids, including ':' inside the id itself
+    sdocs = spark.createDataFrame(
+        [("urn:doc:1", _prose("sa", 30)), ("urn:doc:2", _prose("sb", 30))],
+        ["doc_id", "text"],
+    )
+    scfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None, ctx_len=32
+    )
+    sres = pretraining_pipeline(sdocs, config=scfg)
+    srows = sres.packed.collect()
+    assert {r["doc_id"] for r in srows} == {"urn:doc:1", "urn:doc:2"}
+    assert all(r["mix_epoch"] == 0 for r in srows)

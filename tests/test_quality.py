@@ -394,7 +394,12 @@ def test_precision_recall_curve_hand_computed_and_sklearn_free(spark):
     assert len(got) == len(agg)  # tie at 0.8 and 0.2 collapse
     # lowest threshold keeps everything: recall 1.0
     assert got[min(got)].recall == pytest.approx(1.0)
-    # no positives at all: recall NULL, precision 0
+    # no positives at all: recall NULL, precision 0, and f1 must stay NULL
+    # (undefined-metric contract — 0.0 would read as "measured terrible")
     none = spark.createDataFrame([(0.5, 0), (0.1, 0)], ["score", "label"])
     r0 = precision_recall_curve(none).collect()[0]
-    assert r0.recall is None and r0.precision == 0.0
+    assert r0.recall is None and r0.precision == 0.0 and r0.f1 is None
+    # defined recall but tp == 0 at the top threshold: f1 is a real 0.0
+    mix = spark.createDataFrame([(0.9, 0), (0.1, 1)], ["score", "label"])
+    top = precision_recall_curve(mix).collect()[0]
+    assert top.recall == 0.0 and top.f1 == 0.0

@@ -10,7 +10,7 @@ import pytest
 from kafka_connector_s3_sink_spark.operators import relational
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ("lineitem", "orders", "part", "customer")
+TABLES = ("lineitem", "orders", "part", "customer", "events")
 
 
 @pytest.fixture(scope="module")
@@ -422,3 +422,33 @@ def test_segment_revenue_share(spark, con):
         ).fetchall()
     ]
     assert got == want and len(got) > 0
+
+
+def test_events_after_signup_days_parameter_respected(spark, con):
+    """Regression for the r8 verdict defect: `days` was declared but the
+    range predicate hard-coded INTERVAL 7 DAYS, so days=30 silently gave
+    7-day windows. A wider window must count at least as many events per
+    signup, strictly more in total on the fixture, and days=7 must equal
+    the default (and the DuckDB twin at days=1)."""
+    d7 = {r.signup_id: r.n_events
+          for r in relational.events_after_signup(spark, SF_DIR).collect()}
+    d1 = {r.signup_id: r.n_events
+          for r in relational.events_after_signup(spark, SF_DIR, days=1).collect()}
+    d30 = {r.signup_id: r.n_events
+           for r in relational.events_after_signup(spark, SF_DIR, days=30).collect()}
+    assert d7 and all(d1.get(k, 0) <= v <= d30[k] for k, v in d7.items())
+    assert sum(d1.values()) < sum(d7.values()) < sum(d30.values())
+    want = dict(
+        con.execute(
+            """
+            SELECT s.event_id, count(*)
+            FROM events e
+            JOIN (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'signup') s
+              ON e.user_id = s.user_id
+             AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 DAY
+            GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert d1 == want

@@ -26,7 +26,7 @@ def _bucket(gram, n_buckets, seed="dsir"):
 
 def _gumbel(doc_id, seed="dsir-gumbel"):
     h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
-    u = (int(h[:4], 16) + 0.5) / 65536.0
+    u = (int(h[:13], 16) + 0.5) / 4503599627370496.0
     return -math.log(-math.log(u))
 
 
@@ -197,8 +197,8 @@ def test_duckdb_twin_full_chain(spark):
     )
     SELECT doc_id, n_grams, log_weight,
         log_weight - ln(-ln((CAST('0x' ||
-            substr(md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)), 1, 4)
-        AS BIGINT) + 0.5) / 65536.0)) AS select_score
+            substr(md5('dsir-gumbel:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        AS BIGINT) + 0.5) / 4503599627370496.0)) AS select_score
     FROM w
     ORDER BY select_score DESC, doc_id
     LIMIT 3
