@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_candidate_pairs",
     "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
     "incremental_dedup",
     "ann_topk",
     "ann_ivf_topk",
@@ -80,6 +82,7 @@ BRANCH_TAGS = {
         ["jaccard", "lsh", "decontam", "decontam_near"],
     ),
     "pipeline_pack_split": ("branch", ["pack", "mix_pack"]),
+    "dedup_clusters": ("branch", ["text", "media"]),
     "dedup_embedding_cosine": ("method", ["label", "kmeans", "decontam"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
     "text_corpus_stats": (

@@ -10,6 +10,13 @@ additionally PARTITIONED by the ``batch_id`` that introduced the rows:
 - ``<prefix>_bands``    (doc_id, band_id, band_hash)  bucketed by band_hash
 - ``<prefix>_shingles`` (doc_id, shingle)             bucketed by doc_id
 
+plus, when the corpus carries embeddings, an optional SEMANTIC pair
+(``build_embedding_index`` / ``append_to_embedding_index``) under the same
+partition/bucket contract:
+
+- ``<prefix>_embsig``   (doc_id, band, bucket)        bucketed by bucket
+- ``<prefix>_embvec``   (doc_id, embedding)           bucketed by doc_id
+
 (r5 format change: the former ``<prefix>_sizes`` table is gone — a history
 doc's shingle COUNT is an O(1) aggregation over the shingle rows the verify
 step already semi-joins out of ``_shingles``, so persisting it separately
@@ -71,6 +78,9 @@ _BUCKET_KEYS = {
     "hashes": "content_hash",
     "bands": "band_hash",
     "shingles": "doc_id",
+    # semantic rung (optional fourth/fifth tables — build_embedding_index):
+    "embsig": "bucket",
+    "embvec": "doc_id",
 }
 
 
@@ -174,7 +184,11 @@ def build_dedup_index(
 def _batch_present(spark: SparkSession, table: str, batch_id: str) -> bool:
     """Has this batch already been appended to ``table``? ``batch_id`` is a
     partition column, so this is partition pruning — a catalog/FS listing
-    probe, never a scan of index data."""
+    probe, never a scan of index data. A table that doesn't exist yet holds
+    no batches (the embedding tables are created lazily by the first
+    append when no ``build_embedding_index`` base run preceded them)."""
+    if not spark.catalog.tableExists(table):
+        return False
     return (
         spark.table(table).filter(F.col("batch_id") == batch_id).limit(1).count()
         > 0
@@ -607,6 +621,171 @@ def near_decontaminate_against_index(
     )
 
 
+def _embedding_parts(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bands: int,
+    band_planes: int,
+) -> dict[str, DataFrame]:
+    """The two index projections of a document set's embeddings — the
+    hyperplane band signatures (candidate generation) and the raw vectors
+    (exact-cosine verification), derived from the same expressions as the
+    batch op (``dedup.embedding_band_signatures``) so batch and incremental
+    decontam can never drift."""
+    sig = dedup.embedding_band_signatures(
+        df, id_col, vec_col, dim, n_bands, band_planes, out_id="doc_id"
+    )
+    vec = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    return {"embsig": sig, "embvec": vec}
+
+
+def build_embedding_index(
+    df: DataFrame,
+    prefix: str,
+    location: str,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 4,
+    band_planes: int = 8,
+    mode: str = "overwrite",
+    batch_id: str = "base",
+    database: str | None = None,
+) -> None:
+    """Materialize the SEMANTIC signature index for an accepted corpus — the
+    persisted-corpus side of the third decontam rung:
+
+    - ``<prefix>_embsig`` (doc_id, band, bucket) bucketed by bucket
+    - ``<prefix>_embvec`` (doc_id, embedding)    bucketed by doc_id
+
+    Same architecture as the lexical fingerprint tables
+    (``build_dedup_index``): partitioned by the introducing ``batch_id``
+    for idempotent appends and rollback, bucketed on the join key so
+    ``semantic_decontaminate_against_index`` reads the multi-TB index
+    pre-partitioned. Plane geometry (dim, n_bands, band_planes) must stay
+    fixed for the life of the index — signatures are not comparable across
+    parameterizations (same contract as the MinHash band params)."""
+    _ensure_database(df.sparkSession, database)
+    parts = _embedding_parts(df, id_col, vec_col, dim, n_bands, band_planes)
+    for name, part in parts.items():
+        _write_part(
+            part,
+            _qualified(prefix, name, database),
+            name,
+            f"{location}/{prefix}_{name}",
+            num_buckets,
+            batch_id,
+            mode,
+        )
+
+
+def append_to_embedding_index(
+    df: DataFrame,
+    prefix: str,
+    location: str,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 4,
+    band_planes: int = 8,
+    batch_id: str = "batch",
+    database: str | None = None,
+) -> None:
+    """Append a batch's accepted embeddings to the semantic index —
+    IDEMPOTENT per ``batch_id`` exactly like ``append_to_index``: each of
+    the two tables is written only if it does not already hold this batch's
+    partition, so an at-least-once replay cannot double-insert and a
+    partial failure heals on retry."""
+    spark = df.sparkSession
+    _ensure_database(spark, database)
+    parts = _embedding_parts(df, id_col, vec_col, dim, n_bands, band_planes)
+    for name, part in parts.items():
+        table = _qualified(prefix, name, database)
+        if _batch_present(spark, table, batch_id):
+            continue
+        _write_part(
+            part,
+            table,
+            name,
+            f"{location}/{prefix}_{name}",
+            num_buckets,
+            batch_id,
+            "append",
+        )
+
+
+def semantic_decontaminate_against_index(
+    benchmark_emb: DataFrame,
+    prefix: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int = 4,
+    band_planes: int = 8,
+    cosine_threshold: float = 0.95,
+    database: str | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination of the accepted corpus against a new eval
+    set, off the persisted embedding signature index — the index-backed
+    form of ``dedup.semantic_decontamination_matches`` (identical plane
+    construction and cosine verify, pinned by parity test): a translated
+    or deeply paraphrased leak that shares no n-grams with its eval twin
+    is found WITHOUT rescanning or re-embedding the corpus.
+
+    One row per (hist_id, bench_id, cosine) with cosine ≥ threshold.
+
+    Same broadcast contract as the lexical ``*_against_index`` forms: only
+    the benchmark (eval suites — small by definition) is signed here; its
+    signature and vector sides broadcast EXPLICITLY so neither multi-TB
+    index table grows an Exchange below its scan (plan-asserted) — the
+    band/bucket join feeds O(candidates) ids into a broadcast semi-join
+    that prunes the vector scan before the exact-cosine verify.
+
+    Plane geometry must match the values the index was built with."""
+    from kafka_connector_s3_sink_spark.operators.similarity import dot, l2norm
+
+    spark = benchmark_emb.sparkSession
+    b_sig = dedup._materialize(
+        dedup.embedding_band_signatures(
+            benchmark_emb, id_col, vec_col, dim, n_bands, band_planes,
+            out_id="bench_id",
+        )
+    )
+    idx_sig = spark.table(_qualified(prefix, "embsig", database))
+    cands = dedup._materialize(
+        idx_sig.select(F.col("doc_id").alias("hist_id"), "band", "bucket")
+        .join(F.broadcast(b_sig), ["band", "bucket"])
+        .select("hist_id", "bench_id")
+        .distinct()
+    )
+    idx_vec = spark.table(_qualified(prefix, "embvec", database))
+    h_vec = idx_vec.select(
+        F.col("doc_id").alias("hist_id"), F.col("embedding").alias("cvec")
+    ).join(F.broadcast(cands.select("hist_id").distinct()), "hist_id")
+    b_vec = benchmark_emb.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("bvec"),
+    ).withColumn("bnorm", l2norm(F.col("bvec")))
+    cos = stable_round(
+        dot(F.col("cvec"), F.col("bvec"))
+        / (l2norm(F.col("cvec")) * F.col("bnorm")),
+        4,
+    )
+    return (
+        cands.join(h_vec, "hist_id")
+        .join(F.broadcast(b_vec), "bench_id")
+        .select("hist_id", "bench_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
+
+
 def compact_dedup_index(
     spark: SparkSession,
     prefix: str,
@@ -623,7 +802,8 @@ def compact_dedup_index(
     N× more files than it needs; compaction folds history into a single
     ``batch_id=<compact_batch_id>`` partition with identical bucketing (the
     join plan — bucketed scan, no Exchange on the index side — is unchanged,
-    it just opens fewer files).
+    it just opens fewer files). The semantic signature tables
+    (``_embsig``/``_embvec``) join the fold automatically when they exist.
 
     Swap order keeps a queryable table at every step except one rename
     instant: write ``<table>__staging`` (own location, suffixed with
@@ -653,7 +833,12 @@ def compact_dedup_index(
     no protected replay horizon exists; streaming callers should ALSO run
     classification with ``exclude_batch_docs=True`` as the partition-agnostic
     backstop."""
-    for name in _TABLES:
+    names = list(_TABLES) + [
+        n
+        for n in ("embsig", "embvec")
+        if spark.catalog.tableExists(_qualified(prefix, n, database))
+    ]
+    for name in names:
         live = _qualified(prefix, name, database)
         staging = _qualified(f"{prefix}__staging", name, database)
         old = _qualified(f"{prefix}__old", name, database)
@@ -712,7 +897,7 @@ def reap_stale_index_locations(
     the would-be-deleted paths without touching storage. Driver-side Hadoop
     FS — works on file:/hdfs:/s3a: like ``packing.list_files``."""
     live_locs = set()
-    for name in _TABLES:
+    for name in _TABLES + ("embsig", "embvec"):
         for tbl_prefix in (prefix, f"{prefix}__staging", f"{prefix}__old"):
             table = _qualified(tbl_prefix, name, database)
             try:
@@ -750,9 +935,10 @@ def reap_stale_index_locations(
 def drop_dedup_index(
     spark: SparkSession, prefix: str, database: str | None = None
 ) -> None:
-    """Drop the three catalog tables (files at ``location`` are external and
-    removed by the caller). Also drops the legacy ``_sizes`` table a pre-r5
-    four-table index may still carry, so upgrading deployments don't strand
-    a stale catalog entry."""
-    for name in _TABLES + ("sizes",):
+    """Drop the index catalog tables (files at ``location`` are external and
+    removed by the caller) — the three lexical fingerprint tables, the
+    optional semantic pair (``_embsig``/``_embvec``), and the legacy
+    ``_sizes`` table a pre-r5 four-table index may still carry, so
+    upgrading deployments don't strand a stale catalog entry."""
+    for name in _TABLES + ("embsig", "embvec", "sizes"):
         spark.sql(f"DROP TABLE IF EXISTS {_qualified(prefix, name, database)}")

@@ -14,8 +14,11 @@ the write-side codecs.
 
 Options (all strings, per the API):
 - ``path``              — sink destination (any ``pyarrow.fs`` URI)
-- ``format``            — csv | jsonl | json (parquet: use Spark's native reader)
-- ``compression``       — none | gzip | snappy | zstd
+- ``format``            — csv | jsonl | json | orc | avro (Avro OCF)
+  (parquet: use Spark's native reader; orc/avro decode per object through
+  the write-side codecs — ``formats.avro.read_ocf`` / ``pyarrow.orc`` —
+  and ignore ``compression``, which is internal to the container)
+- ``compression``       — none | gzip | snappy | zstd (text formats)
 - ``fields``            — comma-joined output fields, default ``value``
 - ``encoding``          — base64 | none (CSV payload encoding)
 - ``binary_payloads``   — true | false: decode key/value to BinaryType
@@ -56,12 +59,13 @@ class _ObjectPartition(InputPartition):
 def _resolve_binary(fmt: str, encoding: str, option: str | None) -> bool:
     """Whether key/value columns decode to BinaryType. Default preserves the
     sink's serialization faithfully per format (csv+base64 → bytes, JSON
-    formats → the b64 strings as written); an explicit ``binary_payloads``
-    option overrides, so the SAME store reads back with the SAME types from
-    this DataSource and from ``read_sink_objects(binary_payloads=True)``."""
+    formats → the b64 strings as written, container formats → the binary
+    envelope the sink wrote); an explicit ``binary_payloads`` option
+    overrides, so the SAME store reads back with the SAME types from this
+    DataSource and from ``read_sink_objects(binary_payloads=True)``."""
     if option is not None:
         return option.lower() == "true"
-    return fmt == "csv" and encoding == "base64"
+    return fmt in ("orc", "avro") or (fmt == "csv" and encoding == "base64")
 
 
 def _schema_for(
@@ -158,10 +162,10 @@ class _SinkObjectsReader(DataSourceReader):
             raise ValueError(
                 f"on_error must be 'fail' or 'route', got {self.on_error!r}"
             )
-        if self.fmt not in ("csv", "jsonl", "json"):
+        if self.fmt not in ("csv", "jsonl", "json", "orc", "avro"):
             raise ValueError(
-                f"sink_objects reads csv/jsonl/json (got {self.fmt!r}); "
-                "parquet objects read with spark.read.parquet"
+                f"sink_objects reads csv/jsonl/json/orc/avro (got {self.fmt!r});"
+                " parquet objects read with spark.read.parquet"
             )
 
     # -- planning (driver): one partition per object --------------------
@@ -196,9 +200,11 @@ class _SinkObjectsReader(DataSourceReader):
         from kafka_connector_s3_sink_spark.template import FilenameTemplate
 
         tpl = FilenameTemplate(self.template)
+        # container formats never carry a compression suffix (compression is
+        # internal — config.filename_extension's rule, mirrored here)
         ext = (
             ""
-            if self.compression == "none"
+            if self.compression == "none" or self.fmt in ("orc", "avro")
             else CompressionType(self.compression).extension
         )
         pattern, groups = tpl.parse_pattern(prefix=self.prefix, extension=ext)
@@ -226,6 +232,9 @@ class _SinkObjectsReader(DataSourceReader):
         topic, part, start = self._parse_name(name)
         route = self.on_error == "route"
         nulls = (None,) * len(self.fields)
+        if self.fmt in ("orc", "avro"):
+            yield from self._read_container(name, topic, part, start)
+            return
         try:
             data = decompress_bytes(
                 ObjectStorage(self.path).read_bytes(name),
@@ -253,6 +262,58 @@ class _SinkObjectsReader(DataSourceReader):
                 yield (name, topic, part, start, *parsed, None)
             else:
                 yield (name, topic, part, start, *parsed)
+
+    def _read_container(
+        self, name: str, topic, part, start
+    ) -> Iterator[tuple]:
+        """One ORC or Avro OCF object → envelope rows. Both containers
+        compress internally, so the raw bytes stream straight into the
+        write-side decoder (``formats.avro.read_ocf`` — pure Python, every
+        block sync verified — or ``pyarrow.orc``). ``on_error="route"``
+        turns a corrupt object (bad magic/sync/footer) into one
+        ``decode_error`` row, same contract as the text formats."""
+        from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+        route = self.on_error == "route"
+        nulls = (None,) * len(self.fields)
+        try:
+            data = ObjectStorage(self.path).read_bytes(name)
+            if self.fmt == "avro":
+                from kafka_connector_s3_sink_spark.formats.avro import read_ocf
+
+                _, records = read_ocf(bytes(data))
+            else:
+                import io
+
+                import pyarrow.orc as pa_orc
+
+                records = pa_orc.ORCFile(io.BytesIO(data)).read().to_pylist()
+        except Exception as e:  # noqa: BLE001 — routed per option
+            if not route:
+                raise
+            yield (name, topic, part, start, *nulls, f"{type(e).__name__}: {e}")
+            return
+        for rec in records:
+            vals = []
+            for f in self.fields:
+                v = rec.get(f)
+                if f == "headers" and v is not None:
+                    v = [(h["key"], h["value"]) for h in v]
+                elif f in ("key", "value") and v is not None:
+                    # coerce to the DECLARED payload type so one option
+                    # (binary_payloads) governs the schema regardless of
+                    # whether the sink's envelope stored bytes or strings
+                    if self.binary_payloads and isinstance(v, str):
+                        v = v.encode("utf-8")
+                    elif not self.binary_payloads and isinstance(
+                        v, (bytes, bytearray)
+                    ):
+                        v = bytes(v).decode("utf-8")
+                vals.append(v)
+            if route:
+                yield (name, topic, part, start, *vals, None)
+            else:
+                yield (name, topic, part, start, *vals)
 
     def _parse(self, line: str) -> list:
         if self.fmt == "csv":

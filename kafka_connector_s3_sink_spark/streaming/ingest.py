@@ -112,6 +112,15 @@ class IngestConfig:
     # are shed too — they carry no signal either way.
     dsir_model_path: Optional[str] = None
     dsir_min_log_weight: Optional[float] = None
+    # optional semantic-decontam index maintenance (requires embedding_col):
+    # when set, each epoch's keepers' hyperplane band signatures and raw
+    # vectors join the <index_prefix>_embsig/_embvec tables (same idempotent
+    # per-epoch partition contract as the lexical fingerprints), so
+    # incremental.semantic_decontaminate_against_index answers a new eval
+    # suite's third-rung decontam O(|eval|) — without rescanning the corpus
+    semantic_sig_dim: Optional[int] = None
+    semantic_n_bands: int = 4
+    semantic_band_planes: int = 8
 
 
 def documents_from_records(
@@ -306,6 +315,27 @@ def process_crawl_batch(
                 ),
                 config.ivf_index_dir,
                 batch_id=epoch,
+            )
+
+        # stage 3c (optional): keepers' embedding band signatures join the
+        # semantic decontam index — same skip-if-present epoch idempotence
+        if config.semantic_sig_dim is not None:
+            if config.embedding_col is None:
+                raise ValueError(
+                    "semantic_sig_dim requires embedding_col to be set"
+                )
+            incremental.append_to_embedding_index(
+                keepers.select(id_col, config.embedding_col),
+                config.index_prefix,
+                config.index_location,
+                num_buckets=config.num_buckets,
+                id_col=id_col,
+                vec_col=config.embedding_col,
+                dim=config.semantic_sig_dim,
+                n_bands=config.semantic_n_bands,
+                band_planes=config.semantic_band_planes,
+                batch_id=epoch,
+                database=config.database,
             )
 
         # stage 4+5: split label, then idempotent per-epoch partition overwrite

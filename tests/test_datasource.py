@@ -323,3 +323,83 @@ def test_sql_view_with_route_and_binary_options(registered, spark, tmp_path):
         "SELECT count(*) AS n FROM routed_view WHERE decode_error IS NULL"
     ).collect()[0]["n"]
     assert good == 2
+
+
+# -- r9: the container formats join the format API ---------------------------
+
+
+@pytest.mark.parametrize("fmt", ["orc", "avro"])
+def test_format_read_container_roundtrip_with_poison(
+    registered, spark, tmp_path, fmt
+):
+    """ORC and Avro OCF sinks read back through
+    spark.read.format('sink_objects') — envelope fields typed, name-derived
+    columns parsed, one InputPartition per object — and on_error=route
+    turns a corrupt container (bad magic/footer) into one decode_error row
+    while the healthy objects read normally; the default fails fast."""
+    cfg = EngineConfig(
+        format_type=FormatType(fmt),
+        output_fields=(OutputField.OFFSET, OutputField.KEY, OutputField.VALUE),
+        file_max_records=2,
+    )
+    store = str(tmp_path / fmt)
+    write_batch(records_df(spark, _rows()), cfg, store)
+
+    def base():
+        return (
+            spark.read.format("sink_objects")
+            .option("path", store)
+            .option("format", fmt)
+            .option("fields", "offset,key,value")
+        )
+
+    df = base().load()
+    got = {r["offset"]: r for r in df.collect()}
+    assert len(got) == 6
+    assert bytes(got[103]["value"]) == b"v3" and bytes(got[103]["key"]) == b"k3"
+    assert (got[103]["topic"], got[103]["partition"]) == ("t", 1)
+    assert df.rdd.getNumPartitions() == 4  # one partition per object
+    # binary_payloads=false: same store, string payloads
+    sdf = base().option("binary_payloads", "false").load()
+    srow = {r["offset"]: r for r in sdf.collect()}[103]
+    assert srow["value"] == "v3" and isinstance(srow["value"], str)
+    # poison object: structural validation routes, never short rows
+    (tmp_path / fmt / "t-0-900").write_bytes(b"definitely not " + fmt.encode())
+    routed = base().option("on_error", "route").load().collect()
+    errs = [r for r in routed if r["decode_error"] is not None]
+    good = [r for r in routed if r["decode_error"] is None]
+    assert {r["offset"] for r in good} == {100, 101, 102, 103, 104, 105}
+    assert len(errs) == 1
+    assert (errs[0]["topic"], errs[0]["partition"], errs[0]["start_offset"]) == (
+        "t", 0, 900
+    )
+    assert errs[0]["offset"] is None and errs[0]["decode_error"]
+    with pytest.raises(Exception):
+        base().load().collect()  # default: fail fast
+
+
+def test_stream_reader_container_formats(registered, spark, tmp_path):
+    """The streaming form covers the container formats too: an OCF store
+    drains via readStream with the seen-name offset cursor."""
+    cfg = EngineConfig(
+        format_type=FormatType.AVRO,
+        output_fields=(OutputField.OFFSET, OutputField.VALUE),
+    )
+    store = str(tmp_path / "store")
+    write_batch(records_df(spark, _rows(3)), cfg, store)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("sink_objects")
+        .option("path", store)
+        .option("format", "avro")
+        .option("fields", "offset,value")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["offset"]: bytes(r["value"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {100 + i: f"v{i}".encode() for i in range(3)}

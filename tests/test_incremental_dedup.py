@@ -477,3 +477,177 @@ def test_near_decontaminate_against_index(spark, tmp_path_factory):
                 assert "Exchange hashpartitioning" not in body, lines[i]
     finally:
         drop_dedup_index(spark, "ndecon", database="nd_db")
+
+
+def test_semantic_decontaminate_against_index(spark, tmp_path_factory):
+    """Index-backed SEMANTIC decontamination (third rung): a scaled-copy
+    embedding (identical hyperplane signs, cosine 1.0) is caught from the
+    persisted embsig/embvec tables; far vectors are not; the result matches
+    the batch form (`dedup.semantic_decontamination_matches`) exactly;
+    neither index scan grows an Exchange below it; appends are idempotent
+    per batch_id."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators import dedup
+    from kafka_connector_s3_sink_spark.operators.incremental import (
+        append_to_embedding_index,
+        build_embedding_index,
+        drop_dedup_index,
+        semantic_decontaminate_against_index,
+    )
+
+    loc = str(tmp_path_factory.mktemp("sem_idx"))
+    base = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]
+    far = [5.0, 5.0, -5.0, 5.0, -5.0, -5.0, 5.0, 5.0]
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, embedding=[2.0 * x for x in base]),  # semantic leak
+            Row(doc_id=2, embedding=far),
+            Row(doc_id=3, embedding=[-x for x in base]),       # anti-parallel
+        ]
+    )
+    build_embedding_index(
+        corpus, "sem", loc, num_buckets=4, dim=8, database="sem_db"
+    )
+    try:
+        bench = spark.createDataFrame([Row(doc_id=901, embedding=base)])
+        res = semantic_decontaminate_against_index(
+            bench, "sem", dim=8, database="sem_db"
+        )
+        rows = {(r["hist_id"], r["bench_id"]): r["cosine"] for r in res.collect()}
+        assert rows == {(1, 901): 1.0}
+        # parity with the batch form on identical inputs
+        batch_rows = {
+            (r["corpus_id"], r["bench_id"]): r["cosine"]
+            for r in dedup.semantic_decontamination_matches(
+                corpus.select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                bench.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                dim=8,
+            ).collect()
+        }
+        assert batch_rows == rows
+        # plan contract: walking UP from each index FileScan, a (broadcast)
+        # Join appears before any hash Exchange — the multi-TB index sides
+        # never shuffle
+        final = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in final
+        lines = final.splitlines()
+
+        def indent(l):
+            return len(l) - len(l.lstrip(" :+-*(0123456789)"))
+
+        for tbl in ("sem_embsig", "sem_embvec"):
+            scan_line = next(i for i, l in enumerate(lines) if tbl in l)
+            cur = indent(lines[scan_line])
+            for i in range(scan_line - 1, -1, -1):
+                if indent(lines[i]) >= cur:
+                    continue
+                cur = indent(lines[i])
+                body = lines[i].strip(" :+-")
+                if "Join" in body:
+                    break
+                assert "Exchange hashpartitioning" not in body, lines[i]
+        # idempotent append: replaying a batch_id does not double-insert
+        extra = spark.createDataFrame(
+            [Row(doc_id=4, embedding=[x * 0.5 for x in base])]
+        )
+        for _ in range(2):
+            append_to_embedding_index(
+                extra, "sem", loc, num_buckets=4, dim=8,
+                batch_id="epoch-1", database="sem_db",
+            )
+        n = spark.table("sem_db.sem_embvec").count()
+        assert n == 4  # 3 base + 1 appended, not 5
+        flagged = {
+            r["hist_id"]
+            for r in semantic_decontaminate_against_index(
+                bench, "sem", dim=8, database="sem_db"
+            ).collect()
+        }
+        assert flagged == {1, 4}
+    finally:
+        drop_dedup_index(spark, "sem", database="sem_db")
+
+
+def test_compaction_folds_semantic_tables(spark, tmp_path):
+    """The semantic signature tables join the compaction fold when they
+    exist: after compact + reap, semantic decontam answers are identical,
+    both tables hold only the compacted partition, and the reaper retires
+    the five retired directories (3 lexical + 2 semantic)."""
+    import hashlib as _h
+
+    from pyspark.sql import Row
+
+    def txt(tag):
+        return " ".join(
+            _h.md5(f"{tag}:{j}".encode()).hexdigest()[:8] for j in range(30)
+        )
+
+    base_vec = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]
+    docs = spark.createDataFrame(
+        [(i, txt(f"s:{i}")) for i in range(4)], ["doc_id", "text"]
+    )
+    vecs = spark.createDataFrame(
+        [
+            Row(doc_id=0, embedding=[2.0 * x for x in base_vec]),
+            Row(doc_id=1, embedding=[-x for x in base_vec]),
+        ]
+    )
+    loc = str(tmp_path / "semcidx")
+    incremental.build_dedup_index(docs, "semcmp", loc, num_buckets=4)
+    incremental.build_embedding_index(
+        vecs, "semcmp", loc, num_buckets=4, dim=8
+    )
+    try:
+        incremental.append_to_embedding_index(
+            spark.createDataFrame(
+                [Row(doc_id=7, embedding=[0.5 * x for x in base_vec])]
+            ),
+            "semcmp",
+            loc,
+            num_buckets=4,
+            dim=8,
+            batch_id="ep0",
+        )
+        bench = spark.createDataFrame([Row(doc_id=901, embedding=base_vec)])
+        before = sorted(
+            map(
+                tuple,
+                incremental.semantic_decontaminate_against_index(
+                    bench, "semcmp", dim=8
+                ).collect(),
+            )
+        )
+        assert [r[0] for r in before] == [0, 7]
+        incremental.compact_dedup_index(
+            spark, "semcmp", loc, num_buckets=4, compact_batch_id="c1"
+        )
+        after = sorted(
+            map(
+                tuple,
+                incremental.semantic_decontaminate_against_index(
+                    bench, "semcmp", dim=8
+                ).collect(),
+            )
+        )
+        assert after == before
+        for tbl in ("semcmp_embsig", "semcmp_embvec"):
+            batches = {
+                r["batch_id"]
+                for r in spark.table(tbl).select("batch_id").distinct().collect()
+            }
+            assert batches == {"c1"}, (tbl, batches)
+        reaped = incremental.reap_stale_index_locations(spark, "semcmp", loc)
+        assert len(reaped) == 5, reaped  # 3 lexical + embsig + embvec
+        assert after == sorted(
+            map(
+                tuple,
+                incremental.semantic_decontaminate_against_index(
+                    bench, "semcmp", dim=8
+                ).collect(),
+            )
+        )
+    finally:
+        incremental.drop_dedup_index(spark, "semcmp")

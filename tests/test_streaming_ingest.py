@@ -514,3 +514,57 @@ def test_ingest_dsir_selection_stage(spark, env, tmp_path):
         ingest.process_crawl_batch(
             spark.createDataFrame([(1, "x")], ["doc_id", "text"]), 0, bad
         )
+
+
+def test_ingest_maintains_semantic_decontam_index(spark, env, tmp_path):
+    """With embedding_col + semantic_sig_dim configured, each epoch's KEEPERS
+    (and only they) land in the <prefix>_embsig/_embvec tables under the
+    epoch's partition; replay doesn't double-insert; a later eval suite's
+    semantic decontam flags the leaked keeper O(|eval|); semantic_sig_dim
+    without embedding_col fails loudly."""
+    import dataclasses
+
+    spark, base, cfg, inbox = env
+    base_vec = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]
+    far = [5.0, 5.0, -5.0, 5.0, -5.0, -5.0, 5.0, 5.0]
+    cfg = dataclasses.replace(cfg, embedding_col="embedding", semantic_sig_dim=8)
+    base_texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    batch = spark.createDataFrame(
+        [
+            # exact dup of a base doc → not a keeper → NOT indexed
+            (600, base_texts[2], far),
+            # keeper whose embedding is a scaled eval twin → indexed, flagged
+            (601, _text("fresh:601"), [2.0 * x for x in base_vec]),
+            # keeper, semantically clean
+            (602, _text("fresh:602"), far),
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    ingest.process_crawl_batch(batch, 5, cfg)
+    epoch = ingest._epoch_batch_id(5)
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.table(f"{PREFIX}_embsig")
+        .filter(F.col("batch_id") == epoch)
+        .collect()
+    }
+    assert sig_ids == {601, 602}
+    n_vec = spark.table(f"{PREFIX}_embvec").count()
+    # replay the epoch: skip-if-present, no growth
+    ingest.process_crawl_batch(batch, 5, cfg)
+    assert spark.table(f"{PREFIX}_embvec").count() == n_vec
+    # a new eval suite lands: third-rung decontam off the index
+    bench = spark.createDataFrame(
+        [(901, base_vec)], "doc_id long, embedding array<double>"
+    )
+    flagged = {
+        r["hist_id"]
+        for r in incremental.semantic_decontaminate_against_index(
+            bench, PREFIX, dim=8
+        ).collect()
+    }
+    assert flagged == {601}
+    # misconfiguration: loud, not silent
+    bad = dataclasses.replace(cfg, embedding_col=None)
+    with pytest.raises(ValueError, match="embedding_col"):
+        ingest.process_crawl_batch(batch, 6, bad)
