@@ -363,28 +363,26 @@ def main() -> None:
         "iterations": 4,
         "note": "per-query time is the MEDIAN of 3 warm iterations; "
         "queries_cold is the 1st run (plan build + codegen + broadcast). "
-        "r8 query-set changes vs r7: dedup_candidate_pairs gains the "
-        "decontam_near branch (banded MinHash vs eval set + symmetric "
-        "Jaccard verify); pipeline_pack_split gains the mix_pack branch "
-        "(upsampled 3-source mixture packed under replica identity); "
-        "text_corpus_stats' ppl branch upgrades bigram to interpolated "
-        "trigram (one more corpus aggregation + rollup); dedup_clusters' "
-        "media branch grows video (Y4M) rows inside the same decode "
-        "boundary; text_corpus_stats gains the dsir branch (importance "
-        "weights + Gumbel top-40; the shared gram frame is persisted - "
-        "dedup._materialize pattern - so warm passes reuse it); NEW entries "
-        "sink_write_avro_zstd + sink_write_orc time the r8 format-family "
-        "extensions on the same grouped-object path (41 entries total). "
-        "Per-branch attribution: see queries_branches (new in "
-        "r8) — compare branch-to-branch across rounds. VERDICT r7 item 2 "
-        "resolved: the two same-direction driver deltas "
-        "(sink_write_parquet 1.02->1.80s, text_analysis 1.12->1.67s, no "
-        "code change) were re-measured in an isolated quiet-machine ABAB "
-        "probe (r6 checkout vs r8 HEAD, fresh process per run, sf0.1): "
-        "sink_write_parquet r6 {1.167,1.045} vs HEAD {1.135,1.306} "
-        "(overlapping), text_analysis r6 {1.555,1.628} vs HEAD "
-        "{1.752,1.859} (<=1.14x) — both within the 1.2x noise criterion; "
-        "verdict NOISE, no root cause to chase. "
+        "r9 query-set changes vs r8: NEW headline entries dedup_clusters "
+        "(cascade text branch + 3-modality media branch — previously "
+        "un-timed, a media-dedup regression was invisible) and "
+        "dedup_embedding_cosine (label/kmeans/decontam branches — "
+        "previously branch-timed only), closing VERDICT r8 item 7, so "
+        "totals are NOT comparable to r8 without subtracting the two new "
+        "entries; pipeline_pack_split's mix_pack branch switches to the "
+        "composite string replica id '<epoch>:<doc_id>' (exact for 63-bit "
+        "and string ids — the integer encode overflowed), which re-keys "
+        "the md5 pack layout but not the plan shape; text_corpus_stats' "
+        "dsir branch and weighted-sample paths widen their continuous md5 "
+        "draws 16->52 bits (13 hex chars — one conv() either way, no "
+        "plan change). VERDICT r8 item 4 resolved: the two same-direction "
+        "no-code-change r8 deltas were re-measured in the isolated "
+        "quiet-machine ABAB protocol (r7 checkout vs r9 HEAD, fresh "
+        "process per run, interleaved, sf0.1, tools/probe_r9_abab.py): "
+        "tpch_order_analytics r7 {3.84,4.46} vs HEAD {3.82,4.24} (0.97x), "
+        "ann_topk r7 {3.33,3.67} vs HEAD {3.68,4.38} (1.15x) — both "
+        "within the 1.2x noise criterion; verdict NOISE (the r8 driver "
+        "re-run's 6.47s tpch reading was a noisy-machine artifact). "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
