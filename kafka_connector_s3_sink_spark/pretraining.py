@@ -90,6 +90,13 @@ class PretrainingConfig:
     domain_cap: int | None = None
     n_salts: int = 16
     mixture: Mapping[str, float] | None = None
+    # alternative to an explicit rate map: XLM-R temperature sampling
+    # (sampling.temperature_mixture_rates) fitted on the corpus that
+    # REACHES the mixture stage — q_g ∝ p_g^alpha, expected total
+    # preserved at mixture_scale; mutually exclusive with `mixture`
+    mixture_alpha: float | None = None
+    mixture_scale: float = 1.0
+    mixture_max_rate: float | None = None
     source_col: str = "source"
     splits: Mapping[str, float] | None = None  # default 0.9/0.05/0.05
     ctx_len: int = 2048
@@ -122,6 +129,7 @@ class PretrainingResult:
     stages: dict[str, DataFrame] = field(default_factory=dict)
     packed: DataFrame | None = None
     epoch_slots: int = 1
+    caches: list = field(default_factory=list)
 
     def accounting(self) -> list[tuple[str, int]]:
         """(stage, row count) in pipeline order — one count job per stage.
@@ -131,9 +139,14 @@ class PretrainingResult:
         return [(name, df.count()) for name, df in self.stages.items()]
 
     def unpersist(self) -> None:
-        """Release every stage cache created by ``persist_stages=True``
-        (no-op for unpersisted frames)."""
+        """Release every stage cache created by ``persist_stages=True`` AND
+        the pipeline's internal persisted intermediates (cascade candidates,
+        decontam fingerprint tables) — call when done consuming the result;
+        a long-lived session building many corpora otherwise accumulates
+        one persisted set per pipeline call."""
         for df in self.stages.values():
+            df.unpersist()
+        for df in self.caches:
             df.unpersist()
 
 
@@ -205,7 +218,9 @@ def pretraining_pipeline(
     )
 
     arts = dedup.dedup_cascade_artifacts(
-        cur, jaccard_threshold=cfg.jaccard_threshold
+        cur,
+        jaccard_threshold=cfg.jaccard_threshold,
+        unpersist_registry=res.caches,
     )
     canon = arts.clusters.filter(F.col("is_canonical") == 1).select("doc_id")
     cur = record("near_dedup", cur.join(canon, "doc_id", "left_semi"))
@@ -215,12 +230,18 @@ def pretraining_pipeline(
         if benchmark is not None:
             flag_sets.append(
                 dedup.decontamination_matches(
-                    cur, benchmark, min_overlap_ratio=cfg.decontam_overlap
+                    cur,
+                    benchmark,
+                    min_overlap_ratio=cfg.decontam_overlap,
+                    unpersist_registry=res.caches,
                 ).select("corpus_id")
             )
             flag_sets.append(
                 dedup.near_decontamination_matches(
-                    cur, benchmark, jaccard_threshold=cfg.near_decontam_jaccard
+                    cur,
+                    benchmark,
+                    jaccard_threshold=cfg.near_decontam_jaccard,
+                    unpersist_registry=res.caches,
                 ).select("corpus_id")
             )
         if benchmark_embeddings is not None:
@@ -241,6 +262,7 @@ def pretraining_pipeline(
                     ),
                     dim=cfg.embedding_dim,
                     cosine_threshold=cfg.semantic_decontam_cosine,
+                    unpersist_registry=res.caches,
                 ).select("corpus_id")
             )
         flagged = flag_sets[0]
@@ -310,17 +332,33 @@ def pretraining_pipeline(
             .drop("domain_rank", "kept"),
         )
 
-    if cfg.mixture is not None:
+    if cfg.mixture is not None and cfg.mixture_alpha is not None:
+        raise ValueError(
+            "pass mixture (explicit rate map) XOR mixture_alpha "
+            "(temperature-fitted rates), not both"
+        )
+    if cfg.mixture is not None or cfg.mixture_alpha is not None:
         if cfg.source_col not in cur.columns:
             raise ValueError(
                 f"mixture configured but docs carry no {cfg.source_col!r} column"
             )
-        res.epoch_slots = _slots(cfg.mixture)
+        rates = (
+            dict(cfg.mixture)
+            if cfg.mixture is not None
+            else sampling.temperature_mixture_rates(
+                cur,
+                group_col=cfg.source_col,
+                alpha=cfg.mixture_alpha,
+                scale=cfg.mixture_scale,
+                max_rate=cfg.mixture_max_rate,
+            )
+        )
+        res.epoch_slots = _slots(rates)
         cur = record(
             "mixture",
             sampling.mixture_sample(
                 cur,
-                cfg.mixture,
+                rates,
                 source_col=cfg.source_col,
                 seed=f"{cfg.seed}:mix",
                 epoch_col="mix_epoch",

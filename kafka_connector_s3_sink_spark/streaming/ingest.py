@@ -8,7 +8,11 @@ for. Each micro-batch of crawled documents runs:
    optional DSIR stage follows (``dsir_model_path`` +
    ``dsir_min_log_weight``): the batch scores O(batch) against the
    persisted target/raw distributions (``selection.persist_dsir_model``)
-   and only target-like documents proceed.
+   and only target-like documents proceed. An optional ingest-time
+   benchmark decontamination stage follows THAT (``benchmark_path`` /
+   ``benchmark_embeddings_path``): docs leaking into the frozen eval
+   suite — exact containment, banded near-dup, or (with embeddings)
+   semantic cosine — are shed before any dedup work or index append.
 1. **Intra-batch cascade** (``dedup.dedup_cascade``): exact pass → LSH
    candidates → Jaccard verify → connected components; only cluster
    canonicals survive to the next stage.
@@ -112,6 +116,22 @@ class IngestConfig:
     # are shed too — they carry no signal either way.
     dsir_model_path: Optional[str] = None
     dsir_min_log_weight: Optional[float] = None
+    # optional INGEST-TIME benchmark decontamination: a frozen eval-suite
+    # parquet dir (id_col, text_col) — each epoch sheds incoming docs that
+    # leak into it (exact containment ∪ banded near-dup) BEFORE any dedup
+    # work or index append, so eval content never enters the corpus at all
+    # (the *_against_index forms answer the REVERSE question — which
+    # already-accepted docs leak into a NEW suite). The benchmark is small
+    # by definition (eval suites), so its per-epoch re-fingerprinting is a
+    # broadcast-side cost, never a corpus pass. benchmark_embeddings_path
+    # (+ embedding_col + benchmark_embedding_dim) adds the semantic rung:
+    # a translated leak sharing no n-grams is still shed.
+    benchmark_path: Optional[str] = None
+    decontam_overlap: float = 0.5
+    near_decontam_jaccard: float = 0.5
+    benchmark_embeddings_path: Optional[str] = None
+    benchmark_embedding_dim: int = 64
+    semantic_decontam_cosine: float = 0.95
     # optional semantic-decontam index maintenance (requires embedding_col):
     # when set, each epoch's keepers' hyperplane band signatures and raw
     # vectors join the <index_prefix>_embsig/_embvec tables (same idempotent
@@ -235,6 +255,80 @@ def process_crawl_batch(
             .select(F.col("doc_id").alias(id_col))
         )
         batch_df = batch_df.join(passing, id_col, "left_semi")
+    # stage 0c (optional): ingest-time benchmark decontamination — shed
+    # eval-suite leaks before they enter the cascade, the index, or the sink
+    if (
+        config.benchmark_embeddings_path is not None
+        and config.embedding_col is None
+    ):
+        raise ValueError(
+            "benchmark_embeddings_path requires embedding_col to be set"
+        )
+    decontam_cache: list = []
+    if (
+        config.benchmark_path is not None
+        or config.benchmark_embeddings_path is not None
+    ):
+        flag_sets = []
+        if config.benchmark_path is not None:
+            bench = spark.read.parquet(config.benchmark_path)
+            flag_sets.append(
+                dedup.decontamination_matches(
+                    batch_df,
+                    bench,
+                    id_col=id_col,
+                    text_col=text_col,
+                    min_overlap_ratio=config.decontam_overlap,
+                    unpersist_registry=decontam_cache,
+                ).select("corpus_id")
+            )
+            flag_sets.append(
+                dedup.near_decontamination_matches(
+                    batch_df,
+                    bench,
+                    id_col=id_col,
+                    text_col=text_col,
+                    jaccard_threshold=config.near_decontam_jaccard,
+                    unpersist_registry=decontam_cache,
+                ).select("corpus_id")
+            )
+        if config.benchmark_embeddings_path is not None:
+            bench_emb = spark.read.parquet(config.benchmark_embeddings_path)
+            flag_sets.append(
+                dedup.semantic_decontamination_matches(
+                    batch_df.select(
+                        F.col(id_col).alias("vec_id"),
+                        F.col(config.embedding_col).alias("embedding"),
+                    ),
+                    bench_emb.select(
+                        F.col(id_col).alias("vec_id"),
+                        F.col(config.embedding_col).alias("embedding"),
+                    ),
+                    dim=config.benchmark_embedding_dim,
+                    cosine_threshold=config.semantic_decontam_cosine,
+                    unpersist_registry=decontam_cache,
+                ).select("corpus_id")
+            )
+        flagged = flag_sets[0]
+        for fs in flag_sets[1:]:
+            flagged = flagged.unionByName(fs)
+        batch_df = batch_df.join(
+            flagged.distinct().withColumnRenamed("corpus_id", id_col),
+            id_col,
+            "left_anti",
+        )
+        # truncate lineage HERE: without it, every downstream stage (cascade,
+        # classification, index append, pack, three writes) carries the
+        # union-of-three-rungs fingerprint trees in its logical plan —
+        # Catalyst re-optimizes the whole history per action and the
+        # adaptive plan STRING alone can exhaust the driver heap (the
+        # connected_components localCheckpoint lesson, same class). The
+        # checkpoint materializes only the batch (batch-sized by
+        # definition), after which the decontam intermediates release.
+        batch_df = batch_df.localCheckpoint(eager=True)
+        for cached in decontam_cache:
+            cached.unpersist()
+        decontam_cache.clear()
     n_qualified = (
         batch_df.count()
         if (
@@ -242,6 +336,8 @@ def process_crawl_batch(
             and (
                 config.min_quality is not None
                 or config.dsir_model_path is not None
+                or config.benchmark_path is not None
+                or config.benchmark_embeddings_path is not None
             )
         )
         else n_input
@@ -404,6 +500,11 @@ def process_crawl_batch(
         keepers.unpersist()
         classified.unpersist()
         for cached in bands_cache:
+            cached.unpersist()
+        # decontam-stage _materialize frames (benchmark fingerprints +
+        # candidate tables): released per epoch, or a long-lived stream
+        # accumulates one persisted set per micro-batch
+        for cached in decontam_cache:
             cached.unpersist()
 
 

@@ -124,13 +124,15 @@ def result(spark, enriched):
         mixture={"wiki": 2.5, "web": 1.0},
         ctx_len=64,
     )
-    return pretraining_pipeline(
+    res = pretraining_pipeline(
         enriched.withColumn(
             "source", F.when(wiki, F.lit("wiki")).otherwise(F.lit("web"))
         ),
         benchmark=bench,
         config=cfg,
     )
+    yield res
+    res.unpersist()  # release the cascade/decontam caches for later modules
 
 
 def test_stage_accounting(result):
@@ -468,3 +470,46 @@ def test_wide_and_string_doc_ids_roundtrip_packing(spark):
     srows = sres.packed.collect()
     assert {r["doc_id"] for r in srows} == {"urn:doc:1", "urn:doc:2"}
     assert all(r["mix_epoch"] == 0 for r in srows)
+
+
+def test_temperature_mixture_in_preset(spark):
+    """mixture_alpha fits XLM-R temperature rates on the corpus that
+    reaches the mixture stage: the low-resource source up-samples
+    (epochs > 0), the high-resource source down-samples, the expected
+    total is ~scale x corpus, and replicas still decode exactly; passing
+    both mixture and mixture_alpha is a loud error."""
+    from kafka_connector_s3_sink_spark.operators import sampling as s_ops
+
+    rows = [(i, _prose(f"hi{i}", 25), "high") for i in range(40)] + [
+        (100 + i, _prose(f"lo{i}", 25), "low") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None,
+        mixture_alpha=0.3, ctx_len=64,
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    mix = res.stages["mixture"].groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in mix}
+    rates = s_ops.temperature_mixture_rates(
+        res.stages["near_dedup"], group_col="source", alpha=0.3
+    )
+    assert rates["low"] > 1.0 > rates["high"]
+    assert by_src["high"] < 40          # high-resource down-sampled
+    assert by_src["low"] >= 4           # low-resource replicated
+    assert res.epoch_slots >= 2
+    # replicas decode exactly through the composite id
+    reps = {(r["doc_id"], r["mix_epoch"]) for r in res.packed.collect()}
+    mixset = {
+        (r["doc_id"], r["mix_epoch"])
+        for r in res.stages["mixture"].select("doc_id", "mix_epoch").collect()
+    }
+    assert reps == mixset
+    with pytest.raises(ValueError, match="XOR"):
+        pretraining_pipeline(
+            docs,
+            config=PretrainingConfig(
+                quality_floor=None, domain_cap=None,
+                mixture={"high": 1.0}, mixture_alpha=0.3,
+            ),
+        )

@@ -568,3 +568,60 @@ def test_ingest_maintains_semantic_decontam_index(spark, env, tmp_path):
     bad = dataclasses.replace(cfg, embedding_col=None)
     with pytest.raises(ValueError, match="embedding_col"):
         ingest.process_crawl_batch(batch, 6, bad)
+
+
+def test_ingest_time_benchmark_decontamination(spark, env, tmp_path):
+    """benchmark_path / benchmark_embeddings_path shed eval-suite leaks at
+    INGEST time — an exact-containment leak, a paraphrase (near) leak, and
+    a shares-no-ngrams semantic leak never reach the output, the index, or
+    the packs; clean docs flow through; embeddings path without
+    embedding_col fails loudly."""
+    import dataclasses
+
+    spark, base, cfg, inbox = env
+    eval_text = _text("eval:1")
+    near_text = "paraphrased " + eval_text.split(" ", 1)[1]
+    base_vec = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]
+    far = [5.0, 5.0, -5.0, 5.0, -5.0, -5.0, 5.0, 5.0]
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(901, eval_text)], ["doc_id", "text"]
+    ).write.parquet(bench_dir)
+    bench_emb_dir = str(tmp_path / "bench_emb")
+    spark.createDataFrame(
+        [(901, base_vec)], "doc_id long, embedding array<double>"
+    ).write.parquet(bench_emb_dir)
+    cfg = dataclasses.replace(
+        cfg,
+        embedding_col="embedding",
+        benchmark_path=bench_dir,
+        benchmark_embeddings_path=bench_emb_dir,
+        benchmark_embedding_dim=8,
+    )
+    batch = spark.createDataFrame(
+        [
+            (700, _trim_last_word(eval_text), far),       # exact containment
+            (701, near_text, far),                        # near (banded) leak
+            (702, _text("fresh:702"), [2.0 * x for x in base_vec]),  # semantic
+            (703, _text("fresh:703"), far),               # clean -> kept
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    ingest.process_crawl_batch(batch, 9, cfg)
+    epoch = ingest._epoch_batch_id(9)
+    out = spark.read.parquet(f"{cfg.dest_dir}/documents").filter(
+        F.col("batch_id") == epoch
+    )
+    assert {r["doc_id"] for r in out.collect()} == {703}
+    # the leaks never reached the fingerprint index either
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.table(f"{PREFIX}_hashes")
+        .filter(F.col("batch_id") == epoch)
+        .collect()
+    }
+    assert idx_ids == {703}
+    # loud misconfiguration
+    bad = dataclasses.replace(cfg, embedding_col=None)
+    with pytest.raises(ValueError, match="embedding_col"):
+        ingest.process_crawl_batch(batch, 10, bad)
