@@ -232,7 +232,45 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_epoch",
         )
     )
-    return pack.unionByName(mix)
+    # safe_pack branch (r9): the preset's LEAKAGE-SAFE split blocking,
+    # hash-gated end to end — plant near-duplicates (tail-trimmed copies,
+    # +100k ids), generate MinHash-LSH CANDIDATE pairs (no Jaccard verify:
+    # the blocking deliberately covers pairs that would FAIL the dedup
+    # threshold), connected-components them, split on the cluster key
+    # (sampling.cluster_safe_split — singletons degenerate to hash_split),
+    # and pack the planted corpus under those labels. The oracle replays
+    # shingles → minhash → bands → candidate join → recursive closure →
+    # coalesce(cluster, doc) → md5 split thresholds → the pack layout, so a
+    # divergence anywhere in the blocking chain hash-fails; a planted pair
+    # straddling train/val would flip its rows' split column.
+    nd = dedup.with_near_duplicates(docs)
+    cand_pairs = dedup.minhash_lsh_pairs(nd)
+    cand_ids = (
+        cand_pairs.select(F.col("id1").alias("doc_id"))
+        .unionByName(cand_pairs.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    cclusters = dedup.connected_components(cand_ids, cand_pairs)
+    safe_split = sampling.cluster_safe_split(
+        nd.select("doc_id").distinct(),
+        cclusters.select("doc_id", "cluster_id"),
+    )
+    safe = (
+        packing.pack_sequences(nd, ctx_len=512)
+        .join(safe_split, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pack_id",
+            "pack_pos",
+            "doc_offset",
+            "seg_tokens",
+            "split",
+            F.lit("safe_pack").alias("branch"),
+            F.lit(None).cast("int").alias("mix_epoch"),
+        )
+    )
+    return pack.unionByName(mix).unionByName(safe)
 
 
 _IVF_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
@@ -1403,6 +1441,44 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.col("log_weight"), 6).alias("metric_a"),
         stable_round(F.col("select_score"), 6).alias("metric_b"),
     )
+    # wsample branch (r9): deterministic weighted sampling WITHOUT
+    # replacement (Efraimidis-Spirakis 2006) — exponential-race keys
+    # ln(u)/w over the 52-bit md5 uniform (sampling.hash_unit), weight =
+    # char length, top-50 cut. The oracle replays draw + key + cut, so the
+    # r9 16->52-bit draw widening is hash-gated end to end.
+    w_rows = sampling.weighted_sample(
+        docs.withColumn("w", F.length("text").cast("double")),
+        k=50,
+        weight_col="w",
+    ).select(
+        F.lit("wsample").alias("branch"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.length("text").cast("bigint").alias("n"),
+        stable_round(F.col("sample_key"), 6).alias("metric_a"),
+        F.col("w").alias("metric_b"),
+    )
+    # pr_curve branch (r9): exact precision/recall/F1 at every distinct
+    # quality-score threshold (quality.precision_recall_curve; label =
+    # doc_id % 3 == 0 — synthetic but deterministic). key is the threshold
+    # scaled to an integer string so float FORMATTING can never diverge
+    # between engines; metric_a = precision, metric_b = f1 (which must stay
+    # NULL on undefined recall — the r9 contract fix is oracle-gated).
+    from kafka_connector_s3_sink_spark.operators import quality as q_ops
+
+    scored = docs.select(
+        text_ops.quality_score(F.col("text")).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    pr_rows = q_ops.precision_recall_curve(scored, round_digits=4).select(
+        F.lit("pr_curve").alias("branch"),
+        F.floor(F.col("threshold") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .cast("string")
+        .alias("key"),
+        F.col("n_predicted_pos").cast("bigint").alias("n"),
+        F.col("precision").alias("metric_a"),
+        F.col("f1").alias("metric_b"),
+    )
     return (
         ngrams.unionByName(quality)
         .unionByName(html_rows)
@@ -1414,6 +1490,8 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ppl_rows)
         .unionByName(drift_rows)
         .unionByName(dsir_rows)
+        .unionByName(w_rows)
+        .unionByName(pr_rows)
     )
 
 
@@ -1840,6 +1918,96 @@ def _dsir_oracle_sql(
             FROM sc
             ORDER BY score DESC, doc_id
             LIMIT {k}
+            )
+"""
+
+
+def _wsample_oracle_sql(k: int = 50) -> str:
+    """DuckDB oracle for the `wsample` branch of text_corpus_stats: the full
+    Efraimidis-Spirakis chain — the 52-bit md5 uniform (13 hex chars,
+    (h+0.5)/2^52 — sampling.hash_unit), the log-space race key ln(u)/w with
+    w = char length, the (key DESC, doc_id) order, and the top-k cut.
+    Emitted as a `UNION ALL` tail for the entry's f-string."""
+    return f"""
+            UNION ALL
+            SELECT 'wsample' AS branch, CAST(doc_id AS VARCHAR) AS key,
+                CAST(length(text) AS BIGINT) AS n,
+                floor(race_key * 1000000.0 + 0.5) / 1000000.0 AS metric_a,
+                CAST(length(text) AS DOUBLE) AS metric_b
+            FROM (
+                SELECT doc_id, text,
+                    ln((CAST('0x' || substr(
+                        md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13
+                    ) AS BIGINT) + 0.5) / 4503599627370496.0)
+                      / CAST(length(text) AS DOUBLE) AS race_key
+                FROM documents
+                WHERE CAST(length(text) AS DOUBLE) > 0
+                ORDER BY race_key DESC, doc_id
+                LIMIT {k}
+            )
+"""
+
+
+def _pr_curve_oracle_sql() -> str:
+    """DuckDB oracle for the `pr_curve` branch of text_corpus_stats: the
+    identical quality-score chain (length/stopword/punct composite, floored
+    at 4 digits), per-threshold aggregation, TOP-DOWN cumulative windows,
+    and the NULL-propagating F1 (undefined recall stays NULL — the
+    binary_auc contract). Emitted as a `UNION ALL` tail."""
+    return f"""
+            UNION ALL
+            SELECT 'pr_curve' AS branch,
+                CAST(CAST(floor(threshold * 10000.0 + 0.5) AS BIGINT)
+                    AS VARCHAR) AS key,
+                CAST(npp AS BIGINT) AS n,
+                floor(prec * 10000.0 + 0.5) / 10000.0 AS metric_a,
+                CASE
+                    WHEN rec IS NOT NULL AND prec + rec > 0 THEN
+                        floor((2 * prec * rec / (prec + rec)) * 10000.0 + 0.5)
+                            / 10000.0
+                    WHEN rec IS NOT NULL THEN 0.0
+                    ELSE NULL
+                END AS metric_b
+            FROM (
+                SELECT threshold,
+                    sum(n_here) OVER w AS npp,
+                    CAST(sum(pos_here) OVER w AS DOUBLE)
+                        / (sum(n_here) OVER w) AS prec,
+                    CASE WHEN sum(pos_here) OVER tot > 0
+                         THEN CAST(sum(pos_here) OVER w AS DOUBLE)
+                            / (sum(pos_here) OVER tot)
+                         ELSE NULL END AS rec
+                FROM (
+                    SELECT quality AS threshold, count(*) AS n_here,
+                        sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                            AS pos_here
+                    FROM (
+                        SELECT doc_id,
+                            floor((0.5 * least(length(text) / 500.0, 1.0)
+                                + 0.3 * least(stop_r * 4.0, 1.0)
+                                + 0.2 * (1.0 - least(punct_r * 5.0, 1.0)))
+                                * 10000.0 + 0.5) / 10000.0 AS quality
+                        FROM (
+                            SELECT doc_id, text,
+                                len(list_filter(
+                                    regexp_split_to_array(
+                                        trim(lower(text)), '\\s+'),
+                                    t -> t IN {STOPWORDS_SQL}))
+                                  / greatest(len(regexp_split_to_array(
+                                        trim(lower(text)), '\\s+')), 1)
+                                  AS stop_r,
+                                (length(text) - length(regexp_replace(
+                                    text, '[.,!?;:]', '', 'g')))
+                                  / greatest(length(text), 1) AS punct_r
+                            FROM documents
+                        )
+                    )
+                    GROUP BY 1
+                )
+                WINDOW w AS (ORDER BY threshold DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    tot AS (ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
             )
 """
 
@@ -2479,6 +2647,110 @@ def _pack_split_oracle_sql(
 """
 
 
+def _safe_pack_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
+    """DuckDB twin of the `safe_pack` branch: with_near_duplicates plant →
+    normalized word-3-gram shingles → 16-hash MinHash → 4 bands of 4 →
+    candidate band join → recursive min-label closure over candidate pairs
+    (vertices = candidate members only) → split key coalesce(cluster, doc)
+    → hash_split's md5 thresholds → the two-level pack layout. The same
+    expression chains as the dedup_clusters and pack oracles, composed."""
+    bucket = (
+        "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
+        " AS INTEGER)"
+    )
+    return f"""
+    WITH RECURSIVE nd AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+            regexp_replace(text, '\\s+\\S+\\s*$', '') AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (SELECT doc_id, {TOKS} AS w FROM nd),
+    shg AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM toks),
+    sig AS (
+        SELECT doc_id,
+            list_transform(range(0, 16), j ->
+                list_min(list_transform(s, x ->
+                    md5(CAST(j AS VARCHAR) || ':' || x)))
+            ) AS sg
+        FROM shg
+    ),
+    bands AS (
+        SELECT doc_id, b AS band_id,
+            md5(array_to_string(sg[b*4+1 : b*4+4], '|')) AS band_hash
+        FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_hash = b.band_hash AND a.band_id = b.band_id
+         AND a.doc_id < b.doc_id
+    ),
+    cand_ids AS (SELECT id1 AS id FROM cands UNION SELECT id2 FROM cands),
+    edges AS (
+        SELECT id1 AS src, id2 AS dst FROM cands
+        UNION ALL
+        SELECT id2 AS src, id1 AS dst FROM cands
+    ),
+    reach(id, r) AS (
+        SELECT id, id FROM cand_ids
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    clus AS (SELECT id AS doc_id, min(r) AS ckey FROM reach GROUP BY id),
+    skey AS (
+        SELECT n.doc_id,
+            coalesce(CAST(c.ckey AS VARCHAR), CAST(n.doc_id AS VARCHAR))
+                AS key
+        FROM nd n LEFT JOIN clus c ON n.doc_id = c.doc_id
+    ),
+    t AS (
+        SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+            {bucket.format(seed="pack", id="doc_id")} % {n_shards} AS shard,
+            md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM nd WHERE trim(text) <> ''
+    ),
+    loc AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum FROM t
+    ),
+    tot AS (SELECT shard, sum(n_tokens) AS st FROM t GROUP BY shard),
+    off AS (
+        SELECT shard, coalesce(sum(st) OVER (
+            ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS off FROM tot
+    ),
+    placed AS (
+        SELECT t2.doc_id, n_tokens,
+            CAST(off + cum - n_tokens AS BIGINT) AS strt
+        FROM loc t2 JOIN off USING (shard)
+    ),
+    seg AS (
+        SELECT doc_id, n_tokens, strt,
+            unnest(range(strt // {ctx}, (strt + n_tokens - 1) // {ctx} + 1))
+                AS pack_id
+        FROM placed
+    )
+    SELECT s.doc_id, n_tokens, pack_id,
+        greatest(strt, pack_id * {ctx}) - pack_id * {ctx} AS pack_pos,
+        greatest(strt, pack_id * {ctx}) - strt AS doc_offset,
+        least(strt + n_tokens, (pack_id + 1) * {ctx})
+            - greatest(strt, pack_id * {ctx}) AS seg_tokens,
+        CASE
+            WHEN {bucket.format(seed="split", id="k.key")} < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'train'
+            WHEN {bucket.format(seed="split", id="k.key")} < CAST(floor(0.95 * 65536) AS INTEGER) THEN 'val'
+            ELSE 'test'
+        END AS split,
+        'safe_pack' AS branch,
+        CAST(NULL AS INTEGER) AS mix_epoch
+    FROM seg s JOIN skey k ON s.doc_id = k.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_ivf_topk": (
@@ -2487,7 +2759,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_pack_split": (
             f"SELECT * FROM ({_pack_split_oracle_sql()})\n"
-            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(mix=True)})"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(mix=True)})\n"
+            f"UNION ALL\nSELECT * FROM ({_safe_pack_oracle_sql()})"
         ),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},
@@ -3589,7 +3862,7 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
         """ + _link_rank_oracle_sql() + _ppl_oracle_sql() + _drift_oracle_sql()
-        + _dsir_oracle_sql(),
+        + _dsir_oracle_sql() + _wsample_oracle_sql() + _pr_curve_oracle_sql(),
         "dedup_exact": f"""
             SELECT 'doc' AS branch, content_hash, keep_id, n_dups FROM (
             WITH {EXACT_CORPUS_CTE}

@@ -81,7 +81,7 @@ BRANCH_TAGS = {
         "method",
         ["jaccard", "lsh", "decontam", "decontam_near"],
     ),
-    "pipeline_pack_split": ("branch", ["pack", "mix_pack"]),
+    "pipeline_pack_split": ("branch", ["pack", "mix_pack", "safe_pack"]),
     "dedup_clusters": ("branch", ["text", "media"]),
     "dedup_embedding_cosine": ("method", ["label", "kmeans", "decontam"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
@@ -99,6 +99,8 @@ BRANCH_TAGS = {
             "ppl",
             "drift",
             "dsir",
+            "wsample",
+            "pr_curve",
         ],
     ),
 }
