@@ -385,6 +385,11 @@ def main() -> None:
         "ann_topk r7 {3.33,3.67} vs HEAD {3.68,4.38} (1.15x) — both "
         "within the 1.2x noise criterion; verdict NOISE (the r8 driver "
         "re-run's 6.47s tpch reading was a noisy-machine artifact). "
+        "Late-r9 gate growth: pipeline_pack_split gains the safe_pack "
+        "branch (planted near-dups -> candidate CC -> cluster-keyed "
+        "split -> pack; the eager CC raises the entry ~0.9->3.2s — real "
+        "work, branch-decomposed) and text_corpus_stats gains wsample "
+        "(0.2s) + pr_curve (0.4s). "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "

@@ -150,6 +150,51 @@ class PretrainingResult:
             df.unpersist()
 
 
+def write_packed_corpus(
+    res: PretrainingResult,
+    dest: str,
+    shards_per_split: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write the preset's trainer-facing files:
+
+    - ``<dest>/packed/split=train|val|test/`` — the packed segment layout,
+      hash-repartitioned on ``pack_id`` (within a split directory, one
+      pack's segments land in ONE file) and sorted ``(pack_id, pack_pos)``
+      within files, so a data loader streams each context window
+      contiguously without a shuffle of its own. The preset packs BEFORE
+      split labeling (labels must derive from original doc ids for
+      replica safety), so a pack whose documents straddle splits appears
+      in both directories with only its own split's slots — loaders that
+      need hole-free windows should treat ``pack_pos``/``seg_tokens`` as
+      the authoritative slot map (or run the preset per split);
+    - ``<dest>/stats/`` — one row per split with pack/doc/token totals
+      (the sanity numbers a training run pins before it starts).
+
+    ``shards_per_split`` is the parallelism/file-count grain — size it for
+    the TARGET corpus (at 100 TB think thousands; the default keeps local
+    runs honest). Content is deterministic under the preset's seeds; file
+    NAMES are Spark task outputs (use ``sinks.writer`` when exact object
+    names are the contract — this writer optimizes for loader locality
+    instead)."""
+    if res.packed is None:
+        raise ValueError("result carries no packed layout")
+    (
+        res.packed.repartition(shards_per_split, "pack_id")
+        .sortWithinPartitions("pack_id", "pack_pos")
+        .write.mode(mode)
+        .partitionBy("split")
+        .parquet(f"{dest}/packed")
+    )
+    stats = res.packed.groupBy("split").agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_tokens").alias("n_tokens"),
+    )
+    stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
+
+
 def _slots(rates: Mapping[str, float]) -> int:
     out = 1
     for r in rates.values():
