@@ -16,6 +16,9 @@ partition/bucket contract:
 
 - ``<prefix>_embsig``   (doc_id, band, bucket)        bucketed by bucket
 - ``<prefix>_embvec``   (doc_id, embedding)           bucketed by doc_id
+- ``<prefix>_embparams`` — one pinned row (dim, n_bands, band_planes):
+  appends must match it and the decontam reader derives its hyperplanes
+  from it, so signatures can never silently mix plane geometries
 
 (r5 format change: the former ``<prefix>_sizes`` table is gone — a history
 doc's shingle COUNT is an O(1) aggregation over the shingle rows the verify
@@ -621,6 +624,18 @@ def near_decontaminate_against_index(
     )
 
 
+def _read_embparams(
+    spark: SparkSession, prefix: str, database: str | None
+) -> tuple | None:
+    """The pinned (dim, n_bands, band_planes) of a semantic index, or None
+    for a pre-params index. A catalog probe + 1-row read — never a scan."""
+    table = _qualified(prefix, "embparams", database)
+    if not spark.catalog.tableExists(table):
+        return None
+    r = spark.table(table).collect()[0]
+    return (r["dim"], r["n_bands"], r["band_planes"])
+
+
 def _embedding_parts(
     df: DataFrame,
     id_col: str,
@@ -670,8 +685,13 @@ def build_embedding_index(
     ``semantic_decontaminate_against_index`` reads the multi-TB index
     pre-partitioned. Plane geometry (dim, n_bands, band_planes) must stay
     fixed for the life of the index — signatures are not comparable across
-    parameterizations (same contract as the MinHash band params)."""
-    _ensure_database(df.sparkSession, database)
+    parameterizations (same contract as the MinHash band params) — so the
+    geometry is PINNED in a one-row ``<prefix>_embparams`` table: appends
+    verify against it and the decontam reader derives its planes from it,
+    so a caller can never silently query with drifted geometry (the
+    ``persist_dsir_model`` params-table pattern)."""
+    spark = df.sparkSession
+    _ensure_database(spark, database)
     parts = _embedding_parts(df, id_col, vec_col, dim, n_bands, band_planes)
     for name, part in parts.items():
         _write_part(
@@ -683,6 +703,12 @@ def build_embedding_index(
             batch_id,
             mode,
         )
+    spark.createDataFrame(
+        [(int(dim), int(n_bands), int(band_planes))],
+        "dim int, n_bands int, band_planes int",
+    ).coalesce(1).write.mode("overwrite").option(
+        "path", f"{location}/{prefix}_embparams"
+    ).saveAsTable(_qualified(prefix, "embparams", database))
 
 
 def append_to_embedding_index(
@@ -702,9 +728,27 @@ def append_to_embedding_index(
     IDEMPOTENT per ``batch_id`` exactly like ``append_to_index``: each of
     the two tables is written only if it does not already hold this batch's
     partition, so an at-least-once replay cannot double-insert and a
-    partial failure heals on retry."""
+    partial failure heals on retry. When the index carries a pinned
+    ``_embparams`` table, the append's geometry must MATCH it (a drifted
+    append would write incomparable signatures — fail loudly instead);
+    when it doesn't (cold start through append), the pin is created."""
     spark = df.sparkSession
     _ensure_database(spark, database)
+    pinned = _read_embparams(spark, prefix, database)
+    if pinned is not None:
+        if (dim, n_bands, band_planes) != pinned:
+            raise ValueError(
+                f"embedding-index geometry mismatch: index pinned "
+                f"(dim, n_bands, band_planes)={pinned}, append passed "
+                f"{(dim, n_bands, band_planes)}"
+            )
+    else:
+        spark.createDataFrame(
+            [(int(dim), int(n_bands), int(band_planes))],
+            "dim int, n_bands int, band_planes int",
+        ).coalesce(1).write.mode("overwrite").option(
+            "path", f"{location}/{prefix}_embparams"
+        ).saveAsTable(_qualified(prefix, "embparams", database))
     parts = _embedding_parts(df, id_col, vec_col, dim, n_bands, band_planes)
     for name, part in parts.items():
         table = _qualified(prefix, name, database)
@@ -748,10 +792,15 @@ def semantic_decontaminate_against_index(
     band/bucket join feeds O(candidates) ids into a broadcast semi-join
     that prunes the vector scan before the exact-cosine verify.
 
-    Plane geometry must match the values the index was built with."""
+    Plane geometry comes from the index's pinned ``_embparams`` table when
+    present (so a query can never silently band with drifted planes); the
+    explicit arguments are the fallback for a pre-params index."""
     from kafka_connector_s3_sink_spark.operators.similarity import dot, l2norm
 
     spark = benchmark_emb.sparkSession
+    pinned = _read_embparams(spark, prefix, database)
+    if pinned is not None:
+        dim, n_bands, band_planes = pinned
     b_sig = dedup._materialize(
         dedup.embedding_band_signatures(
             benchmark_emb, id_col, vec_col, dim, n_bands, band_planes,
@@ -897,7 +946,7 @@ def reap_stale_index_locations(
     the would-be-deleted paths without touching storage. Driver-side Hadoop
     FS — works on file:/hdfs:/s3a: like ``packing.list_files``."""
     live_locs = set()
-    for name in _TABLES + ("embsig", "embvec"):
+    for name in _TABLES + ("embsig", "embvec", "embparams"):
         for tbl_prefix in (prefix, f"{prefix}__staging", f"{prefix}__old"):
             table = _qualified(tbl_prefix, name, database)
             try:
@@ -940,5 +989,5 @@ def drop_dedup_index(
     optional semantic pair (``_embsig``/``_embvec``), and the legacy
     ``_sizes`` table a pre-r5 four-table index may still carry, so
     upgrading deployments don't strand a stale catalog entry."""
-    for name in _TABLES + ("embsig", "embvec", "sizes"):
+    for name in _TABLES + ("embsig", "embvec", "embparams", "sizes"):
         spark.sql(f"DROP TABLE IF EXISTS {_qualified(prefix, name, database)}")

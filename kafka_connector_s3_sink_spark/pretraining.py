@@ -105,6 +105,12 @@ class PretrainingConfig:
     # BPE token counts; per_doc_overhead models framing tokens (EOS etc.)
     bpe_merges: Sequence[tuple[str, str]] | None = None
     per_doc_overhead: int = 0
+    # pack each split's documents in an independent stream (pack ids are
+    # then per-split): no pack straddles the train/val/test boundary, so
+    # every window is hole-free for its loader. Default False keeps one
+    # global stream (marginally better fill; packs may span splits and a
+    # per-split reader sees only its own slots)
+    pack_per_split: bool = False
     # persist every recorded stage frame (MEMORY_AND_DISK) so accounting()
     # costs one pass per stage instead of replaying the lineage above it
     persist_stages: bool = False
@@ -433,40 +439,70 @@ def pretraining_pipeline(
     token_count_col = None
     if cfg.bpe_merges is not None:
         cur = tokenizer.bpe_encode(cur, list(cfg.bpe_merges))
-        rep = cur.select(rep_id, F.col("n_tokens").alias("bpe_tokens"))
         token_count_col = "bpe_tokens"
+
+    def build_rep(df: DataFrame) -> DataFrame:
+        if token_count_col is not None:
+            return df.select(rep_id, F.col("n_tokens").alias(token_count_col))
+        return df.select(rep_id, "text")
+
+    def pack_and_decode(rep: DataFrame, seed: str) -> DataFrame:
+        return (
+            packing.pack_sequences(
+                rep,
+                ctx_len=cfg.ctx_len,
+                id_col="rep_id",
+                seed=seed,
+                per_doc_overhead=cfg.per_doc_overhead,
+                token_count_col=token_count_col,
+            )
+            .withColumn(
+                "mix_epoch",
+                F.substring_index(F.col("rep_id"), ":", 1).cast("int"),
+            )
+            .withColumn(
+                "doc_id",
+                F.expr("substring(rep_id, instr(rep_id, ':') + 1)").cast(
+                    doc_id_type
+                ),
+            )
+        )
+
+    out_cols = [
+        "doc_id",
+        "mix_epoch",
+        "n_tokens",
+        "pack_id",
+        "pack_pos",
+        "doc_offset",
+        "seg_tokens",
+        "split",
+    ]
+    if cfg.pack_per_split:
+        # pack each split's replicas in an INDEPENDENT stream: no pack can
+        # straddle the boundary, so every window is hole-free for its
+        # loader (pack ids are per-split; the split column disambiguates).
+        # One pack pass per split over only that split's docs — the total
+        # packing work is unchanged, only partitioned by label.
+        labeled = cur.join(split, "doc_id")
+        splits = cfg.splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+        parts = [
+            pack_and_decode(
+                build_rep(labeled.filter(F.col("split") == name)),
+                seed=f"{cfg.seed}:pack:{name}",
+            ).withColumn("split", F.lit(name))
+            for name in splits
+        ]
+        packed = parts[0]
+        for part in parts[1:]:
+            packed = packed.unionByName(part)
+        packed = packed.select(*out_cols)
     else:
-        rep = cur.select(rep_id, "text")
-    packed = (
-        packing.pack_sequences(
-            rep,
-            ctx_len=cfg.ctx_len,
-            id_col="rep_id",
-            seed=f"{cfg.seed}:pack",
-            per_doc_overhead=cfg.per_doc_overhead,
-            token_count_col=token_count_col,
+        packed = (
+            pack_and_decode(build_rep(cur), seed=f"{cfg.seed}:pack")
+            .join(split, "doc_id")
+            .select(*out_cols)
         )
-        .withColumn(
-            "mix_epoch", F.substring_index(F.col("rep_id"), ":", 1).cast("int")
-        )
-        .withColumn(
-            "doc_id",
-            F.expr("substring(rep_id, instr(rep_id, ':') + 1)").cast(
-                doc_id_type
-            ),
-        )
-        .join(split, "doc_id")
-        .select(
-            "doc_id",
-            "mix_epoch",
-            "n_tokens",
-            "pack_id",
-            "pack_pos",
-            "doc_offset",
-            "seg_tokens",
-            "split",
-        )
-    )
     record("packed", packed)
     res.packed = res.stages["packed"]
     return res

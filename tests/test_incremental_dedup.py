@@ -651,3 +651,58 @@ def test_compaction_folds_semantic_tables(spark, tmp_path):
         )
     finally:
         incremental.drop_dedup_index(spark, "semcmp")
+
+
+def test_embedding_index_geometry_pin(spark, tmp_path):
+    """The semantic index pins its plane geometry in <prefix>_embparams:
+    a mismatched append fails loudly, the decontam reader derives planes
+    from the pin (wrong caller args can't silently band with drifted
+    hyperplanes), and a cold-start append creates the pin."""
+    from pyspark.sql import Row
+
+    from kafka_connector_s3_sink_spark.operators.incremental import (
+        append_to_embedding_index,
+        build_embedding_index,
+        drop_dedup_index,
+        semantic_decontaminate_against_index,
+    )
+
+    base = [3.0, -2.0, 5.0, -4.0, 2.5, -3.5, 4.0, -2.0]
+    loc = str(tmp_path / "pin_idx")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, embedding=[2.0 * x for x in base])]
+    )
+    build_embedding_index(corpus, "pin", loc, num_buckets=2, dim=8)
+    try:
+        pinned = spark.table("pin_embparams").collect()[0]
+        assert (pinned["dim"], pinned["n_bands"], pinned["band_planes"]) == (8, 4, 8)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            append_to_embedding_index(
+                corpus, "pin", loc, num_buckets=2, dim=8, n_bands=2,
+                batch_id="e1",
+            )
+        bench = spark.createDataFrame([Row(doc_id=901, embedding=base)])
+        # caller passes WRONG geometry; the pin wins and the leak is found
+        got = {
+            r["hist_id"]
+            for r in semantic_decontaminate_against_index(
+                bench, "pin", dim=16, n_bands=1, band_planes=3
+            ).collect()
+        }
+        assert got == {1}
+    finally:
+        drop_dedup_index(spark, "pin")
+    # cold start through append: the pin is created with the append's values
+    loc2 = str(tmp_path / "pin2")
+    append_to_embedding_index(
+        corpus, "pin2", loc2, num_buckets=2, dim=8, n_bands=2, batch_id="e0"
+    )
+    try:
+        p2 = spark.table("pin2_embparams").collect()[0]
+        assert (p2["dim"], p2["n_bands"], p2["band_planes"]) == (8, 2, 8)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            append_to_embedding_index(
+                corpus, "pin2", loc2, num_buckets=2, dim=8, batch_id="e1"
+            )
+    finally:
+        drop_dedup_index(spark, "pin2")

@@ -558,3 +558,50 @@ def test_write_packed_corpus(spark, tmp_path):
         from kafka_connector_s3_sink_spark.pretraining import PretrainingResult
 
         write_packed_corpus(PretrainingResult(), dest)
+
+
+def test_pack_per_split_hole_free(spark):
+    """pack_per_split=True: every split packs as an independent stream —
+    within a split, every pack except the split's LAST is exactly full
+    (zero holes), no pack spans splits by construction, split labels match
+    the global-stream path, and every mixture replica still packs."""
+    import collections
+
+    docs = spark.createDataFrame(
+        [(i, _prose(f"ps{i}", 20 + i % 7), "web") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None,
+        mixture={"web": 1.5}, ctx_len=32, pack_per_split=True,
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    rows = res.packed.collect()
+    reps = {(r["doc_id"], r["mix_epoch"]) for r in rows}
+    mix = {
+        (r["doc_id"], r["mix_epoch"])
+        for r in res.stages["mixture"].select("doc_id", "mix_epoch").collect()
+    }
+    assert reps == mix
+    fill = collections.defaultdict(int)
+    for r in rows:
+        fill[(r["split"], r["pack_id"])] += r["seg_tokens"]
+    last = {}
+    for (sp, pid) in fill:
+        last[sp] = max(last.get(sp, -1), pid)
+    for (sp, pid), tokens in fill.items():
+        if pid != last[sp]:
+            assert tokens == 32, (sp, pid, tokens)  # hole-free full packs
+        else:
+            assert 0 < tokens <= 32
+    # split labels are identical to the global-stream path (labels derive
+    # from doc ids / clusters, not from the packing mode)
+    res_g = pretraining_pipeline(
+        docs,
+        config=PretrainingConfig(
+            quality_floor=None, domain_cap=None,
+            mixture={"web": 1.5}, ctx_len=32,
+        ),
+    )
+    lab = lambda rs: {r["doc_id"]: r["split"] for r in rs.packed.collect()}
+    assert lab(res) == lab(res_g)
