@@ -380,9 +380,12 @@ def incremental_dedup(
 
     rest = _cache(base.join(exact.select("doc_id"), "doc_id", "left_anti"))
 
-    new_bands = minhash_bands(rest, "doc_id", "text", num_hashes, band_size, k)
-    if unpersist_registry is not None:
-        unpersist_registry.append(new_bands)
+    # registered on `registry` (not the caller parameter) so registry-less
+    # calls still flush it through _ORPHAN_CACHES on re-entry
+    new_bands = minhash_bands(
+        rest, "doc_id", "text", num_hashes, band_size, k,
+        unpersist_registry=registry,
+    )
     cands = _cache(
         new_bands.alias("n")
         .join(
@@ -570,6 +573,7 @@ def near_decontaminate_against_index(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     database: str | None = None,
+    unpersist_registry: list | None = None,
 ) -> DataFrame:
     """NEAR-dup decontamination of the accepted corpus against a new eval
     set, off the persisted fingerprint index: ``<prefix>_bands`` already
@@ -584,19 +588,35 @@ def near_decontaminate_against_index(
 
     Index fingerprint params (num_hashes, band_size, k) must match the
     values the index was built with — band hashes are not comparable across
-    parameterizations."""
+    parameterizations.
+
+    The benchmark band/shingle fingerprints and the candidate table are
+    persisted (each feeds 2+ plan branches); pass ``unpersist_registry``
+    (a list) to collect them for caller release — the batch decontam forms
+    all take the same parameter, and a long-lived session answering
+    new-suite decontams otherwise accumulates three eval-sized caches per
+    call."""
     spark = benchmark.sparkSession
-    b_bands = dedup._materialize(
-        minhash_bands(benchmark, id_col, text_col, num_hashes, band_size, k)
-        .select(F.col("doc_id").alias("bench_id"), "band_id", "band_hash")
+
+    def _mat(df: DataFrame) -> DataFrame:
+        df = dedup._materialize(df)
+        if unpersist_registry is not None:
+            unpersist_registry.append(df)
+        return df
+
+    b_bands = _mat(
+        minhash_bands(
+            benchmark, id_col, text_col, num_hashes, band_size, k,
+            unpersist_registry=unpersist_registry,
+        ).select(F.col("doc_id").alias("bench_id"), "band_id", "band_hash")
     )
     idx_bands = spark.table(_qualified(prefix, "bands", database))
-    cands = dedup._materialize(
+    cands = _mat(
         idx_bands.join(F.broadcast(b_bands), ["band_id", "band_hash"])
         .select(F.col("doc_id").alias("hist_id"), "bench_id")
         .distinct()
     )
-    b_sh = dedup._materialize(
+    b_sh = _mat(
         shingle_rows(benchmark, id_col, text_col, k).select(
             F.col("doc_id").alias("bench_id"), "shingle"
         )
@@ -632,7 +652,16 @@ def _read_embparams(
     table = _qualified(prefix, "embparams", database)
     if not spark.catalog.tableExists(table):
         return None
-    r = spark.table(table).collect()[0]
+    rows = spark.table(table).collect()
+    if not rows:
+        # an interrupted overwrite can leave the table registered but empty;
+        # fail diagnosably instead of an opaque IndexError downstream
+        raise ValueError(
+            f"semantic-index params table {table} exists but is empty "
+            "(interrupted build/append?) — rebuild the embedding index with "
+            "build_embedding_index, or drop the index and re-append"
+        )
+    r = rows[0]
     return (r["dim"], r["n_bands"], r["band_planes"])
 
 
@@ -775,6 +804,7 @@ def semantic_decontaminate_against_index(
     band_planes: int = 8,
     cosine_threshold: float = 0.95,
     database: str | None = None,
+    unpersist_registry: list | None = None,
 ) -> DataFrame:
     """SEMANTIC decontamination of the accepted corpus against a new eval
     set, off the persisted embedding signature index — the index-backed
@@ -794,21 +824,33 @@ def semantic_decontaminate_against_index(
 
     Plane geometry comes from the index's pinned ``_embparams`` table when
     present (so a query can never silently band with drifted planes); the
-    explicit arguments are the fallback for a pre-params index."""
+    explicit arguments are the fallback for a pre-params index.
+
+    The benchmark signature and candidate frames are persisted (each feeds
+    2+ plan branches); pass ``unpersist_registry`` to collect them for
+    caller release — same contract as the batch decontam forms and the
+    lexical ``*_against_index`` reader."""
     from kafka_connector_s3_sink_spark.operators.similarity import dot, l2norm
 
     spark = benchmark_emb.sparkSession
     pinned = _read_embparams(spark, prefix, database)
     if pinned is not None:
         dim, n_bands, band_planes = pinned
-    b_sig = dedup._materialize(
+
+    def _mat(df: DataFrame) -> DataFrame:
+        df = dedup._materialize(df)
+        if unpersist_registry is not None:
+            unpersist_registry.append(df)
+        return df
+
+    b_sig = _mat(
         dedup.embedding_band_signatures(
             benchmark_emb, id_col, vec_col, dim, n_bands, band_planes,
             out_id="bench_id",
         )
     )
     idx_sig = spark.table(_qualified(prefix, "embsig", database))
-    cands = dedup._materialize(
+    cands = _mat(
         idx_sig.select(F.col("doc_id").alias("hist_id"), "band", "bucket")
         .join(F.broadcast(b_sig), ["band", "bucket"])
         .select("hist_id", "bench_id")

@@ -75,6 +75,13 @@ class PretrainingConfig:
 
     quality_floor: float | None = 0.2
     jaccard_threshold: float = 0.8
+    # hot-band guard forwarded to the cascade's LSH candidate stage
+    # (dedup.minhash_lsh_pairs): bands shared by more than max_band_df docs
+    # are dropped before the self-join, bounding any key's pair fan-out at
+    # C(cap, 2) — AND bounding the candidate-pair CC graph the leakage-safe
+    # split blocks on (one hot band would otherwise inject C(n,2) edges).
+    # None keeps exact LSH semantics; identical output when no band is hot.
+    max_band_df: int | None = None
     span_tokens: int = 50
     decontam_overlap: float = 0.5
     near_decontam_jaccard: float = 0.5
@@ -136,6 +143,10 @@ class PretrainingResult:
     packed: DataFrame | None = None
     epoch_slots: int = 1
     caches: list = field(default_factory=list)
+    # whether packs were built per split (pack ids then scope to their
+    # split; no pack can straddle) — consumed by write_packed_corpus's
+    # straddle/hole accounting
+    pack_per_split: bool = False
 
     def accounting(self) -> list[tuple[str, int]]:
         """(stage, row count) in pipeline order — one count job per stage.
@@ -175,7 +186,15 @@ def write_packed_corpus(
       need hole-free windows should treat ``pack_pos``/``seg_tokens`` as
       the authoritative slot map (or run the preset per split);
     - ``<dest>/stats/`` — one row per split with pack/doc/token totals
-      (the sanity numbers a training run pins before it starts).
+      PLUS the straddle accounting (the sanity numbers a training run pins
+      before it starts): ``n_straddling_packs`` is how many of the split's
+      packs also carry another split's segments, and ``n_hole_tokens`` is
+      the total token-slots inside this split's copies of those packs that
+      belong to OTHER splits — the holes a loader streaming this split
+      must skip via the ``pack_pos``/``seg_tokens`` slot map. Both are
+      ZERO when the preset ran with ``pack_per_split=True`` (computed from
+      the data either way, so a training run ASSERTS hole-freeness instead
+      of trusting prose).
 
     ``shards_per_split`` is the parallelism/file-count grain — size it for
     the TARGET corpus (at 100 TB think thousands; the default keeps local
@@ -198,6 +217,31 @@ def write_packed_corpus(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("seg_tokens").alias("n_tokens"),
     )
+    # straddle accounting: under the GLOBAL packing stream a pack's id is
+    # corpus-wide, so its total tokens across all splits vs inside one split
+    # measures the holes that split's loader sees; under per-split packing
+    # ids scope to their split (the same id names DIFFERENT packs in
+    # different splits), so the key includes the split and the subtraction
+    # is zero by construction — computed from data either way
+    pack_key = ["split", "pack_id"] if res.pack_per_split else ["pack_id"]
+    pack_tot = res.packed.groupBy(*pack_key).agg(
+        F.sum("seg_tokens").alias("_pack_tokens")
+    )
+    straddle = (
+        res.packed.groupBy("split", "pack_id")
+        .agg(F.sum("seg_tokens").alias("_in_split"))
+        .join(pack_tot, pack_key)
+        .groupBy("split")
+        .agg(
+            F.sum(
+                (F.col("_pack_tokens") > F.col("_in_split")).cast("long")
+            ).alias("n_straddling_packs"),
+            F.sum(F.col("_pack_tokens") - F.col("_in_split")).alias(
+                "n_hole_tokens"
+            ),
+        )
+    )
+    stats = stats.join(straddle, "split")
     stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
 
 
@@ -260,7 +304,9 @@ def pretraining_pipeline(
     rebuilt = dedup.remove_duplicate_paragraphs(cur)
     cur = record("paragraph_dedup", rebuilt.filter(F.trim("text") != ""))
 
-    stripped = dedup.strip_duplicate_spans(cur, span_tokens=cfg.span_tokens)
+    stripped = dedup.strip_duplicate_spans(
+        cur, span_tokens=cfg.span_tokens, unpersist_registry=res.caches
+    )
     cur = record(
         "span_surgery",
         stripped.withColumn("text", F.col("text_clean"))
@@ -272,6 +318,7 @@ def pretraining_pipeline(
         cur,
         jaccard_threshold=cfg.jaccard_threshold,
         unpersist_registry=res.caches,
+        max_band_df=cfg.max_band_df,
     )
     canon = arts.clusters.filter(F.col("is_canonical") == 1).select("doc_id")
     cur = record("near_dedup", cur.join(canon, "doc_id", "left_semi"))
@@ -347,6 +394,7 @@ def pretraining_pipeline(
                 k=cfg.dsir_top_k,
                 seed=f"{cfg.seed}:dsir",
                 gumbel_seed=gumbel_seed,
+                unpersist_registry=res.caches,
             )
         else:
             selected = selection.dsir_resample_with_model(
@@ -505,4 +553,5 @@ def pretraining_pipeline(
         )
     record("packed", packed)
     res.packed = res.stages["packed"]
+    res.pack_per_split = cfg.pack_per_split
     return res

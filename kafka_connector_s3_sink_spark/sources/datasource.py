@@ -14,10 +14,16 @@ the write-side codecs.
 
 Options (all strings, per the API):
 - ``path``              — sink destination (any ``pyarrow.fs`` URI)
-- ``format``            — csv | jsonl | json | orc | avro (Avro OCF)
-  (parquet: use Spark's native reader; orc/avro decode per object through
-  the write-side codecs — ``formats.avro.read_ocf`` / ``pyarrow.orc`` —
-  and ignore ``compression``, which is internal to the container)
+- ``format``            — csv | jsonl | json | orc | avro (Avro OCF) |
+  parquet. Container formats (orc/avro/parquet) decode per object through
+  the write-side codecs — ``formats.avro.read_ocf`` / ``pyarrow.orc`` /
+  ``pyarrow.parquet`` — and ignore ``compression``, which is internal to
+  the container. Parquet here buys what the native reader can't give a
+  SQL-first user: per-object corrupt routing (``on_error=route`` turns a
+  truncated/bad-footer object into one ``decode_error`` row instead of a
+  task-killing scan — the posture ``sources.objects.read_sink_objects``
+  already has) and name-derived topic/partition/offset columns. For bulk
+  healthy scans the native ``spark.read.parquet`` remains the fast path.
 - ``compression``       — none | gzip | snappy | zstd (text formats)
 - ``fields``            — comma-joined output fields, default ``value``
 - ``encoding``          — base64 | none (CSV payload encoding)
@@ -65,7 +71,9 @@ def _resolve_binary(fmt: str, encoding: str, option: str | None) -> bool:
     DataSource and from ``read_sink_objects(binary_payloads=True)``."""
     if option is not None:
         return option.lower() == "true"
-    return fmt in ("orc", "avro") or (fmt == "csv" and encoding == "base64")
+    return fmt in ("orc", "avro", "parquet") or (
+        fmt == "csv" and encoding == "base64"
+    )
 
 
 def _schema_for(
@@ -162,10 +170,10 @@ class _SinkObjectsReader(DataSourceReader):
             raise ValueError(
                 f"on_error must be 'fail' or 'route', got {self.on_error!r}"
             )
-        if self.fmt not in ("csv", "jsonl", "json", "orc", "avro"):
+        if self.fmt not in ("csv", "jsonl", "json", "orc", "avro", "parquet"):
             raise ValueError(
-                f"sink_objects reads csv/jsonl/json/orc/avro (got {self.fmt!r});"
-                " parquet objects read with spark.read.parquet"
+                "sink_objects reads csv/jsonl/json/orc/avro/parquet "
+                f"(got {self.fmt!r})"
             )
 
     # -- planning (driver): one partition per object --------------------
@@ -204,7 +212,8 @@ class _SinkObjectsReader(DataSourceReader):
         # internal — config.filename_extension's rule, mirrored here)
         ext = (
             ""
-            if self.compression == "none" or self.fmt in ("orc", "avro")
+            if self.compression == "none"
+            or self.fmt in ("orc", "avro", "parquet")
             else CompressionType(self.compression).extension
         )
         pattern, groups = tpl.parse_pattern(prefix=self.prefix, extension=ext)
@@ -232,7 +241,7 @@ class _SinkObjectsReader(DataSourceReader):
         topic, part, start = self._parse_name(name)
         route = self.on_error == "route"
         nulls = (None,) * len(self.fields)
-        if self.fmt in ("orc", "avro"):
+        if self.fmt in ("orc", "avro", "parquet"):
             yield from self._read_container(name, topic, part, start)
             return
         try:
@@ -266,12 +275,14 @@ class _SinkObjectsReader(DataSourceReader):
     def _read_container(
         self, name: str, topic, part, start
     ) -> Iterator[tuple]:
-        """One ORC or Avro OCF object → envelope rows. Both containers
-        compress internally, so the raw bytes stream straight into the
-        write-side decoder (``formats.avro.read_ocf`` — pure Python, every
-        block sync verified — or ``pyarrow.orc``). ``on_error="route"``
-        turns a corrupt object (bad magic/sync/footer) into one
-        ``decode_error`` row, same contract as the text formats."""
+        """One ORC, Avro OCF, or parquet object → envelope rows. All three
+        containers compress internally, so the raw bytes stream straight
+        into the write-side decoder (``formats.avro.read_ocf`` — pure
+        Python, every block sync verified — or ``pyarrow.orc`` /
+        ``pyarrow.parquet``, whose footer parse IS the integrity gate
+        ``sources.objects._validate_parquet_objects`` uses).
+        ``on_error="route"`` turns a corrupt object (bad magic/sync/footer)
+        into one ``decode_error`` row, same contract as the text formats."""
         from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
 
         route = self.on_error == "route"
@@ -282,6 +293,14 @@ class _SinkObjectsReader(DataSourceReader):
                 from kafka_connector_s3_sink_spark.formats.avro import read_ocf
 
                 _, records = read_ocf(bytes(data))
+            elif self.fmt == "parquet":
+                import io
+
+                import pyarrow.parquet as pq
+
+                pf = pq.ParquetFile(io.BytesIO(data))
+                pf.metadata.num_rows  # force the full footer parse
+                records = pf.read().to_pylist()
             else:
                 import io
 
@@ -298,7 +317,12 @@ class _SinkObjectsReader(DataSourceReader):
             for f in self.fields:
                 v = rec.get(f)
                 if f == "headers" and v is not None:
-                    v = [(h["key"], h["value"]) for h in v]
+                    # array<struct> envelopes surface dicts; the parquet
+                    # map-headers option surfaces (key, value) tuples
+                    v = [
+                        (h["key"], h["value"]) if isinstance(h, dict) else tuple(h)
+                        for h in v
+                    ]
                 elif f in ("key", "value") and v is not None:
                     # coerce to the DECLARED payload type so one option
                     # (binary_payloads) governs the schema regardless of

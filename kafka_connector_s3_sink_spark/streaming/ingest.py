@@ -343,12 +343,19 @@ def process_crawl_batch(
         else n_input
     )
 
-    # stage 1: intra-batch cascade → canonical docs only
+    bands_cache: list = []
+    # stage 1: intra-batch cascade → canonical docs only. The hot-band cap
+    # applies here too — a boilerplate-heavy micro-batch would otherwise
+    # emit C(n,2) intra-batch candidate rows from one band key before the
+    # history classification even runs. The verify shingle frame registers
+    # in bands_cache and releases with the epoch's other caches.
     clusters = dedup.dedup_cascade(
         batch_df,
         id_col=id_col,
         text_col=text_col,
         jaccard_threshold=config.jaccard_threshold,
+        max_band_df=config.max_band_df,
+        unpersist_registry=bands_cache,
     )
     canon = batch_df.join(
         clusters.filter(F.col("is_canonical") == 1).select(id_col),
@@ -358,7 +365,6 @@ def process_crawl_batch(
 
     # stage 2: classify canonicals against history (self-partition excluded
     # so a replayed epoch can't see its own first-attempt fingerprints)
-    bands_cache: list = []
     classified = incremental.incremental_dedup(
         canon,
         config.index_prefix,

@@ -554,10 +554,56 @@ def test_write_packed_corpus(spark, tmp_path):
     assert total_segments == res.packed.count()
     total_tokens = sum(r["n_tokens"] for r in stats.values())
     assert total_tokens == res.packed.agg(F.sum("seg_tokens")).collect()[0][0]
+    # r10: straddle/hole accounting — recompute from the packed rows and
+    # pin the stats table to it (global stream: a pack whose documents
+    # land in several splits is straddling in EACH of those splits, and a
+    # split's holes are the other splits' tokens inside its packs)
+    import collections as _c
+
+    pack_tokens = _c.defaultdict(int)
+    split_pack_tokens = _c.defaultdict(int)
+    for r in res.packed.collect():
+        pack_tokens[r["pack_id"]] += r["seg_tokens"]
+        split_pack_tokens[(r["split"], r["pack_id"])] += r["seg_tokens"]
+    want_straddle = _c.defaultdict(int)
+    want_holes = _c.defaultdict(int)
+    for (sp, pid), tok in split_pack_tokens.items():
+        if pack_tokens[pid] > tok:
+            want_straddle[sp] += 1
+            want_holes[sp] += pack_tokens[pid] - tok
+    for sp, r in stats.items():
+        assert r["n_straddling_packs"] == want_straddle[sp], sp
+        assert r["n_hole_tokens"] == want_holes[sp], sp
+    # the fixture is small enough that at least one pack straddles — the
+    # accounting must be exercised, not vacuous
+    assert sum(want_straddle.values()) > 0
     with pytest.raises(ValueError, match="packed"):
         from kafka_connector_s3_sink_spark.pretraining import PretrainingResult
 
         write_packed_corpus(PretrainingResult(), dest)
+
+
+def test_write_packed_corpus_per_split_zero_holes(spark, tmp_path):
+    """pack_per_split=True: the stats table's straddle columns are zero —
+    computed from the data under the per-split pack-id scoping, so a
+    training run asserts hole-freeness without trusting the writer."""
+    from kafka_connector_s3_sink_spark.pretraining import write_packed_corpus
+
+    docs = spark.createDataFrame(
+        [(i, _prose(f"wz{i}", 30)) for i in range(12)], ["doc_id", "text"]
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None, ctx_len=64,
+        pack_per_split=True,
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    dest = str(tmp_path / "corpus_ps")
+    write_packed_corpus(res, dest, shards_per_split=2)
+    stats = spark.read.parquet(f"{dest}/stats").collect()
+    assert len(stats) >= 2  # several splits actually populated
+    for r in stats:
+        assert r["n_straddling_packs"] == 0, r
+        assert r["n_hole_tokens"] == 0, r
 
 
 def test_pack_per_split_hole_free(spark):
