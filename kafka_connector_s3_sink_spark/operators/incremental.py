@@ -605,9 +605,11 @@ def near_decontaminate_against_index(
         return df
 
     b_bands = _mat(
+        # materialize=False: _mat persists the renamed frame — persisting
+        # inside minhash_bands too would double-cache the benchmark bands
         minhash_bands(
             benchmark, id_col, text_col, num_hashes, band_size, k,
-            unpersist_registry=unpersist_registry,
+            materialize=False,
         ).select(F.col("doc_id").alias("bench_id"), "band_id", "band_hash")
     )
     idx_bands = spark.table(_qualified(prefix, "bands", database))

@@ -107,25 +107,98 @@ def language_id(text: Column) -> Column:
 
 
 # Per-language function-word profiles (high-frequency closed-class words,
-# public linguistic knowledge). Deliberately DISJOINT-leaning: shared forms
-# ('in', 'a', 'die'…) are kept only under their most distinctive language to
-# sharpen the argmax; real corpora dominate these ratios by an order of
-# magnitude over cross-language noise.
+# public linguistic knowledge). Deliberately DISJOINT: shared forms ('in',
+# 'a', 'die', 'je', 'tak'…) are kept only under their most distinctive
+# language to sharpen the argmax (a pytest pins pairwise disjointness);
+# real corpora dominate these ratios by an order of magnitude over
+# cross-language noise. 17 whitespace-tokenized (Latin/diacritic-script)
+# languages — the CJK/Cyrillic/Arabic/Indic/… tier is script-ratio based
+# (SCRIPT_RANGES below) because whitespace tokenization and closed-class
+# word lists are the wrong tools there (zh/ja/th don't even delimit words).
 LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "that", "for", "with", "was", "this"),
     "de": ("der", "und", "das", "nicht", "ist", "ein", "eine", "mit", "auf", "für"),
     "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "pas"),
     "es": ("el", "los", "las", "una", "está", "por", "como", "pero", "más", "del"),
+    "pt": ("não", "uma", "são", "também", "já", "você", "muito", "isso", "ela", "seu"),
+    "it": ("il", "di", "che", "per", "sono", "questo", "anche", "ma", "gli", "della"),
+    "nl": ("het", "een", "van", "niet", "zijn", "voor", "aan", "ook", "maar", "deze"),
+    "sv": ("och", "att", "det", "som", "är", "inte", "jag", "på", "av", "till"),
+    "da": ("og", "ikke", "jeg", "hvad", "hun", "han", "meget", "også", "hvor", "være"),
+    "fi": ("ja", "on", "ei", "että", "mutta", "hän", "kun", "myös", "niin", "ovat"),
+    "pl": ("się", "jest", "nie", "ale", "jak", "przez", "tylko", "już", "bardzo", "może"),
+    "cs": ("že", "který", "jsem", "jsou", "také", "ještě", "byl", "podle", "své", "aby"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ancak"),
+    "ro": ("și", "este", "care", "sunt", "după", "dacă", "să", "fost", "unei", "această"),
+    "id": ("yang", "dan", "dengan", "untuk", "tidak", "dari", "ini", "itu", "adalah", "pada"),
+    "vi": ("và", "của", "là", "không", "các", "được", "trong", "người", "những", "này"),
+    "hu": ("és", "nem", "hogy", "már", "csak", "mint", "meg", "volt", "ez", "azt"),
+}
+
+# Unicode-script codepoint ranges (public Unicode block boundaries) for the
+# 9 languages whose script IS the dominant signal. Ranges are written as
+# literal-character classes (identical semantics under Java regex and RE2,
+# keeping the DuckDB twin exact — \p{script=…} property syntax differs
+# between the engines). Han is shared by zh and ja: kana presence decides
+# (see language_id_multi).
+SCRIPT_RANGES: dict[str, str] = {
+    "zh": "\u4e00-\u9fff",              # CJK Unified Ideographs (Han)
+    "ja": "\u3040-\u309f\u30a0-\u30ff",  # Hiragana + Katakana
+    "ko": "\uac00-\ud7af\u1100-\u11ff",  # Hangul syllables + Jamo
+    "ru": "\u0400-\u04ff",              # Cyrillic
+    "ar": "\u0600-\u06ff\u0750-\u077f",  # Arabic + supplement
+    "hi": "\u0900-\u097f",              # Devanagari
+    "el": "\u0370-\u03ff",              # Greek
+    "he": "\u0590-\u05ff",              # Hebrew
+    "th": "\u0e00-\u0e7f",              # Thai
 }
 
 
-def language_id_multi(text: Column, min_ratio: float = 0.06) -> Column:
-    """Argmax language over the per-language function-word profiles: the
-    language whose profile-word ratio is highest, when that ratio clears
-    ``min_ratio``; ties break alphabetically (deterministic); nothing
-    clears → 'und'. One tokenization feeding |languages| array-filter
-    ratios and a ``greatest``-based argmax — all row-local JVM expressions,
-    the oracle-portable shape (no model file, no UDF)."""
+def language_id_multi(
+    text: Column,
+    min_ratio: float = 0.06,
+    script_min_ratio: float = 0.25,
+    kana_min_ratio: float = 0.05,
+) -> Column:
+    """Two-tier language ID over 26 languages, all row-local JVM expressions
+    (no model file, no UDF — the oracle-portable shape).
+
+    Tier 1 — SCRIPT: per-script character ratios (``SCRIPT_RANGES`` counts /
+    non-whitespace chars). Kana at ``kana_min_ratio`` short-circuits to 'ja'
+    FIRST (Japanese running text is Han-heavy but always carries kana — the
+    one case where two languages share a dominant script); otherwise the
+    highest script ratio clearing ``script_min_ratio`` wins (deterministic
+    alphabetical tiebreak, same struct-greatest trick as tier 2).
+
+    Tier 2 — FUNCTION WORDS: argmax over the per-language profile-word
+    ratios for the 17 whitespace-tokenized languages, when the best ratio
+    clears ``min_ratio``; ties break alphabetically; nothing clears →
+    'und'. One tokenization feeds |languages| array-filter ratios and a
+    ``greatest``-based argmax.
+
+    Feeds ``sampling.temperature_mixture_rates`` (Conneau et al. α-sampling)
+    — breadth here is what makes the mixture stage able to balance
+    low-resource languages instead of lumping them into 'und'."""
+    # --- tier 1: script ratios over non-whitespace characters
+    n_chars = F.greatest(
+        F.length(F.regexp_replace(text, r"\s", "")), F.lit(1)
+    )
+
+    def script_ratio(ranges: str) -> Column:
+        return F.regexp_count(text, F.lit(f"[{ranges}]")) / n_chars
+
+    s_ordered = sorted(SCRIPT_RANGES.items())
+    s_scored = [
+        F.struct(
+            script_ratio(ranges).alias("r"),
+            F.lit(len(s_ordered) - i).alias("prio"),
+            F.lit(code).alias("code"),
+        )
+        for i, (code, ranges) in enumerate(s_ordered)
+    ]
+    s_best = F.greatest(*s_scored)
+
+    # --- tier 2: function-word ratios over whitespace tokens
     toks = tokens_column(F.lower(text))
     n = F.greatest(F.size(toks), F.lit(1))
 
@@ -145,8 +218,11 @@ def language_id_multi(text: Column, min_ratio: float = 0.06) -> Column:
         for i, (code, words) in enumerate(ordered)
     ]
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    return F.when(best.getField("r") >= min_ratio, best.getField("code")).otherwise(
-        F.lit("und")
+    return (
+        F.when(script_ratio(SCRIPT_RANGES["ja"]) >= kana_min_ratio, F.lit("ja"))
+        .when(s_best.getField("r") >= script_min_ratio, s_best.getField("code"))
+        .when(best.getField("r") >= min_ratio, best.getField("code"))
+        .otherwise(F.lit("und"))
     )
 
 

@@ -80,7 +80,11 @@ class PretrainingConfig:
     # are dropped before the self-join, bounding any key's pair fan-out at
     # C(cap, 2) — AND bounding the candidate-pair CC graph the leakage-safe
     # split blocks on (one hot band would otherwise inject C(n,2) edges).
-    # None keeps exact LSH semantics; identical output when no band is hot.
+    # Tradeoff: that smaller CC graph is also a bounded LEAKAGE-SAFETY
+    # loss — a near-dup pair whose every shared band is hot loses its
+    # blocking edge and may straddle train/test (boilerplate-heavy
+    # near-dups; see dedup_cascade_artifacts). None keeps exact LSH
+    # semantics; identical output when no band is hot.
     max_band_df: int | None = None
     span_tokens: int = 50
     decontam_overlap: float = 0.5
@@ -191,10 +195,13 @@ def write_packed_corpus(
       packs also carry another split's segments, and ``n_hole_tokens`` is
       the total token-slots inside this split's copies of those packs that
       belong to OTHER splits — the holes a loader streaming this split
-      must skip via the ``pack_pos``/``seg_tokens`` slot map. Both are
-      ZERO when the preset ran with ``pack_per_split=True`` (computed from
-      the data either way, so a training run ASSERTS hole-freeness instead
-      of trusting prose).
+      must skip via the ``pack_pos``/``seg_tokens`` slot map. Under
+      ``pack_per_split=True`` both are zero BY CONSTRUCTION — the
+      accounting keys packs by (split, pack_id), which the per-split id
+      scope makes tautologically hole-free — so only the global-stream
+      stat is a data-derived check. The packing mode itself is read from
+      the packed frame's ``pack_id`` column metadata (stamped by the
+      preset), so the writer cannot be handed a frame/flag mismatch.
 
     ``shards_per_split`` is the parallelism/file-count grain — size it for
     the TARGET corpus (at 100 TB think thousands; the default keeps local
@@ -221,9 +228,27 @@ def write_packed_corpus(
     # corpus-wide, so its total tokens across all splits vs inside one split
     # measures the holes that split's loader sees; under per-split packing
     # ids scope to their split (the same id names DIFFERENT packs in
-    # different splits), so the key includes the split and the subtraction
-    # is zero by construction — computed from data either way
-    pack_key = ["split", "pack_id"] if res.pack_per_split else ["pack_id"]
+    # different splits), so the key includes the split — the per-split stat
+    # is then zero BY CONSTRUCTION (the keying guarantees it); only the
+    # global-stream stat is data-derived. The scope comes from the packed
+    # frame's own pack_id metadata (stamped by pretraining_pipeline), so a
+    # manually assembled result can't silently pair per-split-packed data
+    # with the global key and report phantom straddles from id collisions;
+    # the dataclass flag is the fallback for frames without the stamp and
+    # must agree when both are present.
+    meta = res.packed.schema["pack_id"].metadata or {}
+    scope = meta.get("pack_scope")
+    flag_scope = "split" if res.pack_per_split else "global"
+    if scope is None:
+        scope = flag_scope
+    elif scope != flag_scope:
+        raise ValueError(
+            f"packed frame's pack_id metadata says pack_scope={scope!r} but "
+            f"the result carries pack_per_split={res.pack_per_split} — the "
+            "frame's stamp is authoritative; fix the flag (or restamp via "
+            "DataFrame.withMetadata) before writing"
+        )
+    pack_key = ["split", "pack_id"] if scope == "split" else ["pack_id"]
     pack_tot = res.packed.groupBy(*pack_key).agg(
         F.sum("seg_tokens").alias("_pack_tokens")
     )
@@ -551,6 +576,12 @@ def pretraining_pipeline(
             .join(split, "doc_id")
             .select(*out_cols)
         )
+    # record the packing mode IN the frame (pack_id column metadata) so a
+    # downstream writer derives straddle-accounting keys from the data's
+    # actual scope, not from a separately-carried flag that can mismatch
+    packed = packed.withMetadata(
+        "pack_id", {"pack_scope": "split" if cfg.pack_per_split else "global"}
+    )
     record("packed", packed)
     res.packed = res.stages["packed"]
     res.pack_per_split = cfg.pack_per_split

@@ -317,12 +317,22 @@ class _SinkObjectsReader(DataSourceReader):
             for f in self.fields:
                 v = rec.get(f)
                 if f == "headers" and v is not None:
-                    # array<struct> envelopes surface dicts; the parquet
-                    # map-headers option surfaces (key, value) tuples
-                    v = [
-                        (h["key"], h["value"]) if isinstance(h, dict) else tuple(h)
-                        for h in v
-                    ]
+                    # array<struct> envelopes decode as a list of
+                    # {'key':…,'value':…} dicts; an Avro MAP of headers
+                    # (headers_as_map schemas read back via read_ocf)
+                    # decodes as one python dict — normalize both to
+                    # (key, value) tuples. Iterating a bare dict would
+                    # yield key strings (and tuple(h) character tuples),
+                    # so the map shape is handled before the loop.
+                    if isinstance(v, dict):
+                        v = list(v.items())
+                    else:
+                        v = [
+                            (h["key"], h["value"])
+                            if isinstance(h, dict)
+                            else tuple(h)
+                            for h in v
+                        ]
                 elif f in ("key", "value") and v is not None:
                     # coerce to the DECLARED payload type so one option
                     # (binary_payloads) governs the schema regardless of

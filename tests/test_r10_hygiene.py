@@ -107,8 +107,9 @@ def test_cascade_threads_cap_and_cc_graph_shrinks(spark, hot_corpus):
     # collide across all 20 variants and get dropped by the cap
     assert n_capped < n_uncapped
     # no boilerplate doc may reach the split-blocking graph through a
-    # dropped band alone
-    assert not any(i >= 1000 for i in cc_ids) or n_capped > 0
+    # dropped band alone: every band the variants share has df=20 > cap,
+    # so all are dropped and the CC edge set carries zero boilerplate ids
+    assert not any(i >= 1000 for i in cc_ids)
 
 
 def test_jaccard_verify_registry_releases_cache(spark, hot_corpus):
@@ -146,8 +147,10 @@ def test_near_against_index_registry(spark, tmp_path_factory):
             unpersist_registry=reg,
         )
         assert {(r["hist_id"], r["bench_id"]) for r in res.collect()} == {(1, 201)}
-        # inner minhash_bands cache + the three _materialize sites
-        assert len(reg) == 4
+        # the three _materialize sites (the inner minhash_bands call runs
+        # materialize=False — its single consumer is persisted by _mat,
+        # one cache per logical table)
+        assert len(reg) == 3
         for df in reg:
             df.unpersist()
         assert _n_cached(spark) == base
