@@ -39,6 +39,18 @@ Determinism contract: every stage is a pure function of (id, seed) — re-runs
 and incremental rebuilds reproduce the identical corpus, mixture, split, and
 pack layout.
 
+Parity with ``streaming.ingest.process_crawl_batch`` (the streaming
+flagship): on a shared corpus + knobs the two ladders admit the SAME
+doc-id set (pinned by ``tests/test_r11_parity.py``), with ONE documented
+ordering divergence: the ingest decontaminates BEFORE its cascade (eval
+content must never reach the persisted index or any dedup work), this
+preset AFTER (decontam joins then scan the smaller deduped corpus). At
+the edge — a benchmark leak that is also a near-dup cluster's canonical —
+the ingest re-canonicalizes around the shed leak (precise: only actual
+leaks die) while the preset sheds the whole cluster (conservative:
+near-dups of leaks die too). Both behaviors are pinned; neither may
+change silently.
+
 Accounting: ``PretrainingResult.accounting()`` runs one count job per stage
 over lazy lineage — at scale, construct the pipeline with
 ``PretrainingConfig(persist_stages=True)`` so each stage materializes ONCE

@@ -49,6 +49,17 @@ Idempotence of the re-run (at-least-once delivery, replayed epoch):
 - the sink overwrite replaces the epoch's own partition directory.
 Together: re-running any prefix of the cycle converges to the same index,
 the same classifications, and the same output objects.
+
+Parity with ``pretraining.pretraining_pipeline`` (the batch flagship):
+on a shared corpus + knobs the two ladders admit the SAME doc-id set
+(pinned by ``tests/test_r11_parity.py``), with ONE documented ordering
+divergence: this path decontaminates BEFORE the cascade (eval content
+must never reach the index or any dedup work), so when a benchmark leak
+is also a near-dup cluster's canonical, the clean near-dup survives as
+the re-canonicalized keeper — precise, only actual leaks die. The preset
+decontaminates AFTER dedup (its decontam joins then scan the smaller
+deduped corpus), so the same edge sheds the whole cluster — conservative,
+near-dups of leaks die too. Both pinned; neither may change silently.
 """
 
 from __future__ import annotations
