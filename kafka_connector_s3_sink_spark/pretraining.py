@@ -473,6 +473,18 @@ def pretraining_pipeline(
             "pass mixture (explicit rate map) XOR mixture_alpha "
             "(temperature-fitted rates), not both"
         )
+    # the selected/capped corpus feeds THREE consumers from here — the
+    # mixture-rates fit (a collect), the split chain, and the pack chain
+    # (split and pack subscribe to it inside ONE action, where exchange
+    # reuse does not apply) — so without a cache the whole upstream ladder
+    # (quality → paragraph rebuild → span surgery → cascade semi-join →
+    # decontam anti-join) replays once per consumer. Materialize it once;
+    # released by PretrainingResult.unpersist() like the other internal
+    # caches. With persist_stages=True the last recorded stage frame is
+    # already cached — no second copy.
+    if not cfg.persist_stages:
+        cur = dedup._materialize(cur)
+        res.caches.append(cur)
     if cfg.mixture is not None or cfg.mixture_alpha is not None:
         if cfg.source_col not in cur.columns:
             raise ValueError(
