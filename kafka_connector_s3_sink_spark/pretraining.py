@@ -96,7 +96,12 @@ class PretrainingConfig:
     # loss — a near-dup pair whose every shared band is hot loses its
     # blocking edge and may straddle train/test (boilerplate-heavy
     # near-dups; see dedup_cascade_artifacts). None keeps exact LSH
-    # semantics; identical output when no band is hot.
+    # semantics; identical output when no band is hot. Probe-backed sizing
+    # (tools/probe_r11.py hotband, SCALING.md): organic band frequencies
+    # top out at single digits (max 4 at sf0.1) while planted boilerplate
+    # families reach corpus-fraction sizes, so ~64 leaves clean corpora
+    # bit-identical and cuts a 10%-boilerplate corpus's pair volume 4,700x
+    # with recall on genuine near-dup pairs IDENTICAL to uncapped.
     max_band_df: int | None = None
     span_tokens: int = 50
     decontam_overlap: float = 0.5

@@ -105,7 +105,9 @@ class IngestConfig:
     quality_weights: Optional[tuple] = None
     write_metrics: bool = True
     # hot-band guard for the history classification (incremental_dedup's
-    # max_band_df): bounds any band's join fan-out on boilerplate-heavy crawls
+    # max_band_df) AND the intra-batch cascade: bounds any band's join
+    # fan-out on boilerplate-heavy crawls. Probe-backed sizing: ~64 — see
+    # PretrainingConfig.max_band_df / SCALING.md (tools/probe_r11.py).
     max_band_df: Optional[int] = None
     # optional ANN-index maintenance: when the stream carries an embedding
     # column and an IVF index dir (built by similarity.write_ivf_index), each

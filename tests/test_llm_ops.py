@@ -975,11 +975,15 @@ def test_connected_components_transitive(spark):
 
     nodes = spark.createDataFrame([Row(doc_id=i) for i in (1, 2, 3, 9)])
     pairs = spark.createDataFrame([Row(id1=1, id2=2), Row(id1=2, id2=3)])
+    stats = {}
     out = {
         r.doc_id: (r.cluster_id, r.is_canonical)
-        for r in dedup.connected_components(nodes, pairs).collect()
+        for r in dedup.connected_components(nodes, pairs, stats=stats).collect()
     }
     assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 9: (9, 1)}
+    # rounds instrumentation (probe harness pins O(diameter) at scale): this
+    # 3-chain needs 2 propagation rounds + 1 fixpoint-confirm round
+    assert stats == {"rounds": 3}
 
 
 def test_hll_approx_within_rsd_of_exact(spark):

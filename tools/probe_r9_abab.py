@@ -11,6 +11,11 @@ machine so slow drift (page cache, thermal) hits both arms.
 Usage:
   python tools/probe_r9_abab.py <checkout_dir> <entry>   # one arm, one entry
   python tools/probe_r9_abab.py --drive                  # full ABAB schedule
+
+Point at the current round's suspects without editing the file:
+  ABAB_ARMS="r9:/tmp/r9probe,head:/root/repo" \
+  ABAB_ENTRIES="dedup_clusters,sink_group_key_upsert" \
+  python tools/probe_r9_abab.py --drive
 """
 
 from __future__ import annotations
@@ -23,8 +28,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-ENTRIES = ["tpch_order_analytics", "ann_topk"]
-ARMS = {"r7": "/tmp/r7probe", "head": "/root/repo"}
+ENTRIES = os.environ.get(
+    "ABAB_ENTRIES", "tpch_order_analytics,ann_topk"
+).split(",")
+ARMS = dict(
+    a.split(":", 1)
+    for a in os.environ.get("ABAB_ARMS", "r7:/tmp/r7probe,head:/root/repo").split(",")
+)
 
 
 def run_one(checkout: str, entry: str) -> float:
@@ -80,13 +90,14 @@ def drive() -> None:
                 results[entry][arm].append(t)
                 print(f"{arm:5s} {entry}: {t:.2f}s", flush=True)
     print(json.dumps(results))
+    old_arm, new_arm = list(ARMS)[0], list(ARMS)[-1]
     for entry in ENTRIES:
-        a = results[entry]["r7"]
-        b = results[entry]["head"]
+        a = results[entry][old_arm]
+        b = results[entry][new_arm]
         ratio = (sum(b) / len(b)) / (sum(a) / len(a))
         verdict = "NOISE (within 1.2x)" if ratio <= 1.2 else "REGRESSION?"
         print(
-            f"{entry}: r7 {sorted(a)} vs HEAD {sorted(b)} "
+            f"{entry}: {old_arm} {sorted(a)} vs {new_arm} {sorted(b)} "
             f"-> mean ratio {ratio:.2f}x: {verdict}"
         )
 
