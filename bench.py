@@ -365,31 +365,23 @@ def main() -> None:
         "iterations": 4,
         "note": "per-query time is the MEDIAN of 3 warm iterations; "
         "queries_cold is the 1st run (plan build + codegen + broadcast). "
-        "r9 query-set changes vs r8: NEW headline entries dedup_clusters "
-        "(cascade text branch + 3-modality media branch — previously "
-        "un-timed, a media-dedup regression was invisible) and "
-        "dedup_embedding_cosine (label/kmeans/decontam branches — "
-        "previously branch-timed only), closing VERDICT r8 item 7, so "
-        "totals are NOT comparable to r8 without subtracting the two new "
-        "entries; pipeline_pack_split's mix_pack branch switches to the "
-        "composite string replica id '<epoch>:<doc_id>' (exact for 63-bit "
-        "and string ids — the integer encode overflowed), which re-keys "
-        "the md5 pack layout but not the plan shape; text_corpus_stats' "
-        "dsir branch and weighted-sample paths widen their continuous md5 "
-        "draws 16->52 bits (13 hex chars — one conv() either way, no "
-        "plan change). VERDICT r8 item 4 resolved: the two same-direction "
-        "no-code-change r8 deltas were re-measured in the isolated "
-        "quiet-machine ABAB protocol (r7 checkout vs r9 HEAD, fresh "
-        "process per run, interleaved, sf0.1, tools/probe_r9_abab.py): "
-        "tpch_order_analytics r7 {3.84,4.46} vs HEAD {3.82,4.24} (0.97x), "
-        "ann_topk r7 {3.33,3.67} vs HEAD {3.68,4.38} (1.15x) — both "
-        "within the 1.2x noise criterion; verdict NOISE (the r8 driver "
-        "re-run's 6.47s tpch reading was a noisy-machine artifact). "
-        "Late-r9 gate growth: pipeline_pack_split gains the safe_pack "
-        "branch (planted near-dups -> candidate CC -> cluster-keyed "
-        "split -> pack; the eager CC raises the entry ~0.9->3.2s — real "
-        "work, branch-decomposed) and text_corpus_stats gains wsample "
-        "(0.2s) + pr_curve (0.4s). "
+        "r11: the entry set is IDENTICAL to r9/r10 (43 entries) — totals "
+        "compare directly. VERDICT r10 item 5 resolved: the three r10 "
+        "same-direction drifts were re-measured in the isolated "
+        "quiet-machine ABAB protocol (r9 checkout 0249771 vs r11 HEAD, "
+        "fresh process per run, interleaved, sf0.1, "
+        "tools/probe_r9_abab.py with ABAB_ARMS/ABAB_ENTRIES): "
+        "dedup_clusters r9 {8.89,10.88} vs HEAD {10.76,11.31} (1.12x), "
+        "sink_group_key_upsert r9 {1.07,1.31} vs HEAD {1.04,1.13} "
+        "(0.91x), sink_jsonl_render r9 {0.69,0.87} vs HEAD {0.68,0.73} "
+        "(0.91x) — all within the 1.2x noise criterion, verdict NOISE "
+        "(the two sink entries read FASTER than r9 here; the r10 driver "
+        "readings were sub-second noise as predicted). r11 perf change "
+        "outside the gate: the preset's pre-mixture frame is materialized "
+        "once in the lazy path (the mixture fit, split chain, and pack "
+        "chain each replayed the full upstream ladder before), tracked by "
+        "tools/probe_r11.py preset — 35.4s cold / 31.8s warm lazy, 59.5s "
+        "persist_stages, at sf0.1 (was ~69s cold); see SCALING.md r11. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
