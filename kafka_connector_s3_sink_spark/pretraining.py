@@ -19,6 +19,10 @@ order a production pretraining build runs them:
                                     toward a curated target, when a target
                                     frame or persisted model is supplied)
     → per-domain cap               (C4 balancing, salted two-phase top-K)
+    → PII redaction                (optional; typed-placeholder regex chain
+                                    — LAST text mutation, so dedup/decontam
+                                    fingerprints stay raw-text-stable while
+                                    no trainer-facing frame carries raw PII)
     → mixture                      (per-source serve rates, up-sampling by
                                     deterministic epoch replication)
     → split + sequence packing     (leakage-safe cluster split joined onto
@@ -117,6 +121,14 @@ class PretrainingConfig:
     dsir_top_k: int | None = None
     domain_cap: int | None = None
     n_salts: int = 16
+    # redact PII from the trainer-facing text (text.redact_pii_columns'
+    # ordered regex chain: email/cc/id/ip/phone -> typed placeholders),
+    # applied as the LAST text-mutating stage — after every fingerprint
+    # consumer (dedup, decontam, DSIR all see original text, keeping ids
+    # and incremental-index comparability stable) and before mixture/
+    # split/pack (nothing downstream sees raw PII). Per-type totals land
+    # in PretrainingResult.pii_totals.
+    redact_pii: bool = False
     mixture: Mapping[str, float] | None = None
     # alternative to an explicit rate map: XLM-R temperature sampling
     # (sampling.temperature_mixture_rates) fitted on the corpus that
@@ -164,6 +176,10 @@ class PretrainingResult:
     packed: DataFrame | None = None
     epoch_slots: int = 1
     caches: list = field(default_factory=list)
+    # one-row frame of per-type PII redaction totals (n_pii_email, …) —
+    # populated only under PretrainingConfig(redact_pii=True); lazy, so
+    # consuming it costs one aggregation job
+    pii_totals: DataFrame | None = None
     # whether packs were built per split (pack ids then scope to their
     # split; no pack can straddle) — consumed by write_packed_corpus's
     # straddle/hole accounting
@@ -471,6 +487,30 @@ def pretraining_pipeline(
             )
             .filter("kept")
             .drop("domain_rank", "kept"),
+        )
+
+    if cfg.redact_pii:
+        # LAST text-mutating stage, deliberately after every fingerprint
+        # consumer (cascade shingles, decontam n-grams, DSIR grams, the
+        # domain cap's quality ranks are all computed on ORIGINAL text —
+        # redaction must not shift dedup/decontam identity, and the
+        # streaming ingest's persisted index stores raw-text fingerprints
+        # this preset's results must stay comparable to) and before
+        # mixture/split/pack, so no trainer-facing frame carries raw PII.
+        # One pass: counts and the redacted text evaluate from the same
+        # input row (the count expressions measure the progressively-
+        # redacted text, exactly text.redact_pii_columns' contract).
+        pii = text_ops.redact_pii_columns(F.col("text"))
+        count_cols = [k for k in pii if k != "text_redacted"]
+        flagged = cur.withColumns(dict(pii))
+        res.pii_totals = flagged.agg(
+            *[F.sum(F.col(k)).alias(k) for k in count_cols]
+        )
+        cur = record(
+            "pii_redaction",
+            flagged.withColumn("text", F.col("text_redacted")).drop(
+                "text_redacted", *count_cols
+            ),
         )
 
     if cfg.mixture is not None and cfg.mixture_alpha is not None:

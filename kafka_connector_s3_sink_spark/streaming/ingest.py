@@ -30,6 +30,9 @@ for. Each micro-batch of crawled documents runs:
 4. **Split + pack** (``sampling.hash_split`` / ``packing.pack_sequences``):
    keepers get their leakage-stable train/val/test label and their segment
    layout in fixed-``ctx_len`` training packs (pack ids are per-batch).
+   An optional PII redaction (``redact_pii``) runs just before this —
+   after the index appends (raw-text fingerprints keep future duplicate
+   classification stable) and before anything trainer-facing is written.
 5. **Sink write**: keepers (with split) and the pack plan land under
    ``<dest>/batch_id=<epoch>/`` via dynamic partition overwrite — a retried
    epoch REPLACES its own output objects and touches nothing else.
@@ -109,6 +112,12 @@ class IngestConfig:
     # fan-out on boilerplate-heavy crawls. Probe-backed sizing: ~64 — see
     # PretrainingConfig.max_band_df / SCALING.md (tools/probe_r11.py).
     max_band_df: Optional[int] = None
+    # redact PII from the sink-bound documents and packs (text.
+    # redact_pii_columns) AFTER the index appends — fingerprints stay
+    # raw-text so future epochs' duplicates still classify — and BEFORE
+    # any trainer-facing write. Same stage position as the preset's
+    # PretrainingConfig.redact_pii.
+    redact_pii: bool = False
     # optional ANN-index maintenance: when the stream carries an embedding
     # column and an IVF index dir (built by similarity.write_ivf_index), each
     # epoch's keepers are appended under the frozen quantizer — same
@@ -453,9 +462,27 @@ def process_crawl_batch(
                 database=config.database,
             )
 
+        # stage 3d (optional): PII redaction — AFTER every index append
+        # (the persisted fingerprint/embedding tables key on RAW text, so
+        # future epochs' duplicates of this content still classify) and
+        # BEFORE the split/pack sink writes (no object the trainer reads
+        # carries raw PII). Deterministic, so the epoch-replay idempotence
+        # contract is unchanged. Same relative position as the preset's
+        # pii_redaction stage (pretraining.PretrainingConfig.redact_pii).
+        out_docs = keepers  # NOT rebound: the finally-block unpersist must
+        # target the persisted handle (unpersisting a derived frame is a
+        # cache-manager no-op and would leak the keeper cache per epoch)
+        if config.redact_pii:
+            from kafka_connector_s3_sink_spark.operators import text as text_ops
+
+            out_docs = keepers.withColumn(
+                text_col,
+                text_ops.redact_pii_columns(F.col(text_col))["text_redacted"],
+            )
+
         # stage 4+5: split label, then idempotent per-epoch partition overwrite
         labeled = sampling.hash_split(
-            keepers, config.split_weights, id_col=id_col
+            out_docs, config.split_weights, id_col=id_col
         ).withColumn("batch_id", F.lit(epoch))
         overwrite_mode = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -468,7 +495,7 @@ def process_crawl_batch(
                 .parquet(f"{config.dest_dir}/documents")
             )
             packed = packing.pack_sequences(
-                keepers, config.ctx_len, id_col=id_col, text_col=text_col
+                out_docs, config.ctx_len, id_col=id_col, text_col=text_col
             ).withColumn("batch_id", F.lit(epoch))
             (
                 packed.write.mode("overwrite")
