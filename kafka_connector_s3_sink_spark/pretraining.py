@@ -138,6 +138,11 @@ class PretrainingConfig:
     mixture_scale: float = 1.0
     mixture_max_rate: float | None = None
     source_col: str = "source"
+    # when the mixture is configured but the corpus carries no source_col,
+    # derive it with text.language_id_multi (26-language two-tier ID) —
+    # the one-call multilingual balance (mixture_alpha α-sampling over
+    # detected languages). Default False keeps the missing-column error.
+    derive_source_language: bool = False
     splits: Mapping[str, float] | None = None  # default 0.9/0.05/0.05
     ctx_len: int = 2048
     # tokenizer-true packing: a frozen BPE merge list (tokenizer.fit_bpe
@@ -532,9 +537,24 @@ def pretraining_pipeline(
         res.caches.append(cur)
     if cfg.mixture is not None or cfg.mixture_alpha is not None:
         if cfg.source_col not in cur.columns:
-            raise ValueError(
-                f"mixture configured but docs carry no {cfg.source_col!r} column"
-            )
+            if cfg.derive_source_language:
+                # the one-call multilingual build: group the mixture by
+                # text.language_id_multi (26 languages, two-tier script +
+                # function-word ID) when the corpus carries no source
+                # column — Conneau et al. α-sampling then balances
+                # low-resource languages directly. A narrow projection on
+                # the already-materialized pre-mixture frame; the column
+                # rides through split/pack untouched (packed output
+                # projects its own columns).
+                cur = cur.withColumn(
+                    cfg.source_col, text_ops.language_id_multi(F.col("text"))
+                )
+            else:
+                raise ValueError(
+                    f"mixture configured but docs carry no {cfg.source_col!r} "
+                    "column (set derive_source_language=True to group by "
+                    "text.language_id_multi instead)"
+                )
         rates = (
             dict(cfg.mixture)
             if cfg.mixture is not None

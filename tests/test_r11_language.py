@@ -18,6 +18,7 @@ honest without test edits).
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -300,5 +301,52 @@ def test_preset_multilingual_mixture_alpha(spark):
         # expected total preserved at mixture_scale=1 (hash sampling:
         # allow 15% realization noise)
         assert abs(tot_mix - tot_in) / tot_in < 0.15
+    finally:
+        res.unpersist()
+
+
+def test_preset_derives_language_source(spark):
+    """The one-call multilingual build (r11): no source column anywhere —
+    PretrainingConfig(derive_source_language=True) groups the mixture by
+    text.language_id_multi directly, producing the same balanced corpus as
+    the precomputed-column path; without the knob the missing column stays
+    a loud error."""
+    from kafka_connector_s3_sink_spark import pretraining
+
+    counts = {"en": 120, "de": 40, "fr": 20, "es": 12, "pl": 8}
+    docs = _lang_corpus(spark, counts)  # doc_id, text — no source column
+    base = dict(
+        quality_floor=None,
+        mixture_alpha=0.3,
+        source_col="lang",
+        ctx_len=64,
+        splits={"train": 1.0},
+        seed="r11mix",
+    )
+    with pytest.raises(ValueError, match="derive_source_language"):
+        res = pretraining.pretraining_pipeline(
+            docs, config=pretraining.PretrainingConfig(**base)
+        )
+        res.packed.count()
+
+    cfg = pretraining.PretrainingConfig(derive_source_language=True, **base)
+    res = pretraining.pretraining_pipeline(docs, config=cfg)
+    try:
+        mixed = {
+            r["lang"]: r["n"]
+            for r in res.stages["mixture"]
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # the derived labels are the detector's (all five languages seen)
+        assert set(mixed) == set(counts)
+        # identical balance contract as the precomputed-column e2e
+        assert mixed["en"] < counts["en"]
+        assert mixed["pl"] > counts["pl"]
+        assert (
+            max(mixed.values()) / min(mixed.values())
+            < max(counts.values()) / min(counts.values())
+        )
     finally:
         res.unpersist()
