@@ -90,6 +90,12 @@ class PretrainingConfig:
     knob is skipped (the preset degrades to the stages you configured)."""
 
     quality_floor: float | None = 0.2
+    # trained-quality parity with IngestConfig.quality_weights: when set
+    # (an operators.quality.fit_quality_classifier weight tuple), the
+    # floor gates on classifier_score(text, weights) — still a pure JVM
+    # Column chain — instead of the static heuristic. A precomputed
+    # `quality` column, when present, wins over both.
+    quality_weights: tuple | None = None
     jaccard_threshold: float = 0.8
     # hot-band guard forwarded to the cascade's LSH candidate stage
     # (dedup.minhash_lsh_pairs): bands shared by more than max_band_df docs
@@ -357,11 +363,16 @@ def pretraining_pipeline(
     )
 
     if cfg.quality_floor is not None:
-        q = (
-            F.col("quality")
-            if "quality" in cur.columns
-            else text_ops.quality_score(F.col("text"))
-        )
+        if "quality" in cur.columns:
+            q = F.col("quality")
+        elif cfg.quality_weights is not None:
+            from kafka_connector_s3_sink_spark.operators.quality import (
+                classifier_score,
+            )
+
+            q = classifier_score(F.col("text"), cfg.quality_weights)
+        else:
+            q = text_ops.quality_score(F.col("text"))
         cur = record("quality_floor", cur.filter(q >= cfg.quality_floor))
 
     rebuilt = dedup.remove_duplicate_paragraphs(cur)

@@ -651,3 +651,57 @@ def test_pack_per_split_hole_free(spark):
     )
     lab = lambda rs: {r["doc_id"]: r["split"] for r in rs.packed.collect()}
     assert lab(res) == lab(res_g)
+
+
+def test_quality_floor_with_learned_classifier(spark):
+    """r11 parity with IngestConfig.quality_weights: the preset's quality
+    floor gates on the trained classifier_score when weights are supplied
+    (no precomputed quality column needed); junk the MODEL scores low is
+    cut at the first stage. A precomputed `quality` column still wins."""
+    from kafka_connector_s3_sink_spark.operators.quality import (
+        fit_quality_classifier,
+    )
+
+    good = (
+        "the committee published its final report on the river restoration "
+        "and the town council voted to adopt all of the recommendations"
+    )
+    junk = "!!! ??? buy now $$$ ;;; :::"
+    train = spark.createDataFrame(
+        [Row(text=good, label=1), Row(text=junk, label=0),
+         Row(text=good + " again this year", label=1),
+         Row(text="%% ## @@ || ~~", label=0)]
+    )
+    weights = tuple(fit_quality_classifier(train))
+    docs = spark.createDataFrame(
+        [(1, good + " published today"), (2, junk)], ["doc_id", "text"]
+    )
+    cfg = PretrainingConfig(
+        quality_floor=0.5,
+        quality_weights=weights,
+        splits={"train": 1.0},
+        ctx_len=64,
+        seed="r11qw",
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    try:
+        kept = {
+            r["doc_id"]
+            for r in res.stages["quality_floor"].select("doc_id").collect()
+        }
+        assert kept == {1}
+    finally:
+        res.unpersist()
+    # a precomputed quality column overrides the weights: score the junk 1.0
+    docs_q = docs.withColumn(
+        "quality", F.when(F.col("doc_id") == 2, 1.0).otherwise(0.0)
+    )
+    res2 = pretraining_pipeline(docs_q, config=cfg)
+    try:
+        kept2 = {
+            r["doc_id"]
+            for r in res2.stages["quality_floor"].select("doc_id").collect()
+        }
+        assert kept2 == {2}
+    finally:
+        res2.unpersist()
