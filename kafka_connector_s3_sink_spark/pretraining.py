@@ -314,6 +314,78 @@ def write_packed_corpus(
     stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
 
 
+def read_packed_corpus(
+    spark,
+    dest: str,
+    split: str | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Trainer-side reader for a ``write_packed_corpus`` directory: the
+    verifying other half of the write→train handoff.
+
+    Returns the packed segment frame (the ``split`` partition column
+    included; pass ``split=`` to prune to one split's directories at scan
+    time — partition pruning, no data read for the others).
+
+    ``verify=True`` (default) runs two bounded checks before returning and
+    raises ``ValueError`` on the first violation — the failure modes are an
+    interrupted/partial write, a compaction or manual copy that broke file
+    grouping, or a stats table from a different write than the data:
+
+    - **pack-file locality**: every (split, pack_id) must live in exactly
+      ONE parquet file (the writer's ``repartition(pack_id)`` contract —
+      what lets a loader stream each context window without a shuffle);
+      checked via ``input_file_name`` + one aggregation.
+    - **stats agreement**: per-split ``n_packs / n_docs / n_segments /
+      n_tokens`` recomputed from the data must equal ``<dest>/stats``
+      (one aggregation + a driver-side compare over O(splits) rows).
+
+    Both checks are one pass each over the packed table — run them once at
+    training startup, then re-read with ``verify=False``."""
+    df = spark.read.parquet(f"{dest}/packed")
+    if split is not None:
+        df = df.filter(F.col("split") == split)
+    if not verify:
+        return df
+    bad_locality = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("split", "pack_id")
+        .agg(F.countDistinct("_file").alias("_nf"))
+        .filter(F.col("_nf") > 1)
+    )
+    broken = bad_locality.limit(5).collect()
+    if broken:
+        names = [(r["split"], r["pack_id"]) for r in broken]
+        raise ValueError(
+            f"pack-file locality broken: packs {names} span multiple files "
+            "(writer contract: one pack's segments land in one file — was "
+            "the directory rewritten outside write_packed_corpus?)"
+        )
+    recomputed = {
+        r["split"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in df.groupBy("split")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    stored = {
+        r["split"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in spark.read.parquet(f"{dest}/stats").collect()
+        if split is None or r["split"] == split
+    }
+    if recomputed != stored:
+        raise ValueError(
+            "packed data disagrees with the stats table: "
+            f"recomputed={recomputed} stored={stored} — partial write or "
+            "stats from a different corpus version"
+        )
+    return df
+
+
 def _slots(rates: Mapping[str, float]) -> int:
     out = 1
     for r in rates.values():

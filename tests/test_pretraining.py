@@ -705,3 +705,63 @@ def test_quality_floor_with_learned_classifier(spark):
         assert kept2 == {2}
     finally:
         res2.unpersist()
+
+
+def test_read_packed_corpus_verifies_and_prunes(spark, tmp_path):
+    """r11 loader half of the handoff: read_packed_corpus returns the
+    written rows, prunes to one split at scan time, and its verify pass
+    catches both failure modes — broken pack-file locality and a stats
+    table that disagrees with the data."""
+    from kafka_connector_s3_sink_spark.pretraining import (
+        read_packed_corpus,
+        write_packed_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _prose(f"rp{i}", 30)) for i in range(12)], ["doc_id", "text"]
+    )
+    cfg = PretrainingConfig(
+        quality_floor=None, domain_cap=None, mixture=None, ctx_len=64
+    )
+    res = pretraining_pipeline(docs, config=cfg)
+    dest = str(tmp_path / "corpus")
+    write_packed_corpus(res, dest, shards_per_split=2)
+
+    back = read_packed_corpus(spark, dest)  # verify=True passes
+    want = sorted(map(tuple, res.packed.collect()))
+    got = sorted(map(tuple, back.select(*res.packed.columns).collect()))
+    assert got == want
+
+    train_only = read_packed_corpus(spark, dest, split="train")
+    assert {r["split"] for r in train_only.select("split").collect()} == {
+        "train"
+    }
+
+    # tamper 1: stats from "a different corpus version"
+    stats = spark.read.parquet(f"{dest}/stats")
+    stats.withColumn("n_tokens", F.col("n_tokens") + 1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/corpus2/stats")
+    spark.read.parquet(f"{dest}/packed").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(f"{tmp_path}/corpus2/packed")
+    with pytest.raises(ValueError, match="stats"):
+        read_packed_corpus(spark, str(tmp_path / "corpus2"))
+
+    # tamper 2: a rewrite that scatters one pack across files (the exact
+    # thing a naive manual repartition does)
+    packed = spark.read.parquet(f"{dest}/packed")
+    multi = (
+        packed.groupBy("split", "pack_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert multi > 0  # fixture must contain a multi-segment pack
+    packed.repartition(4, "pack_pos").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(f"{tmp_path}/corpus3/packed")
+    stats.write.mode("overwrite").parquet(f"{tmp_path}/corpus3/stats")
+    with pytest.raises(ValueError, match="locality"):
+        read_packed_corpus(spark, str(tmp_path / "corpus3"))
+    res.unpersist()
