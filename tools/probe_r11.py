@@ -300,14 +300,23 @@ def probe_preset(spark) -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     bench = docs.filter(F.col("doc_id") % 101 == 0).select("doc_id", "text")
 
-    def run(persist):
+    def run(persist, full=False):
+        # full=True adds the r11 stages: PII redaction (5-regex chain as
+        # the last text mutation) and the language-derived mixture column
+        # (language_id_multi instead of the corpus's source column)
+        extra = (
+            dict(redact_pii=True, derive_source_language=True,
+                 source_col="lang")
+            if full
+            else dict(source_col="source")
+        )
         cfg = pretraining.PretrainingConfig(
             quality_floor=0.2,
             mixture_alpha=0.3,
-            source_col="source",
             ctx_len=512,
             persist_stages=persist,
             seed="bench",
+            **extra,
         )
         t0 = time.time()
         res = pretraining.pretraining_pipeline(
@@ -327,6 +336,13 @@ def probe_preset(spark) -> None:
                 f"packed_rows={nrows}",
                 flush=True,
             )
+    for i, label in enumerate(("cold", "warm")):
+        dt, nrows = run(False, full=True)
+        print(
+            f"preset_e2e full-knob (pii+lang) lazy {label}: {dt:.2f}s "
+            f"packed_rows={nrows}",
+            flush=True,
+        )
 
 
 def main() -> None:
