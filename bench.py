@@ -376,7 +376,11 @@ def main() -> None:
         "(0.91x), sink_jsonl_render r9 {0.69,0.87} vs HEAD {0.68,0.73} "
         "(0.91x) — all within the 1.2x noise criterion, verdict NOISE "
         "(the two sink entries read FASTER than r9 here; the r10 driver "
-        "readings were sub-second noise as predicted). r11 perf change "
+        "readings were sub-second noise as predicted). The r11 run's own "
+        "top riser, incremental_dedup 2.63->3.42 (1.30x), was ABAB'd "
+        "r10-vs-HEAD at n=4 per arm: r10 {3.58,3.73,3.78,4.07} vs HEAD "
+        "{4.03,4.10,4.25,4.64}, overlapping ranges, mean 1.12x — NOISE "
+        "(no r11 diff touches its query path). r11 perf change "
         "outside the gate: the preset's pre-mixture frame is materialized "
         "once in the lazy path (the mixture fit, split chain, and pack "
         "chain each replayed the full upstream ladder before), tracked by "
