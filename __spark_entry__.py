@@ -157,6 +157,82 @@ _PII_COUNTS_SQL = ",\n                ".join(
 )
 
 
+def _lang_sql_chain(
+    text_expr: str = "text", ltoks_expr: str = "ltoks"
+) -> tuple[str, str]:
+    """DuckDB twin of ``text.language_id_multi`` (the full two-tier
+    28-language chain), built mechanically from the SAME tables and threshold
+    constants the Spark chain reads — ``SCRIPT_RANGES``, ``LANGUAGE_PROFILES``,
+    ``CYRILLIC_REFINEMENTS``, ``KANA/SCRIPT/LANG_MIN_RATIO`` — so the two
+    engines can never drift (same discipline as ``_pii_sql_chain``).
+
+    Returns ``(ratio_cols_sql, pick_sql)``: interpolate ``ratio_cols_sql``
+    into a projection that already carries ``ltoks_expr`` (the lowercased
+    whitespace-token array), then use ``pick_sql`` — which references the
+    generated ``sr_* / wr_* / cyr_*`` column names — as ``lang_pred``.
+    Tie behavior mirrors the Spark struct-greatest exactly: the CASE walks
+    codes alphabetically, so the first code equal to the greatest ratio wins."""
+    n_chars = (
+        f"greatest(length(regexp_replace({text_expr}, '\\s', '', 'g')), 1)"
+    )
+    s_ordered = sorted(text_ops.SCRIPT_RANGES.items())
+    cols = [
+        f"len(regexp_extract_all({text_expr}, '[{ranges}]')) / {n_chars}"
+        f" AS sr_{code}"
+        for code, ranges in s_ordered
+    ]
+    profiles = sorted(text_ops.LANGUAGE_PROFILES.items())
+    cols += [
+        f"len(list_filter({ltoks_expr}, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in words)
+        + f"))) / greatest(len({ltoks_expr}), 1) AS wr_{code}"
+        for code, words in profiles
+    ]
+    cyr = (
+        "greatest(len(regexp_extract_all("
+        f"{text_expr}, '[{text_ops.SCRIPT_RANGES['ru']}]')), 1)"
+    )
+    for code, markers, absent in text_ops.CYRILLIC_REFINEMENTS:
+        cols.append(
+            f"len(regexp_extract_all({text_expr}, '[{markers}]')) / {cyr}"
+            f" AS cyr_{code}"
+        )
+        if absent:
+            cols.append(
+                f"len(regexp_extract_all({text_expr}, '[{absent}]'))"
+                f" AS cyrneg_{code}"
+            )
+    best_s = "greatest(" + ", ".join(f"sr_{c}" for c, _ in s_ordered) + ")"
+    best_w = "greatest(" + ", ".join(f"wr_{c}" for c, _ in profiles) + ")"
+    refine = "CASE "
+    for code, _, absent in text_ops.CYRILLIC_REFINEMENTS:
+        cond = f"cyr_{code} >= {text_ops.CYRILLIC_MARKER_MIN_RATIO!r}"
+        if absent:
+            cond += f" AND cyrneg_{code} = 0"
+        refine += f"WHEN {cond} THEN '{code}' "
+    refine += "ELSE 'ru' END"
+    pick = (
+        f"CASE WHEN sr_ja >= {text_ops.KANA_MIN_RATIO!r} "
+        f"AND sr_ja + sr_zh >= {text_ops.SCRIPT_MIN_RATIO!r} THEN 'ja' "
+    )
+    for code, _ in s_ordered:  # alphabetical: first equal wins the tie
+        val = f"({refine})" if code == "ru" else f"'{code}'"
+        pick += (
+            f"WHEN {best_s} >= {text_ops.SCRIPT_MIN_RATIO!r} "
+            f"AND sr_{code} = {best_s} THEN {val} "
+        )
+    for code, _ in profiles:
+        pick += (
+            f"WHEN {best_w} >= {text_ops.LANG_MIN_RATIO!r} "
+            f"AND wr_{code} = {best_w} THEN '{code}' "
+        )
+    pick += "ELSE 'und' END"
+    return ",\n                    ".join(cols), pick
+
+
+_LANG_RATIO_COLS_SQL, _LANG_PICK_SQL = _lang_sql_chain()
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_near_duplicates(_docs(spark, sf_dir))
 
@@ -3631,6 +3707,11 @@ def oracle_sql() -> dict[str, str]:
                     (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                       / greatest(length(text), 1) AS punct_r
                 FROM docs
+            ),
+            langed AS (
+                SELECT *,
+                    {_LANG_RATIO_COLS_SQL}
+                FROM base
             )
             SELECT doc_id, text, lang, source, n_chars,
                 len(toks) AS n_tokens,
@@ -3640,7 +3721,7 @@ def oracle_sql() -> dict[str, str]:
                 floor((0.5 * least(length(text) / 500.0, 1.0)
                     + 0.3 * least(stop_r * 4.0, 1.0)
                     + 0.2 * (1.0 - least(punct_r * 5.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality,
-                CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+                {_LANG_PICK_SQL} AS lang_pred,
                 md5({NORM}) AS fingerprint,
                 floor((CASE WHEN len(ltoks) > 0
                     THEN 1.0 - len(list_distinct(ltoks)) / len(ltoks)
@@ -3654,7 +3735,7 @@ def oracle_sql() -> dict[str, str]:
                     / greatest(coalesce(list_sum(list_transform(lines, x -> length(x))), 0), 1)
                     ) * 10000.0 + 0.5) / 10000.0 AS dup_line_char_frac,
                 {_PII_COUNTS_SQL}
-            FROM base
+            FROM langed
         """,
         "text_corpus_stats": f"""
             WITH toks AS (SELECT doc_id, {TOKS} AS w FROM documents),
@@ -3675,6 +3756,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             base AS (
                 SELECT text,
+                    CASE WHEN trim(text) = '' THEN []
+                         ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                    END AS ltoks,
                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                         t -> t IN {STOPWORDS_SQL}))
                       / greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)
@@ -3683,14 +3767,19 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(length(text), 1) AS punct_r
                 FROM documents
             ),
+            langed AS (
+                SELECT *,
+                    {_LANG_RATIO_COLS_SQL}
+                FROM base
+            ),
             scored AS (
                 SELECT
-                    CASE WHEN stop_r >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred,
+                    {_LANG_PICK_SQL} AS lang_pred,
                     floor((stop_r) * 10000.0 + 0.5) / 10000.0 AS stop_rounded,
                     floor((0.5 * least(length(text) / 500.0, 1.0)
                         + 0.3 * least(stop_r * 4.0, 1.0)
                         + 0.2 * (1.0 - least(punct_r * 5.0, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality
-                FROM base
+                FROM langed
             ),
             quality_rollup AS (
                 SELECT lang_pred,

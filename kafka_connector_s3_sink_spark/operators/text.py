@@ -5,7 +5,8 @@ no Python UDFs. Hash primitives use ``md5`` (identical semantics in DuckDB, so
 every operator here is oracle-checkable).
 
 Operators: token counting (whitespace + BPE-ish word/punct split), language ID
-(stopword-ratio heuristic), quality scoring (length/punct/stopword ratios),
+(binary stopword heuristic + the two-tier 28-language ``language_id_multi``),
+quality scoring (length/punct/stopword ratios),
 document fingerprinting (normalized md5 + rolling-shingle fingerprint),
 PII redaction (ordered regex chain with per-type counts), and Gopher-style
 repetition signals (word-rep ratio, duplicate-line fractions).
@@ -136,11 +137,12 @@ LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 # Unicode-script codepoint ranges (public Unicode block boundaries) for the
-# 9 languages whose script IS the dominant signal. Ranges are written as
+# languages whose script IS the dominant signal. Ranges are written as
 # literal-character classes (identical semantics under Java regex and RE2,
 # keeping the DuckDB twin exact — \p{script=…} property syntax differs
-# between the engines). Han is shared by zh and ja: kana presence decides
-# (see language_id_multi).
+# between the engines). Han is shared by zh and ja: kana presence decides;
+# Cyrillic is shared by ru/uk/bg: alphabet-specific letters decide
+# (CYRILLIC_REFINEMENTS below) — see language_id_multi.
 SCRIPT_RANGES: dict[str, str] = {
     "zh": "\u4e00-\u9fff",              # CJK Unified Ideographs (Han)
     "ja": "\u3040-\u309f\u30a0-\u30ff",  # Hiragana + Katakana
@@ -153,28 +155,89 @@ SCRIPT_RANGES: dict[str, str] = {
     "th": "\u0e00-\u0e7f",              # Thai
 }
 
+# Cyrillic-script refinement (r12): the 'ru' range above covers the whole
+# Cyrillic block, so Ukrainian and Bulgarian text would otherwise be
+# mislabeled 'ru' \u2014 a governance-relevant error once the mixture stage
+# up-samples by detected language. Each entry is (code, marker_chars,
+# absent_chars), applied IN ORDER to Cyrillic-dominant text:
+#   - uk: \u0456/\u0457/\u0454/\u0491 exist in Ukrainian but in neither Russian nor Bulgarian;
+#   - bg: \u044a is a frequent VOWEL letter in Bulgarian (~2-3% of running text)
+#     but a rare silent sign in Russian, while \u044b/\u044d/\u0451 exist only in Russian \u2014
+#     so "\u044a present AND \u044b/\u044d/\u0451 absent" discriminates bg from ru.
+# Marker presence is a RATIO over the text's Cyrillic chars
+# (\u2265 CYRILLIC_MARKER_MIN_RATIO), not bare presence, so one quoted foreign
+# word inside a long Russian document cannot flip its label. Public alphabet
+# facts; the Spark chain and the DuckDB twin both derive from this table.
+CYRILLIC_REFINEMENTS: tuple[tuple[str, str, str], ...] = (
+    ("uk", "\u0456\u0457\u0454\u0491\u0406\u0407\u0404\u0490", ""),
+    ("bg", "\u044a\u042a", "\u044b\u044d\u0451\u042b\u042d\u0401"),
+)
+
+# Default thresholds of language_id_multi, named so the DuckDB oracle twin
+# (__spark_entry__._lang_sql_chain) interpolates the SAME literals the Spark
+# chain compares against \u2014 the engines cannot drift on a threshold edit.
+LANG_MIN_RATIO = 0.06
+SCRIPT_MIN_RATIO = 0.25
+KANA_MIN_RATIO = 0.05
+CYRILLIC_MARKER_MIN_RATIO = 0.01
+
+
+def cyrillic_refined(text: Column) -> Column:
+    """Resolve Cyrillic-dominant text to ru/uk/bg via ``CYRILLIC_REFINEMENTS``
+    (marker-letter ratios over the text's Cyrillic chars; see the table's
+    comment). Row-local regexp_count expressions only."""
+    cyr = F.greatest(
+        F.regexp_count(text, F.lit(f"[{SCRIPT_RANGES['ru']}]")), F.lit(1)
+    )
+    expr = None
+    for code, markers, absent in CYRILLIC_REFINEMENTS:
+        cond = (
+            F.regexp_count(text, F.lit(f"[{markers}]")) / cyr
+            >= CYRILLIC_MARKER_MIN_RATIO
+        )
+        if absent:
+            cond = cond & (F.regexp_count(text, F.lit(f"[{absent}]")) == 0)
+        branch = F.when(cond, F.lit(code))
+        expr = branch if expr is None else expr.when(cond, F.lit(code))
+    return expr.otherwise(F.lit("ru"))
+
 
 def language_id_multi(
     text: Column,
-    min_ratio: float = 0.06,
-    script_min_ratio: float = 0.25,
-    kana_min_ratio: float = 0.05,
+    min_ratio: float = LANG_MIN_RATIO,
+    script_min_ratio: float = SCRIPT_MIN_RATIO,
+    kana_min_ratio: float = KANA_MIN_RATIO,
+    ltoks: Column | None = None,
 ) -> Column:
-    """Two-tier language ID over 26 languages, all row-local JVM expressions
+    """Two-tier language ID over 28 languages, all row-local JVM expressions
     (no model file, no UDF — the oracle-portable shape).
 
     Tier 1 — SCRIPT: per-script character ratios (``SCRIPT_RANGES`` counts /
     non-whitespace chars). Kana at ``kana_min_ratio`` short-circuits to 'ja'
     FIRST (Japanese running text is Han-heavy but always carries kana — the
-    one case where two languages share a dominant script); otherwise the
-    highest script ratio clearing ``script_min_ratio`` wins (deterministic
-    alphabetical tiebreak, same struct-greatest trick as tier 2).
+    one case where two languages share a dominant script), gated on the
+    combined kana+Han ratio ALSO clearing ``script_min_ratio`` (r12) so a
+    predominantly-Latin document with a short Japanese quote stays
+    Latin-classified — the zh side never short-circuited, so the gate
+    restores mixed-document symmetry. Otherwise the highest script ratio
+    clearing ``script_min_ratio`` wins (deterministic alphabetical
+    tiebreak, same struct-greatest trick as tier 2); a Cyrillic win then
+    resolves ru/uk/bg through ``cyrillic_refined`` (the whole block would
+    otherwise read 'ru').
 
     Tier 2 — FUNCTION WORDS: argmax over the per-language profile-word
     ratios for the 17 whitespace-tokenized languages, when the best ratio
     clears ``min_ratio``; ties break alphabetically; nothing clears →
     'und'. One tokenization feeds |languages| array-filter ratios and a
-    ``greatest``-based argmax.
+    ``greatest``-based argmax. Pass ``ltoks`` (a pre-materialized
+    lowercased-token array, e.g. ``analyze``'s Generate-barriered
+    ``_a.ltoks``) to reuse an existing tokenization instead of
+    re-splitting.
+
+    Known conflations (documented scope): Norwegian Bokmål shares its
+    closed-class words with the ``da`` profile and is labeled 'da';
+    Serbian/Macedonian Cyrillic resolve to 'ru' unless they carry the
+    uk/bg marker letters.
 
     Feeds ``sampling.temperature_mixture_rates`` (Conneau et al. α-sampling)
     — breadth here is what makes the mixture stage able to balance
@@ -199,7 +262,7 @@ def language_id_multi(
     s_best = F.greatest(*s_scored)
 
     # --- tier 2: function-word ratios over whitespace tokens
-    toks = tokens_column(F.lower(text))
+    toks = ltoks if ltoks is not None else tokens_column(F.lower(text))
     n = F.greatest(F.size(toks), F.lit(1))
 
     def ratio(words: tuple[str, ...]) -> Column:
@@ -218,9 +281,19 @@ def language_id_multi(
         for i, (code, words) in enumerate(ordered)
     ]
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    kana_r = script_ratio(SCRIPT_RANGES["ja"])
+    cjk_r = kana_r + script_ratio(SCRIPT_RANGES["zh"])
     return (
-        F.when(script_ratio(SCRIPT_RANGES["ja"]) >= kana_min_ratio, F.lit("ja"))
-        .when(s_best.getField("r") >= script_min_ratio, s_best.getField("code"))
+        F.when(
+            (kana_r >= kana_min_ratio) & (cjk_r >= script_min_ratio),
+            F.lit("ja"),
+        )
+        .when(
+            s_best.getField("r") >= script_min_ratio,
+            F.when(
+                s_best.getField("code") == "ru", cyrillic_refined(text)
+            ).otherwise(s_best.getField("code")),
+        )
         .when(best.getField("r") >= min_ratio, best.getField("code"))
         .otherwise(F.lit("und"))
     )
@@ -439,9 +512,9 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         stable_round(F.col("_stop_r"), 4).alias("stopword_ratio"),
         stable_round(F.col("_punct_r"), 4).alias("punct_ratio"),
         quality.alias("quality"),
-        F.when(F.col("_stop_r") >= 0.08, F.lit("en"))
-        .otherwise(F.lit("und"))
-        .alias("lang_pred"),
+        # full two-tier 28-language ID (r12 — previously the binary en/und
+        # stopword heuristic); reuses the Generate-barriered token array
+        language_id_multi(t, ltoks=ltoks).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
         *(expr.alias(name) for name, expr in rep.items()),
         *(expr.alias(name) for name, expr in pii.items()),

@@ -145,7 +145,7 @@ class PretrainingConfig:
     mixture_max_rate: float | None = None
     source_col: str = "source"
     # when the mixture is configured but the corpus carries no source_col,
-    # derive it with text.language_id_multi (26-language two-tier ID) —
+    # derive it with text.language_id_multi (28-language two-tier ID) —
     # the one-call multilingual balance (mixture_alpha α-sampling over
     # detected languages). Default False keeps the missing-column error.
     derive_source_language: bool = False
@@ -188,8 +188,9 @@ class PretrainingResult:
     epoch_slots: int = 1
     caches: list = field(default_factory=list)
     # one-row frame of per-type PII redaction totals (n_pii_email, …) —
-    # populated only under PretrainingConfig(redact_pii=True); lazy, so
-    # consuming it costs one aggregation job
+    # populated only under PretrainingConfig(redact_pii=True); lazy, and it
+    # aggregates over the materialized pre-mixture frame (r12), so consuming
+    # it costs exactly one aggregation job in both persistence modes
     pii_totals: DataFrame | None = None
     # whether packs were built per split (pack ids then scope to their
     # split; no pack can straddle) — consumed by write_packed_corpus's
@@ -577,6 +578,28 @@ def pretraining_pipeline(
             .drop("domain_rank", "kept"),
         )
 
+    if cfg.mixture is not None and cfg.mixture_alpha is not None:
+        raise ValueError(
+            "pass mixture (explicit rate map) XOR mixture_alpha "
+            "(temperature-fitted rates), not both"
+        )
+    # the selected/capped corpus feeds SEVERAL consumers from here — the
+    # pii_totals aggregation (when redacting), the mixture-rates fit (a
+    # collect), the split chain, and the pack chain (split and pack
+    # subscribe to it inside ONE action, where exchange reuse does not
+    # apply) — so without a cache the whole upstream ladder (quality →
+    # paragraph rebuild → span surgery → cascade semi-join → decontam
+    # anti-join) replays once per consumer. Materialize it once, ABOVE the
+    # PII stage (r12): redaction is a row-local regex chain, so every
+    # downstream consumer still rides this one cache, and collecting
+    # pii_totals costs one aggregation job in BOTH modes instead of a lazy
+    # replay of the ladder. Released by PretrainingResult.unpersist() like
+    # the other internal caches. With persist_stages=True the last recorded
+    # stage frame is already cached — no second copy.
+    if not cfg.persist_stages:
+        cur = dedup._materialize(cur)
+        res.caches.append(cur)
+
     if cfg.redact_pii:
         # LAST text-mutating stage, deliberately after every fingerprint
         # consumer (cascade shingles, decontam n-grams, DSIR grams, the
@@ -587,7 +610,8 @@ def pretraining_pipeline(
         # mixture/split/pack, so no trainer-facing frame carries raw PII.
         # One pass: counts and the redacted text evaluate from the same
         # input row (the count expressions measure the progressively-
-        # redacted text, exactly text.redact_pii_columns' contract).
+        # redacted text, exactly text.redact_pii_columns' contract), and
+        # both read the materialized pre-mixture frame above.
         pii = text_ops.redact_pii_columns(F.col("text"))
         count_cols = [k for k in pii if k != "text_redacted"]
         flagged = cur.withColumns(dict(pii))
@@ -600,29 +624,11 @@ def pretraining_pipeline(
                 "text_redacted", *count_cols
             ),
         )
-
-    if cfg.mixture is not None and cfg.mixture_alpha is not None:
-        raise ValueError(
-            "pass mixture (explicit rate map) XOR mixture_alpha "
-            "(temperature-fitted rates), not both"
-        )
-    # the selected/capped corpus feeds THREE consumers from here — the
-    # mixture-rates fit (a collect), the split chain, and the pack chain
-    # (split and pack subscribe to it inside ONE action, where exchange
-    # reuse does not apply) — so without a cache the whole upstream ladder
-    # (quality → paragraph rebuild → span surgery → cascade semi-join →
-    # decontam anti-join) replays once per consumer. Materialize it once;
-    # released by PretrainingResult.unpersist() like the other internal
-    # caches. With persist_stages=True the last recorded stage frame is
-    # already cached — no second copy.
-    if not cfg.persist_stages:
-        cur = dedup._materialize(cur)
-        res.caches.append(cur)
     if cfg.mixture is not None or cfg.mixture_alpha is not None:
         if cfg.source_col not in cur.columns:
             if cfg.derive_source_language:
                 # the one-call multilingual build: group the mixture by
-                # text.language_id_multi (26 languages, two-tier script +
+                # text.language_id_multi (28 languages, two-tier script +
                 # function-word ID) when the corpus carries no source
                 # column — Conneau et al. α-sampling then balances
                 # low-resource languages directly. A narrow projection on

