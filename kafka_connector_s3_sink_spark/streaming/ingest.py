@@ -101,6 +101,15 @@ class IngestConfig:
     )
     id_col: str = "doc_id"
     text_col: str = "text"
+    # tokenizer-true packing, parity with PretrainingConfig.bpe_merges
+    # (r12): a frozen BPE merge list (tokenizer.fit_bpe output, as a tuple
+    # of pairs — the config is frozen/hashable) switches pack budgets from
+    # the whitespace heuristic to real BPE token counts, so the two
+    # trainer-facing ladders produce the SAME pack geometry on a shared
+    # corpus (pinned by tests/test_r11_parity.py); per_doc_overhead models
+    # framing tokens (EOS etc.), also mirrored from the preset
+    bpe_merges: Optional[tuple] = None
+    per_doc_overhead: int = 0
     min_quality: Optional[float] = None
     # alternative to the static heuristic: learned logistic weights from
     # operators.quality.fit_quality_classifier — when set, the floor compares
@@ -494,9 +503,32 @@ def process_crawl_batch(
                 .partitionBy("batch_id")
                 .parquet(f"{config.dest_dir}/documents")
             )
-            packed = packing.pack_sequences(
-                out_docs, config.ctx_len, id_col=id_col, text_col=text_col
-            ).withColumn("batch_id", F.lit(epoch))
+            if config.bpe_merges is not None:
+                # tokenizer-true budgets (r12): count with the frozen BPE
+                # on the SINK-BOUND text (post-redaction, exactly what the
+                # trainer tokenizes) — same stage order as the preset, so
+                # pack geometry matches it on a shared corpus
+                from kafka_connector_s3_sink_spark.operators import tokenizer
+
+                pack_input = tokenizer.bpe_encode(
+                    out_docs, list(config.bpe_merges), text_col=text_col
+                ).select(id_col, F.col("n_tokens").alias("bpe_tokens"))
+                packed = packing.pack_sequences(
+                    pack_input,
+                    config.ctx_len,
+                    id_col=id_col,
+                    per_doc_overhead=config.per_doc_overhead,
+                    token_count_col="bpe_tokens",
+                )
+            else:
+                packed = packing.pack_sequences(
+                    out_docs,
+                    config.ctx_len,
+                    id_col=id_col,
+                    text_col=text_col,
+                    per_doc_overhead=config.per_doc_overhead,
+                )
+            packed = packed.withColumn("batch_id", F.lit(epoch))
             (
                 packed.write.mode("overwrite")
                 .partitionBy("batch_id")

@@ -482,3 +482,57 @@ def test_parquet_format_api_parity_with_fast_path(registered, spark, tmp_path):
 
     assert norm(api) == norm(fast)
     assert sum(1 for r in api if r["decode_error"] is not None) == 1
+
+
+def test_format_read_avro_headers_map_shape(registered, spark, tmp_path):
+    """ADVICE r11 item 3: an OCF object whose envelope stores headers as the
+    reference's Avro MAP shape (envelope_avro_schema(headers_as_map=True) —
+    decodes to ONE python dict, not a list of {'key','value'} records) reads
+    back through the sink_objects datasource as the same (key, value) tuple
+    rows the default array-of-records shape yields. Previously only the
+    schema-level round-trip was tested; this pins the reader-level
+    normalization in _SinkObjectsReader."""
+    from kafka_connector_s3_sink_spark.formats import avro as avro_fmt
+
+    store = tmp_path / "mapstore"
+    store.mkdir()
+    schema = avro_fmt.parse_schema(
+        avro_fmt.envelope_avro_schema(headers_as_map=True)
+    )
+    with open(store / "t-0-100", "wb") as fh:
+        w = avro_fmt.OCFWriter(fh, schema)
+        w.append(
+            {
+                "key": b"k0",
+                "offset": 100,
+                "timestamp": 1000,
+                "headers": {"h1": b"v1", "h2": None},
+                "value": b"v0",
+            }
+        )
+        w.append(
+            {
+                "key": b"k1",
+                "offset": 101,
+                "timestamp": 1001,
+                "headers": None,
+                "value": b"v1",
+            }
+        )
+        w.close()
+
+    df = (
+        spark.read.format("sink_objects")
+        .option("path", str(store))
+        .option("format", "avro")
+        .option("fields", "offset,key,value,headers")
+        .load()
+    )
+    rows = {r["offset"]: r for r in df.collect()}
+    assert len(rows) == 2
+    got = [(h["key"], bytes(h["value"]) if h["value"] is not None else None)
+           for h in rows[100]["headers"]]
+    assert got == [("h1", b"v1"), ("h2", None)]
+    assert rows[101]["headers"] is None
+    assert bytes(rows[100]["value"]) == b"v0"
+    assert (rows[100]["topic"], rows[100]["partition"]) == ("t", 0)

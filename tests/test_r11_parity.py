@@ -137,3 +137,82 @@ def test_decontam_order_divergence_pinned(spark, tmp_path):
     ingest_ids = _run_ingest(spark, tmp_path, rows, bench)
     assert ingest_ids == {11}   # precise: only the actual leak dies
     assert preset_ids == set()  # conservative: the leak's cluster dies too
+
+
+def test_bpe_pack_geometry_parity(spark, tmp_path):
+    """r12 (VERDICT r11 item 2): tokenizer-true packing on BOTH ladders —
+    ``IngestConfig.bpe_merges`` mirrors ``PretrainingConfig.bpe_merges``, so
+    on a shared corpus the two trainer-facing pack layouts agree on
+    geometry: pack count AND the multiset of per-pack token budgets.
+    Concat-and-chunk is order-invariant in totals (identical BPE token
+    counts → identical budgets whatever the stream order), so the pin holds
+    even though the ladders hash different packing identities. Both are
+    checked against the independently-computed true-BPE expectation, not
+    just against each other — a ladder silently falling back to the
+    whitespace heuristic (~6x fewer tokens here) fails loudly."""
+    import math
+
+    from kafka_connector_s3_sink_spark.operators import tokenizer
+
+    merges = (("t", "h"), ("th", "e"), ("the", "</w>"))
+    ctx = 64
+    rows = [(i, _prose(f"d{i}", 10 + i)) for i in range(1, 7)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    enc = tokenizer.bpe_encode(docs, list(merges))
+    total = enc.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    ws_total = sum(len(t.split()) for _, t in rows)
+    assert total > 2 * ws_total  # BPE budgets, not the whitespace heuristic
+    k = math.ceil(total / ctx)
+    expected = sorted([ctx] * (k - 1) + [total - ctx * (k - 1)])
+    assert k > 1
+
+    cfg = pretraining.PretrainingConfig(
+        quality_floor=0.2,
+        splits={"train": 1.0},
+        ctx_len=ctx,
+        seed="r11parity",
+        bpe_merges=merges,
+        **KNOBS,
+    )
+    res = pretraining.pretraining_pipeline(docs, config=cfg)
+    try:
+        preset_budgets = sorted(
+            r["budget"]
+            for r in res.packed.groupBy("pack_id")
+            .agg(F.sum("seg_tokens").alias("budget"))
+            .collect()
+        )
+    finally:
+        res.unpersist()
+    assert preset_budgets == expected
+
+    loc = str(tmp_path / "index_bpe")
+    base = spark.createDataFrame(
+        [(9999, _prose("hist", 25))], ["doc_id", "text"]
+    )
+    incremental.build_dedup_index(base, PREFIX + "bpe", loc, num_buckets=2)
+    try:
+        icfg = ingest.IngestConfig(
+            index_prefix=PREFIX + "bpe",
+            index_location=loc,
+            dest_dir=str(tmp_path / "out_bpe"),
+            checkpoint_location=str(tmp_path / "ckpt_bpe"),
+            num_buckets=2,
+            ctx_len=ctx,
+            split_weights={"train": 1.0},
+            min_quality=0.2,
+            bpe_merges=merges,
+            **KNOBS,
+        )
+        ingest.process_crawl_batch(docs, 0, icfg)
+        packs = spark.read.parquet(f"{icfg.dest_dir}/packs")
+        ingest_budgets = sorted(
+            r["budget"]
+            for r in packs.groupBy("pack_id")
+            .agg(F.sum("seg_tokens").alias("budget"))
+            .collect()
+        )
+    finally:
+        incremental.drop_dedup_index(spark, PREFIX + "bpe")
+    assert ingest_budgets == expected
