@@ -283,7 +283,22 @@ def language_id_multi(
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
     kana_r = script_ratio(SCRIPT_RANGES["ja"])
     cjk_r = kana_r + script_ratio(SCRIPT_RANGES["zh"])
-    return (
+    word_pick = F.when(
+        best.getField("r") >= min_ratio, best.getField("code")
+    ).otherwise(F.lit("und"))
+    # Latin fast path: ONE combined-ranges regex decides whether any script
+    # tier can possibly fire — with zero script chars every script ratio is
+    # 0, which can never clear the (positive) kana/script thresholds, so the
+    # chain PROVABLY collapses to the word tier. CASE branches evaluate
+    # lazily under codegen, so the dominant all-Latin corpus pays one regex
+    # scan instead of the 11 per-script counts (measured r12: text_corpus_
+    # stats 15.2-16.4s → see SCALING.md; the DuckDB twin keeps the full
+    # chain — equivalence is by the 0-ratio argument, pinned by fixtures).
+    any_script = (
+        F.regexp_count(text, F.lit(f"[{''.join(SCRIPT_RANGES.values())}]"))
+        > 0
+    )
+    return F.when(~any_script, word_pick).otherwise(
         F.when(
             (kana_r >= kana_min_ratio) & (cjk_r >= script_min_ratio),
             F.lit("ja"),
@@ -294,8 +309,7 @@ def language_id_multi(
                 s_best.getField("code") == "ru", cyrillic_refined(text)
             ).otherwise(s_best.getField("code")),
         )
-        .when(best.getField("r") >= min_ratio, best.getField("code"))
-        .otherwise(F.lit("und"))
+        .otherwise(word_pick)
     )
 
 

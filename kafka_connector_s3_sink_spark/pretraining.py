@@ -734,7 +734,14 @@ def pretraining_pipeline(
         # straddle the boundary, so every window is hole-free for its
         # loader (pack ids are per-split; the split column disambiguates).
         # One pack pass per split over only that split's docs — the total
-        # packing work is unchanged, only partitioned by label.
+        # packing work is unchanged, only partitioned by label. Measured and
+        # REJECTED (r12 fresh-process ABAB, sf0.1 packio write): persisting
+        # this join for the |splits| pack branches reads flat-to-worse
+        # (nofix {47.6-83.1} vs fix {56.3-68.6}, overlapping) — the split
+        # chain's shuffle map stages are reused across branches and the
+        # candidate table is already cached, so the replay is cheap while
+        # caching the text-bearing labeled frame costs a full corpus write
+        # (the span-surgery persist lesson, SCALING.md r11/r12).
         labeled = cur.join(split, "doc_id")
         splits = cfg.splits or {"train": 0.9, "val": 0.05, "test": 0.05}
         parts = [

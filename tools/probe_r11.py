@@ -25,8 +25,14 @@ Sections (pass any subset as argv; default all):
 - ``preset`` — pretraining_pipeline e2e at sf0.1, persist_stages off/on,
   1 cold + 1 warm pass each (VERDICT item 3: a tracked preset number so
   composition regressions are attributed to the preset itself).
+- ``packio`` (r12, VERDICT r11 item 6) — the full trainer handoff loop at
+  sf0.1 under BOTH pack_per_split modes: preset → write_packed_corpus →
+  read_packed_corpus(verify=True) → re-read verify=False. Times the write,
+  the verifying first read (the startup-check cost a 100 TB user asks
+  about: pack-file locality + stats agreement, one pass each), and the
+  steady-state read.
 
-Usage: python tools/probe_r11.py [hotband] [bigloops] [preset]
+Usage: python tools/probe_r11.py [hotband] [bigloops] [preset] [packio]
 """
 
 from __future__ import annotations
@@ -345,11 +351,58 @@ def probe_preset(spark) -> None:
         )
 
 
+def probe_packio(spark) -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark import pretraining
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("doc_id", "text")
+
+    for per_split in (False, True):
+        cfg = pretraining.PretrainingConfig(
+            quality_floor=0.2,
+            mixture_alpha=0.3,
+            source_col="source",
+            ctx_len=512,
+            pack_per_split=per_split,
+            seed="bench",
+        )
+        res = pretraining.pretraining_pipeline(docs, benchmark=bench, config=cfg)
+        dest = tempfile.mkdtemp(prefix="packio-")
+        try:
+            t0 = time.time()
+            pretraining.write_packed_corpus(res, dest)
+            t_write = time.time() - t0
+            t0 = time.time()
+            verified = pretraining.read_packed_corpus(spark, dest, verify=True)
+            n = verified.count()
+            t_verify = time.time() - t0
+            t0 = time.time()
+            m = pretraining.read_packed_corpus(
+                spark, dest, split="train", verify=False
+            ).count()
+            t_read = time.time() - t0
+            print(
+                f"packio pack_per_split={per_split}: write={t_write:.2f}s "
+                f"read_verify={t_verify:.2f}s ({n} segments) "
+                f"read_train_noverify={t_read:.2f}s ({m} segments)",
+                flush=True,
+            )
+        finally:
+            res.unpersist()
+            shutil.rmtree(dest, ignore_errors=True)
+
+
 def main() -> None:
     sections = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "hotband",
         "bigloops",
         "preset",
+        "packio",
     ]
     spark = _spark()
     try:
@@ -357,7 +410,8 @@ def main() -> None:
             print(f"== {s} ==", flush=True)
             {"hotband": probe_hotband,
              "bigloops": probe_bigloops,
-             "preset": probe_preset}[s](spark)
+             "preset": probe_preset,
+             "packio": probe_packio}[s](spark)
     finally:
         spark.stop()
 
