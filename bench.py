@@ -379,11 +379,13 @@ def main() -> None:
         "corpus-wide cost (text_corpus_stats ABAB'd 1.40x->0.98x after "
         "it), the remaining +0.9s is the word-tier argmax itself — "
         "capability, not regression (same 0-shuffle plan, PLANS.md). "
-        "dedup_candidate_pairs 4.04->9.69 sits inside its documented "
-        "cross-run swing band (the r11 driver run itself read 12.7 in "
-        "BENCH_r11.json's raw tail vs 4.04 in its BENCH_LAST); "
-        "dedup_embedding_cosine 7.75->9.89 (1.28x, untouched code) is "
-        "sub-noise-threshold, watch next round. r12 changes outside the "
+        "The run's two other risers were PRE-CLEARED by a same-day "
+        "r11-vs-HEAD fresh-process ABAB: dedup_candidate_pairs r11 "
+        "{3.58,5.68} vs HEAD {4.08,4.54} (0.93x, NOISE — its 9.69 here "
+        "and the 12.7 in BENCH_r11's raw tail are the entry's documented "
+        "cross-run swing band) and dedup_embedding_cosine r11 "
+        "{5.61,7.68} vs HEAD {5.73,5.98} (0.88x, NOISE). "
+        "r12 changes outside the "
         "gate: packio loop timed (write->verify->load; verifying read "
         "~1-2s at sf0.1), per-split-pack labeled materialize measured "
         "and REJECTED, pii_totals now one cached pass in lazy mode — "

@@ -399,3 +399,73 @@ def test_preset_derives_language_source(spark):
         )
     finally:
         res.unpersist()
+
+
+def test_preset_mixture_balances_script_tier_languages(spark):
+    """r12: the mixture stage balances SCRIPT-tier languages too — an
+    imbalanced en/uk/zh corpus (word tier + Cyrillic refinement + Han
+    script) flows through derive_source_language and α-sampling exactly
+    like the Latin-only fixture: head language downsamples, script-tier
+    tails upsample, skew strictly shrinks."""
+    from kafka_connector_s3_sink_spark import pretraining
+
+    uk_base = (
+        "сьогодні гарна погода і ми всі пішли гуляти в парк потім разом "
+        "вечеряли це був чудовий день"
+    )
+    zh_base = "今天天气很好我们都去公园散步了然后一起吃晚饭这是一个美好的日子"
+    rows = []
+    doc_id = 0
+    for i in range(60):  # en head: profile words + unique fillers
+        words = LANGUAGE_PROFILES["en"]
+        toks = []
+        for j, w in enumerate(words):
+            toks.append(w)
+            toks.append(f"uen{doc_id}x{j}")
+        rows.append((doc_id, " ".join(toks)))
+        doc_id += 1
+    for i in range(20):  # uk tail: Cyrillic + unique ascii filler token
+        rows.append((doc_id, f"{uk_base} uuk{doc_id}"))
+        doc_id += 1
+    for i in range(10):  # zh tail: Han + unique ascii filler token
+        rows.append((doc_id, f"{zh_base} uzh{doc_id}"))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    counts = {"en": 60, "uk": 20, "zh": 10}
+    detected = {
+        r["lang"]: r["n"]
+        for r in docs.select(language_id_multi(F.col("text")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert detected == counts
+
+    cfg = pretraining.PretrainingConfig(
+        quality_floor=None,
+        mixture_alpha=0.3,
+        source_col="lang",
+        derive_source_language=True,
+        ctx_len=64,
+        splits={"train": 1.0},
+        seed="r12mix",
+    )
+    res = pretraining.pretraining_pipeline(docs, config=cfg)
+    try:
+        mixed = {
+            r["lang"]: r["n"]
+            for r in res.stages["mixture"]
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert set(mixed) == set(counts)
+        assert mixed["en"] < counts["en"]
+        assert mixed["zh"] > counts["zh"]
+        assert (
+            max(mixed.values()) / min(mixed.values())
+            < max(counts.values()) / min(counts.values())
+        )
+    finally:
+        res.unpersist()
