@@ -373,7 +373,8 @@ def main() -> None:
         "{11.86,12.67} vs r11 {12.69,13.11}, mean 1.05x — NOISE; this "
         "run's 12.7 confirms (0.74x vs the r11 reading). The ONE "
         "attributed r12 riser: text_analysis 1.50->2.39 (1.59x; ABAB "
-        "r11-vs-HEAD 1.82x) — analyze()'s lang_pred is now the FULL "
+        "r11-vs-HEAD 1.82x, then 1.60x after the tier-2 hits pre-filter "
+        "landed) — analyze()'s lang_pred is now the FULL "
         "28-language two-tier ID (VERDICT item 1) instead of a binary "
         "stop-ratio compare; a one-regex Latin fast path already cut the "
         "corpus-wide cost (text_corpus_stats ABAB'd 1.40x->0.98x after "

@@ -208,6 +208,7 @@ def language_id_multi(
     script_min_ratio: float = SCRIPT_MIN_RATIO,
     kana_min_ratio: float = KANA_MIN_RATIO,
     ltoks: Column | None = None,
+    hits: Column | None = None,
 ) -> Column:
     """Two-tier language ID over 28 languages, all row-local JVM expressions
     (no model file, no UDF — the oracle-portable shape).
@@ -261,12 +262,25 @@ def language_id_multi(
     ]
     s_best = F.greatest(*s_scored)
 
-    # --- tier 2: function-word ratios over whitespace tokens
+    # --- tier 2: function-word ratios over whitespace tokens.
+    # One InSet pass (the 170-word union compiles to a hash set — above
+    # Spark's inSetConversionThreshold) narrows the token array to profile
+    # hits FIRST; the 17 per-language counts then scan the much shorter
+    # hits array instead of 17 full passes over every token. Exact by the
+    # subset identity: a language's profile words within toks == within
+    # hits, and the denominator stays the full token count. Pass a
+    # pre-MATERIALIZED hits column (``profile_hits`` behind a Generate
+    # barrier, as ``analyze`` does) where possible — higher-order filters
+    # are interpreted, so an inline hits subtree re-evaluates once per
+    # referencing language. (r12 — the DuckDB twin keeps the direct
+    # per-language filters; values provably identical.)
     toks = ltoks if ltoks is not None else tokens_column(F.lower(text))
     n = F.greatest(F.size(toks), F.lit(1))
+    if hits is None:
+        hits = profile_hits(toks)
 
     def ratio(words: tuple[str, ...]) -> Column:
-        return F.size(F.filter(toks, _isin_factory(words))) / n
+        return F.size(F.filter(hits, _isin_factory(words))) / n
 
     ordered = sorted(LANGUAGE_PROFILES.items())
     scored = [
@@ -320,6 +334,19 @@ def _isin_factory(words: tuple[str, ...]):
         return t.isin(*words)
 
     return check
+
+
+# union of every profile's words — the tier-2 pre-filter set
+_ALL_PROFILE_WORDS: tuple[str, ...] = tuple(
+    w for words in LANGUAGE_PROFILES.values() for w in words
+)
+
+
+def profile_hits(ltoks: Column) -> Column:
+    """Lowercased tokens narrowed to the 170-word profile union (one InSet
+    hash-set pass) — the tier-2 input ``language_id_multi`` scans 17×.
+    Materialize it behind a Generate barrier when attaching to a frame."""
+    return F.filter(ltoks, _isin_factory(_ALL_PROFILE_WORDS))
 
 
 def normalized_text(text: Column) -> Column:
@@ -500,6 +527,11 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
                 tokens_column(t).alias("toks"),
                 tokens_column(F.lower(t)).alias("ltoks"),
                 nonempty_lines(t).alias("lines"),
+                # tier-2 pre-filter for the 28-language ID: materialized
+                # here so the 17 per-language counts scan a short array
+                # instead of re-running the union filter each (HOF
+                # filters are interpreted — see language_id_multi)
+                profile_hits(tokens_column(F.lower(t))).alias("hits"),
             )
         )
     )
@@ -527,8 +559,11 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         stable_round(F.col("_punct_r"), 4).alias("punct_ratio"),
         quality.alias("quality"),
         # full two-tier 28-language ID (r12 — previously the binary en/und
-        # stopword heuristic); reuses the Generate-barriered token array
-        language_id_multi(t, ltoks=ltoks).alias("lang_pred"),
+        # stopword heuristic); reuses the Generate-barriered token and
+        # profile-hit arrays
+        language_id_multi(t, ltoks=ltoks, hits=F.col("_a.hits")).alias(
+            "lang_pred"
+        ),
         fingerprint(t).alias("fingerprint"),
         *(expr.alias(name) for name, expr in rep.items()),
         *(expr.alias(name) for name, expr in pii.items()),

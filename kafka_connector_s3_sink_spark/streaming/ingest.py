@@ -110,6 +110,16 @@ class IngestConfig:
     # framing tokens (EOS etc.), also mirrored from the preset
     bpe_merges: Optional[tuple] = None
     per_doc_overhead: int = 0
+    # trainer-handoff contract parity with pretraining.write_packed_corpus
+    # (r12): the epoch's packs are hash-repartitioned on pack_id into
+    # pack_shards files and sorted (pack_id, pack_pos) within them — one
+    # pack's segments land in ONE file, so a loader streams each context
+    # window without a shuffle; a per-epoch stats row (recomputed from the
+    # WRITTEN files) lands under <dest>/pack_stats for read_ingest_packs'
+    # verifying startup checks. Size pack_shards for the per-EPOCH pack
+    # count (batches are small by definition; the default keeps local
+    # runs honest).
+    pack_shards: int = 32
     min_quality: Optional[float] = None
     # alternative to the static heuristic: learned logistic weights from
     # operators.quality.fit_quality_classifier — when set, the floor compares
@@ -530,9 +540,32 @@ def process_crawl_batch(
                 )
             packed = packed.withColumn("batch_id", F.lit(epoch))
             (
-                packed.write.mode("overwrite")
+                # locality contract (r12, parity with write_packed_corpus):
+                # one pack's segments in one file, sorted by slot position
+                packed.repartition(config.pack_shards, "pack_id")
+                .sortWithinPartitions("pack_id", "pack_pos")
+                .write.mode("overwrite")
                 .partitionBy("batch_id")
                 .parquet(f"{config.dest_dir}/packs")
+            )
+            # per-epoch pack stats, recomputed FROM THE WRITTEN FILES (so
+            # the stats row describes what is actually on disk, and a
+            # replayed epoch regenerates it byte-consistently) — the other
+            # half of read_ingest_packs' verifying startup check
+            (
+                spark.read.parquet(f"{config.dest_dir}/packs")
+                .filter(F.col("batch_id") == epoch)
+                .groupBy("batch_id")
+                .agg(
+                    F.countDistinct("pack_id").alias("n_packs"),
+                    F.countDistinct(id_col).alias("n_docs"),
+                    F.count(F.lit(1)).alias("n_segments"),
+                    F.sum("seg_tokens").alias("n_tokens"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{config.dest_dir}/pack_stats")
             )
             if config.write_metrics:
                 # one audit row per epoch: counts are O(1)-row driver results
@@ -584,6 +617,78 @@ def process_crawl_batch(
         # accumulates one persisted set per micro-batch
         for cached in decontam_cache:
             cached.unpersist()
+
+
+def read_ingest_packs(
+    spark: SparkSession,
+    dest_dir: str,
+    batch_id: Optional[str] = None,
+    verify: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trainer-side reader for the streaming ingest's ``<dest>/packs`` —
+    the verifying other half of the per-epoch pack write, mirroring
+    ``pretraining.read_packed_corpus`` (r11) on the streaming ladder.
+
+    Returns the packed segment frame (the ``batch_id`` partition column
+    included; pass ``batch_id=`` to prune to one epoch's directory at scan
+    time). ``verify=True`` (default) runs two bounded checks and raises
+    ``ValueError`` on the first violation — an interrupted write, a
+    compaction that broke file grouping, or stats from a different write:
+
+    - **pack-file locality**: every (batch_id, pack_id) must live in
+      exactly ONE parquet file (pack ids are per-epoch, so the key
+      includes the epoch) — the ``IngestConfig.pack_shards`` repartition
+      contract that lets a loader stream each context window without a
+      shuffle;
+    - **stats agreement**: per-epoch ``n_packs / n_docs / n_segments /
+      n_tokens`` recomputed from the data must equal ``<dest>/pack_stats``.
+
+    Both are one pass each over the (pruned) packs table — run once at
+    training startup, then re-read with ``verify=False``."""
+    df = spark.read.parquet(f"{dest_dir}/packs")
+    if batch_id is not None:
+        df = df.filter(F.col("batch_id") == batch_id)
+    if not verify:
+        return df
+    broken = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("batch_id", "pack_id")
+        .agg(F.countDistinct("_file").alias("_nf"))
+        .filter(F.col("_nf") > 1)
+        .limit(5)
+        .collect()
+    )
+    if broken:
+        names = [(r["batch_id"], r["pack_id"]) for r in broken]
+        raise ValueError(
+            f"pack-file locality broken: packs {names} span multiple files "
+            "(write contract: one pack's segments land in one file — was "
+            "the directory rewritten outside process_crawl_batch?)"
+        )
+    recomputed = {
+        r["batch_id"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in df.groupBy("batch_id")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    stored = {
+        r["batch_id"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in spark.read.parquet(f"{dest_dir}/pack_stats").collect()
+        if batch_id is None or r["batch_id"] == batch_id
+    }
+    if recomputed != stored:
+        raise ValueError(
+            "packs data disagrees with the pack_stats table: "
+            f"recomputed={recomputed} stored={stored} — partial write or "
+            "stats from a different epoch version"
+        )
+    return df
 
 
 def start_ingest_pipeline(

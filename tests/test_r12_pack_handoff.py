@@ -1,0 +1,158 @@
+"""r12: the streaming ingest's trainer handoff gets the preset writer's
+contract — pack-file locality and a verifying reader.
+
+`pretraining.write_packed_corpus`/`read_packed_corpus` (r9/r11) give the
+batch ladder a locality-guaranteed pack layout plus two bounded startup
+checks. The streaming ingest wrote its per-epoch packs as bare task output:
+no locality (a pack's segments could span files) and no stats table, so a
+trainer consuming `<dest>/packs` had neither the no-shuffle streaming
+guarantee nor a tamper check. r12 mirrors the contract:
+
+- the epoch's packs are hash-repartitioned on ``pack_id`` and sorted
+  ``(pack_id, pack_pos)`` within files before the partitioned write;
+- one stats row per epoch (recomputed FROM THE WRITTEN FILES, so it
+  describes what is actually on disk) lands under ``<dest>/pack_stats``
+  with the same idempotent per-epoch overwrite;
+- ``ingest.read_ingest_packs(..., verify=True)`` replays the two checks
+  keyed on (batch_id, pack_id) — pack ids are per-epoch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import incremental
+from kafka_connector_s3_sink_spark.streaming import ingest
+
+PREFIX = "r12pack"
+
+
+def _prose(tag, n=20):
+    stops = ["the", "and", "of", "to", "is"]
+    return " ".join(
+        w for i in range(n) for w in (stops[i % 5], f"{tag}{i}")
+    )
+
+
+def _cfg(tmp_path, loc, **over):
+    base = dict(
+        index_prefix=PREFIX,
+        index_location=loc,
+        dest_dir=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        num_buckets=2,
+        ctx_len=64,
+        split_weights={"train": 1.0},
+    )
+    base.update(over)
+    return ingest.IngestConfig(**base)
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    loc = str(tmp_path / "index")
+    base = spark.createDataFrame(
+        [(9999, _prose("hist", 25))], ["doc_id", "text"]
+    )
+    incremental.build_dedup_index(base, PREFIX, loc, num_buckets=2)
+    yield loc
+    incremental.drop_dedup_index(spark, PREFIX)
+
+
+def test_pack_locality_stats_and_verifying_read(spark, tmp_path, index):
+    rows = [(i, _prose(f"d{i}", 10 + i)) for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = _cfg(tmp_path, index)
+    ingest.process_crawl_batch(docs, 0, cfg)
+    ingest.process_crawl_batch(
+        spark.createDataFrame(
+            [(100 + i, _prose(f"e{i}", 12 + i)) for i in range(1, 5)],
+            ["doc_id", "text"],
+        ),
+        1,
+        cfg,
+    )
+
+    packs = ingest.read_ingest_packs(spark, cfg.dest_dir)
+    assert packs.count() > 0
+    # locality: every (batch_id, pack_id) lives in exactly one file
+    loc_df = (
+        packs.withColumn("_f", F.input_file_name())
+        .groupBy("batch_id", "pack_id")
+        .agg(F.countDistinct("_f").alias("nf"))
+    )
+    assert loc_df.filter(F.col("nf") > 1).count() == 0
+    # both epochs present; per-epoch filter prunes
+    epochs = {r["batch_id"] for r in packs.select("batch_id").distinct().collect()}
+    assert len(epochs) == 2
+    one = ingest.read_ingest_packs(
+        spark, cfg.dest_dir, batch_id=sorted(epochs)[0]
+    )
+    assert {r["batch_id"] for r in one.select("batch_id").distinct().collect()} == {
+        sorted(epochs)[0]
+    }
+
+    # stats table: one row per epoch, agreeing with the data
+    stats = {
+        r["batch_id"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in spark.read.parquet(f"{cfg.dest_dir}/pack_stats").collect()
+    }
+    assert set(stats) == epochs
+    recomputed = {
+        r["batch_id"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in packs.groupBy("batch_id")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_tokens").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert stats == recomputed
+
+
+def test_verify_catches_stats_tamper(spark, tmp_path, index):
+    rows = [(i, _prose(f"d{i}", 10 + i)) for i in range(1, 6)]
+    cfg = _cfg(tmp_path, index)
+    ingest.process_crawl_batch(
+        spark.createDataFrame(rows, ["doc_id", "text"]), 0, cfg
+    )
+    ingest.read_ingest_packs(spark, cfg.dest_dir)  # clean: no raise
+
+    # tamper: rewrite the stats with a wrong token total (collect first —
+    # a self-overwrite would read the files it is replacing)
+    rows = spark.read.parquet(f"{cfg.dest_dir}/pack_stats").collect()
+    broken = spark.createDataFrame(
+        [
+            (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"] + 1,
+             r["batch_id"])
+            for r in rows
+        ],
+        "n_packs long, n_docs long, n_segments long, n_tokens long, "
+        "batch_id string",
+    )
+    broken.write.mode("overwrite").parquet(f"{cfg.dest_dir}/pack_stats")
+    with pytest.raises(ValueError, match="disagrees"):
+        ingest.read_ingest_packs(spark, cfg.dest_dir)
+
+
+def test_replay_idempotent_with_pack_stats(spark, tmp_path, index):
+    """A replayed epoch rewrites its packs AND its pack_stats row under the
+    same dynamic-partition-overwrite contract — the verifying read stays
+    green and totals are unchanged."""
+    rows = [(i, _prose(f"d{i}", 10 + i)) for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = _cfg(tmp_path, index)
+    ingest.process_crawl_batch(docs, 0, cfg)
+    before = (
+        ingest.read_ingest_packs(spark, cfg.dest_dir)
+        .agg(F.sum("seg_tokens").alias("t"))
+        .collect()[0]["t"]
+    )
+    ingest.process_crawl_batch(docs, 0, cfg)  # replay
+    after_df = ingest.read_ingest_packs(spark, cfg.dest_dir)
+    after = after_df.agg(F.sum("seg_tokens").alias("t")).collect()[0]["t"]
+    assert before == after
+    assert (
+        spark.read.parquet(f"{cfg.dest_dir}/pack_stats").count() == 1
+    )
