@@ -32,7 +32,14 @@ Sections (pass any subset as argv; default all):
   about: pack-file locality + stats agreement, one pass each), and the
   steady-state read.
 
+- ``packscale`` (r12) — `read_packed_corpus`'s verifying startup checks at
+  1x and 10x packed volume over a synthesized layout: pins the "both
+  checks are one pass, ~linear in segments" claim with a measurement.
+  Not in the default section list (the 10x build is minutes of one-off
+  fixture work) — run explicitly after reader changes.
+
 Usage: python tools/probe_r11.py [hotband] [bigloops] [preset] [packio]
+       [packscale]
 """
 
 from __future__ import annotations
@@ -397,6 +404,56 @@ def probe_packio(spark) -> None:
             shutil.rmtree(dest, ignore_errors=True)
 
 
+def probe_packscale(spark) -> None:
+    """read_packed_corpus' verifying startup checks at 1x and 10x packed
+    volume (r12): both checks are single passes over the packed table, so
+    the cost must read ~linear in segments — pinning the SCALING.md claim
+    with a measurement instead of shape reasoning. The packed layout is
+    synthesized directly (pack_sequences + hash_split over letter-rotation
+    clones) — the upstream preset ladder is irrelevant to the reader."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_connector_s3_sink_spark import pretraining
+    from kafka_connector_s3_sink_spark.operators import packing, sampling
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for factor in (1, 10):
+        docs = _clones(docs1, factor) if factor > 1 else docs1
+        packed = (
+            packing.pack_sequences(docs, ctx_len=512)
+            .join(sampling.hash_split(docs.select("doc_id")), "doc_id")
+            .withColumn("mix_epoch", F.lit(0).cast("int"))
+            .withMetadata("pack_id", {"pack_scope": "global"})
+        )
+        res = pretraining.PretrainingResult(packed=packed)
+        dest = tempfile.mkdtemp(prefix=f"packscale{factor}-")
+        try:
+            t0 = time.time()
+            pretraining.write_packed_corpus(res, dest)
+            t_write = time.time() - t0
+            t0 = time.time()
+            n = pretraining.read_packed_corpus(spark, dest, verify=True).count()
+            t_verify = time.time() - t0
+            t0 = time.time()
+            m = pretraining.read_packed_corpus(
+                spark, dest, split="train", verify=False
+            ).count()
+            t_read = time.time() - t0
+            print(
+                f"packscale {factor}x: write={t_write:.2f}s "
+                f"read_verify={t_verify:.2f}s ({n} segments) "
+                f"read_train_noverify={t_read:.2f}s ({m} segments)",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(dest, ignore_errors=True)
+
+
 def main() -> None:
     sections = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "hotband",
@@ -411,7 +468,8 @@ def main() -> None:
             {"hotband": probe_hotband,
              "bigloops": probe_bigloops,
              "preset": probe_preset,
-             "packio": probe_packio}[s](spark)
+             "packio": probe_packio,
+             "packscale": probe_packscale}[s](spark)
     finally:
         spark.stop()
 
