@@ -363,41 +363,42 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "iterations": 4,
-        "note": "per-query time is the MEDIAN of 3 warm iterations; "
-        "queries_cold is the 1st run (plan build + codegen + broadcast). "
-        "r12: the entry set is IDENTICAL to r9-r11 (43 entries) — totals "
-        "compare directly (r12 total 77.0s vs r11 80.5s, 0.96x). VERDICT "
-        "r11 item 5 resolved: text_corpus_stats' r10->r11 riser "
+        "note": "per-query time is the MEDIAN of 3 warm iterations; queries_cold is "
+        "the 1st run (plan build + codegen + broadcast). r12: the entry set "
+        "is IDENTICAL to r9-r11 (43 entries) — totals compare directly (r12 "
+        "total 69.0s vs r11 80.5s, 0.86x; an earlier r12 run read 77.0 with "
+        "dedup_candidate_pairs inflated to 9.69 — bench.py --check flagged "
+        "the >2x disagreement and this quiet-machine re-run's 3.28 agrees "
+        "with the ABAB below, exactly the protocol working as designed). "
+        "VERDICT r11 item 5 resolved: text_corpus_stats' r10->r11 riser "
         "(14.3->17.2) was ABAB'd under the established protocol (r10 "
         "6809223 vs r11 386882f, fresh process, interleaved): r10 "
-        "{11.86,12.67} vs r11 {12.69,13.11}, mean 1.05x — NOISE; this "
-        "run's 12.7 confirms (0.74x vs the r11 reading). The ONE "
-        "attributed r12 riser: text_analysis 1.50->2.39 (1.59x; ABAB "
-        "r11-vs-HEAD 1.82x, then 1.60x after the tier-2 hits pre-filter "
-        "landed) — analyze()'s lang_pred is now the FULL "
-        "28-language two-tier ID (VERDICT item 1) instead of a binary "
+        "{11.86,12.67} vs r11 {12.69,13.11}, mean 1.05x — NOISE; this run's "
+        "13.1 confirms. The ONE attributed r12 riser: text_analysis "
+        "1.50->2.47 (1.65x; ABAB r11-vs-HEAD 1.82x, then 1.60x after the "
+        "tier-2 hits pre-filter landed) — analyze()'s lang_pred is now the "
+        "FULL 28-language two-tier ID (VERDICT item 1) instead of a binary "
         "stop-ratio compare; a one-regex Latin fast path already cut the "
-        "corpus-wide cost (text_corpus_stats ABAB'd 1.40x->0.98x after "
-        "it), the remaining +0.9s is the word-tier argmax itself — "
-        "capability, not regression (same 0-shuffle plan, PLANS.md). "
-        "The run's two other risers were PRE-CLEARED by a same-day "
-        "r11-vs-HEAD fresh-process ABAB: dedup_candidate_pairs r11 "
-        "{3.58,5.68} vs HEAD {4.08,4.54} (0.93x, NOISE — its 9.69 here "
-        "and the 12.7 in BENCH_r11's raw tail are the entry's documented "
-        "cross-run swing band) and dedup_embedding_cosine r11 "
-        "{5.61,7.68} vs HEAD {5.73,5.98} (0.88x, NOISE). "
-        "r12 changes outside the "
-        "gate: packio loop timed (write->verify->load; verifying read "
-        "~1-2s at sf0.1), per-split-pack labeled materialize measured "
-        "and REJECTED, pii_totals now one cached pass in lazy mode — "
-        "see SCALING.md r12. "
-        "Reproducibility: medians of two back-to-back runs on a QUIET "
-        "machine agree within ~20-40% per sub-second query and ~15% on "
-        "totals; a run overlapping another Spark JVM's shutdown can "
-        "inflate individual entries several-fold - compare totals across "
-        "rounds, per-query only for >2x deltas; bench.py --check re-runs "
-        "the top-5 committed entries AND their top branches and flags "
-        ">2x disagreement.",
+        "corpus-wide cost (text_corpus_stats ABAB'd 1.40x->0.98x after it), "
+        "the remainder is the word-tier argmax itself — capability, not "
+        "regression (same 0-shuffle plan, PLANS.md). Same-day r11-vs-HEAD "
+        "pre-clears: dedup_candidate_pairs {3.58,5.68} vs {4.08,4.54} "
+        "(0.93x, NOISE) and dedup_embedding_cosine {5.61,7.68} vs "
+        "{5.73,5.98} (0.88x, NOISE). Remaining risers (sink_write_parquet "
+        "1.81x, sink_write_orc 1.57x) are ~0.5s absolute on untouched "
+        "writer code — sub-second noise prior, flagged for the r13 watch "
+        "rule if they repeat. r12 changes outside the gate: packio loop "
+        "timed (write->verify->load; verifying read ~1-2s at sf0.1, flat at "
+        "10x segments per the packscale probe), per-split-pack labeled "
+        "materialize measured and REJECTED, pii_totals now one cached pass "
+        "in lazy mode, streaming ingest gained the pack-locality handoff "
+        "contract — see SCALING.md r12. Reproducibility: medians of two "
+        "back-to-back runs on a QUIET machine agree within ~20-40% per "
+        "sub-second query and ~15% on totals; a run overlapping another "
+        "Spark JVM's shutdown can inflate individual entries several-fold - "
+        "compare totals across rounds, per-query only for >2x deltas; "
+        "bench.py --check re-runs the top-5 committed entries AND their top "
+        "branches and flags >2x disagreement.",
         "queries_cold": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
         "queries_branches": branches,
