@@ -115,7 +115,7 @@ def test_profiles_pairwise_disjoint():
     assert not uk_markers & (bg_markers | bg_absent)
 
 
-def test_language_id_26(spark):
+def test_language_id_all_cases(spark):
     df = spark.createDataFrame([Row(text=t) for t, _ in CASES])
     got = [
         r["lang"]
