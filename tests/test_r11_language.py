@@ -469,3 +469,92 @@ def test_preset_mixture_balances_script_tier_languages(spark):
         )
     finally:
         res.unpersist()
+
+
+def test_twin_fuzz_mixed_script(spark):
+    """Seeded fuzz of the Spark-vs-DuckDB twin (r12): 200 generated strings
+    mixing profile words, per-script sample characters, digits, punctuation,
+    and whitespace — every verdict must agree between the Spark chain
+    (with its Latin fast path) and the gate's generated SQL. One Spark
+    pass + one DuckDB pass; deterministic seed, so a failure reproduces.
+    This is the drift pin the 29 natural-sentence fixtures can't give:
+    ratio-threshold edges, multi-script mixtures, and salad inputs."""
+    import random
+
+    import __spark_entry__ as entry
+
+    rng = random.Random("r12fuzz")
+    # pools: tier-2 words, tier-1 script chars (sampled from each range's
+    # first block), neutral filler
+    word_pool = [w for ws in LANGUAGE_PROFILES.values() for w in ws]
+    script_pool = []
+    for code, ranges in sorted(SCRIPT_RANGES.items()):
+        lo = ord(ranges[0])
+        script_pool.extend(chr(lo + k) for k in (0, 5, 40, 41, 77))
+    cyr_pool = list("іїєґъыэёабвгд")
+    filler = ["zzz", "qqq", "x1", "42", ".", ",", "!", "?", ";", ":"]
+
+    def make(rng):
+        n = rng.randint(0, 24)
+        toks = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.35:
+                toks.append(rng.choice(word_pool))
+            elif r < 0.6:
+                toks.append(
+                    "".join(
+                        rng.choice(script_pool)
+                        for _ in range(rng.randint(1, 8))
+                    )
+                )
+            elif r < 0.7:
+                toks.append(
+                    "".join(
+                        rng.choice(cyr_pool) for _ in range(rng.randint(1, 8))
+                    )
+                )
+            else:
+                toks.append(rng.choice(filler))
+        sep = rng.choice([" ", "  ", "\n", " \t "])
+        return sep.join(toks)
+
+    texts = [make(rng) for _ in range(200)]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = [
+        r["lang"]
+        for r in df.select(
+            language_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    ]
+
+    ratio_cols, pick = entry._lang_sql_chain()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") x(i, text)",
+        texts,
+    )
+    twin = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT {pick} FROM (
+                SELECT *, {ratio_cols} FROM (
+                    SELECT i, text,
+                        CASE WHEN trim(text) = '' THEN []
+                             ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                        END AS ltoks
+                    FROM t
+                )
+            ) ORDER BY i
+            """
+        ).fetchall()
+    ]
+    mismatches = [
+        (i, texts[i], got[i], twin[i])
+        for i in range(len(texts))
+        if got[i] != twin[i]
+    ]
+    assert not mismatches, mismatches[:5]
