@@ -387,6 +387,64 @@ def read_packed_corpus(
     return df
 
 
+def corpus_datasheet(
+    res: PretrainingResult,
+    source_col: str = "source",
+) -> DataFrame:
+    """One-call data card for a finished preset build (Gebru et al. 2018's
+    "Datasheets for Datasets", the numbers section): a LONG-format frame
+    ``(section, key, value)`` a governance reviewer or training run pins
+    before consuming the corpus —
+
+    - ``stage_rows``: per-stage surviving document counts in pipeline order
+      (what each quality/dedup/decontam/cap rung removed);
+    - ``split``: per-split pack/doc/segment/token totals from the packed
+      layout (the trainer-facing volumetrics);
+    - ``mixture``: per-source replica counts AFTER α-sampling/rate
+      replication, when a mixture stage ran (``source_col`` names the
+      grouping column — pass the config's value if overridden);
+    - ``pii``: per-type redaction totals, when ``redact_pii`` ran.
+
+    Driver-side cost: ``accounting()``'s one count job per stage plus one
+    aggregation per remaining section — run it once per build, ideally
+    under ``persist_stages=True`` (each count then reuses the previous
+    stage's cache). Everything is derived from the result object; no
+    side-channel state, so a replayed build datasheets identically."""
+    if res.packed is None:
+        raise ValueError("result carries no packed layout")
+    spark = res.packed.sparkSession
+    rows: list[tuple[str, str, float]] = []
+    for name, count in res.accounting():
+        rows.append(("stage_rows", name, float(count)))
+    for r in (
+        res.packed.groupBy("split")
+        .agg(
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("seg_tokens").alias("n_tokens"),
+        )
+        .collect()
+    ):
+        for metric in ("n_packs", "n_docs", "n_segments", "n_tokens"):
+            rows.append(("split", f"{r['split']}:{metric}", float(r[metric])))
+    if "mixture" in res.stages and source_col in res.stages["mixture"].columns:
+        for r in (
+            res.stages["mixture"]
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            rows.append(("mixture", str(r[source_col]), float(r["n"])))
+    if res.pii_totals is not None:
+        totals = res.pii_totals.collect()[0]
+        for k in totals.asDict():
+            rows.append(("pii", k, float(totals[k] or 0)))
+    return spark.createDataFrame(
+        rows, "section string, key string, value double"
+    )
+
+
 def _slots(rates: Mapping[str, float]) -> int:
     out = 1
     for r in rates.values():

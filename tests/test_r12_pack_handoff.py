@@ -156,3 +156,58 @@ def test_replay_idempotent_with_pack_stats(spark, tmp_path, index):
     assert (
         spark.read.parquet(f"{cfg.dest_dir}/pack_stats").count() == 1
     )
+
+
+def test_corpus_datasheet(spark):
+    """r12: the one-call data card — stage_rows mirror accounting(), split
+    volumetrics mirror the packed layout, the mixture section reflects the
+    α-sampled distribution, and pii totals surface when redaction ran."""
+    from kafka_connector_s3_sink_spark import pretraining
+    from kafka_connector_s3_sink_spark.operators.text import LANGUAGE_PROFILES
+
+    rows = []
+    doc_id = 0
+    for code, n in (("en", 30), ("de", 10)):
+        words = LANGUAGE_PROFILES[code]
+        for _ in range(n):
+            toks = []
+            for j, w in enumerate(words):
+                toks.append(w)
+                toks.append(f"u{code}{doc_id}x{j}")
+            rows.append((doc_id, " ".join(toks) + " mail a@b.co"))
+            doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = pretraining.PretrainingConfig(
+        quality_floor=None,
+        mixture_alpha=0.3,
+        source_col="lang",
+        derive_source_language=True,
+        redact_pii=True,
+        ctx_len=64,
+        splits={"train": 1.0},
+        seed="r12sheet",
+    )
+    res = pretraining.pretraining_pipeline(docs, config=cfg)
+    try:
+        sheet = {
+            (r["section"], r["key"]): r["value"]
+            for r in pretraining.corpus_datasheet(
+                res, source_col="lang"
+            ).collect()
+        }
+        # stage_rows mirror accounting()
+        for name, count in res.accounting():
+            assert sheet[("stage_rows", name)] == float(count)
+        # split volumetrics mirror the packed frame
+        n_tokens = res.packed.agg(
+            F.sum("seg_tokens").alias("t")
+        ).collect()[0]["t"]
+        assert sheet[("split", "train:n_tokens")] == float(n_tokens)
+        # mixture distribution present for both detected languages,
+        # α-flattened (de upsampled, en downsampled)
+        assert sheet[("mixture", "de")] > 10
+        assert sheet[("mixture", "en")] < 30
+        # every doc carries one planted email
+        assert sheet[("pii", "n_pii_email")] == float(len(rows))
+    finally:
+        res.unpersist()
