@@ -182,9 +182,12 @@ def _lang_sql_chain(
         for code, ranges in s_ordered
     ]
     profiles = sorted(text_ops.LANGUAGE_PROFILES.items())
+    # profile words are interpolated into single-quoted SQL literals: double
+    # any apostrophe (the standard SQL escape) so a future elision-bearing
+    # profile word (fr/it l', d'…) cannot silently corrupt the oracle chain
     cols += [
         f"len(list_filter({ltoks_expr}, t -> t IN ("
-        + ", ".join(f"'{w}'" for w in words)
+        + ", ".join("'" + w.replace("'", "''") + "'" for w in words)
         + f"))) / greatest(len({ltoks_expr}), 1) AS wr_{code}"
         for code, words in profiles
     ]

@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Hand-written per-round analysis. MUST NOT contain totals or round-over-round
+# ratios — those are computed and interpolated by main() from the payloads
+# themselves (the r12 note cited a 69.0s total its own medians contradicted).
+# Only genuinely hand-measured numbers (fresh-process ABAB arms) belong here.
+ROUND_NARRATIVE = (
+    "r13 narrative placeholder — updated at round close with the ABAB "
+    "verdicts for this round's watch items (sink_write_parquet / "
+    "sink_write_orc same-direction-twice rule) and any attributed deltas."
+)
+
 # headline set: sink surface + heavy relational + LLM ops
 BENCH_QUERIES = [
     "sink_projection_csv",
@@ -356,6 +366,36 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+    )
+    # Round-over-round comparison COMPUTED from the two payloads (VERDICT r12
+    # "what's wrong" item 1: the r12 note hand-wrote a 69.0s total its own
+    # medians contradicted). The previous committed BENCH_LAST.json is read
+    # BEFORE this run overwrites it; totals are summed over the shared entry
+    # set so an entry-set change can never silently skew the ratio.
+    rr_note = "No previous BENCH_LAST.json to compare against. "
+    try:
+        with open(out_path) as f:
+            prev = json.loads(f.readline())
+        shared = sorted(set(prev.get("queries", {})) & set(timings))
+        prev_total = round(sum(prev["queries"][k] for k in shared), 3)
+        this_total = round(sum(timings[k] for k in shared), 3)
+        rr_note = (
+            f"Round-over-round, computed from the two payloads over their "
+            f"{len(shared)} shared entries (not hand-written): this run "
+            f"{this_total}s vs previous committed {prev_total}s = "
+            f"{this_total / prev_total:.2f}x"
+            + (
+                ""
+                if len(shared) == len(timings) == len(prev.get("queries", {}))
+                else f"; entry sets differ ({len(prev.get('queries', {}))} "
+                f"prev / {len(timings)} now)"
+            )
+            + ". "
+        )
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        pass
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -364,35 +404,10 @@ def main() -> None:
         "sf": float(sf),
         "iterations": 4,
         "note": "per-query time is the MEDIAN of 3 warm iterations; queries_cold is "
-        "the 1st run (plan build + codegen + broadcast). r12: the entry set "
-        "is IDENTICAL to r9-r11 (43 entries) — totals compare directly (r12 "
-        "total 69.0s vs r11 80.5s, 0.86x; an earlier r12 run read 77.0 with "
-        "dedup_candidate_pairs inflated to 9.69 — bench.py --check flagged "
-        "the >2x disagreement and this quiet-machine re-run's 3.28 agrees "
-        "with the ABAB below, exactly the protocol working as designed). "
-        "VERDICT r11 item 5 resolved: text_corpus_stats' r10->r11 riser "
-        "(14.3->17.2) was ABAB'd under the established protocol (r10 "
-        "6809223 vs r11 386882f, fresh process, interleaved): r10 "
-        "{11.86,12.67} vs r11 {12.69,13.11}, mean 1.05x — NOISE; this run's "
-        "13.1 confirms. The ONE attributed r12 riser: text_analysis "
-        "1.50->2.47 (1.65x; ABAB r11-vs-HEAD 1.82x, then 1.60x after the "
-        "tier-2 hits pre-filter landed) — analyze()'s lang_pred is now the "
-        "FULL 28-language two-tier ID (VERDICT item 1) instead of a binary "
-        "stop-ratio compare; a one-regex Latin fast path already cut the "
-        "corpus-wide cost (text_corpus_stats ABAB'd 1.40x->0.98x after it), "
-        "the remainder is the word-tier argmax itself — capability, not "
-        "regression (same 0-shuffle plan, PLANS.md). Same-day r11-vs-HEAD "
-        "pre-clears: dedup_candidate_pairs {3.58,5.68} vs {4.08,4.54} "
-        "(0.93x, NOISE) and dedup_embedding_cosine {5.61,7.68} vs "
-        "{5.73,5.98} (0.88x, NOISE). Remaining risers (sink_write_parquet "
-        "1.81x, sink_write_orc 1.57x) are ~0.5s absolute on untouched "
-        "writer code — sub-second noise prior, flagged for the r13 watch "
-        "rule if they repeat. r12 changes outside the gate: packio loop "
-        "timed (write->verify->load; verifying read ~1-2s at sf0.1, flat at "
-        "10x segments per the packscale probe), per-split-pack labeled "
-        "materialize measured and REJECTED, pii_totals now one cached pass "
-        "in lazy mode, streaming ingest gained the pack-locality handoff "
-        "contract — see SCALING.md r12. Reproducibility: medians of two "
+        "the 1st run (plan build + codegen + broadcast). "
+        + rr_note
+        + ROUND_NARRATIVE
+        + " Reproducibility: medians of two "
         "back-to-back runs on a QUIET machine agree within ~20-40% per "
         "sub-second query and ~15% on totals; a run overlapping another "
         "Spark JVM's shutdown can inflate individual entries several-fold - "
@@ -415,7 +430,6 @@ def main() -> None:
     line = json.dumps(result)
     # The driver tail-captures stdout; a truncated tail once ate the r3 warm
     # total. Persist the full JSON to a file first, then print the one line.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
     with open(out_path, "w") as f:
         f.write(line + "\n")
     print(line)

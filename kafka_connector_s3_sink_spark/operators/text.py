@@ -521,17 +521,18 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     projected once and reused; CollapseProject keeps multi-referenced non-cheap
     expressions in their own projection, so they are not re-inlined."""
     t = F.col(text_col)
+    lt = tokens_column(F.lower(t))
     arrays = F.explode(
         F.array(
             F.struct(
                 tokens_column(t).alias("toks"),
-                tokens_column(F.lower(t)).alias("ltoks"),
+                lt.alias("ltoks"),
                 nonempty_lines(t).alias("lines"),
                 # tier-2 pre-filter for the 28-language ID: materialized
                 # here so the 17 per-language counts scan a short array
                 # instead of re-running the union filter each (HOF
                 # filters are interpreted — see language_id_multi)
-                profile_hits(tokens_column(F.lower(t))).alias("hits"),
+                profile_hits(lt).alias("hits"),
             )
         )
     )

@@ -256,13 +256,17 @@ def write_packed_corpus(
     instead)."""
     if res.packed is None:
         raise ValueError("result carries no packed layout")
-    (
-        res.packed.repartition(shards_per_split, "pack_id")
-        .sortWithinPartitions("pack_id", "pack_pos")
-        .write.mode(mode)
-        .partitionBy("split")
-        .parquet(f"{dest}/packed")
-    )
+    with packing.locality_write_conf(res.packed.sparkSession):
+        (
+            # the conf guard clears a session maxRecordsPerFile that would
+            # split task outputs and silently break the one-pack-one-file
+            # contract the verifying reader checks
+            res.packed.repartition(shards_per_split, "pack_id")
+            .sortWithinPartitions("pack_id", "pack_pos")
+            .write.mode(mode)
+            .partitionBy("split")
+            .parquet(f"{dest}/packed")
+        )
     stats = res.packed.groupBy("split").agg(
         F.countDistinct("pack_id").alias("n_packs"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -346,43 +350,15 @@ def read_packed_corpus(
     df = spark.read.parquet(f"{dest}/packed")
     if split is not None:
         df = df.filter(F.col("split") == split)
-    if not verify:
-        return df
-    bad_locality = (
-        df.withColumn("_file", F.input_file_name())
-        .groupBy("split", "pack_id")
-        .agg(F.countDistinct("_file").alias("_nf"))
-        .filter(F.col("_nf") > 1)
-    )
-    broken = bad_locality.limit(5).collect()
-    if broken:
-        names = [(r["split"], r["pack_id"]) for r in broken]
-        raise ValueError(
-            f"pack-file locality broken: packs {names} span multiple files "
-            "(writer contract: one pack's segments land in one file — was "
-            "the directory rewritten outside write_packed_corpus?)"
-        )
-    recomputed = {
-        r["split"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
-        for r in df.groupBy("split")
-        .agg(
-            F.countDistinct("pack_id").alias("n_packs"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum("seg_tokens").alias("n_tokens"),
-        )
-        .collect()
-    }
-    stored = {
-        r["split"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
-        for r in spark.read.parquet(f"{dest}/stats").collect()
-        if split is None or r["split"] == split
-    }
-    if recomputed != stored:
-        raise ValueError(
-            "packed data disagrees with the stats table: "
-            f"recomputed={recomputed} stored={stored} — partial write or "
-            "stats from a different corpus version"
+    if verify:
+        packing.verify_pack_layout(
+            spark,
+            df,
+            f"{dest}/stats",
+            key_col="split",
+            id_col="doc_id",
+            writer_name="write_packed_corpus",
+            key_value=split,
         )
     return df
 

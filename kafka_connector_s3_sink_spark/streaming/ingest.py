@@ -539,15 +539,19 @@ def process_crawl_batch(
                     per_doc_overhead=config.per_doc_overhead,
                 )
             packed = packed.withColumn("batch_id", F.lit(epoch))
-            (
-                # locality contract (r12, parity with write_packed_corpus):
-                # one pack's segments in one file, sorted by slot position
-                packed.repartition(config.pack_shards, "pack_id")
-                .sortWithinPartitions("pack_id", "pack_pos")
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(f"{config.dest_dir}/packs")
-            )
+            with packing.locality_write_conf(spark):
+                (
+                    # locality contract (r12, parity with
+                    # write_packed_corpus): one pack's segments in one file,
+                    # sorted by slot position; the conf guard clears a
+                    # session maxRecordsPerFile that would split task
+                    # outputs and break the contract
+                    packed.repartition(config.pack_shards, "pack_id")
+                    .sortWithinPartitions("pack_id", "pack_pos")
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{config.dest_dir}/packs")
+                )
             # per-epoch pack stats, recomputed FROM THE WRITTEN FILES (so
             # the stats row describes what is actually on disk, and a
             # replayed epoch regenerates it byte-consistently) — the other
@@ -562,6 +566,10 @@ def process_crawl_batch(
                     F.count(F.lit(1)).alias("n_segments"),
                     F.sum("seg_tokens").alias("n_tokens"),
                 )
+                # stamp WHICH id column n_docs counted (r13, VERDICT item
+                # 5): a reader verifying under a different id_col fails
+                # with a named-column error, not a stats mismatch
+                .withColumn("id_col", F.lit(id_col))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
@@ -625,6 +633,7 @@ def read_ingest_packs(
     batch_id: Optional[str] = None,
     verify: bool = True,
     id_col: str = "doc_id",
+    allow_inflight: bool = False,
 ) -> DataFrame:
     """Trainer-side reader for the streaming ingest's ``<dest>/packs`` —
     the verifying other half of the per-epoch pack write, mirroring
@@ -632,10 +641,14 @@ def read_ingest_packs(
 
     Returns the packed segment frame (the ``batch_id`` partition column
     included; pass ``batch_id=`` to prune to one epoch's directory at scan
-    time). ``verify=True`` (default) runs two bounded checks and raises
-    ``ValueError`` on the first violation — an interrupted write, a
-    compaction that broke file grouping, or stats from a different write:
+    time). ``verify=True`` (default) runs the shared
+    ``packing.verify_pack_layout`` checks (one implementation for both
+    trainer-facing readers, so the contracts cannot drift) and raises
+    ``ValueError`` on the first violation:
 
+    - **id-column agreement** (first): ``pack_stats`` stamps the id column
+      the writer counted ``n_docs`` under; a mismatched ``id_col`` here
+      fails with a named-column error rather than a stats mismatch;
     - **pack-file locality**: every (batch_id, pack_id) must live in
       exactly ONE parquet file (pack ids are per-epoch, so the key
       includes the epoch) — the ``IngestConfig.pack_shards`` repartition
@@ -643,50 +656,28 @@ def read_ingest_packs(
       shuffle;
     - **stats agreement**: per-epoch ``n_packs / n_docs / n_segments /
       n_tokens`` recomputed from the data must equal ``<dest>/pack_stats``.
+      Within one epoch write, packs land BEFORE the stats row — a
+      full-table verify that overlaps an in-flight ``process_crawl_batch``
+      would see a stats-less epoch. That raises a distinct in-flight/
+      interrupted-write error by default; pass ``allow_inflight=True`` to
+      verify only the completed epochs (or prune to one completed epoch
+      via ``batch_id=``).
 
-    Both are one pass each over the (pruned) packs table — run once at
+    Each check is one pass over the (pruned) packs table — run once at
     training startup, then re-read with ``verify=False``."""
     df = spark.read.parquet(f"{dest_dir}/packs")
     if batch_id is not None:
         df = df.filter(F.col("batch_id") == batch_id)
-    if not verify:
-        return df
-    broken = (
-        df.withColumn("_file", F.input_file_name())
-        .groupBy("batch_id", "pack_id")
-        .agg(F.countDistinct("_file").alias("_nf"))
-        .filter(F.col("_nf") > 1)
-        .limit(5)
-        .collect()
-    )
-    if broken:
-        names = [(r["batch_id"], r["pack_id"]) for r in broken]
-        raise ValueError(
-            f"pack-file locality broken: packs {names} span multiple files "
-            "(write contract: one pack's segments land in one file — was "
-            "the directory rewritten outside process_crawl_batch?)"
-        )
-    recomputed = {
-        r["batch_id"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
-        for r in df.groupBy("batch_id")
-        .agg(
-            F.countDistinct("pack_id").alias("n_packs"),
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum("seg_tokens").alias("n_tokens"),
-        )
-        .collect()
-    }
-    stored = {
-        r["batch_id"]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
-        for r in spark.read.parquet(f"{dest_dir}/pack_stats").collect()
-        if batch_id is None or r["batch_id"] == batch_id
-    }
-    if recomputed != stored:
-        raise ValueError(
-            "packs data disagrees with the pack_stats table: "
-            f"recomputed={recomputed} stored={stored} — partial write or "
-            "stats from a different epoch version"
+    if verify:
+        packing.verify_pack_layout(
+            spark,
+            df,
+            f"{dest_dir}/pack_stats",
+            key_col="batch_id",
+            id_col=id_col,
+            writer_name="process_crawl_batch",
+            key_value=batch_id,
+            allow_missing_stats=allow_inflight,
         )
     return df
 

@@ -1,0 +1,182 @@
+"""r13: hardening of the shared pack-verify contract (VERDICT items 5,
+ADVICE items 2 and 4).
+
+The two trainer-facing readers (`pretraining.read_packed_corpus`,
+`ingest.read_ingest_packs`) now run ONE shared implementation —
+`packing.verify_pack_layout` — so the contracts cannot drift. New
+behaviors pinned here:
+
+- `pack_stats` stamps the id column `n_docs` was counted under; verifying
+  with a different `id_col` fails with a NAMED-COLUMN error before any
+  stats comparison;
+- an epoch with packed data but no stats row (the in-flight /
+  interrupted-write shape: packs land before stats inside one epoch)
+  raises a DISTINCT error, and `allow_inflight=True` verifies only the
+  completed epochs;
+- a stats row whose packed data vanished raises a distinct lost-files
+  error;
+- `packing.locality_write_conf` clears a session
+  `spark.sql.files.maxRecordsPerFile` around the pack writes (which would
+  otherwise split task outputs and break the one-pack-one-file contract
+  the verifying reader checks) and restores it after.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import incremental, packing
+from kafka_connector_s3_sink_spark.streaming import ingest
+
+PREFIX = "r13pack"
+
+
+def _prose(tag, n=20):
+    stops = ["the", "and", "of", "to", "is"]
+    return " ".join(
+        w for i in range(n) for w in (stops[i % 5], f"{tag}{i}")
+    )
+
+
+def _cfg(tmp_path, loc, **over):
+    base = dict(
+        index_prefix=PREFIX,
+        index_location=loc,
+        dest_dir=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        num_buckets=2,
+        ctx_len=64,
+        split_weights={"train": 1.0},
+    )
+    base.update(over)
+    return ingest.IngestConfig(**base)
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    loc = str(tmp_path / "index")
+    base = spark.createDataFrame(
+        [(9999, _prose("hist", 25))], ["doc_id", "text"]
+    )
+    incremental.build_dedup_index(base, PREFIX, loc, num_buckets=2)
+    yield loc
+    incremental.drop_dedup_index(spark, PREFIX)
+
+
+@pytest.fixture()
+def written(spark, tmp_path, index):
+    cfg = _cfg(tmp_path, index)
+    docs = spark.createDataFrame(
+        [(i, _prose(f"d{i}", 10 + i)) for i in range(1, 9)],
+        ["doc_id", "text"],
+    )
+    ingest.process_crawl_batch(docs, 0, cfg)
+    return cfg
+
+
+def test_wrong_id_col_fails_with_named_column_error(spark, written):
+    # pack_stats carries the stamped id column
+    stats = spark.read.parquet(f"{written.dest_dir}/pack_stats")
+    assert "id_col" in stats.columns
+    assert {r["id_col"] for r in stats.select("id_col").collect()} == {
+        "doc_id"
+    }
+    # a reader verifying under a different id column gets the NAMED error
+    # (not a stats-disagreement message, not an unresolved-column error)
+    with pytest.raises(ValueError, match="id_col='item_id'"):
+        ingest.read_ingest_packs(
+            spark, written.dest_dir, id_col="item_id"
+        )
+    # the right column still verifies green
+    assert ingest.read_ingest_packs(spark, written.dest_dir).count() > 0
+
+
+def test_inflight_epoch_raises_distinct_error(spark, written):
+    # simulate the in-flight shape: a second epoch's packs exist on disk
+    # but its stats row has not landed yet (packs write before stats
+    # inside process_crawl_batch)
+    e0 = ingest._epoch_batch_id(0)
+    e1 = ingest._epoch_batch_id(1)
+    packs = spark.read.parquet(f"{written.dest_dir}/packs").filter(
+        F.col("batch_id") == e0
+    )
+    (
+        packs.withColumn("batch_id", F.lit(e1))
+        .coalesce(1)  # one file -> locality trivially holds
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(f"{written.dest_dir}/packs")
+    )
+    with pytest.raises(ValueError, match="in-flight or interrupted"):
+        ingest.read_ingest_packs(spark, written.dest_dir)
+    # allow_inflight verifies the completed epochs and returns the frame
+    df = ingest.read_ingest_packs(
+        spark, written.dest_dir, allow_inflight=True
+    )
+    assert {
+        r["batch_id"] for r in df.select("batch_id").distinct().collect()
+    } == {e0, e1}
+    # pruning to the completed epoch also verifies green
+    assert (
+        ingest.read_ingest_packs(spark, written.dest_dir, batch_id=e0).count()
+        > 0
+    )
+
+
+def test_stats_row_without_data_raises_lost_files(spark, written, tmp_path):
+    import shutil
+
+    shutil.rmtree(
+        f"{written.dest_dir}/packs/batch_id={ingest._epoch_batch_id(0)}"
+    )
+    # rewrite a placeholder epoch so the packs table still exists/reads
+    spark.createDataFrame(
+        [(99, 5, 0, 0, 0, 5, ingest._epoch_batch_id(9))],
+        "doc_id long, n_tokens long, pack_id long, pack_pos long, "
+        "doc_offset long, seg_tokens long, batch_id string",
+    ).write.mode("append").partitionBy("batch_id").parquet(
+        f"{written.dest_dir}/packs"
+    )
+    with pytest.raises(ValueError, match="no packed data"):
+        ingest.read_ingest_packs(spark, written.dest_dir, allow_inflight=True)
+
+
+def test_max_records_per_file_guard(spark, tmp_path, index):
+    """A session-level maxRecordsPerFile would split the pack writer's task
+    outputs into several files and break the one-pack-one-file contract;
+    the writer clears it for the packs write and restores it after."""
+    key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(key, "0")
+    spark.conf.set(key, "2")
+    try:
+        cfg = _cfg(tmp_path, index)
+        docs = spark.createDataFrame(
+            [(i, _prose(f"g{i}", 14 + i)) for i in range(1, 9)],
+            ["doc_id", "text"],
+        )
+        ingest.process_crawl_batch(docs, 0, cfg)
+        # the verifying read passes: locality held despite the session conf
+        packs = ingest.read_ingest_packs(spark, cfg.dest_dir)
+        multi = (
+            packs.withColumn("_f", F.input_file_name())
+            .groupBy("batch_id", "pack_id")
+            .agg(F.countDistinct("_f").alias("nf"))
+            .filter(F.col("nf") > 1)
+            .count()
+        )
+        assert multi == 0
+        # and the conf is restored for the rest of the session
+        assert spark.conf.get(key) == "2"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_locality_write_conf_restores(spark):
+    key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(key, "0")
+    spark.conf.set(key, "7")
+    try:
+        with packing.locality_write_conf(spark):
+            assert spark.conf.get(key) == "0"
+        assert spark.conf.get(key) == "7"
+    finally:
+        spark.conf.set(key, prev)
