@@ -161,7 +161,7 @@ def _lang_sql_chain(
     text_expr: str = "text", ltoks_expr: str = "ltoks"
 ) -> tuple[str, str]:
     """DuckDB twin of ``text.language_id_multi`` (the full two-tier
-    28-language chain), built mechanically from the SAME tables and threshold
+    30-language chain), built mechanically from the SAME tables and threshold
     constants the Spark chain reads — ``SCRIPT_RANGES``, ``LANGUAGE_PROFILES``,
     ``CYRILLIC_REFINEMENTS``, ``KANA/SCRIPT/LANG_MIN_RATIO`` — so the two
     engines can never drift (same discipline as ``_pii_sql_chain``).

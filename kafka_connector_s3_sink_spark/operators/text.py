@@ -5,7 +5,7 @@ no Python UDFs. Hash primitives use ``md5`` (identical semantics in DuckDB, so
 every operator here is oracle-checkable).
 
 Operators: token counting (whitespace + BPE-ish word/punct split), language ID
-(binary stopword heuristic + the two-tier 28-language ``language_id_multi``),
+(binary stopword heuristic + the two-tier 30-language ``language_id_multi``),
 quality scoring (length/punct/stopword ratios),
 document fingerprinting (normalized md5 + rolling-shingle fingerprint),
 PII redaction (ordered regex chain with per-type counts), and Gopher-style
@@ -141,7 +141,7 @@ LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
 # literal-character classes (identical semantics under Java regex and RE2,
 # keeping the DuckDB twin exact — \p{script=…} property syntax differs
 # between the engines). Han is shared by zh and ja: kana presence decides;
-# Cyrillic is shared by ru/uk/bg: alphabet-specific letters decide
+# Cyrillic is shared by ru/uk/mk/sr/bg: alphabet-specific letters decide
 # (CYRILLIC_REFINEMENTS below) — see language_id_multi.
 SCRIPT_RANGES: dict[str, str] = {
     "zh": "\u4e00-\u9fff",              # CJK Unified Ideographs (Han)
@@ -155,21 +155,32 @@ SCRIPT_RANGES: dict[str, str] = {
     "th": "\u0e00-\u0e7f",              # Thai
 }
 
-# Cyrillic-script refinement (r12): the 'ru' range above covers the whole
-# Cyrillic block, so Ukrainian and Bulgarian text would otherwise be
-# mislabeled 'ru' \u2014 a governance-relevant error once the mixture stage
-# up-samples by detected language. Each entry is (code, marker_chars,
-# absent_chars), applied IN ORDER to Cyrillic-dominant text:
-#   - uk: \u0456/\u0457/\u0454/\u0491 exist in Ukrainian but in neither Russian nor Bulgarian;
+# Cyrillic-script refinement (r12, widened r13): the 'ru' range above covers
+# the whole Cyrillic block, so Ukrainian/Macedonian/Serbian/Bulgarian text
+# would otherwise be mislabeled 'ru' \u2014 a governance-relevant error once the
+# mixture stage up-samples by detected language. Each entry is (code,
+# marker_chars, absent_chars), applied IN ORDER to Cyrillic-dominant text:
+#   - uk: \u0456/\u0457/\u0454/\u0491 exist in Ukrainian but in none of the other four;
+#   - mk: \u0453/\u0455/\u045c are unique to Macedonian (\u045c via the very frequent
+#     future marker \u045c\u0435); checked BEFORE sr because Macedonian also uses
+#     \u0458/\u0459/\u045a/\u045f, which would match the Serbian row first;
+#   - sr: \u0458/\u0459/\u045a/\u0452/\u045b/\u045f exist in Serbian (and \u0458/\u0459/\u045a/\u045f in
+#     Macedonian, handled above) but not in Russian/Ukrainian/Bulgarian;
+#     \u0458 alone is ~4-5% of Serbian running text. Marker-light Macedonian
+#     (below the \u0453/\u0455/\u045c ratio) resolves here to 'sr' \u2014 the documented
+#     residual conflation, the closest relative rather than 'ru';
 #   - bg: \u044a is a frequent VOWEL letter in Bulgarian (~2-3% of running text)
 #     but a rare silent sign in Russian, while \u044b/\u044d/\u0451 exist only in Russian \u2014
-#     so "\u044a present AND \u044b/\u044d/\u0451 absent" discriminates bg from ru.
+#     so "\u044a present AND \u044b/\u044d/\u0451 absent" discriminates bg from ru (Serbian
+#     and Macedonian have no \u044a, so the later position is safe).
 # Marker presence is a RATIO over the text's Cyrillic chars
 # (\u2265 CYRILLIC_MARKER_MIN_RATIO), not bare presence, so one quoted foreign
 # word inside a long Russian document cannot flip its label. Public alphabet
 # facts; the Spark chain and the DuckDB twin both derive from this table.
 CYRILLIC_REFINEMENTS: tuple[tuple[str, str, str], ...] = (
     ("uk", "\u0456\u0457\u0454\u0491\u0406\u0407\u0404\u0490", ""),
+    ("mk", "\u0453\u0455\u045c\u0403\u0405\u040c", ""),
+    ("sr", "\u0458\u0459\u045a\u0452\u045b\u045f\u0408\u0409\u040a\u0402\u040b\u040f", ""),
     ("bg", "\u044a\u042a", "\u044b\u044d\u0451\u042b\u042d\u0401"),
 )
 
@@ -183,7 +194,8 @@ CYRILLIC_MARKER_MIN_RATIO = 0.01
 
 
 def cyrillic_refined(text: Column) -> Column:
-    """Resolve Cyrillic-dominant text to ru/uk/bg via ``CYRILLIC_REFINEMENTS``
+    """Resolve Cyrillic-dominant text to ru/uk/mk/sr/bg via
+    ``CYRILLIC_REFINEMENTS``
     (marker-letter ratios over the text's Cyrillic chars; see the table's
     comment). Row-local regexp_count expressions only."""
     cyr = F.greatest(
@@ -210,7 +222,7 @@ def language_id_multi(
     ltoks: Column | None = None,
     hits: Column | None = None,
 ) -> Column:
-    """Two-tier language ID over 28 languages, all row-local JVM expressions
+    """Two-tier language ID over 30 languages, all row-local JVM expressions
     (no model file, no UDF — the oracle-portable shape).
 
     Tier 1 — SCRIPT: per-script character ratios (``SCRIPT_RANGES`` counts /
@@ -223,7 +235,8 @@ def language_id_multi(
     restores mixed-document symmetry. Otherwise the highest script ratio
     clearing ``script_min_ratio`` wins (deterministic alphabetical
     tiebreak, same struct-greatest trick as tier 2); a Cyrillic win then
-    resolves ru/uk/bg through ``cyrillic_refined`` (the whole block would
+    resolves ru/uk/mk/sr/bg through ``cyrillic_refined`` (the whole block
+    would
     otherwise read 'ru').
 
     Tier 2 — FUNCTION WORDS: argmax over the per-language profile-word
@@ -236,9 +249,16 @@ def language_id_multi(
     re-splitting.
 
     Known conflations (documented scope): Norwegian Bokmål shares its
-    closed-class words with the ``da`` profile and is labeled 'da';
-    Serbian/Macedonian Cyrillic resolve to 'ru' unless they carry the
-    uk/bg marker letters.
+    closed-class words with the ``da`` profile and is labeled 'da' — a
+    measured decision, not an oversight: the profiles are pairwise
+    DISJOINT by contract, and the Bokmål/Danish shared closed-class stock
+    is so large that a no profile restricted to Bokmål-only spellings
+    (hva/mye/noen/ut/opp/alltid) sums to well under the 6% min_ratio on
+    real text, while stripping the shared words from ``da`` would push
+    real Danish under the threshold too — both languages would degrade to
+    'und'. Macedonian that carries none of its unique ѓ/ѕ/ќ letters at
+    the marker ratio resolves to 'sr' (its closest relative — both use
+    ј/љ/њ/џ), not 'ru'.
 
     Feeds ``sampling.temperature_mixture_rates`` (Conneau et al. α-sampling)
     — breadth here is what makes the mixture stage able to balance
@@ -528,7 +548,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
                 tokens_column(t).alias("toks"),
                 lt.alias("ltoks"),
                 nonempty_lines(t).alias("lines"),
-                # tier-2 pre-filter for the 28-language ID: materialized
+                # tier-2 pre-filter for the 30-language ID: materialized
                 # here so the 17 per-language counts scan a short array
                 # instead of re-running the union filter each (HOF
                 # filters are interpreted — see language_id_multi)
@@ -559,7 +579,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         stable_round(F.col("_stop_r"), 4).alias("stopword_ratio"),
         stable_round(F.col("_punct_r"), 4).alias("punct_ratio"),
         quality.alias("quality"),
-        # full two-tier 28-language ID (r12 — previously the binary en/und
+        # full two-tier 30-language ID (r12 — previously the binary en/und
         # stopword heuristic); reuses the Generate-barriered token and
         # profile-hit arrays
         language_id_multi(t, ltoks=ltoks, hits=F.col("_a.hits")).alias(

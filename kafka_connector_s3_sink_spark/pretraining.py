@@ -145,7 +145,7 @@ class PretrainingConfig:
     mixture_max_rate: float | None = None
     source_col: str = "source"
     # when the mixture is configured but the corpus carries no source_col,
-    # derive it with text.language_id_multi (28-language two-tier ID) —
+    # derive it with text.language_id_multi (30-language two-tier ID) —
     # the one-call multilingual balance (mixture_alpha α-sampling over
     # detected languages). Default False keeps the missing-column error.
     derive_source_language: bool = False
@@ -662,7 +662,7 @@ def pretraining_pipeline(
         if cfg.source_col not in cur.columns:
             if cfg.derive_source_language:
                 # the one-call multilingual build: group the mixture by
-                # text.language_id_multi (28 languages, two-tier script +
+                # text.language_id_multi (30 languages, two-tier script +
                 # function-word ID) when the corpus carries no source
                 # column — Conneau et al. α-sampling then balances
                 # low-resource languages directly. A narrow projection on

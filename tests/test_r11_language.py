@@ -1,9 +1,10 @@
 """Round-11/12 language-ID breadth (VERDICT r10 item 1; r11 items 1+4).
 
-``text.language_id_multi`` is a two-tier 28-language detector:
+``text.language_id_multi`` is a two-tier 30-language detector:
 
 - tier 1: Unicode-script character ratios (zh/ja/ko/ar/hi/el/he/th + the
-  Cyrillic block resolved to ru/uk/bg via alphabet-marker letters, r12),
+  Cyrillic block resolved to ru/uk/mk/sr/bg via alphabet-marker letters,
+  r12, widened with mk/sr in r13),
   kana short-circuit for ja gated on the combined kana+Han ratio (r12 —
   a Latin doc with a short Japanese quote stays Latin-classified);
 - tier 2: function-word argmax over 17 whitespace-tokenized languages
@@ -11,7 +12,7 @@
 
 Contracts pinned: per-language fixture verdicts, the 'und' floor,
 deterministic alphabetical tiebreak on BOTH tiers, zh/ja disambiguation,
-the uk/bg Cyrillic refinement, the kana gate, and the DuckDB twin of the
+the uk/mk/sr/bg Cyrillic refinement, the kana gate, and the DuckDB twin of the
 full two-tier chain built generically from ``SCRIPT_RANGES`` +
 ``LANGUAGE_PROFILES`` + ``CYRILLIC_REFINEMENTS`` — since r12 the twin IS
 the driver gate's SQL (``__spark_entry__._lang_sql_chain``), so this test
@@ -81,6 +82,10 @@ CASES = [
      "ужинали это был прекрасный день", "ru"),
     ("сьогодні гарна погода і ми всі пішли гуляти в парк потім разом "
      "вечеряли це був чудовий день", "uk"),
+    ("данас је лепо време и сви смо ишли у парк после смо заједно "
+     "вечерали то је био диван дан", "sr"),
+    ("денес времето е убаво и ќе одиме во паркот меѓу дрвјата потоа ќе "
+     "вечераме заедно тоа е убав ден", "mk"),
     ("първият ден от пролетта беше топъл и всички излязохме навън в "
      "парка след това вечеряхме заедно у дома", "bg"),
     ("اليوم الطقس جميل وذهبنا جميعا إلى الحديقة ثم تناولنا العشاء معا وكان يوما رائعا", "ar"),
@@ -106,13 +111,19 @@ def test_profiles_pairwise_disjoint():
             seen[w] = code
     assert len(LANGUAGE_PROFILES) == 17
     assert len(SCRIPT_RANGES) == 9
-    # the r12 Cyrillic refinement: uk markers are absent from BOTH other
-    # Cyrillic alphabets; bg's marker/absent sets don't overlap uk's
-    assert [c for c, _, _ in CYRILLIC_REFINEMENTS] == ["uk", "bg"]
-    uk_markers = set(CYRILLIC_REFINEMENTS[0][1])
-    bg_markers = set(CYRILLIC_REFINEMENTS[1][1])
-    bg_absent = set(CYRILLIC_REFINEMENTS[1][2])
-    assert not uk_markers & (bg_markers | bg_absent)
+    # the Cyrillic refinement order IS the contract: mk before sr
+    # (Macedonian also writes the sr markers j/lj/nj/dzh), bg last
+    assert [c for c, _, _ in CYRILLIC_REFINEMENTS] == ["uk", "mk", "sr", "bg"]
+    marker_sets = {c: set(m) for c, m, _ in CYRILLIC_REFINEMENTS}
+    # uk/mk/bg marker letters are unique to their alphabet among the five;
+    # sr markers may NOT overlap any earlier row's markers (mk's unique
+    # letters must win before the shared-letter sr row fires)
+    for a in ("uk", "mk", "bg"):
+        for b in marker_sets:
+            if a != b:
+                assert not marker_sets[a] & marker_sets[b], (a, b)
+    bg_absent = set(CYRILLIC_REFINEMENTS[3][2])
+    assert not bg_absent & set().union(*marker_sets.values())
 
 
 def test_language_id_all_cases(spark):
@@ -211,7 +222,7 @@ def test_kana_gate_mixed_document(spark):
 
 
 def test_cyrillic_refinement(spark):
-    """The r12 ru/uk/bg split: marker letters decide inside the shared
+    """The ru/uk/mk/sr/bg split: marker letters decide inside the shared
     Cyrillic block, and one quoted foreign word can't flip a long document
     (ratio floor, not bare presence)."""
     ru_long = (
@@ -224,6 +235,13 @@ def test_cyrillic_refinement(spark):
             Row(text="сьогодні і всі пішли"),  # uk markers at high ratio
             Row(text="първият топъл ден навън"),  # bg: ъ present, ы/э/ё absent
             Row(text="объём был съеден это ъ"),  # ru: ъ present BUT ы/э too
+            Row(text="заједно је ишао њему"),  # sr markers at high ratio
+            Row(text="ќе одиме меѓу нив"),  # mk unique markers win over j
+            # marker-light Macedonian (no g'/dz/k' letters, but j/lj/nj):
+            # the documented residual — resolves to sr, its closest
+            # relative, never back to ru
+            Row(text="заедно дојдоа љубов и њега"),
+            Row(text=ru_long + " ј"),  # one quoted sr char in a long ru doc
         ]
     )
     got = [
@@ -232,7 +250,7 @@ def test_cyrillic_refinement(spark):
             language_id_multi(F.col("text")).alias("lang")
         ).collect()
     ]
-    assert got == ["ru", "uk", "bg", "ru"]
+    assert got == ["ru", "uk", "bg", "ru", "sr", "mk", "sr", "ru"]
 
 
 def test_duckdb_twin_full_chain(spark):
@@ -477,7 +495,7 @@ def test_twin_fuzz_mixed_script(spark):
     and whitespace — every verdict must agree between the Spark chain
     (with its Latin fast path) and the gate's generated SQL. One Spark
     pass + one DuckDB pass; deterministic seed, so a failure reproduces.
-    This is the drift pin the 29 natural-sentence fixtures can't give:
+    This is the drift pin the 31 natural-sentence fixtures can't give:
     ratio-threshold edges, multi-script mixtures, and salad inputs."""
     import random
 
@@ -491,7 +509,7 @@ def test_twin_fuzz_mixed_script(spark):
     for code, ranges in sorted(SCRIPT_RANGES.items()):
         lo = ord(ranges[0])
         script_pool.extend(chr(lo + k) for k in (0, 5, 40, 41, 77))
-    cyr_pool = list("іїєґъыэёабвгд")
+    cyr_pool = list("іїєґъыэёабвгдјљњђћџѓѕќ")
     filler = ["zzz", "qqq", "x1", "42", ".", ",", "!", "?", ";", ":"]
 
     def make(rng):
