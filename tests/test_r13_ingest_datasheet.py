@@ -1,0 +1,214 @@
+"""r13 (VERDICT item 2): the streaming ingest gets the preset's data card.
+
+`pretraining.corpus_datasheet` (r12) covers only the batch preset — the
+streaming ladder's governance surface was the raw per-epoch metrics +
+pack_stats tables, assembled by hand. `ingest.ingest_datasheet` builds the
+same long-format (section, key, value) card entirely from the written
+destination tables, so both trainer-facing ladders ship a one-call
+artifact. Pinned here:
+
+- every section cross-checked against direct aggregations on the same
+  destination (the corpus_datasheet test discipline);
+- parity of the SHARED sections (admitted counts, pack volumetrics, PII
+  totals) against `corpus_datasheet` on a shared corpus + knobs — the
+  r11-parity discipline applied to governance output.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark import pretraining
+from kafka_connector_s3_sink_spark.operators import incremental
+from kafka_connector_s3_sink_spark.streaming import ingest
+
+PREFIX = "r13ds"
+
+
+def _prose(tag, n=20):
+    stops = ["the", "and", "of", "to", "is"]
+    return " ".join(
+        w for i in range(n) for w in (stops[i % 5], f"{tag}{i}")
+    )
+
+
+def _card(df):
+    return {(r["section"], r["key"]): r["value"] for r in df.collect()}
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    loc = str(tmp_path / "index")
+    base = spark.createDataFrame(
+        [(9999, _prose("hist", 25))], ["doc_id", "text"]
+    )
+    incremental.build_dedup_index(base, PREFIX, loc, num_buckets=2)
+    yield loc
+    incremental.drop_dedup_index(spark, PREFIX)
+
+
+def test_datasheet_sections_match_direct_aggregations(
+    spark, tmp_path, index
+):
+    cfg = ingest.IngestConfig(
+        index_prefix=PREFIX,
+        index_location=index,
+        dest_dir=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        num_buckets=2,
+        ctx_len=64,
+        split_weights={"train": 0.5, "val": 0.5},
+        min_quality=0.2,
+        redact_pii=True,
+    )
+    # epoch 0: 4 admitted + 1 exact dup; one doc carries two PII matches
+    e0 = [
+        (1, _prose("a1", 12) + " write to alice@example.com today"),
+        (2, _prose("a2", 14)),
+        (3, _prose("a2", 14)),  # exact dup of 2
+        (4, _prose("a4", 16) + " or bob@example.org instead"),
+        (5, _prose("a5", 18)),
+    ]
+    # epoch 1: 2 more admitted
+    e1 = [(11, _prose("b1", 13)), (12, _prose("b2", 15))]
+    ingest.process_crawl_batch(
+        spark.createDataFrame(e0, ["doc_id", "text"]), 0, cfg
+    )
+    ingest.process_crawl_batch(
+        spark.createDataFrame(e1, ["doc_id", "text"]), 1, cfg
+    )
+
+    card = _card(ingest.ingest_datasheet(spark, cfg.dest_dir))
+
+    # stage_rows: sums across epochs, straight from the metrics table
+    metrics = spark.read.parquet(f"{cfg.dest_dir}/metrics").collect()
+    assert card[("stage_rows", "n_epochs")] == 2.0
+    for c in (
+        "n_input",
+        "n_qualified",
+        "n_canonical",
+        "n_exact_dup",
+        "n_near_dup",
+        "n_keep",
+    ):
+        assert card[("stage_rows", c)] == float(sum(r[c] for r in metrics))
+        for r in metrics:  # per-epoch drill-down rows
+            assert card[("epoch", f"{r['batch_id']}:{c}")] == float(r[c])
+    assert card[("stage_rows", "n_input")] == 7.0
+    # the within-batch exact dup collapses at the canonical stage
+    # (n_exact_dup counts HISTORICAL dups against the index)
+    assert card[("stage_rows", "n_canonical")] == 6.0
+    assert card[("stage_rows", "n_keep")] == 6.0
+
+    # split: admitted-document counts per split
+    docs = spark.read.parquet(f"{cfg.dest_dir}/documents")
+    split_n = {
+        r["split"]: r["n"]
+        for r in docs.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in split_n.items():
+        assert card[("split", f"{s}:n_docs")] == float(n)
+    assert sum(split_n.values()) == 6
+
+    # packs: per-epoch rows equal pack_stats; totals are their sums
+    stats = spark.read.parquet(f"{cfg.dest_dir}/pack_stats").collect()
+    for m in ("n_packs", "n_docs", "n_segments", "n_tokens"):
+        for r in stats:
+            assert card[("packs", f"{r['batch_id']}:{m}")] == float(r[m])
+        assert card[("packs", f"total:{m}")] == float(
+            sum(r[m] for r in stats)
+        )
+
+    # pii: placeholder totals in the sink-bound (redacted) text
+    assert card[("pii", "n_pii_email")] == 2.0
+    assert card[("pii", "n_pii_cc")] == 0.0
+    # and the text on disk really is redacted
+    assert (
+        docs.filter(F.col("text").contains("@example.")).count() == 0
+    )
+
+
+def test_datasheet_requires_metrics_table(spark, tmp_path, index):
+    cfg = ingest.IngestConfig(
+        index_prefix=PREFIX,
+        index_location=index,
+        dest_dir=str(tmp_path / "out_nm"),
+        checkpoint_location=str(tmp_path / "ckpt_nm"),
+        num_buckets=2,
+        ctx_len=64,
+        split_weights={"train": 1.0},
+        write_metrics=False,
+    )
+    ingest.process_crawl_batch(
+        spark.createDataFrame(
+            [(1, _prose("m1", 12))], ["doc_id", "text"]
+        ),
+        0,
+        cfg,
+    )
+    with pytest.raises(ValueError, match="write_metrics"):
+        ingest.ingest_datasheet(spark, cfg.dest_dir)
+
+
+def test_datasheet_parity_with_preset_card(spark, tmp_path, index):
+    """Shared corpus + knobs through both ladders → the governance numbers
+    a trainer pins agree across the two cards: admitted count, pack
+    volumetrics, and per-type PII totals (the preset counts matches during
+    redaction; the ingest card counts the typed placeholders those matches
+    inserted — equal by construction on placeholder-free input)."""
+    rows = [
+        (1, _prose("p1", 12) + " write to alice@example.com today"),
+        (2, _prose("p2", 14)),
+        (3, _prose("p2", 14)),  # exact dup -> shed on both ladders
+        (4, _prose("p4", 16)),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    knobs = dict(
+        jaccard_threshold=0.8,
+        decontam_overlap=0.5,
+        near_decontam_jaccard=0.5,
+    )
+
+    pcfg = pretraining.PretrainingConfig(
+        quality_floor=0.2,
+        splits={"train": 1.0},
+        ctx_len=64,
+        seed="r13ds",
+        redact_pii=True,
+        **knobs,
+    )
+    res = pretraining.pretraining_pipeline(docs, config=pcfg)
+    try:
+        preset = _card(pretraining.corpus_datasheet(res))
+    finally:
+        res.unpersist()
+
+    icfg = ingest.IngestConfig(
+        index_prefix=PREFIX,
+        index_location=index,
+        dest_dir=str(tmp_path / "out_par"),
+        checkpoint_location=str(tmp_path / "ckpt_par"),
+        num_buckets=2,
+        ctx_len=64,
+        split_weights={"train": 1.0},
+        min_quality=0.2,
+        redact_pii=True,
+        **knobs,
+    )
+    ingest.process_crawl_batch(docs, 0, icfg)
+    card = _card(ingest.ingest_datasheet(spark, icfg.dest_dir))
+
+    # admitted docs: ingest n_keep == preset's packed train:n_docs
+    assert card[("stage_rows", "n_keep")] == preset[("split", "train:n_docs")]
+    assert card[("stage_rows", "n_input")] == preset[("stage_rows", "input")]
+    # pack volumetrics: single-split preset == single-epoch ingest totals
+    # (doc and segment grain; pack ids hash differently but geometry
+    # totals agree — the r11/r12 parity contracts)
+    for m in ("n_docs", "n_segments", "n_tokens"):
+        assert card[("packs", f"total:{m}")] == preset[("split", f"train:{m}")]
+    # PII totals agree type-for-type
+    for name in ("email", "cc", "id", "ip", "phone"):
+        assert (
+            card[("pii", f"n_pii_{name}")]
+            == preset[("pii", f"n_pii_{name}")]
+        )
+    assert card[("pii", "n_pii_email")] == 1.0
