@@ -242,7 +242,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data layout pipeline on the (document, pack)-segment grain —
-    two branches (r8):
+    four branches (r8 pack/mix_pack, r9 safe_pack, r13 budget_pack):
 
     - ``pack``: sequence packing (concat-and-chunk into ctx_len=512 context
       windows via the two-level distributed prefix sum,
@@ -349,7 +349,38 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("mix_epoch"),
         )
     )
-    return pack.unionByName(mix).unionByName(safe)
+    # budget_pack branch (r13, VERDICT item 7): the token_count_col path —
+    # pack_sequences fed a PRECOMPUTED per-document budget column (the
+    # BPE-true ingest/preset path, packing.py token_count_col) instead of
+    # the whitespace heuristic. The budget is a deterministic portable
+    # expression (whitespace count × (3 + doc_id % 7), so every document's
+    # budget DIFFERS from the heuristic by a doc-dependent factor); the
+    # oracle replays the same prefix-sum layout under the same budgets, so
+    # a budget-path regression (e.g. silently falling back to the text
+    # heuristic) hash-fails inside this entry.
+    budget_docs = docs.select(
+        "doc_id",
+        (
+            text_ops.token_count(F.col("text")).cast("long")
+            * (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(7)))
+        ).alias("tc"),
+    )
+    budget = (
+        packing.pack_sequences(budget_docs, ctx_len=512, token_count_col="tc")
+        .join(split, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pack_id",
+            "pack_pos",
+            "doc_offset",
+            "seg_tokens",
+            "split",
+            F.lit("budget_pack").alias("branch"),
+            F.lit(None).cast("int").alias("mix_epoch"),
+        )
+    )
+    return pack.unionByName(mix).unionByName(safe).unionByName(budget)
 
 
 _IVF_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
@@ -2649,7 +2680,7 @@ def _ivf_oracle_sql(
 
 
 def _pack_split_oracle_sql(
-    ctx: int = 512, n_shards: int = 32, mix: bool = False
+    ctx: int = 512, n_shards: int = 32, mix: bool = False, budget: bool = False
 ) -> str:
     """DuckDB twin of pack_sequences (two-level prefix sum over md5 shard/order
     keys, concat-and-chunk segmentation) joined with hash_split's 90/5/5
@@ -2657,7 +2688,11 @@ def _pack_split_oracle_sql(
     match bit-for-bit. ``mix=True`` packs the UP-sampled 3-source mixture
     instead: rows replicated per epoch slot under mixture_sample's shared
     bucket threshold, packed by the composite replica id
-    (pid = '<epoch>:<doc_id>'), then labeled with the ORIGINAL doc's split."""
+    (pid = '<epoch>:<doc_id>'), then labeled with the ORIGINAL doc's split.
+    ``budget=True`` replays the token_count_col path (r13): per-document
+    budgets are the deterministic whitespace count × (3 + doc_id % 7)
+    instead of the heuristic, so the precomputed-budget prefix sum is
+    hash-gated too."""
     bucket = (
         "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
         " AS INTEGER)"
@@ -2679,13 +2714,16 @@ def _pack_split_oracle_sql(
         epoch = "CAST(split_part(pid, ':', 1) AS INTEGER)"
     else:
         src = "src AS (SELECT doc_id AS pid, doc_id, text FROM documents)"
-        branch = "'pack'"
+        branch = "'budget_pack'" if budget else "'pack'"
         epoch = "CAST(NULL AS INTEGER)"
+    count_sql = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    if budget:
+        count_sql = f"{count_sql} * (3 + doc_id % 7)"
     return f"""
     WITH {src},
     t AS (
         SELECT pid, doc_id,
-            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+            {count_sql} AS n_tokens,
             {bucket.format(seed="pack", id="pid")} % {n_shards} AS shard,
             md5('pack:' || CAST(pid AS VARCHAR)) AS ord
         FROM src WHERE trim(text) <> ''
@@ -2839,7 +2877,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pack_split": (
             f"SELECT * FROM ({_pack_split_oracle_sql()})\n"
             f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(mix=True)})\n"
-            f"UNION ALL\nSELECT * FROM ({_safe_pack_oracle_sql()})"
+            f"UNION ALL\nSELECT * FROM ({_safe_pack_oracle_sql()})\n"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(budget=True)})"
         ),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},
