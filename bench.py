@@ -27,9 +27,24 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # themselves (the r12 note cited a 69.0s total its own medians contradicted).
 # Only genuinely hand-measured numbers (fresh-process ABAB arms) belong here.
 ROUND_NARRATIVE = (
-    "r13 narrative placeholder — updated at round close with the ABAB "
-    "verdicts for this round's watch items (sink_write_parquet / "
-    "sink_write_orc same-direction-twice rule) and any attributed deltas."
+    "r13: entry set IDENTICAL to r9-r12 (43 entries). The r12 watch items "
+    "RESOLVED as noise by the same-direction-twice rule: sink_write_parquet "
+    "and sink_write_orc both REVERTED (0.75x / 0.72x vs the committed r12 "
+    "medians in the recon run) rather than rising again, so no ABAB was "
+    "owed. The one attributed riser is pipeline_pack_split — a capability "
+    "cost, not a regression: the entry gained a fourth hash-gated branch "
+    "(budget_pack, the token_count_col packing path DuckDB-replayed; "
+    "VERDICT item 7), adding one more pack_sequences chain (PLANS.md 11->14 "
+    "shuffles; the ONLY entry whose plan changed this round — every other "
+    "entry's shuffle count is byte-identical to r12). VERDICT item 1 "
+    "(single-pass tier-2 argmax) was probed and REJECTED with numbers: "
+    "both variants (one-aggregate 17-slot count array; transform-to-index "
+    "+ int filters) read NOISE against the 17-filter form under two rounds "
+    "of fresh-process interleaved ABAB (pooled text_corpus_stats 0.96x, "
+    "text_analysis 1.06x; round-2 trend reversal killed the round-1 idx "
+    "lead) — see SCALING.md r13. The 30-language widening (sr/mk Cyrillic "
+    "rows) is regex work inside the existing script tier: no new scans, "
+    "the refinement CASE only evaluates on Cyrillic-dominant rows."
 )
 
 # headline set: sink surface + heavy relational + LLM ops
@@ -371,13 +386,25 @@ def main() -> None:
     )
     # Round-over-round comparison COMPUTED from the two payloads (VERDICT r12
     # "what's wrong" item 1: the r12 note hand-wrote a 69.0s total its own
-    # medians contradicted). The previous committed BENCH_LAST.json is read
-    # BEFORE this run overwrites it; totals are summed over the shared entry
-    # set so an entry-set change can never silently skew the ratio.
+    # medians contradicted). The COMMITTED previous BENCH_LAST.json (git
+    # show — the right comparison base even after a same-round recon run
+    # overwrote the working-tree file) is read BEFORE this run overwrites
+    # it; totals are summed over the shared entry set so an entry-set
+    # change can never silently skew the ratio.
     rr_note = "No previous BENCH_LAST.json to compare against. "
     try:
-        with open(out_path) as f:
-            prev = json.loads(f.readline())
+        import subprocess
+
+        committed = subprocess.run(
+            ["git", "-C", os.path.dirname(out_path), "show",
+             "HEAD:BENCH_LAST.json"],
+            capture_output=True, text=True,
+        )
+        if committed.returncode == 0 and committed.stdout.strip():
+            prev = json.loads(committed.stdout.splitlines()[0])
+        else:
+            with open(out_path) as f:
+                prev = json.loads(f.readline())
         shared = sorted(set(prev.get("queries", {})) & set(timings))
         prev_total = round(sum(prev["queries"][k] for k in shared), 3)
         this_total = round(sum(timings[k] for k in shared), 3)
