@@ -275,6 +275,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.lit("pack").alias("branch"),
         F.lit(None).cast("int").alias("mix_epoch"),
+        F.lit(None).cast("string").alias("pack_text"),
     )
     mixed = sampling.mixture_sample(
         docs,
@@ -309,6 +310,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             F.lit("mix_pack").alias("branch"),
             "mix_epoch",
+            F.lit(None).cast("string").alias("pack_text"),
         )
     )
     # safe_pack branch (r9): the preset's LEAKAGE-SAFE split blocking,
@@ -347,6 +349,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             F.lit("safe_pack").alias("branch"),
             F.lit(None).cast("int").alias("mix_epoch"),
+            F.lit(None).cast("string").alias("pack_text"),
         )
     )
     # budget_pack branch (r13, VERDICT item 7): the token_count_col path —
@@ -378,9 +381,32 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             F.lit("budget_pack").alias("branch"),
             F.lit(None).cast("int").alias("mix_epoch"),
+            F.lit(None).cast("string").alias("pack_text"),
         )
     )
-    return pack.unionByName(mix).unionByName(safe).unionByName(budget)
+    # assemble branch (r13): materialize each pack's token window from the
+    # plain layout and hash-gate the RECONSTRUCTION — the oracle re-slices
+    # every document by (doc_offset, seg_tokens) and re-concatenates in
+    # slot order, so an off-by-one anywhere in the layout arithmetic (or in
+    # assemble_packs' slice/ordering) diverges the pack_text value hash.
+    asm = packing.assemble_packs(packed, docs).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("pack_tokens").alias("n_tokens"),
+        "pack_id",
+        F.lit(None).cast("long").alias("pack_pos"),
+        F.lit(None).cast("long").alias("doc_offset"),
+        F.lit(None).cast("long").alias("seg_tokens"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit("assemble").alias("branch"),
+        F.lit(None).cast("int").alias("mix_epoch"),
+        "pack_text",
+    )
+    return (
+        pack.unionByName(mix)
+        .unionByName(safe)
+        .unionByName(budget)
+        .unionByName(asm)
+    )
 
 
 _IVF_ASSIGN_CACHE: dict[tuple, DataFrame] = {}
@@ -2680,7 +2706,11 @@ def _ivf_oracle_sql(
 
 
 def _pack_split_oracle_sql(
-    ctx: int = 512, n_shards: int = 32, mix: bool = False, budget: bool = False
+    ctx: int = 512,
+    n_shards: int = 32,
+    mix: bool = False,
+    budget: bool = False,
+    assemble: bool = False,
 ) -> str:
     """DuckDB twin of pack_sequences (two-level prefix sum over md5 shard/order
     keys, concat-and-chunk segmentation) joined with hash_split's 90/5/5
@@ -2692,7 +2722,10 @@ def _pack_split_oracle_sql(
     ``budget=True`` replays the token_count_col path (r13): per-document
     budgets are the deterministic whitespace count × (3 + doc_id % 7)
     instead of the heuristic, so the precomputed-budget prefix sum is
-    hash-gated too."""
+    hash-gated too. ``assemble=True`` (r13) replays
+    ``packing.assemble_packs`` over the plain layout: every document
+    re-sliced by (doc_offset, seg_tokens) and re-concatenated in slot
+    order per pack — the end-to-end reconstruction gate."""
     bucket = (
         "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
         " AS INTEGER)"
@@ -2719,6 +2752,53 @@ def _pack_split_oracle_sql(
     count_sql = "len(regexp_split_to_array(trim(text), '\\s+'))"
     if budget:
         count_sql = f"{count_sql} * (3 + doc_id % 7)"
+    final = f"""
+    SELECT doc_id, n_tokens, pack_id,
+        greatest(strt, pack_id * {ctx}) - pack_id * {ctx} AS pack_pos,
+        greatest(strt, pack_id * {ctx}) - strt AS doc_offset,
+        least(strt + n_tokens, (pack_id + 1) * {ctx}) - greatest(strt, pack_id * {ctx}) AS seg_tokens,
+        CASE
+            WHEN {bucket.format(seed="split", id="doc_id")} < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'train'
+            WHEN {bucket.format(seed="split", id="doc_id")} < CAST(floor(0.95 * 65536) AS INTEGER) THEN 'val'
+            ELSE 'test'
+        END AS split,
+        {branch} AS branch,
+        {epoch} AS mix_epoch,
+        CAST(NULL AS VARCHAR) AS pack_text
+    FROM seg
+"""
+    if assemble:
+        # the reconstruction twin: re-slice each document's whitespace
+        # tokens by (doc_offset, seg_tokens) and re-concatenate in slot
+        # order per pack (string_agg ORDER BY pack_pos — unique within a
+        # pack). list_slice is 1-based INCLUSIVE on both ends.
+        pos = f"greatest(strt, pack_id * {ctx})"
+        final = f"""
+    SELECT CAST(NULL AS BIGINT) AS doc_id,
+        pack_tokens AS n_tokens, pack_id,
+        CAST(NULL AS BIGINT) AS pack_pos,
+        CAST(NULL AS BIGINT) AS doc_offset,
+        CAST(NULL AS BIGINT) AS seg_tokens,
+        CAST(NULL AS VARCHAR) AS split,
+        'assemble' AS branch,
+        CAST(NULL AS INTEGER) AS mix_epoch,
+        pack_text
+    FROM (
+        SELECT pack_id,
+            sum(least(strt + n_tokens, (pack_id + 1) * {ctx}) - {pos}) AS pack_tokens,
+            string_agg(
+                array_to_string(list_slice(
+                    regexp_split_to_array(trim(text), '\\s+'),
+                    ({pos} - strt) + 1,
+                    ({pos} - strt)
+                        + (least(strt + n_tokens, (pack_id + 1) * {ctx}) - {pos})
+                ), ' '),
+                ' ' ORDER BY {pos} - pack_id * {ctx}
+            ) AS pack_text
+        FROM seg JOIN documents USING (doc_id)
+        GROUP BY pack_id
+    )
+"""
     return f"""
     WITH {src},
     t AS (
@@ -2749,18 +2829,7 @@ def _pack_split_oracle_sql(
             unnest(range(strt // {ctx}, (strt + n_tokens - 1) // {ctx} + 1)) AS pack_id
         FROM placed
     )
-    SELECT doc_id, n_tokens, pack_id,
-        greatest(strt, pack_id * {ctx}) - pack_id * {ctx} AS pack_pos,
-        greatest(strt, pack_id * {ctx}) - strt AS doc_offset,
-        least(strt + n_tokens, (pack_id + 1) * {ctx}) - greatest(strt, pack_id * {ctx}) AS seg_tokens,
-        CASE
-            WHEN {bucket.format(seed="split", id="doc_id")} < CAST(floor(0.9 * 65536) AS INTEGER) THEN 'train'
-            WHEN {bucket.format(seed="split", id="doc_id")} < CAST(floor(0.95 * 65536) AS INTEGER) THEN 'val'
-            ELSE 'test'
-        END AS split,
-        {branch} AS branch,
-        {epoch} AS mix_epoch
-    FROM seg
+    {final}
 """
 
 
@@ -2863,7 +2932,8 @@ def _safe_pack_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
             ELSE 'test'
         END AS split,
         'safe_pack' AS branch,
-        CAST(NULL AS INTEGER) AS mix_epoch
+        CAST(NULL AS INTEGER) AS mix_epoch,
+        CAST(NULL AS VARCHAR) AS pack_text
     FROM seg s JOIN skey k ON s.doc_id = k.doc_id
 """
 
@@ -2878,7 +2948,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_pack_split_oracle_sql()})\n"
             f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(mix=True)})\n"
             f"UNION ALL\nSELECT * FROM ({_safe_pack_oracle_sql()})\n"
-            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(budget=True)})"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(budget=True)})\n"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(assemble=True)})"
         ),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},

@@ -32,11 +32,13 @@ ROUND_NARRATIVE = (
     "and sink_write_orc both REVERTED (0.75x / 0.72x vs the committed r12 "
     "medians in the recon run) rather than rising again, so no ABAB was "
     "owed. The one attributed riser is pipeline_pack_split — a capability "
-    "cost, not a regression: the entry gained a fourth hash-gated branch "
-    "(budget_pack, the token_count_col packing path DuckDB-replayed; "
-    "VERDICT item 7), adding one more pack_sequences chain (PLANS.md 11->14 "
-    "shuffles; the ONLY entry whose plan changed this round — every other "
-    "entry's shuffle count is byte-identical to r12). VERDICT item 1 "
+    "cost, not a regression: the entry gained TWO hash-gated branches "
+    "(budget_pack, the token_count_col packing path DuckDB-replayed, "
+    "VERDICT item 7; and assemble, packing.assemble_packs' full window "
+    "reconstruction — every pack's text re-sliced and re-concatenated "
+    "identically by both engines), the ONLY entry whose plan changed this "
+    "round — every other entry's shuffle count is byte-identical to r12. "
+    "VERDICT item 1 "
     "(single-pass tier-2 argmax) was probed and REJECTED with numbers: "
     "both variants (one-aggregate 17-slot count array; transform-to-index "
     "+ int filters) read NOISE against the 17-filter form under two rounds "
@@ -106,7 +108,7 @@ BRANCH_TAGS = {
         "method",
         ["jaccard", "lsh", "decontam", "decontam_near"],
     ),
-    "pipeline_pack_split": ("branch", ["pack", "mix_pack", "safe_pack", "budget_pack"]),
+    "pipeline_pack_split": ("branch", ["pack", "mix_pack", "safe_pack", "budget_pack", "assemble"]),
     "dedup_clusters": ("branch", ["text", "media"]),
     "dedup_embedding_cosine": ("method", ["label", "kmeans", "decontam"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.operators.sampling import hash_bucket, shuffle_key
-from kafka_connector_s3_sink_spark.operators.text import token_count
+from kafka_connector_s3_sink_spark.operators.text import token_count, tokens_column
 
 
 def pack_sequences(
@@ -351,6 +351,58 @@ def compact_parquet(
         .parquet(dest_dir)
     )
     return n_bins
+
+
+def assemble_packs(
+    packed: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize each training pack's token window from the packed
+    segment map (r13) — the end-to-end proof that ``pack_sequences``'
+    ``doc_offset``/``seg_tokens`` actually address the right tokens, and
+    the operator a trainer-side inspector uses to eyeball a context
+    window: ``(pack_id, pack_tokens, pack_text)`` where ``pack_text`` is
+    the pack's whitespace tokens in slot order.
+
+    Whitespace-token model only: budgets must be the heuristic counts with
+    ``per_doc_overhead=0`` (framing slots and BPE budgets address
+    tokenizer ids, not text positions — decode those with the tokenizer,
+    not a text slice). Raises nothing itself; a mismatched layout shows up
+    as ``pack_tokens`` ≠ the layout's ``seg_tokens`` sum, which
+    ``tests`` and the driver gate pin.
+
+    Scale shape: ONE equi-join on ``id_col`` (the packed map is a few rows
+    per document) + ONE aggregation shuffle on ``pack_id``; the slice and
+    the in-pack ordering (``array_sort`` over (pack_pos, slice) structs —
+    pack positions are unique within a pack) are row-local. A production
+    loader normally streams the one-pack-one-file layout instead
+    (``write_packed_corpus``); this operator is for verification and
+    ad-hoc inspection, where a shuffle per call is fine."""
+    seg = packed.join(docs.select(id_col, text_col), id_col).select(
+        "pack_id",
+        "pack_pos",
+        F.slice(
+            tokens_column(F.col(text_col)),
+            F.col("doc_offset").cast("int") + 1,
+            F.col("seg_tokens").cast("int"),
+        ).alias("_seg"),
+    )
+    return seg.groupBy("pack_id").agg(
+        F.sum(F.size("_seg")).alias("pack_tokens"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pack_pos", "_seg"))
+                    ),
+                    lambda s: s["_seg"],
+                )
+            ),
+        ).alias("pack_text"),
+    )
 
 
 def verify_pack_layout(
