@@ -358,6 +358,7 @@ def assemble_packs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pack_key: tuple[str, ...] = ("pack_id",),
 ) -> DataFrame:
     """Materialize each training pack's token window from the packed
     segment map (r13) — the end-to-end proof that ``pack_sequences``'
@@ -379,9 +380,15 @@ def assemble_packs(
     pack positions are unique within a pack) are row-local. A production
     loader normally streams the one-pack-one-file layout instead
     (``write_packed_corpus``); this operator is for verification and
-    ad-hoc inspection, where a shuffle per call is fine."""
+    ad-hoc inspection, where a shuffle per call is fine.
+
+    ``pack_key`` names the columns that identify ONE pack. The default
+    suits a single packing stream; pass ``("batch_id", "pack_id")`` for a
+    streaming-ingest table (pack ids are per-epoch, so assembling a
+    multi-epoch read under the default would merge colliding ids across
+    epochs — same key rule as ``verify_pack_layout``)."""
     seg = packed.join(docs.select(id_col, text_col), id_col).select(
-        "pack_id",
+        *pack_key,
         "pack_pos",
         F.slice(
             tokens_column(F.col(text_col)),
@@ -389,7 +396,7 @@ def assemble_packs(
             F.col("seg_tokens").cast("int"),
         ).alias("_seg"),
     )
-    return seg.groupBy("pack_id").agg(
+    return seg.groupBy(*pack_key).agg(
         F.sum(F.size("_seg")).alias("pack_tokens"),
         F.concat_ws(
             " ",

@@ -79,3 +79,67 @@ def test_assembled_packs_reconstruct_the_corpus(spark, corpus):
         toks = text.split()
         start = stream.index(toks[0])
         assert stream[start : start + len(toks)] == toks, doc_id
+
+
+def test_assemble_ingest_packs_keyed_by_epoch(spark, tmp_path):
+    """The streaming-ingest layout assembles under ("batch_id", "pack_id")
+    — per-epoch pack ids collide across epochs, so the epoch must be part
+    of the pack key (two single-epoch assemblies == the keyed two-epoch
+    assembly)."""
+    from kafka_connector_s3_sink_spark.operators import incremental
+    from kafka_connector_s3_sink_spark.streaming import ingest
+
+    loc = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(9999, " ".join(f"hist{j}" for j in range(40)))],
+        ["doc_id", "text"],
+    )
+    incremental.build_dedup_index(base, "r13asm", loc, num_buckets=2)
+    try:
+        cfg = ingest.IngestConfig(
+            index_prefix="r13asm",
+            index_location=loc,
+            dest_dir=str(tmp_path / "out"),
+            checkpoint_location=str(tmp_path / "ckpt"),
+            num_buckets=2,
+            ctx_len=CTX,
+            split_weights={"train": 1.0},
+        )
+        mk = lambda tag, i: " ".join(
+            w
+            for j in range(12 + i)
+            for w in (["the", "and", "of", "to", "is"][j % 5], f"{tag}{j}")
+        )
+        e0 = [(i, mk(f"a{i}", i)) for i in range(1, 5)]
+        e1 = [(10 + i, mk(f"b{i}", i)) for i in range(1, 4)]
+        ingest.process_crawl_batch(
+            spark.createDataFrame(e0, ["doc_id", "text"]), 0, cfg
+        )
+        ingest.process_crawl_batch(
+            spark.createDataFrame(e1, ["doc_id", "text"]), 1, cfg
+        )
+        packs = ingest.read_ingest_packs(spark, cfg.dest_dir)
+        docs = spark.read.parquet(f"{cfg.dest_dir}/documents")
+        keyed = packing.assemble_packs(
+            packs, docs, pack_key=("batch_id", "pack_id")
+        ).collect()
+        # totals agree with per-epoch single-stream assembly
+        for epoch in sorted(
+            r["batch_id"]
+            for r in packs.select("batch_id").distinct().collect()
+        ):
+            one = packing.assemble_packs(
+                packs.filter(F.col("batch_id") == epoch),
+                docs.filter(F.col("batch_id") == epoch),
+            ).collect()
+            got = {
+                r["pack_id"]: (r["pack_tokens"], r["pack_text"])
+                for r in keyed
+                if r["batch_id"] == epoch
+            }
+            want = {
+                r["pack_id"]: (r["pack_tokens"], r["pack_text"]) for r in one
+            }
+            assert got == want, epoch
+    finally:
+        incremental.drop_dedup_index(spark, "r13asm")
