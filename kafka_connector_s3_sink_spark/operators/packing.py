@@ -448,7 +448,18 @@ def verify_pack_layout(
 
     Each check is one bounded pass over the (possibly partition-pruned)
     ``df`` — run once at training startup, then re-read without verify."""
-    stats_df = spark.read.parquet(stats_path)
+    try:
+        stats_df = spark.read.parquet(stats_path)
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+        # the first epoch's packs land BEFORE its stats table exists at
+        # all — surface the same in-flight/interrupted-write diagnosis a
+        # stats-less LATER epoch gets, not a raw path error
+        raise ValueError(
+            f"no stats table at {stats_path} — an in-flight or interrupted "
+            f"first write (packs land before stats inside one epoch), or "
+            f"the wrong directory; wait for {writer_name} to finish the "
+            "epoch, or check the path"
+        ) from exc
     if "id_col" in stats_df.columns:
         stamped = {
             r["id_col"]

@@ -180,3 +180,19 @@ def test_locality_write_conf_restores(spark):
         assert spark.conf.get(key) == "7"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_missing_stats_table_raises_inflight_error(spark, tmp_path):
+    """A packs directory whose stats table does not exist AT ALL (the
+    first epoch still in flight, or a wrong path) gets the same in-flight
+    diagnosis as a stats-less later epoch — not a raw path error."""
+    packs = spark.createDataFrame(
+        [(1, 5, 0, 0, 0, 5)],
+        "doc_id long, n_tokens long, pack_id long, pack_pos long, "
+        "doc_offset long, seg_tokens long",
+    ).withColumn("batch_id", F.lit(ingest._epoch_batch_id(0)))
+    packs.coalesce(1).write.partitionBy("batch_id").parquet(
+        str(tmp_path / "dest" / "packs")
+    )
+    with pytest.raises(ValueError, match="in-flight or interrupted"):
+        ingest.read_ingest_packs(spark, str(tmp_path / "dest"))
