@@ -448,12 +448,15 @@ def verify_pack_layout(
 
     Each check is one bounded pass over the (possibly partition-pruned)
     ``df`` — run once at training startup, then re-read without verify."""
+    from pyspark.errors import AnalysisException
+
     try:
         stats_df = spark.read.parquet(stats_path)
-    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+    except AnalysisException as exc:  # PATH_NOT_FOUND
         # the first epoch's packs land BEFORE its stats table exists at
         # all — surface the same in-flight/interrupted-write diagnosis a
-        # stats-less LATER epoch gets, not a raw path error
+        # stats-less LATER epoch gets, not a raw path error (a corrupted
+        # table still raises its own execution error, not this one)
         raise ValueError(
             f"no stats table at {stats_path} — an in-flight or interrupted "
             f"first write (packs land before stats inside one epoch), or "
