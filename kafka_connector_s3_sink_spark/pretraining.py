@@ -216,6 +216,61 @@ class PretrainingResult:
             df.unpersist()
 
 
+def _resolved_pack_scope(res: PretrainingResult) -> str:
+    """The packed frame's packing-id scope ('global' | 'split'): the
+    ``pack_id`` column metadata stamp is authoritative, the dataclass flag
+    is the fallback for frames without the stamp, and the two must agree
+    when both are present (a manually assembled result can't silently pair
+    per-split-packed data with the global key and report phantom straddles
+    from id collisions)."""
+    meta = res.packed.schema["pack_id"].metadata or {}
+    scope = meta.get("pack_scope")
+    flag_scope = "split" if res.pack_per_split else "global"
+    if scope is None:
+        return flag_scope
+    if scope != flag_scope:
+        raise ValueError(
+            f"packed frame's pack_id metadata says pack_scope={scope!r} but "
+            f"the result carries pack_per_split={res.pack_per_split} — the "
+            "frame's stamp is authoritative; fix the flag (or restamp via "
+            "DataFrame.withMetadata) before writing"
+        )
+    return scope
+
+
+def _straddle_stats(packed: DataFrame, scope: str) -> DataFrame:
+    """Per-split straddle accounting — ``n_straddling_packs`` (packs of
+    this split that also carry another split's segments) and
+    ``n_hole_tokens`` (token slots inside this split's copies of those
+    packs belonging to OTHER splits — the holes a loader streaming this
+    split skips via the pack_pos/seg_tokens slot map). Under the GLOBAL
+    packing stream a pack's id is corpus-wide, so its total tokens across
+    all splits vs inside one split measures the holes; under per-split
+    packing ids scope to their split (the same id names DIFFERENT packs in
+    different splits), so the key includes the split and the stat is zero
+    BY CONSTRUCTION. Shared by ``write_packed_corpus``'s stats table and
+    ``corpus_datasheet``'s straddle section (r13), so the two artifacts
+    cannot disagree."""
+    pack_key = ["split", "pack_id"] if scope == "split" else ["pack_id"]
+    pack_tot = packed.groupBy(*pack_key).agg(
+        F.sum("seg_tokens").alias("_pack_tokens")
+    )
+    return (
+        packed.groupBy("split", "pack_id")
+        .agg(F.sum("seg_tokens").alias("_in_split"))
+        .join(pack_tot, pack_key)
+        .groupBy("split")
+        .agg(
+            F.sum(
+                (F.col("_pack_tokens") > F.col("_in_split")).cast("long")
+            ).alias("n_straddling_packs"),
+            F.sum(F.col("_pack_tokens") - F.col("_in_split")).alias(
+                "n_hole_tokens"
+            ),
+        )
+    )
+
+
 def write_packed_corpus(
     res: PretrainingResult,
     dest: str,
@@ -273,49 +328,13 @@ def write_packed_corpus(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("seg_tokens").alias("n_tokens"),
     )
-    # straddle accounting: under the GLOBAL packing stream a pack's id is
-    # corpus-wide, so its total tokens across all splits vs inside one split
-    # measures the holes that split's loader sees; under per-split packing
-    # ids scope to their split (the same id names DIFFERENT packs in
-    # different splits), so the key includes the split — the per-split stat
-    # is then zero BY CONSTRUCTION (the keying guarantees it); only the
-    # global-stream stat is data-derived. The scope comes from the packed
-    # frame's own pack_id metadata (stamped by pretraining_pipeline), so a
-    # manually assembled result can't silently pair per-split-packed data
-    # with the global key and report phantom straddles from id collisions;
-    # the dataclass flag is the fallback for frames without the stamp and
-    # must agree when both are present.
-    meta = res.packed.schema["pack_id"].metadata or {}
-    scope = meta.get("pack_scope")
-    flag_scope = "split" if res.pack_per_split else "global"
-    if scope is None:
-        scope = flag_scope
-    elif scope != flag_scope:
-        raise ValueError(
-            f"packed frame's pack_id metadata says pack_scope={scope!r} but "
-            f"the result carries pack_per_split={res.pack_per_split} — the "
-            "frame's stamp is authoritative; fix the flag (or restamp via "
-            "DataFrame.withMetadata) before writing"
-        )
-    pack_key = ["split", "pack_id"] if scope == "split" else ["pack_id"]
-    pack_tot = res.packed.groupBy(*pack_key).agg(
-        F.sum("seg_tokens").alias("_pack_tokens")
+    # straddle accounting: shared with corpus_datasheet via
+    # _straddle_stats / _resolved_pack_scope (see their docstrings for the
+    # scope semantics — per-split ids make the stat zero by construction,
+    # only the global-stream stat is data-derived)
+    stats = stats.join(
+        _straddle_stats(res.packed, _resolved_pack_scope(res)), "split"
     )
-    straddle = (
-        res.packed.groupBy("split", "pack_id")
-        .agg(F.sum("seg_tokens").alias("_in_split"))
-        .join(pack_tot, pack_key)
-        .groupBy("split")
-        .agg(
-            F.sum(
-                (F.col("_pack_tokens") > F.col("_in_split")).cast("long")
-            ).alias("n_straddling_packs"),
-            F.sum(F.col("_pack_tokens") - F.col("_in_split")).alias(
-                "n_hole_tokens"
-            ),
-        )
-    )
-    stats = stats.join(straddle, "split")
     stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
 
 
@@ -376,6 +395,10 @@ def corpus_datasheet(
       (what each quality/dedup/decontam/cap rung removed);
     - ``split``: per-split pack/doc/segment/token totals from the packed
       layout (the trainer-facing volumetrics);
+    - ``straddle`` (r13): per-split ``n_straddling_packs`` /
+      ``n_hole_tokens`` — the same accounting ``write_packed_corpus`` pins
+      into ``<dest>/stats`` (zero by construction under
+      ``pack_per_split=True``), via the shared ``_straddle_stats``;
     - ``mixture``: per-source replica counts AFTER α-sampling/rate
       replication, when a mixture stage ran (``source_col`` names the
       grouping column — pass the config's value if overridden);
@@ -404,6 +427,15 @@ def corpus_datasheet(
     ):
         for metric in ("n_packs", "n_docs", "n_segments", "n_tokens"):
             rows.append(("split", f"{r['split']}:{metric}", float(r[metric])))
+    # straddle accounting (r13): the same numbers write_packed_corpus pins
+    # into <dest>/stats — how many of a split's packs also carry another
+    # split's segments, and the hole token-slots its loader skips; shared
+    # implementation (_straddle_stats), so card and stats table agree
+    for r in _straddle_stats(res.packed, _resolved_pack_scope(res)).collect():
+        for metric in ("n_straddling_packs", "n_hole_tokens"):
+            rows.append(
+                ("straddle", f"{r['split']}:{metric}", float(r[metric]))
+            )
     if "mixture" in res.stages and source_col in res.stages["mixture"].columns:
         for r in (
             res.stages["mixture"]

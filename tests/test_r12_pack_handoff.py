@@ -209,5 +209,44 @@ def test_corpus_datasheet(spark):
         assert sheet[("mixture", "en")] < 30
         # every doc carries one planted email
         assert sheet[("pii", "n_pii_email")] == float(len(rows))
+        # straddle section (r13) mirrors the shared _straddle_stats agg
+        # (single split -> no pack can carry another split's segments)
+        assert sheet[("straddle", "train:n_straddling_packs")] == 0.0
+        assert sheet[("straddle", "train:n_hole_tokens")] == 0.0
+    finally:
+        res.unpersist()
+
+
+def test_corpus_datasheet_straddle_matches_stats_table(spark, tmp_path):
+    """r13: the datasheet's straddle section and write_packed_corpus's
+    stats table come from ONE implementation — force a straddling pack
+    with a 3-way split and pin the card against the written stats."""
+    from kafka_connector_s3_sink_spark import pretraining
+
+    rows = [
+        (i, " ".join(f"s{i}w{j}" for j in range(20))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = pretraining.PretrainingConfig(
+        quality_floor=None,
+        ctx_len=64,
+        splits={"train": 0.5, "val": 0.3, "test": 0.2},
+        seed="r13straddle",
+    )
+    res = pretraining.pretraining_pipeline(docs, config=cfg)
+    try:
+        sheet = {
+            (r["section"], r["key"]): r["value"]
+            for r in pretraining.corpus_datasheet(res).collect()
+        }
+        dest = str(tmp_path / "corpus")
+        pretraining.write_packed_corpus(res, dest, shards_per_split=2)
+        stats = spark.read.parquet(f"{dest}/stats").collect()
+        assert any(r["n_straddling_packs"] > 0 for r in stats)
+        for r in stats:
+            for m in ("n_straddling_packs", "n_hole_tokens"):
+                assert sheet[("straddle", f"{r['split']}:{m}")] == float(
+                    r[m]
+                ), (r["split"], m)
     finally:
         res.unpersist()
