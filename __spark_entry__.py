@@ -2785,7 +2785,7 @@ def _pack_split_oracle_sql(
         pack_text
     FROM (
         SELECT pack_id,
-            sum(least(strt + n_tokens, (pack_id + 1) * {ctx}) - {pos}) AS pack_tokens,
+            CAST(sum(least(strt + n_tokens, (pack_id + 1) * {ctx}) - {pos}) AS BIGINT) AS pack_tokens,
             string_agg(
                 array_to_string(list_slice(
                     regexp_split_to_array(trim(text), '\\s+'),

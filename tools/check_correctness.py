@@ -37,6 +37,31 @@ def norm_value(v):
     return str(v)
 
 
+def pandas_rows(pdf):
+    """Rows from a pandas frame as python-scalar tuples.
+
+    This is the second fetch path the driver may use (arrow/pandas instead
+    of fetchall): DuckDB HUGEINT aggregates and all-NULL BIGINT columns
+    come back as object/float64 here, so hashing this path beside
+    fetchall() catches oracle typing skew (e.g. an uncast sum()) before
+    the driver gate sees it.
+    """
+    import numpy as np
+
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if isinstance(v, np.generic):
+                v = v.item()
+            elif isinstance(v, np.ndarray):
+                v = [x.item() if isinstance(x, np.generic) else x
+                     for x in v.tolist()]
+            row.append(v)
+        rows.append(tuple(row))
+    return rows
+
+
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -110,6 +135,20 @@ def main():
             ho = table_hash(orows, ocols)
             if hs != ho:
                 problems.append(f"hash spark={hs} oracle={ho}")
+            else:
+                # second fetch path: arrow/pandas. A hash that matches on
+                # fetchall() but not here means the oracle's output types
+                # skew under a pandas fetch (HUGEINT sums, all-NULL BIGINT
+                # -> float64) — the exact signature of the r13 driver red.
+                try:
+                    hsp = table_hash(pandas_rows(sdf.toPandas()), scols)
+                    hop = table_hash(
+                        pandas_rows(con.execute(oracles[name]).df()), ocols)
+                    if hsp != hop:
+                        problems.append(
+                            f"pandas-path hash spark={hsp} oracle={hop}")
+                except Exception as e:  # noqa: BLE001 — report, don't mask
+                    problems.append(f"pandas-path error: {e}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failures.append(name)
