@@ -386,8 +386,22 @@ def assemble_packs(
     suits a single packing stream; pass ``("batch_id", "pack_id")`` for a
     streaming-ingest table (pack ids are per-epoch, so assembling a
     multi-epoch read under the default would merge colliding ids across
-    epochs — same key rule as ``verify_pack_layout``)."""
-    seg = packed.join(docs.select(id_col, text_col), id_col).select(
+    epochs — same key rule as ``verify_pack_layout``).
+
+    Doc-join contract: any non-``pack_id`` column of ``pack_key`` that
+    ``docs`` also carries (e.g. ``batch_id``) joins ALONGSIDE ``id_col``,
+    so a corpus that re-admits the same ``id_col`` in a later epoch (an
+    index rebuild replaying a document) resolves each segment to ITS
+    epoch's text instead of fanning out to every epoch's copy — which
+    would silently inflate ``pack_tokens`` and corrupt ``pack_text``.
+    When ``docs`` has no such column, ``docs`` must be unique per
+    ``id_col`` (the single-stream writers guarantee this; a duplicate
+    shows up as ``pack_tokens`` > the stats table's ``n_tokens`` under
+    ``verify_pack_layout``)."""
+    doc_keys = [id_col] + [
+        k for k in pack_key if k != "pack_id" and k in docs.columns
+    ]
+    seg = packed.join(docs.select(*doc_keys, text_col), doc_keys).select(
         *pack_key,
         "pack_pos",
         F.slice(
@@ -464,9 +478,18 @@ def verify_pack_layout(
             "epoch, or check the path"
         ) from exc
     if "id_col" in stats_df.columns:
+        # scope the stamp check to the keys actually being verified: a
+        # destination whose epochs were written under DIFFERENT id_col
+        # configs must still verify an epoch whose own stamp matches
+        # (r13 ADVICE) — the whole-table collect would fail every epoch
+        stamp_src = (
+            stats_df.filter(F.col(key_col) == key_value)
+            if key_value is not None and key_col in stats_df.columns
+            else stats_df
+        )
         stamped = {
             r["id_col"]
-            for r in stats_df.select("id_col").distinct().collect()
+            for r in stamp_src.select("id_col").distinct().collect()
             if r["id_col"] is not None
         }
         if stamped and stamped != {id_col}:

@@ -717,8 +717,9 @@ def ingest_datasheet(
 
     Cost: O(epochs + splits) driver rows plus ONE aggregation pass over the
     documents table for the pii section — run once per consumed corpus.
-    Requires ``IngestConfig.write_metrics=True`` (the default); raises
-    ``ValueError`` naming the missing table otherwise."""
+    Requires ``IngestConfig.write_metrics=True`` (the default); a missing
+    metrics, documents, or pack_stats table raises ``ValueError`` naming
+    the table (never a raw ``AnalysisException``)."""
     import re as _re
 
     from pyspark.errors import AnalysisException
@@ -744,7 +745,14 @@ def ingest_datasheet(
     for r in epochs:
         for c in stage_cols:
             rows.append(("epoch", f"{r['batch_id']}:{c}", float(r[c] or 0)))
-    docs = spark.read.parquet(f"{dest_dir}/documents")
+    try:
+        docs = spark.read.parquet(f"{dest_dir}/documents")
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no documents table under {dest_dir} — the split/pii sections "
+            "read the ingest's admitted-document sink; is this the ingest "
+            "destination, and has the first epoch committed?"
+        ) from exc
     for r in (
         docs.groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -753,11 +761,15 @@ def ingest_datasheet(
     ):
         rows.append(("split", f"{r['split']}:n_docs", float(r["n"])))
     pack_metrics = ("n_packs", "n_docs", "n_segments", "n_tokens")
-    stats = (
-        spark.read.parquet(f"{dest_dir}/pack_stats")
-        .orderBy("batch_id")
-        .collect()
-    )
+    try:
+        stats_df = spark.read.parquet(f"{dest_dir}/pack_stats")
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no pack_stats table under {dest_dir} — the packs section "
+            "needs the pack writer's stats table (it lands after the "
+            "epoch's packs; an in-flight first epoch has neither)"
+        ) from exc
+    stats = stats_df.orderBy("batch_id").collect()
     for r in stats:
         for m in pack_metrics:
             rows.append(("packs", f"{r['batch_id']}:{m}", float(r[m])))
