@@ -244,3 +244,153 @@ def load_merges(path: str) -> list[tuple[str, str]]:
     storage = ObjectStorage(path.rsplit("/", 1)[0] or ".")
     data = json.loads(storage.read_bytes(path.rsplit("/", 1)[-1]))
     return [(a, b) for a, b in data["merges"]]
+
+
+UNK_TOKEN = "<unk>"
+
+
+def bpe_vocab_ids(
+    word_freqs: DataFrame, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Closed vocabulary with stable integer ids (index = id) — what a
+    trainer's data loader actually consumes (token IDS, not strings):
+
+    - id 0: ``<unk>`` (characters unseen at fit time);
+    - then the corpus's single characters, sorted (one bounded-cardinality
+      distinct over the word table — charset-sized, not corpus-sized);
+    - then ``</w>``;
+    - then the learned merges, in merge order.
+
+    Deterministic for a given (word table, merges): re-deriving from the
+    same frozen artifacts yields identical ids across sessions; persist it
+    beside the merges with ``save_vocab`` so token ids stay comparable
+    across ingest batches for the lifetime of the tokenizer."""
+    chars = sorted(
+        r["c"]
+        for r in word_freqs.select(
+            F.explode(F.split("word", "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return [UNK_TOKEN] + chars + [END_OF_WORD] + [a + b for a, b in merges]
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    text_col: str = "text",
+    lowercase: bool = True,
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """docs + (``token_ids`` array<int>, ``n_tokens``) — the same
+    Arrow-batched no-shuffle shape as ``bpe_encode``, with the string→id
+    mapping applied inside the same pass (the vocab dict travels in the
+    task closure; tokens outside the vocab map to id 0 = UNK).
+    ``n_tokens`` is identical to ``bpe_encode``'s for the same merges, so
+    these ids drop straight into the ``token_count_col`` packing path."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    ids = {t: i for i, t in enumerate(vocab)}
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [
+            StructField(ids_col, ArrayType(IntegerType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_ids = []
+            ntok = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out_ids.append(None)
+                    ntok.append(None)
+                    continue
+                s = text.lower() if lowercase else text
+                row = []
+                for w in s.split():
+                    row.extend(
+                        ids.get(t, 0) for t in _encode_word(w, ranks, cache)
+                    )
+                out_ids.append(row)
+                ntok.append(len(row))
+            pdf = pdf.copy()
+            pdf[ids_col] = out_ids
+            pdf["n_tokens"] = ntok
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)
+
+
+def bpe_decode_ids(ids: list[int], vocab: list[str]) -> str:
+    """Driver-side inverse of ``bpe_encode_ids`` for one window: id →
+    token string, end-of-word markers → spaces. Round-trips
+    whitespace-normalized lowercased text when no id is UNK."""
+    return "".join(vocab[i] for i in ids).replace(END_OF_WORD, " ").strip()
+
+
+def map_tokens_to_ids(
+    df: DataFrame,
+    vocab: list[str],
+    tokens_col: str = "pack_window",
+    out_col: str = "pack_ids",
+) -> DataFrame:
+    """Attach an id column for an existing token-array column — the bridge
+    from ``packing.assemble_bpe_packs``' ``pack_window`` to the integer
+    windows a trainer loads. Arrow-batched ``mapInPandas`` with the vocab
+    dict in the closure: a literal-map expression at vocab size would
+    bloat the plan instead (the r7 plan-size lesson). Unknown tokens map
+    to id 0; null arrays pass through as null."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    ids = {t: i for i, t in enumerate(vocab)}
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if toks is None else [ids.get(t, 0) for t in toks]
+                for toks in pdf[tokens_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def save_vocab(vocab: list[str], path: str) -> None:
+    """Persist the id↔token table beside the merges (the pair is the whole
+    frozen tokenizer). Same storage client as ``save_merges`` — s3://
+    works like a local path."""
+    import json
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    storage = ObjectStorage(path.rsplit("/", 1)[0] or ".")
+    storage.write_bytes(
+        path.rsplit("/", 1)[-1], json.dumps({"vocab": vocab}).encode()
+    )
+
+
+def load_vocab(path: str) -> list[str]:
+    import json
+
+    from kafka_connector_s3_sink_spark.sinks.storage import ObjectStorage
+
+    storage = ObjectStorage(path.rsplit("/", 1)[0] or ".")
+    return list(json.loads(storage.read_bytes(path.rsplit("/", 1)[-1]))["vocab"])

@@ -148,3 +148,80 @@ def test_bpe_counts_drive_sequence_packing(spark):
     for r in rows:
         per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["seg_tokens"]
     assert per_doc == {i: n_tok for i in range(6)}
+
+
+# --- r14: the integer-id layer (closed vocab, encode-to-ids, window ids)
+
+
+@pytest.fixture(scope="module")
+def fitted(tiny_docs):
+    wf = tok.word_frequencies(tiny_docs)
+    merges = tok.fit_bpe(wf, n_merges=8)
+    vocab = tok.bpe_vocab_ids(wf, merges)
+    return wf, merges, vocab
+
+
+def test_vocab_structure_and_determinism(tiny_docs, fitted):
+    wf, merges, vocab = fitted
+    assert vocab[0] == tok.UNK_TOKEN
+    # single chars sorted, then </w>, then the merges in merge order
+    chars = sorted(set("".join(["low", "lower", "newest", "widest"])))
+    assert vocab[1 : 1 + len(chars)] == chars
+    assert vocab[1 + len(chars)] == tok.END_OF_WORD
+    assert vocab[2 + len(chars) :] == [a + b for a, b in merges]
+    assert len(set(vocab)) == len(vocab)  # ids are unambiguous
+    assert tok.bpe_vocab_ids(wf, merges) == vocab  # re-derivation stable
+
+
+def test_encode_ids_parity_with_string_encode(tiny_docs, fitted):
+    _, merges, vocab = fitted
+    strings = tok.bpe_encode(tiny_docs, merges).collect()[0]
+    ids_row = tok.bpe_encode_ids(tiny_docs, merges, vocab).collect()[0]
+    assert ids_row["n_tokens"] == strings["n_tokens"]
+    assert [vocab[i] for i in ids_row["token_ids"]] == strings["tokens"]
+    # decode round-trips the whitespace-normalized lowercased text
+    text = tiny_docs.collect()[0]["text"]
+    assert tok.bpe_decode_ids(ids_row["token_ids"], vocab) == text
+
+
+def test_unknown_characters_map_to_unk(spark, fitted):
+    _, merges, vocab = fitted
+    alien = spark.createDataFrame(
+        [(1, "low zzz")], "doc_id long, text string"
+    )  # 'z' never appeared at fit time
+    row = tok.bpe_encode_ids(alien, merges, vocab).collect()[0]
+    assert 0 in row["token_ids"]
+    decoded = tok.bpe_decode_ids(row["token_ids"], vocab)
+    assert tok.UNK_TOKEN in decoded and decoded.startswith("low")
+
+
+def test_window_ids_via_map_tokens_to_ids(spark, fitted):
+    from kafka_connector_s3_sink_spark.operators import packing
+
+    _, merges, vocab = fitted
+    docs = spark.createDataFrame(
+        [(i, " ".join(["newest", "low", "wider"] * (2 + i))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    enc = tok.bpe_encode(docs, merges).select(
+        "doc_id", F.col("n_tokens").alias("bpe_tokens")
+    )
+    packed = packing.pack_sequences(
+        docs.join(enc, "doc_id"), ctx_len=10, token_count_col="bpe_tokens"
+    )
+    asm = packing.assemble_bpe_packs(packed, docs, merges)
+    with_ids = tok.map_tokens_to_ids(asm, vocab).collect()
+    idmap = {t: i for i, t in enumerate(vocab)}
+    for r in with_ids:
+        assert r["pack_ids"] == [idmap[t] for t in r["pack_window"]]
+        assert len(r["pack_ids"]) == r["pack_tokens"]
+
+
+def test_vocab_save_load_roundtrip(tmp_path, fitted):
+    _, _, vocab = fitted
+    p = str(tmp_path / "tok" / "vocab.json")
+    import os
+
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tok.save_vocab(vocab, p)
+    assert tok.load_vocab(p) == vocab
