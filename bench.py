@@ -27,26 +27,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # themselves (the r12 note cited a 69.0s total its own medians contradicted).
 # Only genuinely hand-measured numbers (fresh-process ABAB arms) belong here.
 ROUND_NARRATIVE = (
-    "r13: entry set IDENTICAL to r9-r12 (43 entries). The r12 watch items "
-    "RESOLVED as noise by the same-direction-twice rule: sink_write_parquet "
-    "and sink_write_orc both REVERTED (0.75x / 0.72x vs the committed r12 "
-    "medians in the recon run) rather than rising again, so no ABAB was "
-    "owed. The one attributed riser is pipeline_pack_split — a capability "
-    "cost, not a regression: the entry gained TWO hash-gated branches "
-    "(budget_pack, the token_count_col packing path DuckDB-replayed, "
-    "VERDICT item 7; and assemble, packing.assemble_packs' full window "
-    "reconstruction — every pack's text re-sliced and re-concatenated "
-    "identically by both engines), the ONLY entry whose plan changed this "
-    "round — every other entry's shuffle count is byte-identical to r12. "
-    "VERDICT item 1 "
-    "(single-pass tier-2 argmax) was probed and REJECTED with numbers: "
-    "both variants (one-aggregate 17-slot count array; transform-to-index "
-    "+ int filters) read NOISE against the 17-filter form under two rounds "
-    "of fresh-process interleaved ABAB (pooled text_corpus_stats 0.96x, "
-    "text_analysis 1.06x; round-2 trend reversal killed the round-1 idx "
-    "lead) — see SCALING.md r13. The 30-language widening (sr/mk Cyrillic "
-    "rows) is regex work inside the existing script tier: no new scans, "
-    "the refinement CASE only evaluates on Cyrillic-dominant rows."
+    "r14: entry set IDENTICAL to r9-r13 (43 entries). Riser attribution "
+    "lives in the COMPUTED per-entry ratio distribution above (VERDICT r13 "
+    "item 4: the r13 narrative asserted 'one attributed riser' on a quiet-"
+    "machine run and shipped inside a 1.16x uniform-riser driver payload; "
+    "this narrative makes no payload-dependent claims). Hand-measured "
+    "numbers (fresh-process two-round interleaved ABAB, r12-form ac5d20d "
+    "vs HEAD, quiet machine — SCALING.md r14): text_analysis pooled 1.04x "
+    "(r12 2.37-2.64s, head 2.15-2.96s) — the r13 driver's 3.15s was "
+    "co-load, flag CLEARED; dedup_clusters pooled 1.06x and dedup_exact "
+    "0.94x — both r13 watch items CLEARED as noise. No entry's physical "
+    "plan changed this round (PLANS.md regen row-identical to r13); the "
+    "only gate-surface change is the assemble oracle's BIGINT cast, which "
+    "is DuckDB-side and costs nothing here."
 )
 
 # headline set: sink surface + heavy relational + LLM ops
@@ -410,6 +403,39 @@ def main() -> None:
         shared = sorted(set(prev.get("queries", {})) & set(timings))
         prev_total = round(sum(prev["queries"][k] for k in shared), 3)
         this_total = round(sum(timings[k] for k in shared), 3)
+        # Per-entry ratio distribution, also computed from the two payloads
+        # (VERDICT r13 item 4): a co-loaded box shows up as a UNIFORM
+        # median rise across mostly-untouched entries, while a genuine
+        # regression is one entry far above the band. Emitting the
+        # distribution puts that signature in the artifact itself instead
+        # of leaving it to a hand-written narrative.
+        ratios = sorted(
+            timings[k] / prev["queries"][k]
+            for k in shared
+            if prev["queries"][k] > 0.05 and timings[k] > 0.05
+        )
+        med = ratios[len(ratios) // 2] if ratios else float("nan")
+        n_up = sum(1 for r in ratios if r > 1.0)
+        big = sorted(
+            (k for k in shared
+             if prev["queries"][k] > 0.05 and timings[k] > 0.05
+             and timings[k] / prev["queries"][k] > 1.3),
+            key=lambda k: -(timings[k] / prev["queries"][k]),
+        )
+        dist_note = (
+            f"Per-entry ratio distribution (computed): median {med:.2f}x, "
+            f"{n_up}/{len(ratios)} entries up, {len(big)} above 1.3x"
+            + (
+                " ({})".format(", ".join(
+                    f"{k} {timings[k] / prev['queries'][k]:.2f}x"
+                    for k in big[:6]))
+                if big else ""
+            )
+            + ". A near-1.0x median with few >1.3x outliers means the "
+            "total moved with the machine, not the code; a ~uniform "
+            ">1.1x median across untouched entries is the co-load "
+            "signature. "
+        )
         rr_note = (
             f"Round-over-round, computed from the two payloads over their "
             f"{len(shared)} shared entries (not hand-written): this run "
@@ -422,6 +448,7 @@ def main() -> None:
                 f"prev / {len(timings)} now)"
             )
             + ". "
+            + dist_note
         )
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass
