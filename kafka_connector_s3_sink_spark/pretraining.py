@@ -196,6 +196,12 @@ class PretrainingResult:
     # split; no pack can straddle) — consumed by write_packed_corpus's
     # straddle/hole accounting
     pack_per_split: bool = False
+    # the token model the layout was budgeted under (r14) — what
+    # assemble_windows needs to reconstruct context windows, and what
+    # write_packed_corpus stamps into <dest>/stats / persists under
+    # <dest>/tokenizer so the knowledge travels with the corpus
+    bpe_merges: Sequence[tuple[str, str]] | None = None
+    per_doc_overhead: int = 0
 
     def accounting(self) -> list[tuple[str, int]]:
         """(stage, row count) in pipeline order — one count job per stage.
@@ -335,7 +341,19 @@ def write_packed_corpus(
     stats = stats.join(
         _straddle_stats(res.packed, _resolved_pack_scope(res)), "split"
     )
+    # stamp the token model (r14, the ingest ladder's pack_stats pattern):
+    # the stats row documents HOW budgets were counted, and the frozen
+    # merge list is persisted beside the corpus, so window reconstruction
+    # needs no out-of-band knowledge
+    stats = stats.withColumn(
+        "token_mode",
+        F.lit("bpe" if res.bpe_merges is not None else "heuristic"),
+    ).withColumn("per_doc_overhead", F.lit(res.per_doc_overhead))
     stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
+    if res.bpe_merges is not None:
+        tokenizer.save_merges(
+            list(res.bpe_merges), f"{dest}/tokenizer/merges.json"
+        )
 
 
 def read_packed_corpus(
@@ -380,6 +398,58 @@ def read_packed_corpus(
             key_value=split,
         )
     return df
+
+
+def assemble_windows(
+    res: PretrainingResult,
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Reconstruct the preset's training windows from the result (r14) —
+    the binding layer over ``packing.assemble_packs`` /
+    ``assemble_bpe_packs`` that picks every knob from what the pipeline
+    ACTUALLY packed with, so an inspector cannot assemble under the wrong
+    token model: the merge list and framing overhead come from the result
+    (``res.bpe_merges``/``res.per_doc_overhead``, recorded by
+    ``pretraining_pipeline``), and the pack key honors the packing scope
+    (``("split", "pack_id")`` under ``pack_per_split`` — per-split id
+    streams would otherwise merge colliding ids).
+
+    ``docs`` is the document frame to slice text from — normally the
+    result's own final pre-packing stage (the preset writes no documents
+    table; the layout + stats are the on-disk artifacts). Mixture
+    replicas need no special handling: every replica of a document slices
+    the SAME text, so the plain ``doc_id`` join resolves each segment
+    row's window correctly.
+
+    Heuristic layouts with nonzero ``per_doc_overhead`` raise (framing
+    slots have no text position); BPE layouts reconstruct through the
+    frozen merges — check ``n_bad_segments = 0`` before trusting those
+    windows."""
+    if res.packed is None:
+        raise ValueError("result carries no packed layout")
+    pack_key = (
+        ("split", "pack_id") if res.pack_per_split else ("pack_id",)
+    )
+    if res.bpe_merges is not None:
+        return packing.assemble_bpe_packs(
+            res.packed,
+            docs,
+            list(res.bpe_merges),
+            text_col=text_col,
+            pack_key=pack_key,
+            per_doc_overhead=res.per_doc_overhead,
+        )
+    if res.per_doc_overhead != 0:
+        raise ValueError(
+            f"heuristic-counted packs with per_doc_overhead="
+            f"{res.per_doc_overhead} have no text-positional window "
+            "semantics (the overhead slots are framing, not words) — "
+            "windows for overhead layouts need the BPE path"
+        )
+    return packing.assemble_packs(
+        res.packed, docs, text_col=text_col, pack_key=pack_key
+    )
 
 
 def corpus_datasheet(
@@ -836,4 +906,6 @@ def pretraining_pipeline(
     record("packed", packed)
     res.packed = res.stages["packed"]
     res.pack_per_split = cfg.pack_per_split
+    res.bpe_merges = cfg.bpe_merges
+    res.per_doc_overhead = cfg.per_doc_overhead
     return res

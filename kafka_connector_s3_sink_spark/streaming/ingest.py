@@ -570,11 +570,39 @@ def process_crawl_batch(
                 # 5): a reader verifying under a different id_col fails
                 # with a named-column error, not a stats mismatch
                 .withColumn("id_col", F.lit(id_col))
+                # stamp HOW the budgets were counted (r14): the window
+                # reader needs the token model to reconstruct — a
+                # BPE-packed epoch assembled under the whitespace
+                # heuristic would silently produce wrong windows, so the
+                # mode travels with the stats instead of out-of-band
+                .withColumn(
+                    "token_mode",
+                    F.lit(
+                        "bpe" if config.bpe_merges is not None
+                        else "heuristic"
+                    ),
+                )
+                .withColumn(
+                    "per_doc_overhead", F.lit(config.per_doc_overhead)
+                )
                 .coalesce(1)
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
                 .parquet(f"{config.dest_dir}/pack_stats")
             )
+            if config.bpe_merges is not None:
+                # persist the frozen tokenizer BESIDE the corpus so the
+                # trainer side is self-contained (read_ingest_windows
+                # loads it back); the merge list is frozen config, so a
+                # replayed epoch rewrites identical bytes
+                from kafka_connector_s3_sink_spark.operators import (
+                    tokenizer as _tok,
+                )
+
+                _tok.save_merges(
+                    list(config.bpe_merges),
+                    f"{config.dest_dir}/tokenizer/merges.json",
+                )
             if config.write_metrics:
                 # one audit row per epoch: counts are O(1)-row driver results
                 # over the already-persisted classification (plus two narrow
@@ -680,6 +708,120 @@ def read_ingest_packs(
             allow_missing_stats=allow_inflight,
         )
     return df
+
+
+def read_ingest_windows(
+    spark: SparkSession,
+    dest_dir: str,
+    batch_id: Optional[str] = None,
+    verify: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allow_inflight: bool = False,
+) -> DataFrame:
+    """Reconstruct the ingest corpus's training windows straight from the
+    destination — the self-contained trainer/inspection entry point (r14):
+    everything needed travels WITH the corpus (packs + documents tables,
+    the ``token_mode``/``per_doc_overhead`` stamps in ``pack_stats``, and
+    the frozen merge list under ``<dest>/tokenizer/``), so no out-of-band
+    knowledge can be wrong.
+
+    Routing is stamp-driven: a ``bpe``-stamped epoch assembles via
+    ``packing.assemble_bpe_packs`` with the persisted merges (missing
+    merges file → named ValueError); a ``heuristic`` epoch with zero
+    overhead assembles via ``packing.assemble_packs`` (nonzero heuristic
+    overhead has no text-positional window semantics and raises).
+    Epochs packed under DIFFERENT stamps can only be read one epoch at a
+    time (pass ``batch_id=``) — the unscoped read raises rather than
+    assembling half the corpus under the wrong model. Stats written
+    before r14 carry no stamp and raise with the re-ingest/direct-call
+    escape hatches named.
+
+    Returns one row per (batch_id, pack_id): ``pack_tokens``,
+    ``pack_text``, plus (BPE) ``pack_window``/``layout_tokens``/
+    ``n_bad_segments`` — check ``n_bad_segments = 0`` before trusting a
+    BPE reconstruction. ``verify=True`` runs ``read_ingest_packs``' full
+    layout verification first. Cost: the packs/documents equi-join + one
+    pack aggregation (+ the Arrow re-encode for BPE) — a verification/
+    inspection read; the training loader streams the one-pack-one-file
+    layout directly."""
+    from kafka_connector_s3_sink_spark.operators import tokenizer
+
+    packs = read_ingest_packs(
+        spark,
+        dest_dir,
+        batch_id=batch_id,
+        verify=verify,
+        id_col=id_col,
+        allow_inflight=allow_inflight,
+    )
+    stats = spark.read.parquet(f"{dest_dir}/pack_stats")
+    if batch_id is not None:
+        stats = stats.filter(F.col("batch_id") == batch_id)
+    if "token_mode" not in stats.columns:
+        raise ValueError(
+            f"pack_stats under {dest_dir} carries no token_mode stamp "
+            "(written before r14) — re-ingest, or call "
+            "packing.assemble_packs / assemble_bpe_packs directly with "
+            "the knobs the writer used"
+        )
+    stamps = {
+        (r["token_mode"], r["per_doc_overhead"])
+        for r in stats.select("token_mode", "per_doc_overhead")
+        .distinct()
+        .collect()
+    }
+    if len(stamps) > 1:
+        raise ValueError(
+            f"epochs under {dest_dir} were packed under different token "
+            f"models {sorted(stamps)} — windows can only be assembled one "
+            "epoch at a time here; pass batch_id="
+        )
+    if not stamps:
+        raise ValueError(
+            f"no pack_stats rows under {dest_dir}"
+            + (f" for batch_id={batch_id!r}" if batch_id is not None else "")
+            + " — nothing to assemble"
+        )
+    mode, overhead = next(iter(stamps))
+    docs = spark.read.parquet(f"{dest_dir}/documents")
+    if batch_id is not None:
+        docs = docs.filter(F.col("batch_id") == batch_id)
+    if mode == "bpe":
+        merges_path = f"{dest_dir}/tokenizer/merges.json"
+        try:
+            merges = tokenizer.load_merges(merges_path)
+        except (OSError, FileNotFoundError) as exc:
+            raise ValueError(
+                f"no persisted tokenizer at {merges_path} but the "
+                "pack_stats stamp says the corpus was BPE-packed — the "
+                "tokenizer directory was lost, or the corpus predates the "
+                "r14 artifact write; pass the merge list to "
+                "packing.assemble_bpe_packs directly"
+            ) from exc
+        return packing.assemble_bpe_packs(
+            packs,
+            docs,
+            merges,
+            id_col=id_col,
+            text_col=text_col,
+            pack_key=("batch_id", "pack_id"),
+            per_doc_overhead=int(overhead),
+        )
+    if int(overhead) != 0:
+        raise ValueError(
+            f"heuristic-counted packs with per_doc_overhead={overhead} "
+            "have no text-positional window semantics (the overhead slots "
+            "are framing, not words) — windows for overhead layouts need "
+            "the BPE path"
+        )
+    return packing.assemble_packs(
+        packs,
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        pack_key=("batch_id", "pack_id"),
+    )
 
 
 def ingest_datasheet(

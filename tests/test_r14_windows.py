@@ -1,0 +1,257 @@
+"""r14: the tokenizer travels with the corpus — self-contained window
+reconstruction on both ladders.
+
+The ingest writer stamps HOW pack budgets were counted
+(`token_mode`/`per_doc_overhead` in pack_stats, beside the r13 id_col
+stamp) and persists the frozen merge list under `<dest>/tokenizer/`;
+`read_ingest_windows` routes the reconstruction from those stamps so no
+out-of-band knowledge can be wrong. The preset records the token model on
+its result (`assemble_windows` binds every knob), and
+`write_packed_corpus` stamps `<dest>/stats` and persists the merges the
+same way.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connector_s3_sink_spark.operators import (
+    incremental,
+    packing,
+    tokenizer,
+)
+from kafka_connector_s3_sink_spark.streaming import ingest
+
+PREFIX = "r14win"
+
+
+def _prose(tag, n=18):
+    stops = ["the", "and", "of", "to", "is"]
+    return " ".join(w for i in range(n) for w in (stops[i % 5], f"{tag}{i}"))
+
+
+@pytest.fixture(scope="module")
+def merges(spark):
+    wf = tokenizer.word_frequencies(
+        spark.createDataFrame(
+            [(0, _prose("fit", 40))], ["doc_id", "text"]
+        )
+    )
+    return tokenizer.fit_bpe(wf, n_merges=30)
+
+
+def _cfg(tmp_path, loc, **over):
+    base = dict(
+        index_prefix=PREFIX,
+        index_location=loc,
+        dest_dir=str(tmp_path / "out"),
+        checkpoint_location=str(tmp_path / "ckpt"),
+        num_buckets=2,
+        ctx_len=48,
+        split_weights={"train": 1.0},
+    )
+    base.update(over)
+    return ingest.IngestConfig(**base)
+
+
+@pytest.fixture()
+def index(spark, tmp_path):
+    loc = str(tmp_path / "index")
+    base = spark.createDataFrame(
+        [(9999, _prose("hist", 25))], ["doc_id", "text"]
+    )
+    incremental.build_dedup_index(base, PREFIX, loc, num_buckets=2)
+    yield loc
+    incremental.drop_dedup_index(spark, PREFIX)
+
+
+def _run_epochs(spark, cfg, n=2):
+    for epoch in range(n):
+        docs = spark.createDataFrame(
+            [
+                (100 * epoch + i, _prose(f"e{epoch}d{i}", 8 + i))
+                for i in range(1, 5)
+            ],
+            ["doc_id", "text"],
+        )
+        ingest.process_crawl_batch(docs, epoch, cfg)
+
+
+def test_bpe_ingest_windows_are_self_contained(spark, tmp_path, index, merges):
+    cfg = _cfg(tmp_path, index, bpe_merges=tuple(merges))
+    _run_epochs(spark, cfg)
+    # the stamps and the tokenizer artifact landed with the corpus
+    stats = spark.read.parquet(f"{cfg.dest_dir}/pack_stats")
+    assert {r["token_mode"] for r in stats.collect()} == {"bpe"}
+    assert {r["per_doc_overhead"] for r in stats.collect()} == {0}
+    persisted = tokenizer.load_merges(f"{cfg.dest_dir}/tokenizer/merges.json")
+    assert persisted == merges
+    # the one-call reader reconstructs without being told anything
+    win = ingest.read_ingest_windows(spark, cfg.dest_dir).collect()
+    assert win and all(r["n_bad_segments"] == 0 for r in win)
+    assert all(r["pack_tokens"] == r["layout_tokens"] for r in win)
+    # totals agree with the written stats, per epoch
+    for srow in stats.collect():
+        got = sum(
+            r["pack_tokens"] for r in win if r["batch_id"] == srow["batch_id"]
+        )
+        assert got == srow["n_tokens"], srow["batch_id"]
+    # and the routing matches a direct, correctly-parameterized call
+    direct = packing.assemble_bpe_packs(
+        ingest.read_ingest_packs(spark, cfg.dest_dir, verify=False),
+        spark.read.parquet(f"{cfg.dest_dir}/documents"),
+        merges,
+        pack_key=("batch_id", "pack_id"),
+    ).collect()
+    key = lambda r: (r["batch_id"], r["pack_id"])
+    assert {key(r): r["pack_text"] for r in win} == {
+        key(r): r["pack_text"] for r in direct
+    }
+
+
+def test_heuristic_ingest_windows(spark, tmp_path, index):
+    cfg = _cfg(tmp_path, index)
+    _run_epochs(spark, cfg, n=1)
+    stats = spark.read.parquet(f"{cfg.dest_dir}/pack_stats").collect()
+    assert {r["token_mode"] for r in stats} == {"heuristic"}
+    assert not os.path.exists(f"{cfg.dest_dir}/tokenizer")
+    win = ingest.read_ingest_windows(spark, cfg.dest_dir).collect()
+    assert sum(r["pack_tokens"] for r in win) == sum(
+        r["n_tokens"] for r in stats
+    )
+    # heuristic windows carry pack_text sliced from whitespace tokens
+    for r in win:
+        assert len(r["pack_text"].split()) == r["pack_tokens"]
+
+
+def test_mixed_token_models_require_epoch_scope(
+    spark, tmp_path, index, merges
+):
+    # epoch 0 heuristic, epoch 1 BPE (a config change mid-corpus)
+    cfg0 = _cfg(tmp_path, index)
+    _run_epochs(spark, cfg0, n=1)
+    cfg1 = _cfg(tmp_path, index, bpe_merges=tuple(merges))
+    docs = spark.createDataFrame(
+        [(200 + i, _prose(f"late{i}", 9 + i)) for i in range(1, 4)],
+        ["doc_id", "text"],
+    )
+    ingest.process_crawl_batch(docs, 1, cfg1)
+    with pytest.raises(ValueError, match="different token models"):
+        ingest.read_ingest_windows(spark, cfg0.dest_dir)
+    # per-epoch reads route under each epoch's own stamp
+    e0, e1 = ingest._epoch_batch_id(0), ingest._epoch_batch_id(1)
+    w0 = ingest.read_ingest_windows(spark, cfg0.dest_dir, batch_id=e0)
+    assert "n_bad_segments" not in w0.columns  # heuristic shape
+    w1 = ingest.read_ingest_windows(spark, cfg0.dest_dir, batch_id=e1)
+    assert all(r["n_bad_segments"] == 0 for r in w1.collect())
+
+
+def test_missing_tokenizer_artifact_is_named(spark, tmp_path, index, merges):
+    import shutil
+
+    cfg = _cfg(tmp_path, index, bpe_merges=tuple(merges))
+    _run_epochs(spark, cfg, n=1)
+    shutil.rmtree(f"{cfg.dest_dir}/tokenizer")
+    with pytest.raises(ValueError, match="tokenizer"):
+        ingest.read_ingest_windows(spark, cfg.dest_dir)
+
+
+def test_unstamped_stats_are_refused(spark, tmp_path, index):
+    cfg = _cfg(tmp_path, index)
+    _run_epochs(spark, cfg, n=1)
+    path = f"{cfg.dest_dir}/pack_stats"
+    stripped = spark.read.parquet(path).drop(
+        "token_mode", "per_doc_overhead"
+    )
+    rows, schema = stripped.collect(), stripped.schema
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="token_mode"):
+        ingest.read_ingest_windows(spark, cfg.dest_dir)
+
+
+def test_heuristic_overhead_has_no_window_semantics(
+    spark, tmp_path, index
+):
+    cfg = _cfg(tmp_path, index, per_doc_overhead=2)
+    _run_epochs(spark, cfg, n=1)
+    with pytest.raises(ValueError, match="per_doc_overhead"):
+        ingest.read_ingest_windows(spark, cfg.dest_dir)
+
+
+# --- preset ladder
+
+
+@pytest.fixture(scope="module")
+def preset_docs(spark):
+    return spark.createDataFrame(
+        [(i, _prose(f"p{i}", 10 + i)) for i in range(1, 9)],
+        ["doc_id", "text"],
+    )
+
+
+def _lean_cfg(**over):
+    from kafka_connector_s3_sink_spark.pretraining import PretrainingConfig
+
+    base = dict(
+        quality_floor=None,
+        domain_cap=None,
+        mixture=None,
+        ctx_len=48,
+        splits={"train": 0.7, "val": 0.3},
+    )
+    base.update(over)
+    return PretrainingConfig(**base)
+
+
+def test_preset_bpe_windows_and_artifacts(spark, tmp_path, preset_docs, merges):
+    from kafka_connector_s3_sink_spark import pretraining as pt
+
+    res = pt.pretraining_pipeline(
+        preset_docs, config=_lean_cfg(bpe_merges=tuple(merges))
+    )
+    try:
+        win = pt.assemble_windows(res, preset_docs).collect()
+        assert win and all(r["n_bad_segments"] == 0 for r in win)
+        assert all(r["pack_tokens"] == r["layout_tokens"] for r in win)
+        # writer side: stamps + persisted merges
+        dest = str(tmp_path / "corpus")
+        pt.write_packed_corpus(res, dest)
+        stats = spark.read.parquet(f"{dest}/stats").collect()
+        assert {r["token_mode"] for r in stats} == {"bpe"}
+        assert tokenizer.load_merges(f"{dest}/tokenizer/merges.json") == merges
+        # stats totals equal the reconstruction's totals... per split the
+        # packed copies overlap (straddling packs), so compare the GLOBAL
+        # stream: every slot accounted exactly once
+        assert sum(r["pack_tokens"] for r in win) == (
+            res.packed.agg(F.sum("seg_tokens")).collect()[0][0]
+        )
+    finally:
+        res.unpersist()
+
+
+def test_preset_split_scoped_windows(spark, tmp_path, preset_docs):
+    from kafka_connector_s3_sink_spark import pretraining as pt
+
+    res = pt.pretraining_pipeline(
+        preset_docs, config=_lean_cfg(pack_per_split=True)
+    )
+    try:
+        win = pt.assemble_windows(res, preset_docs).collect()
+        # per-split id streams: the pack key includes split
+        assert {tuple(sorted(r.asDict()))[0] for r in win}  # rows exist
+        got = {}
+        for r in win:
+            got[(r["split"], r["pack_id"])] = r["pack_tokens"]
+        want = {
+            (r["split"], r["pack_id"]): r["n"]
+            for r in res.packed.groupBy("split", "pack_id")
+            .agg(F.sum("seg_tokens").alias("n"))
+            .collect()
+        }
+        assert got == want
+        # heuristic + zero overhead: text really carries the slot count
+        for r in win:
+            assert len(r["pack_text"].split()) == r["pack_tokens"]
+    finally:
+        res.unpersist()
