@@ -551,6 +551,12 @@ def verify_pack_layout(
       exactly ONE parquet file — the writers' ``repartition(pack_id)``
       contract that lets a loader stream each context window without a
       shuffle; checked via ``input_file_name`` + one aggregation;
+    - **slot bounds** (r14): when the stats table stamps ``ctx_len``,
+      per-key ``max(pack_pos + seg_tokens)`` must fit it — the one
+      corruption class the count/sum comparisons cannot see (a shifted
+      ``pack_pos`` leaves every stored total intact while the streamed
+      window overflows its context); folded into the same aggregation
+      pass as the stats recompute;
     - **stats agreement**: per-key ``n_packs / n_docs / n_segments /
       n_tokens`` recomputed from the data must equal the stored stats.
       Keys present in the data but missing from the stats table raise a
@@ -614,22 +620,59 @@ def verify_pack_layout(
             "(write contract: one pack's segments land in one file — was "
             f"the directory rewritten outside {writer_name}?)"
         )
-    recomputed = {
-        r[key_col]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
-        for r in df.groupBy(key_col)
+    agg_rows = (
+        df.groupBy(key_col)
         .agg(
             F.countDistinct("pack_id").alias("n_packs"),
             F.countDistinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_segments"),
             F.sum("seg_tokens").alias("n_tokens"),
+            F.max(F.col("pack_pos") + F.col("seg_tokens")).alias("_max_slot"),
         )
         .collect()
-    }
-    stored = {
+    )
+    recomputed = {
         r[key_col]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in agg_rows
+    }
+    stored_rows = [
+        r
         for r in stats_df.collect()
         if key_value is None or r[key_col] == key_value
+    ]
+    stored = {
+        r[key_col]: (r["n_packs"], r["n_docs"], r["n_segments"], r["n_tokens"])
+        for r in stored_rows
     }
+    # slot-bound check (r14): the count/sum comparisons above cannot see a
+    # corrupted SLOT MAP — shifting one segment's pack_pos leaves every
+    # stored total intact while the window a loader streams overflows its
+    # context. When the writer stamped ctx_len, pin per key:
+    # max(pack_pos + seg_tokens) <= ctx_len. Same single aggregation pass
+    # (folded into the stats recompute above).
+    if "ctx_len" in stats_df.columns:
+        stored_ctx = {
+            r[key_col]: r["ctx_len"]
+            for r in stored_rows
+            if r["ctx_len"] is not None
+        }
+        overflow = {
+            r[key_col]: (r["_max_slot"], stored_ctx[r[key_col]])
+            for r in agg_rows
+            if r[key_col] in stored_ctx
+            and r["_max_slot"] > stored_ctx[r[key_col]]
+        }
+        if overflow:
+            detail = "; ".join(
+                f"{k}: max slot {m} > ctx_len {c}"
+                for k, (m, c) in sorted(overflow.items())
+            )
+            raise ValueError(
+                f"pack slot map overflows the stamped context length "
+                f"({key_col}-keyed): {detail} — a corrupted or rewritten "
+                "slot map (pack_pos/seg_tokens no longer fit the windows "
+                f"{writer_name} budgeted)"
+            )
     missing = sorted(set(recomputed) - set(stored))
     extra = sorted(set(stored) - set(recomputed))
     if missing and not allow_missing_stats:

@@ -202,6 +202,10 @@ class PretrainingResult:
     # <dest>/tokenizer so the knowledge travels with the corpus
     bpe_merges: Sequence[tuple[str, str]] | None = None
     per_doc_overhead: int = 0
+    # context length the packs were budgeted for (0 = unknown, hand-built
+    # result) — stamped into <dest>/stats so verify_pack_layout can pin
+    # the slot map (max(pack_pos + seg_tokens) <= ctx_len)
+    ctx_len: int = 0
 
     def accounting(self) -> list[tuple[str, int]]:
         """(stage, row count) in pipeline order — one count job per stage.
@@ -349,6 +353,10 @@ def write_packed_corpus(
         "token_mode",
         F.lit("bpe" if res.bpe_merges is not None else "heuristic"),
     ).withColumn("per_doc_overhead", F.lit(res.per_doc_overhead))
+    if res.ctx_len > 0:
+        # lets verify_pack_layout pin the slot map (a shifted pack_pos
+        # passes every count/sum comparison; the bound check catches it)
+        stats = stats.withColumn("ctx_len", F.lit(res.ctx_len))
     stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
     if res.bpe_merges is not None:
         tokenizer.save_merges(
@@ -908,4 +916,5 @@ def pretraining_pipeline(
     res.pack_per_split = cfg.pack_per_split
     res.bpe_merges = cfg.bpe_merges
     res.per_doc_overhead = cfg.per_doc_overhead
+    res.ctx_len = cfg.ctx_len
     return res

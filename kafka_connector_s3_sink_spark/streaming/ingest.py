@@ -585,6 +585,10 @@ def process_crawl_batch(
                 .withColumn(
                     "per_doc_overhead", F.lit(config.per_doc_overhead)
                 )
+                # ctx_len stamp (r14): lets verify_pack_layout pin the
+                # slot map (max(pack_pos+seg_tokens) <= ctx) — the
+                # corruption class the count/sum stats can't see
+                .withColumn("ctx_len", F.lit(config.ctx_len))
                 .coalesce(1)
                 .write.mode("overwrite")
                 .partitionBy("batch_id")

@@ -219,6 +219,7 @@ def test_preset_bpe_windows_and_artifacts(spark, tmp_path, preset_docs, merges):
         pt.write_packed_corpus(res, dest)
         stats = spark.read.parquet(f"{dest}/stats").collect()
         assert {r["token_mode"] for r in stats} == {"bpe"}
+        assert {r["ctx_len"] for r in stats} == {48}
         assert tokenizer.load_merges(f"{dest}/tokenizer/merges.json") == merges
         # stats totals equal the reconstruction's totals... per split the
         # packed copies overlap (straddling packs), so compare the GLOBAL
@@ -255,3 +256,34 @@ def test_preset_split_scoped_windows(spark, tmp_path, preset_docs):
             assert len(r["pack_text"].split()) == r["pack_tokens"]
     finally:
         res.unpersist()
+
+
+def test_slot_map_corruption_is_caught(spark, tmp_path, index):
+    """A shifted pack_pos leaves every count/sum stat intact — the r13
+    checks all pass — but the streamed window overflows its context; the
+    r14 ctx_len stamp + slot-bound check catches exactly this."""
+    cfg = _cfg(tmp_path, index)
+    _run_epochs(spark, cfg, n=1)
+    path = f"{cfg.dest_dir}/packs"
+    df = spark.read.parquet(path)
+    rows, schema = df.collect(), df.schema
+    # shift one segment's slot past the context boundary; n_packs/n_docs/
+    # n_segments/n_tokens are all unchanged
+    victim = rows[0]
+    tampered = [
+        r.asDict() | ({"pack_pos": r["pack_pos"] + cfg.ctx_len}
+                      if r is victim else {})
+        for r in rows
+    ]
+    (
+        spark.createDataFrame(
+            [tuple(d[f.name] for f in schema.fields) for d in tampered],
+            schema,
+        )
+        .coalesce(1)  # keeps one-pack-one-file locality trivially true
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+    with pytest.raises(ValueError, match="slot map overflows"):
+        ingest.read_ingest_packs(spark, cfg.dest_dir)
