@@ -425,10 +425,21 @@ def assemble_windows(
 
     ``docs`` is the document frame to slice text from — normally the
     result's own final pre-packing stage (the preset writes no documents
-    table; the layout + stats are the on-disk artifacts). Mixture
-    replicas need no special handling: every replica of a document slices
-    the SAME text, so the plain ``doc_id`` join resolves each segment
-    row's window correctly.
+    table; the layout + stats are the on-disk artifacts). When a mixture
+    with any rate > 1 ran, that stage carries one row PER REPLICA
+    (duplicate ``doc_id``, distinct ``mix_epoch``) while ``mix_epoch`` is
+    never part of the pack key — a plain ``doc_id`` join would fan every
+    segment out to every replica row, multiplying ``pack_tokens`` and
+    duplicating segments inside the window (r14 ADVICE, high). Replicas
+    of one document carry IDENTICAL text by construction
+    (``mixture_sample`` replicates rows, it never rewrites them), so the
+    frame is reduced to one row per document before the join: the
+    ``mix_epoch = 0`` slice — exact, because every document the mixture
+    serves at all serves epoch 0 (full epochs start at 0; a rate < 1
+    source's only epoch IS 0 — the nesting invariant in
+    ``sampling.mixture_sample``), and narrow (a filter, not a
+    ``dropDuplicates`` shuffle). A replica-free ``docs`` frame passes
+    through unchanged.
 
     Heuristic layouts with nonzero ``per_doc_overhead`` raise (framing
     slots have no text position); BPE layouts reconstruct through the
@@ -439,6 +450,11 @@ def assemble_windows(
     pack_key = (
         ("split", "pack_id") if res.pack_per_split else ("pack_id",)
     )
+    if "mix_epoch" in docs.columns:
+        # one row per document: the epoch-0 slice (see docstring — exact
+        # for any mixture, a no-op for the preset's mix_epoch=0 no-mixture
+        # path, and shuffle-free unlike dropDuplicates)
+        docs = docs.filter(F.col("mix_epoch") == 0).drop("mix_epoch")
     if res.bpe_merges is not None:
         return packing.assemble_bpe_packs(
             res.packed,
