@@ -259,22 +259,51 @@ def bpe_vocab_ids(
     - then the corpus's single characters, sorted (one bounded-cardinality
       distinct over the word table — charset-sized, not corpus-sized);
     - then ``</w>``;
-    - then the learned merges, in merge order.
+    - then the learned merges' surface strings, in merge order, FIRST
+      OCCURRENCE only: two merges can produce the same surface string
+      (``('a','bc')`` and ``('ab','c')`` both yield ``'abc'``), and a
+      duplicate entry would leave the earlier id a dead slot the id dicts
+      in ``bpe_encode_ids``/``map_tokens_to_ids`` never emit (r14 ADVICE).
+      Keeping the first keeps id↔token a bijection — vocab size equals
+      distinct emittable ids.
+
+    The character inventory is extracted CODEPOINT-wise (an Arrow-batched
+    per-partition set union, output charset-sized per task), matching
+    ``_encode_word``'s ``list(word)`` symbol model — a JVM-side
+    ``split(word, '')`` would cut on UTF-16 code units and enter non-BMP
+    characters (emoji, rare CJK) as two surrogate halves the encoder never
+    emits, silently mapping them to UNK (r14 ADVICE).
 
     Deterministic for a given (word table, merges): re-deriving from the
     same frozen artifacts yields identical ids across sessions; persist it
     beside the merges with ``save_vocab`` so token ids stay comparable
     across ingest batches for the lifetime of the tokenizer."""
+
+    def chars_of(batches):
+        import pandas as pd
+
+        seen: set[str] = set()
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w is not None:
+                    seen.update(w)  # iterates code points, like list(word)
+        yield pd.DataFrame({"c": sorted(seen)})
+
     chars = sorted(
         r["c"]
-        for r in word_freqs.select(
-            F.explode(F.split("word", "")).alias("c")
-        )
-        .filter(F.col("c") != "")
+        for r in word_freqs.select("word")
+        .mapInPandas(chars_of, "c string")
         .distinct()
         .collect()
     )
-    return [UNK_TOKEN] + chars + [END_OF_WORD] + [a + b for a, b in merges]
+    out = [UNK_TOKEN] + chars + [END_OF_WORD]
+    present = set(out)
+    for a, b in merges:
+        t = a + b
+        if t not in present:
+            out.append(t)
+            present.add(t)
+    return out
 
 
 def bpe_encode_ids(

@@ -109,6 +109,16 @@ class IngestConfig:
     # corpus (pinned by tests/test_r11_parity.py); per_doc_overhead models
     # framing tokens (EOS etc.), also mirrored from the preset
     bpe_merges: Optional[tuple] = None
+    # the frozen CLOSED vocabulary (tokenizer.bpe_vocab_ids output, as a
+    # tuple of strings) — the id half of the tokenizer (r15, VERDICT item
+    # 1). When set (requires bpe_merges), it is persisted beside the
+    # merges under <dest>/tokenizer/vocab.json, so integer-id windows are
+    # reproducible from the corpus artifacts alone: the char tier of
+    # bpe_vocab_ids depends on the FIT-TIME word table, which is not a
+    # destination artifact — without persisting the derived vocab, a
+    # trainer wanting pack_ids would need out-of-band knowledge, exactly
+    # the property the r14 self-containment work set out to kill.
+    bpe_vocab: Optional[tuple] = None
     per_doc_overhead: int = 0
     # trainer-handoff contract parity with pretraining.write_packed_corpus
     # (r12): the epoch's packs are hash-repartitioned on pack_id into
@@ -238,6 +248,62 @@ def _epoch_batch_id(batch_id: int) -> str:
     return f"epoch-{batch_id:020d}"
 
 
+def _check_frozen_tokenizer(config: IngestConfig, epoch: str) -> None:
+    """Refuse an epoch whose ``config.bpe_merges`` differs from the merge
+    list already persisted under ``<dest>/tokenizer/`` (r14 ADVICE): the
+    per-epoch artifact write would silently overwrite the tokenizer
+    earlier epochs were packed under, the stamp check (``token_mode``/
+    ``per_doc_overhead`` only) would still pass, and those epochs would
+    assemble under the NEW merges — detectable only via ``n_bad_segments``
+    forensics. Runs at batch START so a misconfigured stream fails before
+    any index append or sink write; a replay with the identical frozen
+    list sails through (byte-identical rewrite). The same rule covers the
+    vocab artifact (r15): a changed ``bpe_vocab`` would silently remap
+    every earlier epoch's integer-id windows."""
+    if config.bpe_vocab is not None and config.bpe_merges is None:
+        raise ValueError(
+            "IngestConfig.bpe_vocab requires bpe_merges — the vocab is "
+            "the id half of the frozen BPE tokenizer, meaningless without "
+            "its merge list"
+        )
+    if config.bpe_merges is None:
+        return
+    from kafka_connector_s3_sink_spark.operators import tokenizer as _tok
+
+    merges_path = f"{config.dest_dir}/tokenizer/merges.json"
+    try:
+        existing = _tok.load_merges(merges_path)
+    except (OSError, FileNotFoundError):
+        existing = None  # first BPE epoch — nothing persisted yet
+    if existing is not None and existing != [
+        (a, b) for a, b in config.bpe_merges
+    ]:
+        raise ValueError(
+            f"epoch {epoch}: config.bpe_merges differs from the tokenizer "
+            f"already persisted at {merges_path} — earlier epochs were "
+            "packed under those merges, and overwriting would make "
+            "read_ingest_windows silently assemble them under the new "
+            "list; restore the original merge list, or ingest into a "
+            "fresh destination"
+        )
+    if config.bpe_vocab is not None:
+        vocab_path = f"{config.dest_dir}/tokenizer/vocab.json"
+        try:
+            existing_vocab = _tok.load_vocab(vocab_path)
+        except (OSError, FileNotFoundError):
+            existing_vocab = None
+        if existing_vocab is not None and existing_vocab != list(
+            config.bpe_vocab
+        ):
+            raise ValueError(
+                f"epoch {epoch}: config.bpe_vocab differs from the vocab "
+                f"already persisted at {vocab_path} — earlier epochs' "
+                "integer-id windows were minted under those ids, and "
+                "overwriting would silently remap them; restore the "
+                "original vocab, or ingest into a fresh destination"
+            )
+
+
 def process_crawl_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -248,6 +314,7 @@ def process_crawl_batch(
     spark = batch_df.sparkSession
     epoch = _epoch_batch_id(batch_id)
     id_col, text_col = config.id_col, config.text_col
+    _check_frozen_tokenizer(config, epoch)
 
     # stage 0a (optional): drift monitoring against the persisted baseline —
     # computed on the RAW batch and deferred to the metrics write block so
@@ -585,6 +652,14 @@ def process_crawl_batch(
                 .withColumn(
                     "per_doc_overhead", F.lit(config.per_doc_overhead)
                 )
+                # lowercase stamp (r15, VERDICT item 3): the token
+                # normalization the budgets were counted under. Today it
+                # is bpe_encode's hard default (the encode call above
+                # passes no knob), but stamping it now means the day the
+                # knob IS exposed, a mismatched reconstruction fails with
+                # a named refusal in read_ingest_windows instead of
+                # n_bad_segments forensics.
+                .withColumn("lowercase", F.lit(True))
                 # ctx_len stamp (r14): lets verify_pack_layout pin the
                 # slot map (max(pack_pos+seg_tokens) <= ctx) — the
                 # corruption class the count/sum stats can't see
@@ -597,8 +672,10 @@ def process_crawl_batch(
             if config.bpe_merges is not None:
                 # persist the frozen tokenizer BESIDE the corpus so the
                 # trainer side is self-contained (read_ingest_windows
-                # loads it back); the merge list is frozen config, so a
-                # replayed epoch rewrites identical bytes
+                # loads it back); the merge list is frozen config —
+                # enforced against the already-persisted artifact at
+                # batch START (_check_frozen_tokenizer, r14 ADVICE), so a
+                # replayed epoch rewrites identical bytes here
                 from kafka_connector_s3_sink_spark.operators import (
                     tokenizer as _tok,
                 )
@@ -607,6 +684,17 @@ def process_crawl_batch(
                     list(config.bpe_merges),
                     f"{config.dest_dir}/tokenizer/merges.json",
                 )
+                if config.bpe_vocab is not None:
+                    # the id half (r15): with vocab.json beside the
+                    # merges, integer-id windows (read_ingest_windows
+                    # ids=True) are reproducible from the corpus
+                    # artifacts alone — the fit-time word table the
+                    # vocab's char tier derived from never needs to
+                    # travel
+                    _tok.save_vocab(
+                        list(config.bpe_vocab),
+                        f"{config.dest_dir}/tokenizer/vocab.json",
+                    )
             if config.write_metrics:
                 # one audit row per epoch: counts are O(1)-row driver results
                 # over the already-persisted classification (plus two narrow
@@ -722,6 +810,7 @@ def read_ingest_windows(
     id_col: str = "doc_id",
     text_col: str = "text",
     allow_inflight: bool = False,
+    ids: bool = False,
 ) -> DataFrame:
     """Reconstruct the ingest corpus's training windows straight from the
     destination — the self-contained trainer/inspection entry point (r14):
@@ -745,7 +834,21 @@ def read_ingest_windows(
     ``pack_text``, plus (BPE) ``pack_window``/``layout_tokens``/
     ``n_bad_segments`` — check ``n_bad_segments = 0`` before trusting a
     BPE reconstruction. ``verify=True`` runs ``read_ingest_packs``' full
-    layout verification first. Cost: the packs/documents equi-join + one
+    layout verification first.
+
+    ``ids=True`` (r15, VERDICT item 1) additionally returns ``pack_ids``
+    — the window as INTEGER token ids via the persisted
+    ``<dest>/tokenizer/vocab.json`` (``tokenizer.map_tokens_to_ids``;
+    unknown tokens map to id 0 = UNK, which cannot occur when the vocab
+    was fit on the ingested corpus) — what a trainer's data loader
+    actually consumes. Requires a BPE-stamped corpus whose destination
+    carries the vocab artifact (``IngestConfig.bpe_vocab`` at ingest
+    time); a heuristic corpus or a missing vocab raises a named
+    ``ValueError``, mirroring the missing-merges path.
+
+    The ``lowercase`` stamp (r15) routes the re-encode's normalization;
+    stats written before the stamp existed read as ``True`` — the only
+    value any writer ever used. Cost: the packs/documents equi-join + one
     pack aggregation (+ the Arrow re-encode for BPE) — a verification/
     inspection read; the training loader streams the one-pack-one-file
     layout directly."""
@@ -769,11 +872,19 @@ def read_ingest_windows(
             "packing.assemble_packs / assemble_bpe_packs directly with "
             "the knobs the writer used"
         )
+    stamp_cols = ["token_mode", "per_doc_overhead"]
+    # pre-r15 stats carry no lowercase stamp; every writer before the
+    # stamp hard-defaulted True, so absence reads as True
+    has_lc = "lowercase" in stats.columns
+    if has_lc:
+        stamp_cols.append("lowercase")
     stamps = {
-        (r["token_mode"], r["per_doc_overhead"])
-        for r in stats.select("token_mode", "per_doc_overhead")
-        .distinct()
-        .collect()
+        (
+            r["token_mode"],
+            r["per_doc_overhead"],
+            bool(r["lowercase"]) if has_lc else True,
+        )
+        for r in stats.select(*stamp_cols).distinct().collect()
     }
     if len(stamps) > 1:
         raise ValueError(
@@ -787,7 +898,14 @@ def read_ingest_windows(
             + (f" for batch_id={batch_id!r}" if batch_id is not None else "")
             + " — nothing to assemble"
         )
-    mode, overhead = next(iter(stamps))
+    mode, overhead, lowercase = next(iter(stamps))
+    if ids and mode != "bpe":
+        raise ValueError(
+            f"integer-id windows need a BPE-packed corpus, but the "
+            f"pack_stats stamp under {dest_dir} says token_mode={mode!r} "
+            "— the whitespace heuristic has no id inventory; re-ingest "
+            "with IngestConfig.bpe_merges + bpe_vocab"
+        )
     docs = spark.read.parquet(f"{dest_dir}/documents")
     if batch_id is not None:
         docs = docs.filter(F.col("batch_id") == batch_id)
@@ -803,15 +921,33 @@ def read_ingest_windows(
                 "r14 artifact write; pass the merge list to "
                 "packing.assemble_bpe_packs directly"
             ) from exc
-        return packing.assemble_bpe_packs(
+        win = packing.assemble_bpe_packs(
             packs,
             docs,
             merges,
             id_col=id_col,
             text_col=text_col,
             pack_key=("batch_id", "pack_id"),
+            lowercase=lowercase,
             per_doc_overhead=int(overhead),
         )
+        if ids:
+            vocab_path = f"{dest_dir}/tokenizer/vocab.json"
+            try:
+                vocab = tokenizer.load_vocab(vocab_path)
+            except (OSError, FileNotFoundError) as exc:
+                raise ValueError(
+                    f"no persisted vocab at {vocab_path} but integer-id "
+                    "windows were requested — the corpus was ingested "
+                    "without IngestConfig.bpe_vocab (or the tokenizer "
+                    "directory was lost); re-ingest with the frozen "
+                    "vocab, or map ids yourself via "
+                    "tokenizer.map_tokens_to_ids"
+                ) from exc
+            win = tokenizer.map_tokens_to_ids(
+                win, vocab, tokens_col="pack_window", out_col="pack_ids"
+            )
+        return win
     if int(overhead) != 0:
         raise ValueError(
             f"heuristic-counted packs with per_doc_overhead={overhead} "
