@@ -155,6 +155,15 @@ class PretrainingConfig:
     # output) switches pack budgets from the whitespace heuristic to real
     # BPE token counts; per_doc_overhead models framing tokens (EOS etc.)
     bpe_merges: Sequence[tuple[str, str]] | None = None
+    # the frozen CLOSED vocabulary (tokenizer.bpe_vocab_ids output) — the
+    # id half of the tokenizer (r15, VERDICT item 1). When set (requires
+    # bpe_merges), write_packed_corpus persists it beside the merges
+    # under <dest>/tokenizer/vocab.json and assemble_windows(ids=True)
+    # returns pack_ids — integer-id windows reproducible from the corpus
+    # artifacts alone (the vocab's char tier depends on the FIT-TIME word
+    # table, which is not a destination artifact, so the derived vocab
+    # must travel).
+    bpe_vocab: Sequence[str] | None = None
     per_doc_overhead: int = 0
     # pack each split's documents in an independent stream (pack ids are
     # then per-split): no pack straddles the train/val/test boundary, so
@@ -201,7 +210,15 @@ class PretrainingResult:
     # write_packed_corpus stamps into <dest>/stats / persists under
     # <dest>/tokenizer so the knowledge travels with the corpus
     bpe_merges: Sequence[tuple[str, str]] | None = None
+    # the frozen closed vocab (r15) — persisted beside the merges by
+    # write_packed_corpus; what assemble_windows(ids=True) maps
+    # pack_window through
+    bpe_vocab: Sequence[str] | None = None
     per_doc_overhead: int = 0
+    # the token normalization budgets were counted under (r15) — stamped
+    # into <dest>/stats and routed into the reconstruction; today always
+    # the bpe_encode hard default
+    lowercase: bool = True
     # context length the packs were budgeted for (0 = unknown, hand-built
     # result) — stamped into <dest>/stats so verify_pack_layout can pin
     # the slot map (max(pack_pos + seg_tokens) <= ctx_len)
@@ -349,19 +366,40 @@ def write_packed_corpus(
     # the stats row documents HOW budgets were counted, and the frozen
     # merge list is persisted beside the corpus, so window reconstruction
     # needs no out-of-band knowledge
-    stats = stats.withColumn(
-        "token_mode",
-        F.lit("bpe" if res.bpe_merges is not None else "heuristic"),
-    ).withColumn("per_doc_overhead", F.lit(res.per_doc_overhead))
+    stats = (
+        stats.withColumn(
+            "token_mode",
+            F.lit("bpe" if res.bpe_merges is not None else "heuristic"),
+        )
+        .withColumn("per_doc_overhead", F.lit(res.per_doc_overhead))
+        # lowercase stamp (r15, VERDICT item 3): the normalization the
+        # budgets were counted under — stamped now so the day the knob is
+        # exposed, a mismatched reconstruction fails with a named refusal
+        # instead of n_bad_segments forensics
+        .withColumn("lowercase", F.lit(bool(res.lowercase)))
+    )
     if res.ctx_len > 0:
         # lets verify_pack_layout pin the slot map (a shifted pack_pos
         # passes every count/sum comparison; the bound check catches it)
         stats = stats.withColumn("ctx_len", F.lit(res.ctx_len))
     stats.coalesce(1).write.mode(mode).parquet(f"{dest}/stats")
+    if res.bpe_vocab is not None and res.bpe_merges is None:
+        raise ValueError(
+            "result carries bpe_vocab without bpe_merges — the vocab is "
+            "the id half of the frozen BPE tokenizer, meaningless without "
+            "its merge list"
+        )
     if res.bpe_merges is not None:
         tokenizer.save_merges(
             list(res.bpe_merges), f"{dest}/tokenizer/merges.json"
         )
+        if res.bpe_vocab is not None:
+            # the id half (r15): with vocab.json beside the merges,
+            # integer-id windows are reproducible from the corpus
+            # artifacts alone — the fit-time word table never travels
+            tokenizer.save_vocab(
+                list(res.bpe_vocab), f"{dest}/tokenizer/vocab.json"
+            )
 
 
 def read_packed_corpus(
@@ -412,6 +450,7 @@ def assemble_windows(
     res: PretrainingResult,
     docs: DataFrame,
     text_col: str = "text",
+    ids: bool = False,
 ) -> DataFrame:
     """Reconstruct the preset's training windows from the result (r14) —
     the binding layer over ``packing.assemble_packs`` /
@@ -444,7 +483,13 @@ def assemble_windows(
     Heuristic layouts with nonzero ``per_doc_overhead`` raise (framing
     slots have no text position); BPE layouts reconstruct through the
     frozen merges — check ``n_bad_segments = 0`` before trusting those
-    windows."""
+    windows.
+
+    ``ids=True`` (r15, VERDICT item 1) additionally returns ``pack_ids``
+    — the window as integer token ids via the result's frozen vocab
+    (``res.bpe_vocab``, from ``PretrainingConfig.bpe_vocab``) — what a
+    trainer's data loader consumes. Requires a BPE layout whose result
+    carries the vocab; raises a named ``ValueError`` otherwise."""
     if res.packed is None:
         raise ValueError("result carries no packed layout")
     pack_key = (
@@ -455,15 +500,39 @@ def assemble_windows(
         # for any mixture, a no-op for the preset's mix_epoch=0 no-mixture
         # path, and shuffle-free unlike dropDuplicates)
         docs = docs.filter(F.col("mix_epoch") == 0).drop("mix_epoch")
+    if ids and res.bpe_merges is None:
+        raise ValueError(
+            "integer-id windows need a BPE-packed layout, but the result "
+            "carries no bpe_merges — the whitespace heuristic has no id "
+            "inventory; rebuild with PretrainingConfig.bpe_merges + "
+            "bpe_vocab"
+        )
     if res.bpe_merges is not None:
-        return packing.assemble_bpe_packs(
+        win = packing.assemble_bpe_packs(
             res.packed,
             docs,
             list(res.bpe_merges),
             text_col=text_col,
             pack_key=pack_key,
+            lowercase=res.lowercase,
             per_doc_overhead=res.per_doc_overhead,
         )
+        if ids:
+            if res.bpe_vocab is None:
+                raise ValueError(
+                    "integer-id windows requested but the result carries "
+                    "no bpe_vocab — pass the frozen vocab via "
+                    "PretrainingConfig.bpe_vocab (tokenizer.bpe_vocab_ids "
+                    "at fit time), or map ids yourself via "
+                    "tokenizer.map_tokens_to_ids"
+                )
+            win = tokenizer.map_tokens_to_ids(
+                win,
+                list(res.bpe_vocab),
+                tokens_col="pack_window",
+                out_col="pack_ids",
+            )
+        return win
     if res.per_doc_overhead != 0:
         raise ValueError(
             f"heuristic-counted packs with per_doc_overhead="
@@ -580,6 +649,12 @@ def pretraining_pipeline(
     DSIR selection stage. Returns a :class:`PretrainingResult`.
     """
     cfg = config or PretrainingConfig()
+    if cfg.bpe_vocab is not None and cfg.bpe_merges is None:
+        raise ValueError(
+            "PretrainingConfig.bpe_vocab requires bpe_merges — the vocab "
+            "is the id half of the frozen BPE tokenizer, meaningless "
+            "without its merge list"
+        )
     res = PretrainingResult()
 
     def record(name: str, df: DataFrame) -> DataFrame:
@@ -931,6 +1006,11 @@ def pretraining_pipeline(
     res.packed = res.stages["packed"]
     res.pack_per_split = cfg.pack_per_split
     res.bpe_merges = cfg.bpe_merges
+    res.bpe_vocab = cfg.bpe_vocab
+    # the pipeline's own bpe_encode call passes no lowercase knob — the
+    # result records the hard default the budgets were actually counted
+    # under, and the stamp travels into <dest>/stats (r15)
+    res.lowercase = True
     res.per_doc_overhead = cfg.per_doc_overhead
     res.ctx_len = cfg.ctx_len
     return res
