@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
 from kafka_connector_s3_sink_spark.operators import multimodal, packing, sampling, search, similarity, text as text_ops
+from kafka_connector_s3_sink_spark.operators import tokenizer as tokenizer_ops
 from kafka_connector_s3_sink_spark.formats import avro
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
 from kafka_connector_s3_sink_spark.operators import urls as _urls_mod
@@ -242,7 +243,9 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data layout pipeline on the (document, pack)-segment grain —
-    four branches (r8 pack/mix_pack, r9 safe_pack, r13 budget_pack):
+    six branches (r8 pack/mix_pack, r9 safe_pack, r13 budget_pack/assemble,
+    r15 map_ids — string->integer-id windows via tokenizer.
+    map_tokens_to_ids over an oracle-derivable vocab):
 
     - ``pack``: sequence packing (concat-and-chunk into ctx_len=512 context
       windows via the two-level distributed prefix sum,
@@ -276,6 +279,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pack").alias("branch"),
         F.lit(None).cast("int").alias("mix_epoch"),
         F.lit(None).cast("string").alias("pack_text"),
+        F.array().cast("array<int>").alias("pack_ids"),
     )
     mixed = sampling.mixture_sample(
         docs,
@@ -311,6 +315,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("mix_pack").alias("branch"),
             "mix_epoch",
             F.lit(None).cast("string").alias("pack_text"),
+            F.array().cast("array<int>").alias("pack_ids"),
         )
     )
     # safe_pack branch (r9): the preset's LEAKAGE-SAFE split blocking,
@@ -350,6 +355,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("safe_pack").alias("branch"),
             F.lit(None).cast("int").alias("mix_epoch"),
             F.lit(None).cast("string").alias("pack_text"),
+            F.array().cast("array<int>").alias("pack_ids"),
         )
     )
     # budget_pack branch (r13, VERDICT item 7): the token_count_col path —
@@ -382,6 +388,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("budget_pack").alias("branch"),
             F.lit(None).cast("int").alias("mix_epoch"),
             F.lit(None).cast("string").alias("pack_text"),
+            F.array().cast("array<int>").alias("pack_ids"),
         )
     )
     # assemble branch (r13): materialize each pack's token window from the
@@ -389,7 +396,8 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every document by (doc_offset, seg_tokens) and re-concatenates in
     # slot order, so an off-by-one anywhere in the layout arithmetic (or in
     # assemble_packs' slice/ordering) diverges the pack_text value hash.
-    asm = packing.assemble_packs(packed, docs).select(
+    asm_win = packing.assemble_packs(packed, docs)
+    asm = asm_win.select(
         F.lit(None).cast("long").alias("doc_id"),
         F.col("pack_tokens").alias("n_tokens"),
         "pack_id",
@@ -400,12 +408,58 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("assemble").alias("branch"),
         F.lit(None).cast("int").alias("mix_epoch"),
         "pack_text",
+        F.array().cast("array<int>").alias("pack_ids"),
+    )
+    # map_ids branch (r15, VERDICT item 2): the deterministic half of the
+    # integer-id window surface under the oracle — a frozen token-array
+    # column (the assemble branch's whitespace windows) mapped through a
+    # vocab table by the REAL operator (tokenizer.map_tokens_to_ids, the
+    # same Arrow-batched pass read_ingest_windows(ids=True)/
+    # assemble_windows(ids=True) route through). The vocab is itself
+    # oracle-derivable: the corpus's distinct tokens of length >= 4,
+    # sorted, capped at 20k (bounded like a real closed vocab), UNK at id
+    # 0 — short tokens deliberately fall outside it, so the unknown->0
+    # path is hash-gated too. DuckDB replays unnest-with-position ->
+    # vocab lookup -> re-aggregate ORDER BY position. Non-ids branches
+    # carry an EMPTY array, not NULL: DuckDB's pandas conversion renders
+    # a NULL list element as float NaN while Spark's toPandas gives None,
+    # so a NULL-array column hash-splits on the arrow/pandas fetch path
+    # alone (the r14 HUGEINT class, list edition).
+    vocab = [tokenizer_ops.UNK_TOKEN] + [
+        r["tok"]
+        for r in docs.select(
+            F.explode(text_ops.tokens_column(F.col("text"))).alias("tok")
+        )
+        .filter(F.length("tok") >= 4)
+        .distinct()
+        .orderBy("tok")
+        .limit(20000)
+        .collect()
+    ]
+    mid = tokenizer_ops.map_tokens_to_ids(
+        asm_win.withColumn("pack_window", F.split(F.col("pack_text"), " ")),
+        vocab,
+        tokens_col="pack_window",
+        out_col="pack_ids",
+    ).select(
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("pack_tokens").alias("n_tokens"),
+        "pack_id",
+        F.lit(None).cast("long").alias("pack_pos"),
+        F.lit(None).cast("long").alias("doc_offset"),
+        F.lit(None).cast("long").alias("seg_tokens"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit("map_ids").alias("branch"),
+        F.lit(None).cast("int").alias("mix_epoch"),
+        F.lit(None).cast("string").alias("pack_text"),
+        "pack_ids",
     )
     return (
         pack.unionByName(mix)
         .unionByName(safe)
         .unionByName(budget)
         .unionByName(asm)
+        .unionByName(mid)
     )
 
 
@@ -2711,6 +2765,7 @@ def _pack_split_oracle_sql(
     mix: bool = False,
     budget: bool = False,
     assemble: bool = False,
+    map_ids: bool = False,
 ) -> str:
     """DuckDB twin of pack_sequences (two-level prefix sum over md5 shard/order
     keys, concat-and-chunk segmentation) joined with hash_split's 90/5/5
@@ -2725,7 +2780,13 @@ def _pack_split_oracle_sql(
     hash-gated too. ``assemble=True`` (r13) replays
     ``packing.assemble_packs`` over the plain layout: every document
     re-sliced by (doc_offset, seg_tokens) and re-concatenated in slot
-    order per pack — the end-to-end reconstruction gate."""
+    order per pack — the end-to-end reconstruction gate. ``map_ids=True``
+    (r15) replays ``tokenizer.map_tokens_to_ids`` over the assemble
+    branch's windows: the vocab is the corpus's distinct tokens of length
+    >= 4 sorted and capped at 20k with UNK at id 0 (row_number is 1-based,
+    exactly the Python list's indices after the UNK head), each window
+    token resolves through unnest-with-position -> LEFT JOIN vocab ->
+    coalesce 0 -> list(id ORDER BY position)."""
     bucket = (
         "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
         " AS INTEGER)"
@@ -2764,26 +2825,17 @@ def _pack_split_oracle_sql(
         END AS split,
         {branch} AS branch,
         {epoch} AS mix_epoch,
-        CAST(NULL AS VARCHAR) AS pack_text
+        CAST(NULL AS VARCHAR) AS pack_text,
+        CAST([] AS INTEGER[]) AS pack_ids
     FROM seg
 """
-    if assemble:
+    if assemble or map_ids:
         # the reconstruction twin: re-slice each document's whitespace
         # tokens by (doc_offset, seg_tokens) and re-concatenate in slot
         # order per pack (string_agg ORDER BY pack_pos — unique within a
         # pack). list_slice is 1-based INCLUSIVE on both ends.
         pos = f"greatest(strt, pack_id * {ctx})"
-        final = f"""
-    SELECT CAST(NULL AS BIGINT) AS doc_id,
-        pack_tokens AS n_tokens, pack_id,
-        CAST(NULL AS BIGINT) AS pack_pos,
-        CAST(NULL AS BIGINT) AS doc_offset,
-        CAST(NULL AS BIGINT) AS seg_tokens,
-        CAST(NULL AS VARCHAR) AS split,
-        'assemble' AS branch,
-        CAST(NULL AS INTEGER) AS mix_epoch,
-        pack_text
-    FROM (
+        asm_sub = f"""(
         SELECT pack_id,
             CAST(sum(least(strt + n_tokens, (pack_id + 1) * {ctx}) - {pos}) AS BIGINT) AS pack_tokens,
             string_agg(
@@ -2797,7 +2849,67 @@ def _pack_split_oracle_sql(
             ) AS pack_text
         FROM seg JOIN documents USING (doc_id)
         GROUP BY pack_id
+    )"""
+        if assemble:
+            final = f"""
+    SELECT CAST(NULL AS BIGINT) AS doc_id,
+        pack_tokens AS n_tokens, pack_id,
+        CAST(NULL AS BIGINT) AS pack_pos,
+        CAST(NULL AS BIGINT) AS doc_offset,
+        CAST(NULL AS BIGINT) AS seg_tokens,
+        CAST(NULL AS VARCHAR) AS split,
+        'assemble' AS branch,
+        CAST(NULL AS INTEGER) AS mix_epoch,
+        pack_text,
+        CAST([] AS INTEGER[]) AS pack_ids
+    FROM {asm_sub}
+"""
+        else:
+            # map_ids (r15): the vocab table (distinct length>=4 tokens,
+            # sorted, capped, row_number = the Python list index after
+            # the UNK head), then each window token through
+            # unnest-with-position -> lookup -> coalesce(0) ->
+            # list(id ORDER BY position)
+            final = f"""
+    , asm AS (SELECT * FROM {asm_sub}),
+    vtok AS (
+        SELECT DISTINCT tok FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) >= 4
+        ORDER BY tok LIMIT 20000
+    ),
+    vocab AS (
+        SELECT tok, row_number() OVER (ORDER BY tok) AS id FROM vtok
+    ),
+    wpos AS (
+        SELECT pack_id, pack_tokens, toks,
+            unnest(range(1, len(toks) + 1)) AS p
+        FROM (
+            SELECT pack_id, pack_tokens,
+                regexp_split_to_array(pack_text, ' ') AS toks
+            FROM asm
+        )
+    ),
+    wmap AS (
+        SELECT u.pack_id, u.pack_tokens, u.p, coalesce(v.id, 0) AS id
+        FROM (
+            SELECT pack_id, pack_tokens, p, toks[p] AS tok FROM wpos
+        ) u
+        LEFT JOIN vocab v ON v.tok = u.tok
     )
+    SELECT CAST(NULL AS BIGINT) AS doc_id,
+        pack_tokens AS n_tokens, pack_id,
+        CAST(NULL AS BIGINT) AS pack_pos,
+        CAST(NULL AS BIGINT) AS doc_offset,
+        CAST(NULL AS BIGINT) AS seg_tokens,
+        CAST(NULL AS VARCHAR) AS split,
+        'map_ids' AS branch,
+        CAST(NULL AS INTEGER) AS mix_epoch,
+        CAST(NULL AS VARCHAR) AS pack_text,
+        CAST(list(id ORDER BY p) AS INTEGER[]) AS pack_ids
+    FROM wmap
+    GROUP BY pack_id, pack_tokens
 """
     return f"""
     WITH {src},
@@ -2933,7 +3045,8 @@ def _safe_pack_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
         END AS split,
         'safe_pack' AS branch,
         CAST(NULL AS INTEGER) AS mix_epoch,
-        CAST(NULL AS VARCHAR) AS pack_text
+        CAST(NULL AS VARCHAR) AS pack_text,
+        CAST([] AS INTEGER[]) AS pack_ids
     FROM seg s JOIN skey k ON s.doc_id = k.doc_id
 """
 
@@ -2949,7 +3062,8 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(mix=True)})\n"
             f"UNION ALL\nSELECT * FROM ({_safe_pack_oracle_sql()})\n"
             f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(budget=True)})\n"
-            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(assemble=True)})"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(assemble=True)})\n"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(map_ids=True)})"
         ),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},
