@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kafka_connector_s3_sink_spark.config import EngineConfig, OutputField
 from kafka_connector_s3_sink_spark.operators import dedup, grouping, projection, relational
 from kafka_connector_s3_sink_spark.operators import multimodal, packing, sampling, search, similarity, text as text_ops
+from kafka_connector_s3_sink_spark.operators import serving as serving_ops
 from kafka_connector_s3_sink_spark.operators import tokenizer as tokenizer_ops
 from kafka_connector_s3_sink_spark.formats import avro
 from kafka_connector_s3_sink_spark.records import KAFKA_VIEW_SQL, kafka_records_from_events, with_synthetic_headers
@@ -243,9 +244,13 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data layout pipeline on the (document, pack)-segment grain —
-    six branches (r8 pack/mix_pack, r9 safe_pack, r13 budget_pack/assemble,
+    seven branches (r8 pack/mix_pack, r9 safe_pack, r13 budget_pack/assemble,
     r15 map_ids — string->integer-id windows via tokenizer.
-    map_tokens_to_ids over an oracle-derivable vocab):
+    map_tokens_to_ids over an oracle-derivable vocab — and r15 order — the
+    per-epoch serving schedule, serving.serving_order over the pack grain,
+    gated at epochs 0 AND 1 so the epoch-stable shard assignment and the
+    per-epoch permutation are both hash-checked; column mapping documented
+    at the branch below):
 
     - ``pack``: sequence packing (concat-and-chunk into ctx_len=512 context
       windows via the two-level distributed prefix sum,
@@ -454,12 +459,46 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("pack_text"),
         "pack_ids",
     )
+    # order branch (r15): the trainer's per-epoch serving schedule
+    # (serving.serving_order) over the plain layout's pack grain —
+    # epoch-stable md5 shard assignment, per-epoch md5 visit permutation,
+    # global_step = shard-visit prefix offset + intra-shard position - 1
+    # (a bijection onto [0, n_packs) the oracle replays with the same md5
+    # + row_number + prefix-sum expressions). Two epochs gated: epoch 0
+    # and epoch 1 must share shard_id per pack but differ in global_step.
+    # Shared-schema column mapping (documented, same reuse pattern as the
+    # assemble branch): n_tokens := pack_tokens, pack_pos := shard_id,
+    # doc_offset := shard_pos, seg_tokens := global_step,
+    # mix_epoch := serving epoch.
+    packs_grain = serving_ops.packs_of_layout(packed)
+    order_frames = []
+    for _epoch in (0, 1):
+        _plan = serving_ops.serving_order(
+            packs_grain, n_shards=8, epoch=_epoch
+        )
+        order_frames.append(
+            _plan.select(
+                F.lit(None).cast("long").alias("doc_id"),
+                F.col("pack_tokens").alias("n_tokens"),
+                "pack_id",
+                F.col("shard_id").alias("pack_pos"),
+                F.col("shard_pos").alias("doc_offset"),
+                F.col("global_step").alias("seg_tokens"),
+                F.lit(None).cast("string").alias("split"),
+                F.lit("order").alias("branch"),
+                F.col("epoch").alias("mix_epoch"),
+                F.lit(None).cast("string").alias("pack_text"),
+                F.array().cast("array<int>").alias("pack_ids"),
+            )
+        )
     return (
         pack.unionByName(mix)
         .unionByName(safe)
         .unionByName(budget)
         .unionByName(asm)
         .unionByName(mid)
+        .unionByName(order_frames[0])
+        .unionByName(order_frames[1])
     )
 
 
@@ -2766,6 +2805,7 @@ def _pack_split_oracle_sql(
     budget: bool = False,
     assemble: bool = False,
     map_ids: bool = False,
+    order_epoch: int | None = None,
 ) -> str:
     """DuckDB twin of pack_sequences (two-level prefix sum over md5 shard/order
     keys, concat-and-chunk segmentation) joined with hash_split's 90/5/5
@@ -2786,7 +2826,12 @@ def _pack_split_oracle_sql(
     >= 4 sorted and capped at 20k with UNK at id 0 (row_number is 1-based,
     exactly the Python list's indices after the UNK head), each window
     token resolves through unnest-with-position -> LEFT JOIN vocab ->
-    coalesce 0 -> list(id ORDER BY position)."""
+    coalesce 0 -> list(id ORDER BY position). ``order_epoch`` (r15)
+    replays ``serving.serving_order`` over the plain layout's pack grain:
+    shard = md5-bucket('serve:shard') % 8 (epoch-stable), intra-shard
+    position = row_number over md5('serve:<epoch>:' || pack_id), global
+    step = shard-visit prefix sum (shards ordered by
+    md5('serve:<epoch>:shard:' || shard_id)) + position - 1."""
     bucket = (
         "CAST('0x' || substr(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 4)"
         " AS INTEGER)"
@@ -2828,6 +2873,55 @@ def _pack_split_oracle_sql(
         CAST(NULL AS VARCHAR) AS pack_text,
         CAST([] AS INTEGER[]) AS pack_ids
     FROM seg
+"""
+    if order_epoch is not None:
+        # the serving-order twin (r15): pack grain -> epoch-stable md5
+        # shard -> per-epoch md5 visit order (row_number) -> shard-visit
+        # prefix sum -> global_step. Same column reuse as the Spark
+        # branch: pack_pos := shard_id, doc_offset := shard_pos,
+        # seg_tokens := global_step, mix_epoch := epoch.
+        e = order_epoch
+        final = f"""
+    , packs AS (
+        SELECT pack_id,
+            CAST(sum(least(strt + n_tokens, (pack_id + 1) * {ctx})
+                - greatest(strt, pack_id * {ctx})) AS BIGINT) AS pack_tokens
+        FROM seg GROUP BY pack_id
+    ),
+    sh AS (
+        SELECT pack_id, pack_tokens,
+            CAST({bucket.format(seed="serve:shard", id="pack_id")} % 8
+                AS BIGINT) AS shard_id,
+            md5('serve:{e}:' || CAST(pack_id AS VARCHAR)) AS okey
+        FROM packs
+    ),
+    pos AS (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY shard_id ORDER BY okey, pack_id
+        ) AS BIGINT) AS shard_pos FROM sh
+    ),
+    cnt AS (
+        SELECT shard_id, count(*) AS c,
+            md5('serve:{e}:shard:' || CAST(shard_id AS VARCHAR)) AS skey
+        FROM sh GROUP BY shard_id
+    ),
+    soff AS (
+        SELECT shard_id, CAST(coalesce(sum(c) OVER (
+            ORDER BY skey, shard_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS soff FROM cnt
+    )
+    SELECT CAST(NULL AS BIGINT) AS doc_id,
+        pack_tokens AS n_tokens, pack_id,
+        shard_id AS pack_pos,
+        shard_pos AS doc_offset,
+        soff + shard_pos - 1 AS seg_tokens,
+        CAST(NULL AS VARCHAR) AS split,
+        'order' AS branch,
+        CAST({e} AS INTEGER) AS mix_epoch,
+        CAST(NULL AS VARCHAR) AS pack_text,
+        CAST([] AS INTEGER[]) AS pack_ids
+    FROM pos JOIN soff USING (shard_id)
 """
     if assemble or map_ids:
         # the reconstruction twin: re-slice each document's whitespace
@@ -3063,7 +3157,9 @@ def oracle_sql() -> dict[str, str]:
             f"UNION ALL\nSELECT * FROM ({_safe_pack_oracle_sql()})\n"
             f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(budget=True)})\n"
             f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(assemble=True)})\n"
-            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(map_ids=True)})"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(map_ids=True)})\n"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(order_epoch=0)})\n"
+            f"UNION ALL\nSELECT * FROM ({_pack_split_oracle_sql(order_epoch=1)})"
         ),
         "sink_projection_csv": f"""
             WITH {KAFKA_CTE},

@@ -101,7 +101,7 @@ BRANCH_TAGS = {
         "method",
         ["jaccard", "lsh", "decontam", "decontam_near"],
     ),
-    "pipeline_pack_split": ("branch", ["pack", "mix_pack", "safe_pack", "budget_pack", "assemble", "map_ids"]),
+    "pipeline_pack_split": ("branch", ["pack", "mix_pack", "safe_pack", "budget_pack", "assemble", "map_ids", "order"]),
     "dedup_clusters": ("branch", ["text", "media"]),
     "dedup_embedding_cosine": ("method", ["label", "kmeans", "decontam"]),
     "ann_topk": ("method", ["brute", "lsh", "bm25", "pq"]),
