@@ -27,19 +27,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # themselves (the r12 note cited a 69.0s total its own medians contradicted).
 # Only genuinely hand-measured numbers (fresh-process ABAB arms) belong here.
 ROUND_NARRATIVE = (
-    "r14: entry set IDENTICAL to r9-r13 (43 entries). Riser attribution "
-    "lives in the COMPUTED per-entry ratio distribution above (VERDICT r13 "
-    "item 4: the r13 narrative asserted 'one attributed riser' on a quiet-"
-    "machine run and shipped inside a 1.16x uniform-riser driver payload; "
-    "this narrative makes no payload-dependent claims). Hand-measured "
-    "numbers (fresh-process two-round interleaved ABAB, r12-form ac5d20d "
-    "vs HEAD, quiet machine — SCALING.md r14): text_analysis pooled 1.04x "
-    "(r12 2.37-2.64s, head 2.15-2.96s) — the r13 driver's 3.15s was "
-    "co-load, flag CLEARED; dedup_clusters pooled 1.06x and dedup_exact "
-    "0.94x — both r13 watch items CLEARED as noise. No entry's physical "
-    "plan changed this round (PLANS.md regen row-identical to r13); the "
-    "only gate-surface change is the assemble oracle's BIGINT cast, which "
-    "is DuckDB-side and costs nothing here."
+    "r15: entry set IDENTICAL to r9-r14 (43 entries). Riser attribution "
+    "lives in the COMPUTED per-entry ratio distribution above. ONE entry "
+    "gained work this round: pipeline_pack_split grew two branches "
+    "(map_ids — the assemble windows mapped through a 20k vocab, and "
+    "order x2 epochs — the serving-schedule permutation), so its entry "
+    "total is EXPECTED up vs r14; compare its unchanged branches "
+    "(pack/mix_pack/safe_pack/budget_pack/assemble) via queries_branches "
+    "for a like-for-like read. No other entry's plan changed (PLANS.md "
+    "regenerated this round reflects the two new branches only). "
+    "Measured r15 scale work (SCALING.md r15): 10x window-read probe — "
+    "verified read 1.43x for ~46x packs, executed shuffles flat at 7; "
+    "serving-plan write flat 7.2s at both scales; manifest-pruned resume "
+    "executes zero shuffle-write stages."
 )
 
 # headline set: sink surface + heavy relational + LLM ops

@@ -178,6 +178,7 @@ def write_serving_plan(
     seed: str = "serve",
     pack_id_col: str = "pack_id",
     seg_tokens_col: str = "seg_tokens",
+    subdir: str = "serving",
 ) -> DataFrame:
     """Persist the serving schedule beside a packed corpus:
     ``<dest>/serving/plan`` (pack grain, partitioned by epoch, one file
@@ -191,7 +192,10 @@ def write_serving_plan(
     metadata-sized (a few columns per pack, no text), so persisting every
     epoch's permutation up front is cheap relative to the corpus —
     ~10^10 packs × ~40 bytes ≈ 400 GB/epoch at the 100 TB point, written
-    once, shard-parallel."""
+    once, shard-parallel.
+
+    ``subdir`` scopes the plan inside the destination (the ladder wrappers
+    use ``serving/<split>`` so per-split schedules coexist)."""
     packs = packs_of_layout(
         layout, pack_id_col=pack_id_col, seg_tokens_col=seg_tokens_col
     )
@@ -202,18 +206,19 @@ def write_serving_plan(
             pack_id_col=pack_id_col,
         )
         plans = p if plans is None else plans.unionByName(p)
+    base = f"{dest_dir}/{subdir}"
     (
         plans.repartition(n_shards, "shard_id")
         .sortWithinPartitions("epoch", "shard_id", "shard_pos")
         .write.mode("overwrite")
         .partitionBy("epoch")
-        .parquet(f"{dest_dir}/serving/plan")
+        .parquet(f"{base}/plan")
     )
     manifest = shard_manifest(
-        plans.sparkSession.read.parquet(f"{dest_dir}/serving/plan")
+        plans.sparkSession.read.parquet(f"{base}/plan")
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{dest_dir}/serving/manifest"
+        f"{base}/manifest"
     )
     spark = layout.sparkSession
     conf_json = json.dumps(
@@ -223,28 +228,28 @@ def write_serving_plan(
     # tiny config sidecar via the JVM-side text writer (one row)
     spark.createDataFrame([(conf_json,)], "value string").coalesce(
         1
-    ).write.mode("overwrite").text(f"{dest_dir}/serving/serving.json")
+    ).write.mode("overwrite").text(f"{base}/serving.json")
     return manifest
 
 
 def read_serving_plan(
-    spark, dest_dir: str, epoch: int, from_step: int = 0
+    spark, dest_dir: str, epoch: int, from_step: int = 0,
+    subdir: str = "serving",
 ) -> DataFrame:
     """Read one epoch's remaining schedule from a persisted plan. Epoch
     partition-prunes at the scan; ``from_step`` prunes shards through the
     manifest before the row filter. Raises a named ValueError when the
     destination has no serving plan (mirrors the missing-merges refusal in
     ``ingest.read_ingest_windows``)."""
+    base = f"{dest_dir}/{subdir}"
     try:
         conf_rows = (
-            spark.read.text(f"{dest_dir}/serving/serving.json")
-            .limit(1)
-            .collect()
+            spark.read.text(f"{base}/serving.json").limit(1).collect()
         )
     except Exception as exc:
         raise ValueError(
-            f"{dest_dir} has no serving plan ({dest_dir}/serving/"
-            "serving.json missing) — write one with write_serving_plan"
+            f"{dest_dir} has no serving plan ({base}/serving.json "
+            "missing) — write one with write_serving_plan"
         ) from exc
     conf = json.loads(conf_rows[0]["value"])
     if epoch >= conf["epochs"]:
@@ -252,12 +257,12 @@ def read_serving_plan(
             f"epoch {epoch} not in the persisted plan (epochs="
             f"{conf['epochs']}) — re-run write_serving_plan with more epochs"
         )
-    plan = spark.read.parquet(f"{dest_dir}/serving/plan").filter(
+    plan = spark.read.parquet(f"{base}/plan").filter(
         F.col("epoch") == epoch
     )
     if from_step <= 0:
         return plan
-    manifest = spark.read.parquet(f"{dest_dir}/serving/manifest").filter(
+    manifest = spark.read.parquet(f"{base}/manifest").filter(
         F.col("epoch") == epoch
     )
     return resume_filter(plan, from_step, manifest=manifest)

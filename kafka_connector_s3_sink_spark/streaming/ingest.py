@@ -802,6 +802,54 @@ def read_ingest_packs(
     return df
 
 
+def write_ingest_serving_plan(
+    spark: SparkSession,
+    dest_dir: str,
+    n_shards: int,
+    epochs: int = 1,
+    seed: str = "serve",
+) -> DataFrame:
+    """Persist a per-epoch serving schedule over EVERY completed ingest
+    epoch's packs (r15: the read order travels with the corpus — the
+    streaming ladder's twin of ``pretraining.write_corpus_serving_plan``).
+    Pack identity is the composite ``'<batch_id>#<pack_id>'`` (pack ids
+    restart per epoch, so the bare id is not unique corpus-wide); the plan
+    lands under ``<dest>/serving/`` and interleaves all ingested epochs
+    into one schedule per TRAINING epoch. Re-run after new crawl batches
+    land to extend the schedule (deterministic: unchanged packs keep their
+    shard, the fresh permutation re-mixes the visit order)."""
+    from kafka_connector_s3_sink_spark.operators import serving
+
+    layout = read_ingest_packs(spark, dest_dir, verify=False).withColumn(
+        "pack_key",
+        F.concat_ws(
+            "#", F.col("batch_id"), F.col("pack_id").cast("string")
+        ),
+    )
+    return serving.write_serving_plan(
+        layout,
+        dest_dir,
+        n_shards=n_shards,
+        epochs=epochs,
+        seed=seed,
+        pack_id_col="pack_key",
+    )
+
+
+def read_ingest_serving_plan(
+    spark: SparkSession, dest_dir: str, epoch: int, from_step: int = 0
+) -> DataFrame:
+    """Read one training epoch's remaining schedule from an ingest
+    destination (``serving.read_serving_plan`` with the ingest's composite
+    ``pack_key`` column — split it on ``'#'`` to join back to
+    ``read_ingest_packs``/``read_ingest_windows`` keys)."""
+    from kafka_connector_s3_sink_spark.operators import serving
+
+    return serving.read_serving_plan(
+        spark, dest_dir, epoch, from_step=from_step
+    )
+
+
 def read_ingest_windows(
     spark: SparkSession,
     dest_dir: str,

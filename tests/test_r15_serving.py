@@ -112,6 +112,107 @@ def test_write_read_round_trip(spark, layout, packs, tmp_path):
     )
 
 
+def test_preset_ladder_wrapper(spark, layout, tmp_path):
+    """write_corpus_serving_plan schedules one split of a packed-corpus
+    destination under <dest>/serving/<split>/ — coexisting per-split plans,
+    reader scoped the same way."""
+    from kafka_connector_s3_sink_spark import pretraining
+
+    dest = str(tmp_path / "corpus")
+    # a minimal write_packed_corpus-shaped destination: packed table
+    # partitioned by split (verify=False readers don't need stats)
+    train = layout.withColumn("split", F.lit("train"))
+    val = (
+        layout.filter(F.col("pack_id") < 3)
+        .withColumn("split", F.lit("val"))
+        .withColumn("pack_id", F.col("pack_id") + 1_000_000)
+    )
+    train.unionByName(val).write.partitionBy("split").parquet(
+        f"{dest}/packed"
+    )
+    pretraining.write_corpus_serving_plan(spark, dest, n_shards=4, epochs=1)
+    pretraining.write_corpus_serving_plan(
+        spark, dest, n_shards=2, epochs=1, split="val"
+    )
+    got_t = pretraining.read_corpus_serving_plan(spark, dest, epoch=0)
+    got_v = pretraining.read_corpus_serving_plan(
+        spark, dest, epoch=0, split="val"
+    )
+    n_train = layout.select("pack_id").distinct().count()
+    assert sorted(
+        r["global_step"] for r in got_t.collect()
+    ) == list(range(n_train))
+    assert sorted(r["global_step"] for r in got_v.collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="no serving plan"):
+        pretraining.read_corpus_serving_plan(
+            spark, dest, epoch=0, split="test"
+        )
+
+
+def test_ingest_ladder_wrapper(spark, tmp_path):
+    """write_ingest_serving_plan schedules the composite (batch, pack)
+    grain across all completed ingest epochs into one plan."""
+    from kafka_connector_s3_sink_spark.operators import incremental
+    from kafka_connector_s3_sink_spark.streaming import ingest
+
+    prefix = "r15srv"
+    loc = str(tmp_path / "index")
+    incremental.build_dedup_index(
+        spark.createDataFrame(
+            [(999_999, "serving probe history seed")], ["doc_id", "text"]
+        ),
+        prefix,
+        loc,
+        num_buckets=2,
+    )
+    try:
+        cfg = ingest.IngestConfig(
+            index_prefix=prefix,
+            index_location=loc,
+            dest_dir=str(tmp_path / "out"),
+            checkpoint_location=str(tmp_path / "ckpt"),
+            num_buckets=2,
+            ctx_len=48,
+            split_weights={"train": 1.0},
+        )
+        stops = ["the", "and", "of", "to", "is"]
+        for epoch in range(2):
+            docs = spark.createDataFrame(
+                [
+                    (
+                        100 * epoch + i,
+                        " ".join(
+                            w
+                            for j in range(10 + i)
+                            for w in (stops[j % 5], f"e{epoch}d{i}w{j}")
+                        ),
+                    )
+                    for i in range(1, 5)
+                ],
+                ["doc_id", "text"],
+            )
+            ingest.process_crawl_batch(docs, epoch, cfg)
+        ingest.write_ingest_serving_plan(spark, cfg.dest_dir, n_shards=2)
+        plan = ingest.read_ingest_serving_plan(spark, cfg.dest_dir, epoch=0)
+        rows = plan.collect()
+        packs = (
+            ingest.read_ingest_packs(spark, cfg.dest_dir, verify=False)
+            .select("batch_id", "pack_id")
+            .distinct()
+            .collect()
+        )
+        assert {r["pack_key"] for r in rows} == {
+            f"{r['batch_id']}#{r['pack_id']}" for r in packs
+        }
+        assert sorted(r["global_step"] for r in rows) == list(
+            range(len(packs))
+        )
+        # both ingest epochs interleave into the one schedule
+        assert len({r["pack_key"].split("#")[0] for r in rows}) == 2
+    finally:
+        incremental.drop_dedup_index(spark, prefix)
+
+
 def test_named_refusals(spark, layout, tmp_path):
     with pytest.raises(ValueError, match="no serving plan"):
         serving.read_serving_plan(spark, str(tmp_path / "nowhere"), epoch=0)

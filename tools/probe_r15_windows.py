@@ -74,16 +74,24 @@ def main() -> None:
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
+    # decorrelate clone TEXTS (letter-rotation translate, the r9 probe's
+    # fixture rule) — suffix-only clones would be near-dups the ingest
+    # cascade legitimately deletes, collapsing the 10x corpus back to 1x
+    alpha = "abcdefghijklmnopqrstuvwxyz"
     clones = [
         docs1.select(
             (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" probeclone{k}")).alias("text"),
+            F.translate(
+                F.col("text"), alpha, alpha[k % 26:] + alpha[: k % 26]
+            ).alias("text"),
         )
         for k in range(FACTOR)
     ]
     docsN = clones[0]
     for c in clones[1:]:
         docsN = docsN.unionByName(c)
+    docsN = docsN.repartition(32).persist()
+    docsN.count()
 
     wf = tokenizer.word_frequencies(docs1.limit(500))
     merges = tokenizer.fit_bpe(wf, n_merges=200)
@@ -123,7 +131,14 @@ def main() -> None:
         )
         t0 = time.time()
         for epoch in range(2):
-            ingest.process_crawl_batch(docs, epoch, cfg)
+            # disjoint halves per epoch (parity; the 10M clone offset is
+            # even, so clones keep their base doc's parity) — feeding the
+            # same docs twice would just exact-dedup epoch 1 to nothing
+            ingest.process_crawl_batch(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == epoch),
+                epoch,
+                cfg,
+            )
         t_ingest = time.time() - t0
 
         t_ver = timed(
