@@ -43,6 +43,22 @@ DISTINCT_ID = {
 # Hand-maintained per-query analyses rendered after the summary table —
 # they survive regeneration because they live HERE, not in the output.
 NOTES = {
+    "pipeline_pack_split": """\
+**Seven branches, one entry (r8→r15).** The 44-static/26-executed counts
+are the UNION of seven independent gate branches, each with its own pack
+layout chain: pack, mix_pack (3-source upsampled mixture), safe_pack
+(MinHash-LSH blocking + CC + cluster-safe split — most of the joins),
+budget_pack (precomputed budgets), assemble (window reconstruction:
+one packs⋈documents equi-join + one pack-key string_agg), map_ids (r15:
+posexplode → broadcast vocab lookup → re-aggregate by position), and
+order ×2 epochs (r15: per epoch ONE shard-key window Exchange + an
+n_shards-row count aggregate + the single-partition offset window —
+bounded by config, not data; the serving module's contract). Per branch
+the shuffle count is the operator's documented intrinsic set; the entry
+total grows with BRANCH COUNT (a gate-harness artifact), not with data —
+the r15 10× serving/window probe (SCALING.md) pins the flat executed
+count on the real read path. The r14→r15 jump (18→44 static, 12→26
+executed) is exactly the two new branches landing.""",
     "incremental_dedup": """\
 **Static-shuffle accounting (r6).** The r5→r6 restructure (n2 as a window
 count riding the bucketed shingle clustering instead of a separate
