@@ -341,7 +341,33 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand_pairs.select(F.col("id2").alias("doc_id")))
         .distinct()
     )
-    cclusters = dedup.connected_components(cand_ids, cand_pairs)
+    # the TWO eager pieces of this constructor — the safe_pack branch's
+    # connected-components fixpoint (a chain of small checkpoint jobs) and
+    # the map_ids branch's vocab collect (one TakeOrdered job over the
+    # tokenized corpus) — are independent, so they run on two driver
+    # threads (guide §2.6) and the vocab job back-fills executors the CC
+    # rounds leave idle; the vocab itself is unchanged (same expressions,
+    # same collect)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _vocab() -> list:
+        return [tokenizer_ops.UNK_TOKEN] + [
+            r["tok"]
+            for r in docs.select(
+                F.explode(text_ops.tokens_column(F.col("text"))).alias("tok")
+            )
+            .filter(F.length("tok") >= 4)
+            .distinct()
+            .orderBy("tok")
+            .limit(20000)
+            .collect()
+        ]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_cc = pool.submit(dedup.connected_components, cand_ids, cand_pairs)
+        fut_vocab = pool.submit(_vocab)
+        cclusters = fut_cc.result()
+        vocab = fut_vocab.result()
     safe_split = sampling.cluster_safe_split(
         nd.select("doc_id").distinct(),
         cclusters.select("doc_id", "cluster_id"),
@@ -430,19 +456,16 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a NULL list element as float NaN while Spark's toPandas gives None,
     # so a NULL-array column hash-splits on the arrow/pandas fetch path
     # alone (the r14 HUGEINT class, list edition).
-    vocab = [tokenizer_ops.UNK_TOKEN] + [
-        r["tok"]
-        for r in docs.select(
-            F.explode(text_ops.tokens_column(F.col("text"))).alias("tok")
-        )
-        .filter(F.length("tok") >= 4)
-        .distinct()
-        .orderBy("tok")
-        .limit(20000)
-        .collect()
-    ]
+    # (vocab collected above, overlapped with the safe_pack CC.) Only the
+    # columns the id mapping needs cross the Python boundary (guide §4):
+    # this branch nulls pack_text in its output anyway, so shipping the
+    # full window text through Arrow both ways was pure transfer cost.
     mid = tokenizer_ops.map_tokens_to_ids(
-        asm_win.withColumn("pack_window", F.split(F.col("pack_text"), " ")),
+        asm_win.select(
+            "pack_id",
+            "pack_tokens",
+            F.split(F.col("pack_text"), " ").alias("pack_window"),
+        ),
         vocab,
         tokens_col="pack_window",
         out_col="pack_ids",
@@ -1314,36 +1337,59 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SQL — the payload→fingerprint kernels (image_dhash /
       audio_fingerprint / video_fingerprint) are pinned by round-trip
       pytests instead (tests/test_llm_ops.py), since a BMP dHash is not
-      SQL-expressible."""
-    text_rows = dedup.dedup_cascade(
-        dedup.with_near_duplicates(
-            dedup.with_exact_duplicates(_docs(spark, sf_dir)), id_offset=200_000
-        ),
-        jaccard_threshold=0.8,
-    ).select(F.lit("text").alias("branch"), "doc_id", "cluster_id", "is_canonical")
-    did = F.col("doc_id")
-    hashes = _docs(spark, sf_dir).select(
-        did.alias("media_id"),
-        F.when(did % 3 == 0, F.lit("image"))
-        .when(did % 3 == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
-        .alias("media_type"),
-        ((did % 37) * F.lit(2654435761))
-        .cast("long")
-        .bitwiseXOR(
-            F.when(did % 5 == 0, F.lit(3))
-            .when(did % 7 == 0, F.lit(96))
-            .otherwise(F.lit(0))
-            .cast("long")
+      SQL-expressible.
+
+    The two branches are independent and both run EAGER driver-side work
+    (each connected-components fixpoint is a sequence of small checkpoint
+    jobs that never fills the cluster), so they are constructed on two
+    driver threads (guide §2.6 — overlap independent jobs): the media CC's
+    tiny jobs back-fill executors the text cascade's stragglers leave
+    idle. Results are order-independent — each branch is deterministic and
+    they only meet at the final union."""
+
+    def _text_rows() -> DataFrame:
+        return dedup.dedup_cascade(
+            dedup.with_near_duplicates(
+                dedup.with_exact_duplicates(_docs(spark, sf_dir)),
+                id_offset=200_000,
+            ),
+            jaccard_threshold=0.8,
+        ).select(
+            F.lit("text").alias("branch"), "doc_id", "cluster_id", "is_canonical"
         )
-        .alias("phash"),
-    )
-    media_rows = multimodal.dedup_media_hashes(hashes, max_hamming=6).select(
-        F.lit("media").alias("branch"),
-        F.col("media_id").alias("doc_id"),
-        "cluster_id",
-        "is_canonical",
-    )
+
+    def _media_rows() -> DataFrame:
+        did = F.col("doc_id")
+        hashes = _docs(spark, sf_dir).select(
+            did.alias("media_id"),
+            F.when(did % 3 == 0, F.lit("image"))
+            .when(did % 3 == 1, F.lit("audio"))
+            .otherwise(F.lit("video"))
+            .alias("media_type"),
+            ((did % 37) * F.lit(2654435761))
+            .cast("long")
+            .bitwiseXOR(
+                F.when(did % 5 == 0, F.lit(3))
+                .when(did % 7 == 0, F.lit(96))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            .alias("phash"),
+        )
+        return multimodal.dedup_media_hashes(hashes, max_hamming=6).select(
+            F.lit("media").alias("branch"),
+            F.col("media_id").alias("doc_id"),
+            "cluster_id",
+            "is_canonical",
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_text = pool.submit(_text_rows)
+        fut_media = pool.submit(_media_rows)
+        text_rows = fut_text.result()
+        media_rows = fut_media.result()
     return text_rows.unionByName(media_rows)
 
 
@@ -1545,16 +1591,25 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connector_s3_sink_spark.functions.numeric import stable_round
     from kafka_connector_s3_sink_spark.operators.quality import (
         PINNED_WEIGHTS_V1,
-        classifier_score,
+        classifier_score_rows,
     )
 
-    clf_score = classifier_score(F.col("text"), PINNED_WEIGHTS_V1)
-    clf_rows = docs.select(
+    # r15 optimization: frame-level scoring (classifier_score_rows) — the
+    # hashed-token array is materialized once per row behind a Generate
+    # barrier instead of being re-derived by each of the 16 bucket filters
+    # (measured 7×, bit-identical; see the function's docstring), and the
+    # score attribute feeds both metric columns so the sigmoid tree
+    # appears once in the plan (lambda subtrees are excluded from codegen
+    # subexpression elimination — a second textual instance is a second
+    # per-row evaluation).
+    clf_rows = classifier_score_rows(
+        docs.select("doc_id", "text"), PINNED_WEIGHTS_V1, out_col="_clf_s"
+    ).select(
         F.lit("quality_clf").alias("branch"),
         F.col("doc_id").cast("string").alias("key"),
         text_ops.token_count(F.col("text")).cast("bigint").alias("n"),
-        stable_round(clf_score, 4).alias("metric_a"),
-        F.when(clf_score >= 0.5, 1.0).otherwise(0.0).alias("metric_b"),
+        stable_round(F.col("_clf_s"), 4).alias("metric_a"),
+        F.when(F.col("_clf_s") >= 0.5, 1.0).otherwise(0.0).alias("metric_b"),
     )
     # link_rank branch (r7): synthetic crawl pages exercise every href
     # resolution shape (absolute — only for doc_id%3≠0, protocol-relative,
