@@ -39,7 +39,19 @@ ROUND_NARRATIVE = (
     "Measured r15 scale work (SCALING.md r15): 10x window-read probe — "
     "verified read 1.43x for ~46x packs, executed shuffles flat at 7; "
     "serving-plan write flat 7.2s at both scales; manifest-pruned resume "
-    "executes zero shuffle-write stages."
+    "executes zero shuffle-write stages. "
+    "r15 OPTIMIZATION (OPTIMIZATION_r15.md): three entries expected DOWN "
+    "vs their r14 like-for-like — text_corpus_stats (quality_clf branch "
+    "rebuilt on a Generate-barrier scorer, interleaved micro 5.4->0.73s "
+    "on the scoring projection, bit-identical; branch median should read "
+    "~1.4s vs r14's 6.59), dedup_clusters (CC fixpoint check fused into "
+    "the propagation aggregate + the two branches constructed on driver "
+    "threads; fresh-process interleaved ABAB base {11.4,12.7,14.3,21.8} "
+    "vs opt {8.2,9.6,10.2,11.0}, opt below base in all 4 interleaved "
+    "pairs, pooled 0.65x), and pipeline_pack_split construction "
+    "(safe_pack CC ∥ vocab collect, map_ids Arrow boundary pruned) — "
+    "ABAB pooled 1.02x = the overlap win sits inside the entry's noise "
+    "band; its entry total stays dominated by the two new r15 branches."
 )
 
 # headline set: sink surface + heavy relational + LLM ops
