@@ -284,7 +284,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pack").alias("branch"),
         F.lit(None).cast("int").alias("mix_epoch"),
         F.lit(None).cast("string").alias("pack_text"),
-        F.array().cast("array<int>").alias("pack_ids"),
+        F.lit("").alias("pack_ids"),
     )
     mixed = sampling.mixture_sample(
         docs,
@@ -320,7 +320,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("mix_pack").alias("branch"),
             "mix_epoch",
             F.lit(None).cast("string").alias("pack_text"),
-            F.array().cast("array<int>").alias("pack_ids"),
+            F.lit("").alias("pack_ids"),
         )
     )
     # safe_pack branch (r9): the preset's LEAKAGE-SAFE split blocking,
@@ -386,7 +386,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("safe_pack").alias("branch"),
             F.lit(None).cast("int").alias("mix_epoch"),
             F.lit(None).cast("string").alias("pack_text"),
-            F.array().cast("array<int>").alias("pack_ids"),
+            F.lit("").alias("pack_ids"),
         )
     )
     # budget_pack branch (r13, VERDICT item 7): the token_count_col path —
@@ -419,7 +419,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("budget_pack").alias("branch"),
             F.lit(None).cast("int").alias("mix_epoch"),
             F.lit(None).cast("string").alias("pack_text"),
-            F.array().cast("array<int>").alias("pack_ids"),
+            F.lit("").alias("pack_ids"),
         )
     )
     # assemble branch (r13): materialize each pack's token window from the
@@ -439,7 +439,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("assemble").alias("branch"),
         F.lit(None).cast("int").alias("mix_epoch"),
         "pack_text",
-        F.array().cast("array<int>").alias("pack_ids"),
+        F.lit("").alias("pack_ids"),
     )
     # map_ids branch (r15, VERDICT item 2): the deterministic half of the
     # integer-id window surface under the oracle — a frozen token-array
@@ -451,11 +451,11 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted, capped at 20k (bounded like a real closed vocab), UNK at id
     # 0 — short tokens deliberately fall outside it, so the unknown->0
     # path is hash-gated too. DuckDB replays unnest-with-position ->
-    # vocab lookup -> re-aggregate ORDER BY position. Non-ids branches
-    # carry an EMPTY array, not NULL: DuckDB's pandas conversion renders
-    # a NULL list element as float NaN while Spark's toPandas gives None,
-    # so a NULL-array column hash-splits on the arrow/pandas fetch path
-    # alone (the r14 HUGEINT class, list edition).
+    # vocab lookup -> string_agg ORDER BY position. The declared column is
+    # a space-joined STRING (r16): a raw array<int> broke the driver's
+    # pandas canonicalizer (unhashable 'list' in sort_values); non-ids
+    # branches carry an EMPTY string so the column never hash-splits on
+    # NULL-rendering differences across the arrow/pandas fetch path.
     # (vocab collected above, overlapped with the safe_pack CC.) Only the
     # columns the id mapping needs cross the Python boundary (guide §4):
     # this branch nulls pack_text in its output anyway, so shipping the
@@ -480,7 +480,14 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("map_ids").alias("branch"),
         F.lit(None).cast("int").alias("mix_epoch"),
         F.lit(None).cast("string").alias("pack_text"),
-        "pack_ids",
+        # r16 (VERDICT item 1): the declared output carries the id sequence
+        # as a space-joined STRING, not a raw array<int> — the driver's
+        # pandas canonicalizer cannot sort list cells (unhashable type:
+        # 'list' in CORRECTNESS_r15). Same information, hash-gated the same
+        # way; the operator (map_tokens_to_ids) still returns the array.
+        F.concat_ws(" ", F.col("pack_ids").cast("array<string>")).alias(
+            "pack_ids"
+        ),
     )
     # order branch (r15): the trainer's per-epoch serving schedule
     # (serving.serving_order) over the plain layout's pack grain —
@@ -511,7 +518,7 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("order").alias("branch"),
                 F.col("epoch").alias("mix_epoch"),
                 F.lit(None).cast("string").alias("pack_text"),
-                F.array().cast("array<int>").alias("pack_ids"),
+                F.lit("").alias("pack_ids"),
             )
         )
     return (
@@ -2926,7 +2933,7 @@ def _pack_split_oracle_sql(
         {branch} AS branch,
         {epoch} AS mix_epoch,
         CAST(NULL AS VARCHAR) AS pack_text,
-        CAST([] AS INTEGER[]) AS pack_ids
+        '' AS pack_ids
     FROM seg
 """
     if order_epoch is not None:
@@ -2975,7 +2982,7 @@ def _pack_split_oracle_sql(
         'order' AS branch,
         CAST({e} AS INTEGER) AS mix_epoch,
         CAST(NULL AS VARCHAR) AS pack_text,
-        CAST([] AS INTEGER[]) AS pack_ids
+        '' AS pack_ids
     FROM pos JOIN soff USING (shard_id)
 """
     if assemble or map_ids:
@@ -3010,7 +3017,7 @@ def _pack_split_oracle_sql(
         'assemble' AS branch,
         CAST(NULL AS INTEGER) AS mix_epoch,
         pack_text,
-        CAST([] AS INTEGER[]) AS pack_ids
+        '' AS pack_ids
     FROM {asm_sub}
 """
         else:
@@ -3056,7 +3063,7 @@ def _pack_split_oracle_sql(
         'map_ids' AS branch,
         CAST(NULL AS INTEGER) AS mix_epoch,
         CAST(NULL AS VARCHAR) AS pack_text,
-        CAST(list(id ORDER BY p) AS INTEGER[]) AS pack_ids
+        string_agg(CAST(id AS VARCHAR), ' ' ORDER BY p) AS pack_ids
     FROM wmap
     GROUP BY pack_id, pack_tokens
 """
@@ -3195,7 +3202,7 @@ def _safe_pack_oracle_sql(ctx: int = 512, n_shards: int = 32) -> str:
         'safe_pack' AS branch,
         CAST(NULL AS INTEGER) AS mix_epoch,
         CAST(NULL AS VARCHAR) AS pack_text,
-        CAST([] AS INTEGER[]) AS pack_ids
+        '' AS pack_ids
     FROM seg s JOIN skey k ON s.doc_id = k.doc_id
 """
 

@@ -495,12 +495,23 @@ def main() -> None:
         "construction. Compare branch-to-branch across rounds to attribute "
         "a merged entry's delta.",
     }
-    line = json.dumps(result)
-    # The driver tail-captures stdout; a truncated tail once ate the r3 warm
-    # total. Persist the full JSON to a file first, then print the one line.
+    # The driver tail-captures stdout, and the annotated payload grew to
+    # ~10 KB — it fell off the tail for twelve straight rounds (BENCH_r03..r14
+    # all `parsed: null`). Persist the FULL annotated payload to
+    # BENCH_LAST.json, but PRINT only the compact contract line
+    # (metric/value/unit/queries/sf) so the driver can always parse it.
     with open(out_path, "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(result) + "\n")
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "note": "compact line; full annotated payload (cold runs, per-branch "
+        "timings, round narrative) in BENCH_LAST.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
