@@ -106,19 +106,21 @@ def _bucket_eq(j: int):
     return eq
 
 
-def quality_features(text: Column, n_buckets: int = N_BUCKETS) -> Column:
-    """``array<double>`` of length ``n_buckets + 5``:
-    ``[1.0, len_norm, stopword_ratio, punct_ratio, mean_word_len_norm,
-    bucket_0_freq, …]`` — all deterministic JVM expressions."""
-    toks = tokens_column(F.lower(text))
-    n = F.greatest(F.size(toks), F.lit(1))
-    hashed = F.transform(
-        toks,
+def _hashed_tokens(text: Column, n_buckets: int) -> Column:
+    """token → ``conv(md5[:4], 16, 10) % n_buckets`` over the lowercased
+    tokens — the hashing-trick array every feature form derives from."""
+    return F.transform(
+        tokens_column(F.lower(text)),
         lambda t: (
             F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % n_buckets
         ),
     )
-    dense = [
+
+
+def _dense_features(text: Column) -> list[Column]:
+    """The shared bias + 4 dense signals (ADVICE r15: one expression list
+    feeds every feature form so they cannot silently diverge)."""
+    return [
         F.lit(1.0),
         F.least(F.length(text) / F.lit(500.0), F.lit(1.0)).cast("double"),
         stopword_ratio(text).cast("double"),
@@ -127,11 +129,58 @@ def quality_features(text: Column, n_buckets: int = N_BUCKETS) -> Column:
             "double"
         ),
     ]
-    buckets = [
+
+
+def _bucket_features(hashed: Column, n_buckets: int) -> list[Column]:
+    """Per-bucket frequency expressions over an (already computed) hashed
+    token array — shared by the Column form (inline array) and the barrier
+    forms (materialized array column)."""
+    n = F.greatest(F.size(hashed), F.lit(1))
+    return [
         (F.size(F.filter(hashed, _bucket_eq(j))) / n).cast("double")
         for j in range(n_buckets)
     ]
-    return F.array(*dense, *buckets)
+
+
+def quality_features(text: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """``array<double>`` of length ``n_buckets + 5``:
+    ``[1.0, len_norm, stopword_ratio, punct_ratio, mean_word_len_norm,
+    bucket_0_freq, …]`` — all deterministic JVM expressions.
+
+    NOTE (r15): as a pure Column this embeds one copy of the tokenize+hash
+    subtree per bucket filter (HOF lambdas are interpreted, excluded from
+    codegen CSE) — fine for a scalar probe or an oracle twin, the wrong
+    shape for corpus-wide scans. Frame-level paths
+    (``classifier_score_rows``, ``fit_quality_classifier``) materialize the
+    hashed array once per row behind a Generate barrier instead."""
+    hashed = _hashed_tokens(text, n_buckets)
+    return F.array(
+        *_dense_features(text), *_bucket_features(hashed, n_buckets)
+    )
+
+
+def _hashed_barrier(
+    df: DataFrame, text: Column, n_buckets: int
+) -> tuple[DataFrame, Column]:
+    """``df`` + a materialized hashed-token array column behind a
+    single-element-array explode (Generate) barrier — the ``text.analyze``
+    pattern that stops Catalyst substituting the tokenize+hash subtree into
+    each of the ``n_buckets`` downstream filters. Returns (frame, column).
+
+    Internal column names are picked to dodge caller columns (ADVICE r15:
+    fixed ``_q``/``_qh`` over ``select('*')`` broke on frames that already
+    carried them)."""
+    qh_name, st_name = "_qh", "_q"
+    while qh_name in df.columns or st_name in df.columns:
+        qh_name += "_"
+        st_name += "_"
+    barr = df.select(
+        "*",
+        F.explode(
+            F.array(F.struct(_hashed_tokens(text, n_buckets).alias("qh")))
+        ).alias(st_name),
+    ).select(*df.columns, F.col(f"{st_name}.qh").alias(qh_name))
+    return barr, F.col(qh_name)
 
 
 def classifier_score_rows(
@@ -156,33 +205,8 @@ def classifier_score_rows(
     ``array<int>`` and the hashing runs once. The dense features still
     derive from ``text`` directly, exactly as in ``quality_features``."""
     t = F.col(text_col)
-    toks = tokens_column(F.lower(t))
-    hashed = F.transform(
-        toks,
-        lambda tk: (
-            F.conv(F.substring(F.md5(tk), 1, 4), 16, 10).cast("int") % n_buckets
-        ),
-    )
-    barr = df.select(
-        "*",
-        F.explode(F.array(F.struct(hashed.alias("qh")))).alias("_q"),
-    ).select(*df.columns, F.col("_q.qh").alias("_qh"))
-    qh = F.col("_qh")
-    n = F.greatest(F.size(qh), F.lit(1))
-    dense = [
-        F.lit(1.0),
-        F.least(F.length(t) / F.lit(500.0), F.lit(1.0)).cast("double"),
-        stopword_ratio(t).cast("double"),
-        punct_ratio(t).cast("double"),
-        (F.least(mean_word_length(t), F.lit(20.0)) / F.lit(20.0)).cast(
-            "double"
-        ),
-    ]
-    buckets = [
-        (F.size(F.filter(qh, _bucket_eq(j))) / n).cast("double")
-        for j in range(n_buckets)
-    ]
-    f = F.array(*dense, *buckets)
+    barr, qh = _hashed_barrier(df, t, n_buckets)
+    f = F.array(*_dense_features(t), *_bucket_features(qh, n_buckets))
     if len(weights) != n_buckets + N_DENSE:
         raise ValueError(
             f"expected {n_buckets + N_DENSE} weights, got {len(weights)}"
@@ -211,12 +235,25 @@ def fit_quality_classifier(
     weights start at zero and every step is a closed-form solve), so
     repeated fits — and task retries inside a fit — produce identical
     models. ``reg`` is the ridge term that keeps the solve stable when a
-    hash bucket is empty."""
+    hash bucket is empty.
+
+    The feature frame is built on the same Generate-barrier shape as
+    ``classifier_score_rows`` (r16, VERDICT r15 item 8): the Column form
+    re-ran the tokenize+md5 subtree 16× per row, and each of the
+    ``iterations`` IRLS scans paid it again. Values are bit-identical —
+    same expressions over the same rows in the same partition layout — so
+    the pinned-weight reproducibility contract holds."""
     import numpy as np
 
     dim = n_buckets + N_DENSE
-    feats = df.select(
-        quality_features(F.col(text_col), n_buckets).alias("f"),
+    t = F.col(text_col)
+    barr, qh = _hashed_barrier(
+        df.select(t.alias(text_col), F.col(label_col)), t, n_buckets
+    )
+    feats = barr.select(
+        F.array(
+            *_dense_features(t), *_bucket_features(qh, n_buckets)
+        ).alias("f"),
         F.col(label_col).cast("double").alias("y"),
     )
     w = np.zeros(dim)
