@@ -1679,7 +1679,9 @@ def _q_text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain hash-fails.
     from kafka_connector_s3_sink_spark.operators.quality import trigram_perplexity
 
-    ppl_rows = trigram_perplexity(docs).select(
+    ppl_rows = trigram_perplexity(
+        docs, unpersist_registry=_INCR_CACHE_REGISTRY
+    ).select(
         F.lit("ppl").alias("branch"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("n_trigrams").cast("bigint").alias("n"),
