@@ -9,11 +9,19 @@ Spark-first decomposition:
 3. line rendering                 — Column expressions, JVM codegen (formats/render.py)
 4. distribution                   — ``repartition(filename)`` +
                                     ``sortWithinPartitions(filename, offset)``
-5. object write                   — per-partition Python iterator streaming rows
-                                    into compressed files; memory is bounded by
-                                    one compression buffer, not by group size
+5. object write                   — per-partition Python writer streaming Arrow
+                                    record batches into compressed files; memory
+                                    is bounded by one compression buffer (text) or
+                                    one group's columnar buffer (parquet/ORC),
+                                    not by partition size
 
 Only step 5 is Python, and it is pure I/O (the bytes were rendered JVM-side).
+Data crosses the JVM→Python boundary as Arrow record batches (``mapInArrow``,
+r16 — previously ``rdd.mapPartitions`` pickled every row): group boundaries are
+found with vectorized dictionary-encode + diff, text groups are joined with one
+C-level ``binary_join`` per batch slice instead of a per-row loop, and columnar
+groups are written from the arriving Arrow arrays directly. Output bytes are
+identical (verified object-for-object against the row path).
 Object I/O goes through ``sinks.storage.ObjectStorage`` (pyarrow.fs), so
 ``dest_dir`` may be a local path, ``file://``, ``s3://``, ``gs://`` or
 ``hdfs://`` URI; every object commit is atomic (temp+rename, or direct PUT on
@@ -209,12 +217,55 @@ def write_batch(
         )
         writer = _text_partition_writer(storage, config, fault)
 
+    out_schema = "object string, records long"
     if manifest == "sidecar":
-        results = ordered.rdd.mapPartitions(_sidecar_manifest(writer, storage))
-        results.count()  # triggers the write; counts objects, not rows
+        # triggers the write; only (object, records) rows reach the driver,
+        # and the sidecar mode discards even those (shards hold the manifest)
+        ordered.mapInArrow(
+            _sidecar_manifest(writer, storage), out_schema
+        ).collect()
         return []
-    written = ordered.rdd.mapPartitions(writer).collect()
-    return sorted(written)
+    rows = ordered.mapInArrow(_arrow_emit(writer), out_schema).collect()
+    return sorted((r[0], r[1]) for r in rows)
+
+
+def _group_runs(batch) -> Iterator[tuple[str, int, int]]:
+    """(object_name, start, length) runs of equal ``_file`` (column 0) within
+    one Arrow record batch. Rows arrive clustered by filename, so runs are
+    contiguous; boundaries come from a vectorized dictionary-encode + diff
+    instead of a per-row comparison loop."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return
+    di = batch.column(0).dictionary_encode()
+    idx = di.indices.to_numpy(zero_copy_only=False)
+    uniq = di.dictionary.to_pylist()
+    cuts = (np.nonzero(np.diff(idx))[0] + 1).tolist()
+    starts = [0] + cuts
+    ends = cuts + [len(idx)]
+    for s, e in zip(starts, ends):
+        yield uniq[idx[s]], s, e - s
+
+
+def _arrow_emit(writer):
+    """Adapt a batch writer (yields (name, count) tuples) to ``mapInArrow``'s
+    contract: one (object, records) record batch per task."""
+
+    def run(batches) -> Iterator:
+        import pyarrow as pa
+
+        names: list[str] = []
+        counts: list[int] = []
+        for name, count in writer(batches):
+            names.append(name)
+            counts.append(count)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(names, type=pa.string()), pa.array(counts, type=pa.int64())],
+            names=["object", "records"],
+        )
+
+    return run
 
 
 def _sidecar_manifest(writer, storage: ObjectStorage):
@@ -229,31 +280,45 @@ def _sidecar_manifest(writer, storage: ObjectStorage):
     manifest's own documented O(objects-per-task)) and committed atomically
     after the task's objects, so a task retry rewrites both identically."""
 
-    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+    def write(batches) -> Iterator:
         import json
 
+        import pyarrow as pa
         from pyspark import TaskContext
 
         lines: list[str] = []
-        for name, count in writer(rows):
+        names: list[str] = []
+        counts: list[int] = []
+        for name, count in writer(batches):
             lines.append(json.dumps({"object": name, "records": count}))
-            yield (name, count)
+            names.append(name)
+            counts.append(count)
         if lines:
             pid = TaskContext.get().partitionId()
             storage.write_bytes(
                 f"_manifest/part-{pid:05d}.jsonl",
                 ("\n".join(lines) + "\n").encode(),
             )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(names, type=pa.string()), pa.array(counts, type=pa.int64())],
+            names=["object", "records"],
+        )
 
     return write
 
 
 def _text_partition_writer(storage: ObjectStorage, config: EngineConfig, fault=None):
-    """Streaming per-partition writer for CSV/JSONL/JSON.
+    """Streaming per-partition writer for CSV/JSONL/JSON over Arrow batches.
 
-    Rows arrive clustered by filename and sorted by offset; the writer holds one
-    open compressed stream and (for JSON) a single one-line lookbehind to place
-    trailing commas — memory is O(compression buffer), never O(group).
+    Rows arrive clustered by filename and sorted by offset; the writer holds
+    one open compressed stream per in-flight object. Each batch slice of a
+    group is concatenated with ONE C-level ``binary_join`` (an Arrow string
+    column is a contiguous buffer + offsets, so the join never touches rows
+    from Python) and written in a single call — memory is O(compression
+    buffer + one batch), never O(group). JSON's array framing ("[", ",\\n"
+    separators, "]") is byte-identical to the old per-row lookbehind form:
+    a group renders as "[\\n" + ",\\n".join(lines) + "\\n]\\n" across any
+    batch split.
 
     Each object streams through ``storage.open_output`` — committed only on a
     clean finish; any exception (including the ``fault`` test hook) aborts the
@@ -263,52 +328,58 @@ def _text_partition_writer(storage: ObjectStorage, config: EngineConfig, fault=N
     compression = config.file_compression
     is_json_array = config.format_type is FormatType.JSON
 
-    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+    def write(batches) -> Iterator[tuple[str, int]]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         current: str | None = None
         cm = None  # storage.open_output context for the in-flight object
         stream = None
-        pending: str | None = None
         count = 0
 
+        def join_slice(lines, sep: str) -> bytes:
+            la = pa.ListArray.from_arrays(
+                pa.array([0, len(lines)], type=pa.int32()), lines
+            )
+            return pc.binary_join(la, sep)[0].as_py().encode()
+
         def finish():
-            nonlocal cm, stream, pending, count
+            nonlocal cm, stream, count
             if cm is None:
                 return None
             if is_json_array:
-                if pending is not None:
-                    stream.write((pending + "\n").encode())
-                stream.write(b"]\n")
+                stream.write(b"\n]\n")
             stream.close()  # flush compressed tail into the raw stream
             if fault is not None:
                 fault(current)  # raises → except below aborts via cm.__exit__
             cm.__exit__(None, None, None)  # commit (rename / complete upload)
             result = (current, count)
-            cm = stream = pending = None
+            cm = stream = None
             return result
 
         try:
-            for row in rows:
-                name, line = row[0], row[1]  # (_file, _line, _ord) positional —
-                # Row.__getitem__ by name is a field-index lookup per access; at
-                # millions of rows per partition the constant matters
-                if name != current:
-                    done = finish()
-                    if done:
-                        yield done
-                    current = name
-                    count = 0
-                    cm = storage.open_output(name)
-                    raw = cm.__enter__()
-                    stream = open_compressed(raw, compression)
+            for batch in batches:
+                lines_col = batch.column(1)
+                for name, start, length in _group_runs(batch):
+                    if name != current:
+                        done = finish()
+                        if done:
+                            yield done
+                        current = name
+                        count = 0
+                        cm = storage.open_output(name)
+                        raw = cm.__enter__()
+                        stream = open_compressed(raw, compression)
+                        if is_json_array:
+                            stream.write(b"[\n")
+                    elif is_json_array:
+                        stream.write(b",\n")  # group continues across batches
+                    sl = lines_col.slice(start, length)
                     if is_json_array:
-                        stream.write(b"[\n")
-                if is_json_array:
-                    if pending is not None:
-                        stream.write((pending + ",\n").encode())
-                    pending = line
-                else:
-                    stream.write((line + "\n").encode())
-                count += 1
+                        stream.write(join_slice(sl, ",\n"))
+                    else:
+                        stream.write(join_slice(sl, "\n") + b"\n")
+                    count += length
             done = finish()
             if done:
                 yield done
@@ -334,10 +405,14 @@ def _parquet_partition_writer(
     ``schema`` is the prepared DataFrame's Spark schema (``_file``, envelope
     fields, ``_ord``); the Arrow schema is derived from it explicitly so
     all-null groups keep their declared types and nested-struct values
-    (``parquet_value_schema`` mode) round-trip losslessly.
+    (``parquet_value_schema`` mode) round-trip losslessly. The arriving Arrow
+    batch slices are buffered per group and written directly (cast to the
+    declared schema, chunks combined so the column layout matches the old
+    single-array build — verified byte-identical); no value ever round-trips
+    through Python objects.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import StructType
 
     is_orc = config.format_type is FormatType.ORC
     if is_orc:
@@ -359,40 +434,27 @@ def _parquet_partition_writer(
     field_names = [f.value for f in config.output_fields]
     envelope_schema = StructType([schema[n] for n in field_names])
     arrow_schema = to_arrow_schema(envelope_schema)
-    # pa.array wants dicts (not Row) for struct values at any nesting depth
-    nested_fields = {
-        i for i, f in enumerate(envelope_schema.fields)
-        if isinstance(f.dataType, (StructType, ArrayType, MapType))
-    }
+    n_fields = len(field_names)
 
-    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+    def write(batches) -> Iterator[tuple[str, int]]:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         if is_orc:
             import pyarrow.orc as pa_orc
-        from pyspark.sql import Row as SparkRow
-
-        def to_py(v):
-            if isinstance(v, SparkRow):
-                return {k: to_py(x) for k, x in zip(v.__fields__, v)}
-            if isinstance(v, (list, tuple)):
-                return [to_py(x) for x in v]
-            if isinstance(v, dict):
-                return {k: to_py(x) for k, x in v.items()}
-            return v
 
         current: str | None = None
-        buffer: list[list] = []  # columnar: one list per envelope field
+        parts: list = []  # envelope-column batch slices of the open group
 
         def flush():
-            if current is None or not buffer[0]:
+            nonlocal parts
+            if current is None or not parts:
                 return None
-            arrays = [
-                pa.array(col, type=arrow_schema.field(i).type)
-                for i, col in enumerate(buffer)
-            ]
-            table = pa.Table.from_arrays(arrays, schema=arrow_schema)
+            table = pa.Table.from_batches(parts)
+            if table.schema != arrow_schema:
+                table = table.cast(arrow_schema)
+            table = table.combine_chunks()
+            parts = []
             with storage.open_output(current) as out:
                 if is_orc:
                     pa_orc.write_table(table, out, compression=compression)
@@ -400,21 +462,20 @@ def _parquet_partition_writer(
                     pq.write_table(table, out, compression=compression)
                 if fault is not None:
                     fault(current)  # raises inside the context → abort, no object
-            return (current, len(buffer[0]))
+            return (current, table.num_rows)
 
-        for row in rows:
-            name = row[0]  # _file is selected first; fields follow positionally
-            if name != current:
-                done = flush()
-                if done:
-                    yield done
-                current = name
-                buffer = [[] for _ in field_names]
-            for i in range(len(field_names)):
-                v = row[i + 1]
-                if i in nested_fields and v is not None:
-                    v = to_py(v)
-                buffer[i].append(v)
+        for batch in batches:
+            env = pa.RecordBatch.from_arrays(
+                [batch.column(i + 1) for i in range(n_fields)],
+                names=field_names,
+            )
+            for name, start, length in _group_runs(batch):
+                if name != current:
+                    done = flush()
+                    if done:
+                        yield done
+                    current = name
+                parts.append(env.slice(start, length))
         done = flush()
         if done:
             yield done
@@ -457,21 +518,10 @@ def _avro_partition_writer(storage: ObjectStorage, config: EngineConfig, schema,
     envelope = StructType([schema[n] for n in field_names])
     avro_schema = avro_schema_for_spark(envelope)
 
-    def write(rows: Iterator) -> Iterator[tuple[str, int]]:
+    n_fields = len(field_names)
+
+    def write(batches) -> Iterator[tuple[str, int]]:
         import hashlib
-
-        from pyspark.sql import Row as SparkRow
-
-        def to_py(v):
-            if isinstance(v, SparkRow):
-                return {k: to_py(x) for k, x in zip(v.__fields__, v)}
-            if isinstance(v, (list, tuple)):
-                return [to_py(x) for x in v]
-            if isinstance(v, bytearray):
-                return bytes(v)
-            if isinstance(v, dict):
-                return {k: to_py(x) for k, x in v.items()}
-            return v
 
         current: str | None = None
         cm = None
@@ -491,26 +541,35 @@ def _avro_partition_writer(storage: ObjectStorage, config: EngineConfig, schema,
             return result
 
         try:
-            for row in rows:
-                name = row[0]
-                if name != current:
-                    done = finish()
-                    if done:
-                        yield done
-                    current = name
-                    count = 0
-                    cm = storage.open_output(name)
-                    raw = cm.__enter__()
-                    ocf = OCFWriter(
-                        raw,
-                        avro_schema,
-                        codec=codec,
-                        sync_marker=hashlib.md5(name.encode()).digest(),
-                    )
-                ocf.append(
-                    {fn: to_py(row[i + 1]) for i, fn in enumerate(field_names)}
-                )
-                count += 1
+            for batch in batches:
+                # one columnar→python conversion per batch (Arrow gives
+                # bytes/dict/list natively — the old pickled-Row path needed
+                # a recursive to_py per value); the OCF block encoder itself
+                # is row-oriented, so rows are zipped from the converted
+                # columns per group slice.
+                cols = [
+                    batch.column(i + 1).to_pylist() for i in range(n_fields)
+                ]
+                for name, start, length in _group_runs(batch):
+                    if name != current:
+                        done = finish()
+                        if done:
+                            yield done
+                        current = name
+                        count = 0
+                        cm = storage.open_output(name)
+                        raw = cm.__enter__()
+                        ocf = OCFWriter(
+                            raw,
+                            avro_schema,
+                            codec=codec,
+                            sync_marker=hashlib.md5(name.encode()).digest(),
+                        )
+                    for vals in zip(
+                        *(c[start : start + length] for c in cols)
+                    ):
+                        ocf.append(dict(zip(field_names, vals)))
+                    count += length
             done = finish()
             if done:
                 yield done

@@ -14,12 +14,19 @@ from kafka_connector_s3_sink_spark.pretraining import (
     pretraining_pipeline,
 )
 from kafka_connector_s3_sink_spark.sources.warc import (
+
     build_http_response_payload,
     build_record,
     enrich_crawl_documents,
     read_warc,
     warc_documents,
 )
+
+# Long-running e2e/preset suite: excluded from the default pytest
+# selection (pytest.ini addopts -m "not slow") so the routine gate
+# finishes inside a CI window; run the full suite with
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
 
 
 def _bucket(seed, i):

@@ -27,11 +27,18 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from kafka_connector_s3_sink_spark.operators.text import (
+
     CYRILLIC_REFINEMENTS,
     LANGUAGE_PROFILES,
     SCRIPT_RANGES,
     language_id_multi,
 )
+
+# Long-running e2e/preset suite: excluded from the default pytest
+# selection (pytest.ini addopts -m "not slow") so the routine gate
+# finishes inside a CI window; run the full suite with
+#   python -m pytest tests/ -m "slow or not slow"
+pytestmark = pytest.mark.slow
 
 # uses the session-scoped `spark` fixture from conftest (8g driver — the
 # preset e2e's candidate-CC/persist stages OOM a default-1g JVM)

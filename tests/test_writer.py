@@ -452,3 +452,53 @@ def test_sidecar_manifest_mode(spark, tmp_path):
     ]
     # the objects themselves were still written
     assert read_lines(tmp_path, "t-1-10", CompressionType.NONE) == ["v-1-10"]
+
+
+def test_groups_spanning_arrow_batches_r16(spark, tmp_path):
+    """r16 (Arrow writer): a group larger than one Arrow record batch must
+    produce identical object content to the single-batch case — the
+    cross-batch carry is the new seam (JSON's ",\n" continuation separator,
+    parquet's multi-slice buffer, avro's open OCF stream)."""
+    import json as _json
+
+    rows = [
+        Row(topic="t", partition=0, offset=i, key=f"k{i}",
+            value=f"v{i}", timestamp=1000 + i, headers=None)
+        for i in range(25)
+    ] + [
+        Row(topic="u", partition=0, offset=100 + i, key=f"k{i}",
+            value=f"w{i}", timestamp=2000 + i, headers=None)
+        for i in range(7)
+    ]
+    outputs = {}
+    for tag, batch_rows in (("small", 4), ("big", 10000)):
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_rows)
+        try:
+            for fmt, cfgkw in (
+                ("json", dict(format_type=FormatType.JSON,
+                              file_compression=CompressionType.NONE)),
+                ("csv", dict(file_compression=CompressionType.NONE)),
+                ("parquet", dict(format_type=FormatType.PARQUET,
+                                 output_fields=(OutputField.KEY, OutputField.VALUE))),
+                ("avro", dict(format_type=FormatType.AVRO,
+                              file_compression=CompressionType.NONE,
+                              output_fields=(OutputField.KEY, OutputField.VALUE))),
+            ):
+                dest = tmp_path / f"{fmt}-{tag}"
+                written = write_batch(
+                    records_df(spark, rows), EngineConfig(**cfgkw), str(dest)
+                )
+                assert [w[1] for w in written] == [25, 7]
+                outputs[(fmt, tag)] = {
+                    n: (dest / n).read_bytes() for n, _ in written
+                }
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    for fmt in ("json", "csv", "parquet", "avro"):
+        assert outputs[(fmt, "small")] == outputs[(fmt, "big")], fmt
+    # JSON array framing stays a single well-formed array across the carry
+    (name, data), = (
+        (n, d) for n, d in outputs[("json", "small")].items() if n.startswith("t-")
+    )
+    parsed = _json.loads(data.decode())
+    assert [r["value"] for r in parsed] == [f"v{i}" for i in range(25)]
