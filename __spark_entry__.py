@@ -10,6 +10,7 @@ queries run over the canonical Kafka-record view of ``events``
 from __future__ import annotations
 
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -79,6 +80,24 @@ SHINGLES_SQL = (
     "i -> md5(array_to_string(w[i+1:i+3], ' '))))"
 )
 
+
+
+def _overlap(spark: SparkSession, **branches):
+    """Run independent eager branch constructors on driver threads (guide
+    §2.6) so one branch's small jobs back-fill executors the other leaves
+    idle. Each branch's jobs are labelled with its name (job descriptions
+    are thread-local) so overlapped jobs stay distinguishable in the UI
+    when debugging stragglers (ADVICE r15). Returns results keyed by name."""
+    def run(name, fn):
+        spark.sparkContext.setJobDescription(name)
+        try:
+            return fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {n: pool.submit(run, n, fn) for n, fn in branches.items()}
+        return {n: f.result() for n, f in futs.items()}
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -348,8 +367,6 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threads (guide §2.6) and the vocab job back-fills executors the CC
     # rounds leave idle; the vocab itself is unchanged (same expressions,
     # same collect)
-    from concurrent.futures import ThreadPoolExecutor
-
     def _vocab() -> list:
         return [tokenizer_ops.UNK_TOKEN] + [
             r["tok"]
@@ -363,11 +380,12 @@ def q_pipeline_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_cc = pool.submit(dedup.connected_components, cand_ids, cand_pairs)
-        fut_vocab = pool.submit(_vocab)
-        cclusters = fut_cc.result()
-        vocab = fut_vocab.result()
+    _res = _overlap(
+        spark,
+        safe_pack_cc=lambda: dedup.connected_components(cand_ids, cand_pairs),
+        map_ids_vocab=_vocab,
+    )
+    cclusters, vocab = _res["safe_pack_cc"], _res["map_ids_vocab"]
     safe_split = sampling.cluster_safe_split(
         nd.select("doc_id").distinct(),
         cclusters.select("doc_id", "cluster_id"),
@@ -1390,14 +1408,8 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_canonical",
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_text = pool.submit(_text_rows)
-        fut_media = pool.submit(_media_rows)
-        text_rows = fut_text.result()
-        media_rows = fut_media.result()
-    return text_rows.unionByName(media_rows)
+    _res = _overlap(spark, text_cc=_text_rows, media_cc=_media_rows)
+    return _res["text_cc"].unionByName(_res["media_cc"])
 
 
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

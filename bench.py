@@ -27,31 +27,26 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # themselves (the r12 note cited a 69.0s total its own medians contradicted).
 # Only genuinely hand-measured numbers (fresh-process ABAB arms) belong here.
 ROUND_NARRATIVE = (
-    "r15: entry set IDENTICAL to r9-r14 (43 entries). Riser attribution "
-    "lives in the COMPUTED per-entry ratio distribution above. ONE entry "
-    "gained work this round: pipeline_pack_split grew two branches "
-    "(map_ids — the assemble windows mapped through a 20k vocab, and "
-    "order x2 epochs — the serving-schedule permutation), so its entry "
-    "total is EXPECTED up vs r14; compare its unchanged branches "
-    "(pack/mix_pack/safe_pack/budget_pack/assemble) via queries_branches "
-    "for a like-for-like read. No other entry's plan changed (PLANS.md "
-    "regenerated this round reflects the two new branches only). "
-    "Measured r15 scale work (SCALING.md r15): 10x window-read probe — "
-    "verified read 1.43x for ~46x packs, executed shuffles flat at 7; "
-    "serving-plan write flat 7.2s at both scales; manifest-pruned resume "
-    "executes zero shuffle-write stages. "
-    "r15 OPTIMIZATION (OPTIMIZATION_r15.md): three entries expected DOWN "
-    "vs their r14 like-for-like — text_corpus_stats (quality_clf branch "
-    "rebuilt on a Generate-barrier scorer, interleaved micro 5.4->0.73s "
-    "on the scoring projection, bit-identical; branch median should read "
-    "~1.4s vs r14's 6.59), dedup_clusters (CC fixpoint check fused into "
-    "the propagation aggregate + the two branches constructed on driver "
-    "threads; fresh-process interleaved ABAB base {11.4,12.7,14.3,21.8} "
-    "vs opt {8.2,9.6,10.2,11.0}, opt below base in all 4 interleaved "
-    "pairs, pooled 0.65x), and pipeline_pack_split construction "
-    "(safe_pack CC ∥ vocab collect, map_ids Arrow boundary pruned) — "
-    "ABAB pooled 1.02x = the overlap win sits inside the entry's noise "
-    "band; its entry total stays dominated by the two new r15 branches."
+    "r16 (OPTIMIZATION round 2): entry set IDENTICAL to r9-r15 (43 "
+    "entries). The printed line is now the COMPACT contract line only "
+    "(the full annotated payload lives in BENCH_LAST.json) - twelve "
+    "driver rounds lost the 10KB line to stdout tail truncation. "
+    "Entries expected DOWN vs r15 like-for-like (OPTIMIZATION_r16.md): "
+    "dedup_embedding_cosine (per-pair dot pre-flattened to codegen'd "
+    "scalar columns + SemDeDup blocker fit session-memoized; ABAB base "
+    "{6.69,8.13} vs opt {5.16,5.37}, pooled 0.71x), text_corpus_stats' "
+    "ppl branch (one tokenize instead of six, persisted tokens frame; "
+    "interleaved micro {2.94,2.71,2.59,2.62}->{2.32,2.11,2.02,2.24}), "
+    "and the four sink_write entries (writers moved from pickled-Row "
+    "rdd.mapPartitions to mapInArrow with C-level group joins; ABAB "
+    "csv 0.65x, parquet 0.79x, orc 0.76x, avro flat; bytes verified "
+    "identical). pipeline_pack_split changed VALUES by contract this "
+    "round: pack_ids is now a space-joined string (driver-gate fix - "
+    "pandas canonicalizers cannot sort list cells), same information, "
+    "oracle updated in lockstep. ann_topk's r15 32-core riser (12.1s "
+    "driver vs 3.3s@8) did NOT reproduce in isolation (probe: warm "
+    "3.2-3.8s at local[32], matching the committed canonical 3.6s) - "
+    "see OPTIMIZATION_r16.md for the full-bench-context check."
 )
 
 # headline set: sink surface + heavy relational + LLM ops

@@ -95,8 +95,16 @@ def test_quality_clf_scored_once_in_plan(spark):
 
     df = entrymod.queries()["text_corpus_stats"](spark, "/root/testdata/sf0.001")
     branch = df.filter(F.col("branch") == "quality_clf")
-    plan = branch._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("1.0 / (1.0 + EXP") == 1, (
+    # r16 (ADVICE r15): count in explain('formatted') — its details section
+    # prints full expressions, where executedPlan().toString() truncates
+    # long trees via maxToStringFields and can hide (or split) the match.
+    # The sigmoid's EXP( is the structural marker: the only EXP in this
+    # branch's plan (the other exp()-bearing branches are pruned by the
+    # literal filter), so one occurrence = one per-row evaluation.
+    plan = branch._sc._jvm.PythonSQLUtils.explainString(
+        branch._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("EXP(") == 1, (
         "classifier score evaluated more than once per row:\n" + plan
     )
     entrymod.release_caches()
